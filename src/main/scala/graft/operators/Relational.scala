@@ -1,0 +1,370 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Relational analytics suite — the generalized engine surface (SURVEY §2.2).
+  *
+  * The reference engine's only relational primitives are hash-partitioned
+  * grouped aggregation + final sort (core/map_reduce.go, master/main.go:292);
+  * this module provides the full declarative surface a user of a
+  * MapReduce-style engine would hand-roll: filters, joins of every flavor,
+  * windows, rollups, unions, subqueries — all as Catalyst plans so pushdown,
+  * join-reordering, broadcast selection and AQE apply.
+  *
+  * Oracle discipline (SURVEY §4): double aggregates are computed per-row in
+  * IEEE double (deterministic in both engines), summed exactly as
+  * DECIMAL(28,10) (order-independent), and emitted as DOUBLE — so results
+  * hash-match DuckDB bit-for-bit regardless of partitioning/parallelism.
+  *
+  * Scale notes: every query keeps filters above the scan (pushdown), joins
+  * fact tables on shuffle keys only, and lets small dims broadcast (Spark
+  * auto-broadcasts below the threshold; at 100 TB the dims here —
+  * region/nation/supplier/part/customer — remain broadcast-able or become
+  * bucketed tables).
+  */
+object Relational {
+
+  /** Exact, order-independent sum of a double expression: per-row double →
+    * DECIMAL(28,10) (exact, commutative) → DECIMAL(28,2) → DOUBLE at emit.
+    * The scale-2 hop matters: DuckDB's decimal→double cast is not correctly
+    * rounded at scale 10 (int128/1e10 in FP), but is exact at scale 2. */
+  private def xsum(c: Column): Column =
+    sum(c.cast(DecimalType(28, 10))).cast(DecimalType(28, 2)).cast(DoubleType)
+  private val ONE = lit(1.0)
+
+  // Name of the xsum pattern on the DuckDB side. ROUND (HALF_UP, matching
+  // Spark's decimal cast) rather than a decimal down-cast, which truncates
+  // in DuckDB.
+  private def osum(e: String): String =
+    s"CAST(ROUND(SUM(CAST($e AS DECIMAL(28,10))), 2) AS DOUBLE)"
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1 shape: multi-key grouped aggregation with map-side combine. */
+  def q1Agg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        xsum(col("l_quantity")).as("sum_qty"),
+        xsum(col("l_extendedprice")).as("sum_base_price"),
+        xsum(col("l_extendedprice") * (ONE - col("l_discount"))).as("sum_disc_price"),
+        xsum(col("l_extendedprice") * (ONE - col("l_discount")) * (ONE + col("l_tax"))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Selection + projection — predicates and column pruning reach the scan. */
+  def q2Filter: Q = (s, d) =>
+    Tables.part(s, d)
+      .where(col("p_type") === "PROMO" && col("p_size").between(10, 25))
+      .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+      .orderBy("p_partkey")
+
+  /** TPC-H Q3 shape: 3-way join + agg + top-N. */
+  def q3Join: Q = (s, d) => {
+    val cust = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(s, d).where(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val li   = Tables.lineitem(s, d).where(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(xsum(col("l_extendedprice") * (ONE - col("l_discount"))).as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** EXISTS → left-semi join (TPC-H Q4 shape). */
+  def q4Semijoin: Q = (s, d) => {
+    val bigLines = Tables.lineitem(s, d).where(col("l_quantity") >= 48).select("l_orderkey")
+    Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(bigLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q5 shape: star join over all six relational tables. */
+  def q5Multijoin: Q = (s, d) => {
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(s, d),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA" &&
+             col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy("n_name")
+      .agg(xsum(col("l_extendedprice") * (ONE - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q6 shape: scan-heavy filtered aggregate — pure pushdown test. */
+  def q6ScanAgg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+             col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(xsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  /** NOT EXISTS → left-anti join: customers with no recent orders. */
+  def q7Antijoin: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_cust"))
+      .orderBy("c_mktsegment")
+
+  /** Window function: top order per customer (rank-in-partition). */
+  def q8Window: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") === 1).drop("rn")
+      .orderBy("o_custkey")
+  }
+
+  /** ROLLUP: hierarchical aggregation nation → order status. */
+  def q9Rollup: Q = (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), xsum(col("o_totalprice")).as("total"))
+      .orderBy(col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+
+  /** Group + HAVING. */
+  def q10Having: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_suppkey").agg(count(lit(1)).as("n_items"))
+      .where(col("n_items") >= 600)
+      .orderBy("l_suppkey")
+
+  /** Multi-column DISTINCT. */
+  def q11Distinct: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select("l_returnflag", "l_linestatus").distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Conditional (CASE WHEN) aggregation — TPC-H Q12 shape. */
+  def q12CaseAgg: Q = (s, d) => {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .where(col("l_shipdate") > col("o_orderdate"))
+      .groupBy("l_returnflag")
+      // count(CASE WHEN …) keeps BIGINT in both engines (DuckDB SUM over
+      // integers widens to HUGEINT, which would break the schema compare).
+      .agg(
+        count(when(high, 1)).as("high_line_count"),
+        count(when(!high, 1)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Left outer join + distribution — TPC-H Q13 shape. */
+  def q13OuterJoin: Q = (s, d) => {
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** UNION ALL + aggregate. */
+  def q14Union: Q = (s, d) => {
+    val o = Tables.orders(s, d).select(lit("order").as("src"), col("o_totalprice").as("amount"))
+    val l = Tables.lineitem(s, d).select(lit("item").as("src"), col("l_extendedprice").as("amount"))
+    o.unionAll(l)
+      .groupBy("src").agg(xsum(col("amount")).as("total"), count(lit(1)).as("n"))
+      .orderBy("src")
+  }
+
+  /** Scalar subquery (max-of-aggregate) — TPC-H Q15 shape. */
+  def q15Subquery: Q = (s, d) => {
+    val revenue = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(xsum(col("l_extendedprice") * (ONE - col("l_discount"))).as("total_revenue"))
+    val maxRev = revenue.agg(max(col("total_revenue")).as("mx"))
+    Tables.supplier(s, d)
+      .join(revenue, col("s_suppkey") === col("supplier_no"))
+      .join(broadcast(maxRev), col("total_revenue") === col("mx"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
+  }
+
+  /** Global total sort (range-partitioned exchange) + top-N. */
+  def q16Sort: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  /** Per-group average subquery (decorrelated) — TPC-H Q17 shape. */
+  def q17AvgSubq: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    // avg over integral-valued doubles is exact (sum < 2^53), so the
+    // threshold is deterministic across engines and partitionings.
+    val qlim = li.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((avg("l_quantity") * 0.2).as("qty_limit"))
+    li.join(Tables.part(s, d).where(col("p_brand") === "Brand#13"),
+        col("l_partkey") === col("p_partkey"))
+      .join(qlim, col("l_partkey") === col("ap_partkey"))
+      .where(col("l_quantity") < col("qty_limit"))
+      .agg((xsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+  }
+
+  /** Aggregate + HAVING on fact + top-N — TPC-H Q18 shape. */
+  def q18TopNAgg: Q = (s, d) => {
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .agg(xsum(col("l_quantity")).as("sum_qty"))
+      .where(col("sum_qty") > 180.0)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q1_agg"       -> q1Agg,
+    "q2_filter"    -> q2Filter,
+    "q3_join"      -> q3Join,
+    "q4_semijoin"  -> q4Semijoin,
+    "q5_multijoin" -> q5Multijoin,
+    "q6_scanagg"   -> q6ScanAgg,
+    "q7_antijoin"  -> q7Antijoin,
+    "q8_window"    -> q8Window,
+    "q9_rollup"    -> q9Rollup,
+    "q10_having"   -> q10Having,
+    "q11_distinct" -> q11Distinct,
+    "q12_caseagg"  -> q12CaseAgg,
+    "q13_outerjoin"-> q13OuterJoin,
+    "q14_union"    -> q14Union,
+    "q15_subquery" -> q15Subquery,
+    "q16_sort"     -> q16Sort,
+    "q17_avg_subq" -> q17AvgSubq,
+    "q18_topn_agg" -> q18TopNAgg,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${osum("l_quantity")} AS sum_qty,
+         |  ${osum("l_extendedprice")} AS sum_base_price,
+         |  ${osum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${osum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter" ->
+      """SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
+        |WHERE p_type = 'PROMO' AND p_size BETWEEN 10 AND 25
+        |ORDER BY p_partkey""".stripMargin,
+    "q3_join" ->
+      s"""SELECT l_orderkey, ${osum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  o_orderdate, o_orderpriority
+         |FROM customer, orders, lineitem
+         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+         |  AND l_orderkey = o_orderkey
+         |  AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q4_semijoin" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q5_multijoin" ->
+      s"""SELECT n_name, ${osum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q6_scanagg" ->
+      s"""SELECT ${osum("l_extendedprice * l_discount")} AS revenue FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q7_antijoin" ->
+      """SELECT c_mktsegment, count(*) AS n_cust FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q8_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q9_rollup" ->
+      s"""SELECT n_name, o_orderstatus, count(*) AS n_orders, ${osum("o_totalprice")} AS total
+         |FROM orders, customer, nation
+         |WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+         |GROUP BY ROLLUP (n_name, o_orderstatus)
+         |ORDER BY n_name ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+    "q10_having" ->
+      """SELECT l_suppkey, count(*) AS n_items FROM lineitem
+        |GROUP BY l_suppkey HAVING count(*) >= 600 ORDER BY l_suppkey""".stripMargin,
+    "q11_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q12_caseagg" ->
+      """SELECT l_returnflag,
+        |  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count,
+        |  COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_line_count
+        |FROM orders, lineitem
+        |WHERE o_orderkey = l_orderkey AND l_shipdate > o_orderdate
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q13_outerjoin" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q14_union" ->
+      s"""SELECT src, ${osum("amount")} AS total, count(*) AS n FROM (
+         |  SELECT 'order' AS src, o_totalprice AS amount FROM orders
+         |  UNION ALL
+         |  SELECT 'item' AS src, l_extendedprice AS amount FROM lineitem) t
+         |GROUP BY src ORDER BY src""".stripMargin,
+    "q15_subquery" ->
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no,
+         |    ${osum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+         |  FROM lineitem GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue FROM supplier, revenue
+         |WHERE s_suppkey = supplier_no
+         |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+         |ORDER BY s_suppkey""".stripMargin,
+    "q16_sort" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q17_avg_subq" ->
+      s"""SELECT ${osum("l_extendedprice")} / 7.0 AS avg_yearly
+         |FROM lineitem, part
+         |WHERE p_partkey = l_partkey AND p_brand = 'Brand#13'
+         |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+         |                    WHERE l2.l_partkey = part.p_partkey)""".stripMargin,
+    "q18_topn_agg" ->
+      s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         |  ${osum("l_quantity")} AS sum_qty
+         |FROM customer, orders, lineitem
+         |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         |HAVING ${osum("l_quantity")} > 180.0
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+  )
+}

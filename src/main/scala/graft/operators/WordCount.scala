@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference engine's core analytics job — distributed word count —
+  * re-expressed Spark-first.
+  *
+  * Reference semantics (cited from /root/reference):
+  *  - tokenization: split on any non-letter rune, case-sensitive
+  *    (core/map_reduce.go:543-550 `strings.FieldsFunc(_, !unicode.IsLetter)`)
+  *  - in-mapper combiner: per-chunk hash-map pre-aggregation
+  *    (core/map_reduce.go:546-549) — Spark's partial aggregation does this
+  *    automatically inside `groupBy().agg()` (HashAggregate partial/final).
+  *  - shuffle: char-sum hash routing to reducers (core/utils.go:353-364) —
+  *    subsumed by Spark's Murmur3 hash exchange, which distributes far more
+  *    uniformly at 1000-reducer scale than the reference's `sum(chars) % R`.
+  *  - finalize: sort by count descending (master/main.go:292-293,
+  *    `SORT_FINAL`); we add `word asc` as deterministic tie-break.
+  *
+  * Scale notes: tokenize+explode+count is a single shuffle with map-side
+  * combine; no UDFs (all codegen'd `functions`); the final total sort is a
+  * range-partitioned exchange only on the (small) aggregated token table.
+  */
+object WordCount {
+
+  /** Split on runs of non-letters — reference `!unicode.IsLetter` splitter
+    * restricted to ASCII (the corpus is ASCII; see SURVEY §2.1). */
+  val TokenRe = "[^A-Za-z]+"
+
+  /** One row per token. Empty strings (leading separator artifacts) dropped,
+    * as `strings.FieldsFunc` never yields empties. */
+  def tokens(docs: DataFrame, extraCols: Column*): DataFrame = {
+    val cols = extraCols :+ explode(split(col("text"), TokenRe)).as("word")
+    docs.select(cols: _*).where(col("word") =!= "")
+  }
+
+  /** `outTokens.list` equivalent: (word, cnt) sorted cnt desc, word asc. */
+  def wordCount(docs: DataFrame): DataFrame =
+    tokens(docs)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+
+  /** Head of the sorted token list (reference's most-frequent tokens). */
+  def topK(docs: DataFrame, k: Int): DataFrame =
+    wordCount(docs).limit(k)
+
+  /** Distinct-token count per language — distinct + grouping shape. */
+  def distinctPerLang(docs: DataFrame): DataFrame =
+    tokens(docs, col("lang"))
+      .select("lang", "word").distinct()
+      .groupBy("lang").agg(count(lit(1)).as("n_distinct"))
+      .orderBy("lang")
+
+  /** Word-length histogram over all tokens. */
+  def lengthHistogram(docs: DataFrame): DataFrame =
+    tokens(docs)
+      // cast to long: DuckDB length() is BIGINT, Spark's is INT
+      .groupBy(length(col("word")).cast("long").as("wlen"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("wlen")
+
+  /** Per-document token count — the per-chunk in-mapper combiner shape
+    * (each mapper's `IntermediateTokens` size, core/map_reduce.go:546). */
+  def perDocCounts(docs: DataFrame): DataFrame =
+    tokens(docs, col("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("word")).as("n_distinct"))
+      .orderBy("doc_id")
+
+  import org.apache.spark.sql.SparkSession
+  import graft.Tables
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wc_wordcount" -> ((s, d) => wordCount(Tables.documents(s, d))),
+    "wc_topk"      -> ((s, d) => topK(Tables.documents(s, d), 50)),
+    "wc_distinct"  -> ((s, d) => distinctPerLang(Tables.documents(s, d))),
+    "wc_lengths"   -> ((s, d) => lengthHistogram(Tables.documents(s, d))),
+    "wc_per_doc"   -> ((s, d) => perDocCounts(Tables.documents(s, d))),
+  )
+
+  private val TokensSql =
+    """SELECT doc_id, lang, word FROM (
+      |  SELECT doc_id, lang, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS word
+      |  FROM documents) t WHERE word <> ''""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "wc_wordcount" ->
+      s"""SELECT word, count(*) AS cnt FROM ($TokensSql) tk
+         |GROUP BY word ORDER BY cnt DESC, word""".stripMargin,
+    "wc_topk" ->
+      s"""SELECT word, count(*) AS cnt FROM ($TokensSql) tk
+         |GROUP BY word ORDER BY cnt DESC, word LIMIT 50""".stripMargin,
+    "wc_distinct" ->
+      s"""SELECT lang, count(*) AS n_distinct FROM (
+         |  SELECT DISTINCT lang, word FROM ($TokensSql) tk) d
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "wc_lengths" ->
+      s"""SELECT length(word) AS wlen, count(*) AS cnt FROM ($TokensSql) tk
+         |GROUP BY 1 ORDER BY wlen""".stripMargin,
+    "wc_per_doc" ->
+      s"""SELECT doc_id, count(*) AS n_tokens, count(DISTINCT word) AS n_distinct
+         |FROM ($TokensSql) tk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+  )
+}
