@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (SURVEY §2.5):
+  * language ID, quality scoring, token counting, document fingerprinting.
+  *
+  * All are per-row `functions` chains — fully codegen'd, no UDFs, no
+  * shuffles except the final deterministic sort. At 100 TB these run
+  * map-only at scan speed, so throughput is bounded by parquet decode.
+  *
+  * Cross-engine determinism: only integer arithmetic, md5, and single
+  * IEEE divisions of exact integers — every value hash-matches DuckDB.
+  */
+object TextAnalysis {
+
+  /** Clean word array (reference tokenizer semantics, WordCount.TokenRe). */
+  private def wordsCol: Column =
+    filter(split(col("text"), WordCount.TokenRe), w => w =!= "")
+
+  /** Language marker sets — tiny per-language stopword lists. The heuristic
+    * is the operator under test (deterministic argmax with fixed
+    * precedence); its agreement with the `lang` label is reported, not
+    * assumed. */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "table"),
+    "de" -> Seq("der", "die", "das", "und", "hash"),
+    "es" -> Seq("el", "la", "de", "los", "query"),
+    "fr" -> Seq("le", "la", "les", "des", "scan"),
+    "zh" -> Seq("de", "shi", "bu", "le", "join"),
+  )
+
+  private def markerCount(ws: Column, markers: Seq[String]): Column =
+    size(filter(ws, w => w.isInCollection(markers)))
+
+  /** Heuristic language ID: argmax marker-hit count, fixed precedence
+    * en>de>es>fr>zh on ties, 'und' when nothing matches. */
+  def langId(docs: DataFrame): DataFrame = {
+    val ws = wordsCol
+    val scored = docs.select(
+      col("doc_id") +: col("lang") +:
+        Markers.map { case (l, m) => markerCount(ws, m).cast("long").as(s"n_$l") }: _*)
+    val best = Markers.map(m => col(s"n_${m._1}")).reduce(greatest(_, _))
+    val pred = Markers.foldRight(lit("und")) { case ((l, _), elseC) =>
+      when(col(s"n_$l") === best && best > 0, lit(l)).otherwise(elseC)
+    }
+    // fold-right gives en>de>es>fr>zh precedence: the first branch that
+    // equals the max wins, matching the oracle's CASE chain.
+    scored.select(col("doc_id"), pred.as("pred_lang"), col("lang"),
+        (col("lang") === pred).cast("long").as("agree"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality signals: token count, mean word length, stopword ratio,
+    * distinct ratio — all exact-integer-derived doubles. */
+  def quality(docs: DataFrame): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+    val ws = wordsCol
+    docs.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(ws).cast("long").as("n_tokens"),
+        size(array_distinct(ws)).cast("long").as("n_distinct"),
+        aggregate(transform(ws, w => length(w).cast("long")), lit(0L), _ + _).as("sum_wlen"),
+        size(filter(ws, w => w.isInCollection(stop))).cast("long").as("n_stop"))
+      .withColumn("mean_wlen", col("sum_wlen").cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("distinct_ratio", col("n_distinct").cast("double") / col("n_tokens"))
+      // linear quality score; each term is a deterministic double
+      .withColumn("quality",
+        col("distinct_ratio") * 0.5 + (lit(1.0) - col("stop_ratio")) * 0.3 +
+          least(col("mean_wlen") / 10.0, lit(1.0)) * 0.2)
+      .select("doc_id", "n_chars", "n_tokens", "n_distinct", "mean_wlen",
+        "stop_ratio", "distinct_ratio", "quality")
+      .orderBy("doc_id")
+  }
+
+  /** Token counting three ways: whitespace fields, regex word/number/other
+    * tokens, and a BPE-ish upper bound (4-char subword pieces). */
+  def tokenCount(docs: DataFrame): DataFrame = {
+    val ws = wordsCol
+    docs.select(
+        col("doc_id"),
+        size(filter(split(col("text"), " "), w => w =!= "")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).cast("long").as("re_tokens"),
+        // ceil(len/4) per word, summed — subword-piece upper bound
+        aggregate(transform(ws, w => ((length(w) + 3) / 4).cast("long")), lit(0L), _ + _)
+          .as("bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprints: content hash, order-invariant shape hash
+    * (sorted tokens), and head/tail positional hashes. */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val ws = wordsCol
+    docs.select(
+        col("doc_id"),
+        md5(col("text")).as("fp_content"),
+        md5(array_join(array_sort(ws), " ")).as("fp_shape"),
+        md5(array_join(slice(ws, 1, 8), " ")).as("fp_head"),
+        md5(array_join(slice(ws, -8, 8), " ")).as("fp_tail"))
+      .orderBy("doc_id")
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+  val queries: Map[String, Q] = Map(
+    "text_langid"      -> ((s, d) => langId(Tables.documents(s, d))),
+    "text_quality"     -> ((s, d) => quality(Tables.documents(s, d))),
+    "text_tokencount"  -> ((s, d) => tokenCount(Tables.documents(s, d))),
+    "text_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d))),
+  )
+
+  // words-array SQL fragment shared by the oracles
+  private val W =
+    "list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), w -> w <> '')"
+  private def inList(items: Seq[String]) = items.map(s => s"'$s'").mkString("(", ",", ")")
+  private def nMarker(items: Seq[String]) =
+    s"len(list_filter($W, w -> w IN ${inList(items)}))::BIGINT"
+
+  val oracle: Map[String, String] = Map(
+    "text_langid" -> {
+      val counts = Markers.map { case (l, m) => s"${nMarker(m)} AS n_$l" }.mkString(", ")
+      val best = "greatest(" + Markers.map(m => s"n_${m._1}").mkString(", ") + ")"
+      val cases = Markers.map { case (l, _) => s"WHEN n_$l = best AND best > 0 THEN '$l'" }
+        .mkString(" ")
+      val names = Markers.map(m => s"n_${m._1}").mkString(", ")
+      s"""SELECT doc_id, pred_lang, lang, (lang = pred_lang)::BIGINT AS agree FROM (
+         |  SELECT doc_id, lang, CASE $cases ELSE 'und' END AS pred_lang
+         |  FROM (SELECT doc_id, lang, $names, $best AS best
+         |        FROM (SELECT doc_id, lang, $counts FROM documents) c) b) t
+         |ORDER BY doc_id""".stripMargin
+    },
+    "text_quality" ->
+      s"""SELECT doc_id, n_chars, n_tokens, n_distinct, mean_wlen, stop_ratio,
+         |  distinct_ratio,
+         |  distinct_ratio * 0.5 + (1.0 - stop_ratio) * 0.3 +
+         |    least(mean_wlen / 10.0, 1.0) * 0.2 AS quality
+         |FROM (
+         |  SELECT doc_id, n_chars, n_tokens, n_distinct,
+         |    sum_wlen::DOUBLE / n_tokens AS mean_wlen,
+         |    n_stop::DOUBLE / n_tokens AS stop_ratio,
+         |    n_distinct::DOUBLE / n_tokens AS distinct_ratio
+         |  FROM (
+         |    SELECT doc_id, length(text)::BIGINT AS n_chars,
+         |      len($W)::BIGINT AS n_tokens,
+         |      len(list_distinct($W))::BIGINT AS n_distinct,
+         |      list_sum(list_transform($W, w -> length(w)::BIGINT))::BIGINT AS sum_wlen,
+         |      ${nMarker(Seq("the", "a", "of", "and", "to", "in"))} AS n_stop
+         |    FROM documents) b) t
+         |ORDER BY doc_id""".stripMargin,
+    "text_tokencount" ->
+      s"""SELECT doc_id,
+         |  len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS ws_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT AS re_tokens,
+         |  list_sum(list_transform($W, w -> ((length(w) + 3) // 4)::BIGINT))::BIGINT AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(text) AS fp_content,
+         |  md5(array_to_string(list_sort($W), ' ')) AS fp_shape,
+         |  md5(array_to_string($W[1:8], ' ')) AS fp_head,
+         |  md5(array_to_string($W[-8:], ' ')) AS fp_tail
+         |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf)
+
+  test("exact: keep_id is a fixed point and never exceeds doc_id") {
+    val e = Dedup.exact(docs)
+    assert(e.where(col("keep_id") > col("doc_id")).count() == 0)
+    // canonical docs are not dups of themselves
+    assert(e.where(col("doc_id") === col("keep_id") && col("is_dup") === 1).count() == 0)
+  }
+
+  test("h32 is a stable unsigned 32-bit value") {
+    val s = spark
+    import s.implicits._
+    val r = Seq("abc").toDF("x")
+      .select(Dedup.h32(lit("0"), col("x")).as("h")).collect()(0).getLong(0)
+    assert(r >= 0 && r <= 0xFFFFFFFFL)
+    val again = Seq("abc").toDF("x")
+      .select(Dedup.h32(lit("0"), col("x")).as("h")).collect()(0).getLong(0)
+    assert(r == again)
+  }
+
+  test("minhash bands: exactly Bands rows per doc with shingles") {
+    val b = Dedup.minhashBands(docs)
+    val counts = b.groupBy("doc_id").count().select("count").distinct().collect()
+    assert(counts.map(_.getLong(0)).toSet == Set(Dedup.Bands.toLong))
+  }
+
+  test("minhash pairs: symmetric-free (a < b) and deduplicated") {
+    val p = Dedup.minhashPairs(docs)
+    assert(p.where(col("doc_a") >= col("doc_b")).count() == 0)
+    assert(p.count() == p.distinct().count())
+  }
+
+  test("identical docs collide in every band; disjoint docs in none") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(d).as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: 32-bit range and identical docs agree") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "a b c a b"), (2L, "a b c a b"), (3L, "x y z")).toDF("doc_id", "text")
+    val sh = Dedup.simhash(d).as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh.values.forall(v => v >= 0 && v <= 0xFFFFFFFFL))
+  }
+
+  test("ngram jaccard is in (0, 1] and capped at 20 rows") {
+    val j = Dedup.ngramJaccard(docs).collect()
+    assert(j.length <= 20)
+    assert(j.forall { r =>
+      val v = r.getDouble(2); v > 0.0 && v <= 1.0
+    })
+  }
+}

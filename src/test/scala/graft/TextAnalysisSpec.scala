@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf)
+
+  test("langid: one row per doc, pred in known set") {
+    val l = TextAnalysis.langId(docs)
+    assert(l.count() == docs.count())
+    val preds = l.select("pred_lang").distinct().collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(TextAnalysis.Markers.map(_._1).toSet + "und"))
+  }
+
+  test("quality: ratios bounded, score in (0, 1]") {
+    val q = TextAnalysis.quality(docs)
+    assert(q.where(col("stop_ratio") < 0 || col("stop_ratio") > 1).count() == 0)
+    assert(q.where(col("distinct_ratio") <= 0 || col("distinct_ratio") > 1).count() == 0)
+    assert(q.where(col("quality") <= 0 || col("quality") > 1).count() == 0)
+  }
+
+  test("tokencount: regex tokens >= whitespace tokens on clean text") {
+    val t = TextAnalysis.tokenCount(docs)
+    assert(t.where(col("re_tokens") < col("ws_tokens")).count() == 0)
+    assert(t.where(col("bpe_tokens") < col("ws_tokens")).count() == 0)
+  }
+
+  test("fingerprint: fp_shape invariant under word reorder, fp_content not") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(d).collect()
+    assert(fp(0).getString(2) == fp(1).getString(2))  // fp_shape equal
+    assert(fp(0).getString(1) != fp(1).getString(1))  // fp_content differs
+  }
+}
