@@ -23,7 +23,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = apply(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    * read as a timestamp. Read nanos as long (legacy conf) and convert to
+    * a µs timestamp with exact integer division — ns epoch values exceed
+    * 2^53, so float division would corrupt them. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = apply(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

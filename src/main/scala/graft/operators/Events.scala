@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event/time-series analytics over the `events` table (SURVEY §2.6) —
+  * the batch forms. Structured Streaming twins live in
+  * [[graft.streaming.EventStream]]; these batch queries define the exact
+  * semantics the streaming versions must converge to.
+  *
+  * Timestamp discipline: the parquet column is timestamp[ns]; Spark
+  * truncates to µs on read, so oracles CAST to µs TIMESTAMP before
+  * emitting raw timestamps. Second-level arithmetic uses epoch seconds
+  * (floor) on both sides.
+  *
+  * Scale: sessionize is one shuffle on user_id + an in-partition sort —
+  * the canonical "segment a keyed stream" shape; tumbling/funnel/retention
+  * are single hash aggregations with map-side combine.
+  */
+object Events {
+  import Compat._
+
+  val SessionGapUs: Long = 1800L * 1000000L
+
+  /** Tumbling-window (hour) aggregates per event type. */
+  def tumbling(ev: DataFrame): DataFrame =
+    ev.groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), xsum(col("value")).as("total"))
+      .orderBy("bucket", "event_type")
+
+  /** Sessionization: 30-min-gap sessions per user (lag + running sum).
+    * Gap arithmetic in exact integer microseconds — identical in both
+    * engines (no float epoch, no rounding-mode traps). */
+  def sessionize(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val us = unix_micros(col("ts"))
+    // two selects: a window function may not nest inside another
+    val flagged = ev.select(
+      col("user_id"), col("event_id"), col("ts"), col("value"),
+      when(us - lag(us, 1).over(byUser) > SessionGapUs || lag(us, 1).over(byUser).isNull, 1L)
+        .otherwise(0L).as("is_new"))
+    flagged.select(col("user_id"), col("ts"), col("value"),
+        sum(col("is_new"))
+          .over(Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("session_id"))
+      .groupBy("user_id", "session_id")
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        xsum(col("value")).as("total_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Funnel: users reaching each stage view → click → purchase. */
+  def funnel(ev: DataFrame): DataFrame = {
+    val perUser = ev.groupBy("user_id").agg(
+      max(when(col("event_type") === "view", 1).otherwise(0)).as("v"),
+      max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+      max(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"))
+    perUser.agg(
+      count(when(col("v") === 1, 1)).as("step_view"),
+      count(when(col("v") === 1 && col("c") === 1, 1)).as("step_click"),
+      count(when(col("v") === 1 && col("c") === 1 && col("p") === 1, 1)).as("step_purchase"))
+  }
+
+  /** Day-over-day retention: active users per day and how many return
+    * the next day. */
+  def retention(ev: DataFrame): DataFrame = {
+    val days = ev.select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+    // fresh lineage for the probe side avoids self-join ambiguity
+    val next = ev.select(col("user_id").as("u2"), date_trunc("day", col("ts")).as("next_day"))
+      .distinct()
+    days
+      .join(next,
+        col("user_id") === col("u2") &&
+          col("next_day") === col("day") + expr("INTERVAL 1 DAY"),
+        "left_outer")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("active"),
+        count(col("next_day")).as("retained"))
+      .orderBy("day")
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+  val queries: Map[String, Q] = Map(
+    "ev_tumbling"   -> ((s, d) => tumbling(Tables.events(s, d))),
+    "ev_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
+    "ev_funnel"     -> ((s, d) => funnel(Tables.events(s, d))),
+    "ev_retention"  -> ((s, d) => retention(Tables.events(s, d))),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ev_tumbling" ->
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+         |  count(*) AS n, ${osum("value")} AS total
+         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    "ev_sessionize" ->
+      s"""SELECT user_id, session_id,
+         |  CAST(min(ts) AS TIMESTAMP) AS session_start,
+         |  CAST(max(ts) AS TIMESTAMP) AS session_end,
+         |  count(*) AS n_events, ${osum("value")} AS total_value
+         |FROM (
+         |  SELECT user_id, ts, value,
+         |    SUM(is_new) OVER (PARTITION BY user_id
+         |      ORDER BY CAST(ts AS TIMESTAMP), event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM (
+         |    SELECT user_id, event_id, ts, value,
+         |      CASE WHEN prev_us IS NULL OR us - prev_us > $SessionGapUs
+         |        THEN 1 ELSE 0 END AS is_new
+         |    FROM (
+         |      SELECT user_id, event_id, ts, value,
+         |        epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |        lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+         |          OVER (PARTITION BY user_id
+         |                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+         |      FROM events) g) n) s
+         |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "ev_funnel" ->
+      """SELECT
+        |  count(CASE WHEN v = 1 THEN 1 END) AS step_view,
+        |  count(CASE WHEN v = 1 AND c = 1 THEN 1 END) AS step_click,
+        |  count(CASE WHEN v = 1 AND c = 1 AND p = 1 THEN 1 END) AS step_purchase
+        |FROM (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        |  FROM events GROUP BY user_id) u""".stripMargin,
+    "ev_retention" ->
+      """SELECT CAST(d.day AS TIMESTAMP) AS day, count(*) AS active,
+        |  count(n.next_day) AS retained
+        |FROM (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events) d
+        |LEFT OUTER JOIN
+        |     (SELECT DISTINCT user_id, date_trunc('day', ts) AS next_day FROM events) n
+        |  ON d.user_id = n.user_id AND n.next_day = d.day + INTERVAL 1 DAY
+        |GROUP BY d.day ORDER BY day""".stripMargin,
+  )
+}

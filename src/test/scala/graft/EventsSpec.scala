@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Events
+import org.apache.spark.sql.functions._
+
+class EventsSpec extends SparkSpec {
+
+  private def ev = Tables.events(spark, sf)
+
+  test("events.ts survives the nanos→micros conversion as a real timestamp") {
+    val t = ev.schema("ts").dataType
+    assert(t == org.apache.spark.sql.types.TimestampType)
+    assert(ev.where(year(col("ts")) =!= 2024).count() == 0)
+  }
+
+  test("sessionize: events partition into sessions; counts sum to total") {
+    val s = Events.sessionize(ev)
+    val total = s.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == ev.count())
+    assert(s.where(col("session_end") < col("session_start")).count() == 0)
+  }
+
+  test("sessionize: gap larger than 30min splits, smaller doesn't") {
+    val sp = spark
+    import sp.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val d = Seq(
+      (1L, 10L, at(0), 1.0), (2L, 10L, at(60), 1.0),   // same session
+      (3L, 10L, at(60 + 1801), 1.0),                   // new session (gap 1801s)
+      (4L, 20L, at(0), 1.0))                           // other user
+      .toDF("event_id", "user_id", "ts", "value")
+    val s = Events.sessionize(d).collect()
+    val u10 = s.filter(_.getLong(0) == 10L)
+    assert(u10.map(_.getLong(1)).toSet == Set(1L, 2L))
+    assert(s.filter(_.getLong(0) == 20L).map(_.getLong(1)).toSet == Set(1L))
+  }
+
+  test("funnel is monotonically decreasing") {
+    val f = Events.funnel(ev).collect()(0)
+    assert(f.getLong(0) >= f.getLong(1) && f.getLong(1) >= f.getLong(2))
+  }
+
+  test("retention: retained <= active per day") {
+    val r = Events.retention(ev)
+    assert(r.where(col("retained") > col("active")).count() == 0)
+    assert(r.count() > 0)
+  }
+
+  test("tumbling buckets land on exact hours") {
+    val t = Events.tumbling(ev)
+    assert(t.where(minute(col("bucket")) =!= 0 || second(col("bucket")) =!= 0).count() == 0)
+  }
+}
