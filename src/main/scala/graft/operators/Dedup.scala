@@ -135,13 +135,21 @@ object Dedup {
       .limit(20)
   }
 
+  /** Same simhash via the native codegen'd expression
+    * [[graft.functions.SimHash32]] — map-only, no 32× bit-row blowup. */
+  def simhashNative(docs: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    docs.selectExpr("doc_id", "graft_simhash32(text) AS simhash").orderBy("doc_id")
+  }
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
-    "dedup_exact"         -> ((s, d) => exact(Tables.documents(s, d))),
-    "dedup_minhash"       -> ((s, d) => minhashBands(Tables.documents(s, d))),
-    "dedup_minhash_pairs" -> ((s, d) => minhashPairs(Tables.documents(s, d))),
-    "dedup_simhash"       -> ((s, d) => simhash(Tables.documents(s, d))),
-    "dedup_ngram"         -> ((s, d) => ngramJaccard(Tables.documents(s, d))),
+    "dedup_exact"          -> ((s, d) => exact(Tables.documents(s, d))),
+    "dedup_minhash"        -> ((s, d) => minhashBands(Tables.documents(s, d))),
+    "dedup_minhash_pairs"  -> ((s, d) => minhashPairs(Tables.documents(s, d))),
+    "dedup_simhash"        -> ((s, d) => simhash(Tables.documents(s, d))),
+    "dedup_simhash_native" -> ((s, d) => simhashNative(Tables.documents(s, d))),
+    "dedup_ngram"          -> ((s, d) => ngramJaccard(Tables.documents(s, d))),
   )
 
   // ---- DuckDB oracles ----
@@ -175,6 +183,19 @@ object Dedup {
     s"WITH sig AS ($sigSql) " + bandRows.mkString(" UNION ALL ")
   }
 
+  private val simhashSql =
+    s"""SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM (
+       |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+       |  FROM (
+       |    SELECT doc_id, cnt, ${oh32("'sh'", "word")} AS h, b
+       |    FROM (SELECT doc_id, word, count(*) AS cnt FROM (
+       |            SELECT doc_id, unnest($W) AS word FROM documents) tk
+       |          GROUP BY doc_id, word) wc,
+       |         (SELECT unnest(range(0, $SimhashBits)) AS b) bits) hb
+       |  GROUP BY doc_id, b) sb
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash,
@@ -189,18 +210,10 @@ object Dedup {
          |FROM ($bandsSql) a JOIN ($bandsSql) b
          |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
-    "dedup_simhash" ->
-      s"""SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
-         |FROM (
-         |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS s
-         |  FROM (
-         |    SELECT doc_id, cnt, ${oh32("'sh'", "word")} AS h, b
-         |    FROM (SELECT doc_id, word, count(*) AS cnt FROM (
-         |            SELECT doc_id, unnest($W) AS word FROM documents) tk
-         |          GROUP BY doc_id, word) wc,
-         |         (SELECT unnest(range(0, $SimhashBits)) AS b) bits) hb
-         |  GROUP BY doc_id, b) sb
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_simhash" -> simhashSql,
+    // the native expression implements the identical algorithm, so it
+    // shares the declarative pipeline's oracle
+    "dedup_simhash_native" -> simhashSql,
     "dedup_ngram" ->
       s"""WITH db AS (
          |  SELECT DISTINCT doc_id, source, words[i] || ' ' || words[i+1] AS bigram

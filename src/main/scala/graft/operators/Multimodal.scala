@@ -1,0 +1,120 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed metadata for an opaque media blob. */
+case class MediaMeta(width: Int, height: Int, sampleRate: Int, format: String)
+
+/** A media row: opaque binary content + typed metadata (SURVEY §2.7). */
+case class MediaFile(media_id: Long, kind: String, content: Array[Byte], meta: MediaMeta)
+
+/** Extracted features for one media row. */
+case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                         content_hash: String, feature: Array[Float], n_frames: Int)
+
+/** Multimodal-column plumbing (SURVEY §2.7): image/audio/video as opaque
+  * `binary` columns with typed metadata, decoded and featurized in
+  * partition-local batches.
+  *
+  * The DECODE STEP IS A DETERMINISTIC STUB — this container has no
+  * image/audio codecs, so [[MultimodalStub.decode]] fabricates
+  * "pixels" by an md5 chain over the bytes. Everything around it is the
+  * real Spark shape a production decode would use:
+  *  - schema: `content BINARY` + `meta STRUCT<…>` survive parquet
+  *    round-trips and shuffles;
+  *  - execution: `mapPartitions` over a typed Dataset, processing rows in
+  *    fixed-size batches (the JVM mirror of `mapInPandas`' Arrow batch
+  *    contract — swap the stub for a JNI/codec call per batch);
+  *  - partitioning: batch size and partition count are independent, so a
+  *    1000-executor run decodes `files/partitions` blobs per task with no
+  *    driver involvement.
+  */
+object Multimodal {
+
+  val FeatureDim = 16
+  val BatchSize = 64
+
+  /** Fabricate a media table from the documents table: deterministic
+    * binary content (text bytes), kind by doc_id mod 3, synthetic meta. */
+  def ingest(docs: DataFrame): Dataset[MediaFile] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"), col("n_chars")).as[(Long, String, Long)]
+      .map { case (id, text, nChars) =>
+        val kind = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        MediaFile(id, kind, text.getBytes(StandardCharsets.UTF_8),
+          MediaMeta(width = (nChars % 640).toInt, height = (nChars % 480).toInt,
+            sampleRate = if (kind == "audio") 16000 else 0, format = kind match {
+              case "image" => "png"; case "audio" => "wav"; case _ => "mp4"
+            }))
+      }
+  }
+
+  /** Batched decode + featurize via mapPartitions — the real execution
+    * shape with the stub codec inside. */
+  def featurize(media: Dataset[MediaFile]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // fixed-size batches: a real codec amortizes per-batch setup
+      // (model load, Arrow buffer, JNI handle) exactly here
+      rows.grouped(BatchSize).flatMap { batch =>
+        MultimodalStub.decodeBatch(batch)
+      }
+    }
+  }
+
+  /** End-to-end: documents → binary media → per-kind feature summary.
+    * Aggregates only plumbing-derived integers, so the result is
+    * deterministic and testable without real codecs. */
+  def mediaSummary(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    featurize(ingest(docs))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("n_frames").cast("long")).as("total_frames"))
+      .orderBy("kind")
+  }
+}
+
+/** The clearly-marked fake codec. A production build replaces exactly
+  * this object with real decoders (libjpeg/ffmpeg via JNI, or a Python
+  * worker via Arrow); signatures and batch shape stay unchanged. */
+object MultimodalStub {
+
+  private def md5(bytes: Array[Byte]): Array[Byte] =
+    MessageDigest.getInstance("MD5").digest(bytes)
+
+  /** STUB decode: deterministic pseudo-"frames"/features from content
+    * bytes. Real implementation: decode image/audio, run the feature
+    * extractor per batch. */
+  def decodeBatch(batch: Seq[MediaFile]): Seq[MediaFeatures] =
+    batch.map { m =>
+      val digest = md5(m.content)
+      val hashHex = digest.map(b => f"$b%02x").mkString
+      // pseudo feature vector: chained md5, 16 floats in [0,1)
+      val feature = new Array[Float](Multimodal.FeatureDim)
+      var cur = digest
+      var i = 0
+      while (i < Multimodal.FeatureDim) {
+        feature(i) = ((cur(0) & 0xff) * 256 + (cur(1) & 0xff)) / 65536.0f
+        cur = md5(cur)
+        i += 1
+      }
+      // pseudo frame count: video samples 1 frame per 100 bytes
+      val frames = m.kind match {
+        case "video" => 1 + m.content.length / 100
+        case "image" => 1
+        case _       => 0
+      }
+      MediaFeatures(m.media_id, m.kind, m.content.length.toLong, hashHex, feature, frames)
+    }
+}

@@ -1,0 +1,36 @@
+package graft.plans
+
+import graft.functions.SimHash32
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extensions registering graft's native expressions, for
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. The same
+  * registrations are available imperatively via [[GraftFunctions.register]]
+  * for sessions created without the config (e.g. the driver's Verify). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+  type Builder = Seq[Expression] => Expression
+
+  val all: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("graft_simhash32",
+      new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
+      (args: Seq[Expression]) => SimHash32(args.head)),
+  )
+
+  /** Imperative registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info, builder)
+    }
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event record for typed streaming state (mirrors the `events` table). */
+case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                 event_type: String, value: Double)
+
+/** A closed user session emitted by the streaming sessionizer. */
+case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+                   n_events: Long, total_value: Double)
+
+private case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+/** Structured Streaming twins of [[graft.operators.Events]] (SURVEY §2.6).
+  *
+  * The batch queries define the semantics; these run the same computations
+  * incrementally: tumbling-window counts with a watermark, and a
+  * `mapGroupsWithState` sessionizer with a processing-time-independent
+  * event-time gap. At cluster scale both are classic keyed-state
+  * streaming jobs: state lives in the state store partitioned by
+  * user_id / window, and the watermark bounds state size.
+  */
+object EventStream {
+
+  val SessionGapMs: Long = 30L * 60 * 1000
+  val WatermarkDelay = "1 hour"
+
+  /** Tumbling hourly aggregates with watermark — streaming twin of
+    * `Events.tumbling`. Works on any streaming DataFrame with
+    * (ts, event_type, value). */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", WatermarkDelay)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("total"))
+
+  /** Event-time sessionizer over a keyed stream: closes a session when the
+    * gap to the next event exceeds 30 min (or on event-time timeout). */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", WatermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          var closed = List.empty[Session]
+          var cur = state.getOption
+          // deterministic in-batch order: micro-batches are unordered sets
+          for (e <- batch.toSeq.sortBy(ev => (ev.ts.getTime, ev.event_id))) {
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last > SessionGapMs =>
+                closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.last),
+                  s.n, s.total)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case Some(s) =>
+                cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.total + e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur match {
+            case Some(s) if state.hasTimedOut =>
+              state.remove()
+              closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.last),
+                s.n, s.total)
+            case Some(s) =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + SessionGapMs)
+            case None => if (state.hasTimedOut) state.remove()
+          }
+          closed.reverseIterator
+      }
+  }
+
+  /** Read the events parquet dir as a (bounded) file stream — the
+    * readStream → transform → writeStream wiring used by integration
+    * runs; the driver tables are static parquet so `maxFilesPerTrigger`
+    * gives a deterministic bounded replay. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    // raw parquet schema carries ts as INT64 nanos (see Tables.events)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the table is a single parquet *file*; FileStreamSource wants a
+    // directory, so stream the dir with a glob filter
+    val s = spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      s.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else s
+  }
+}

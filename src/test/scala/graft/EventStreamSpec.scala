@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.{Event, EventStream}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class EventStreamSpec extends SparkSpec {
+
+  private def ts(sec: Long) = new Timestamp(1704067200000L + sec * 1000) // 2024-01-01 UTC
+
+  test("streaming tumbling counts converge to the batch result") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[Event](s)
+    val q = EventStream.tumbling(input.toDF())
+      .writeStream.format("memory").queryName("tumb").outputMode("complete").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 10, "view", 1.0),
+        Event(2, ts(60), 10, "view", 2.0),
+        Event(3, ts(3700), 11, "click", 3.0))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT bucket, event_type, n, total FROM tumb ORDER BY bucket").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getLong(2) == 2L && rows(0).getDouble(3) == 3.0)
+      assert(rows(1).getString(1) == "click" && rows(1).getLong(2) == 1L)
+    } finally q.stop()
+  }
+
+  test("streaming sessionizer closes a session after a 30-min gap") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[Event](s)
+    val q = EventStream.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 10, "view", 1.0),
+        Event(2, ts(60), 10, "view", 2.0))
+      q.processAllAvailable()
+      // gap of 1801s within the same user closes the first session
+      input.addData(Event(3, ts(60 + 1801), 10, "view", 4.0))
+      q.processAllAvailable()
+      // advance watermark far beyond to time the rest out
+      input.addData(Event(4, ts(100000), 99, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(5, ts(200000), 98, "view", 0.0))
+      q.processAllAvailable()
+      val sessions = s.sql("SELECT user_id, n_events, total_value FROM sess WHERE user_id = 10")
+        .collect()
+      assert(sessions.length >= 1)
+      assert(sessions(0).getLong(1) == 2L && sessions(0).getDouble(2) == 3.0)
+    } finally q.stop()
+  }
+
+  test("file-stream reader replays the parquet events with proper timestamps") {
+    val stream = EventStream.readEventStream(spark, sf)
+    assert(stream.isStreaming)
+    val q = stream.select(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("evcount").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.sql("SELECT n FROM evcount").collect()(0).getLong(0)
+      assert(n == Tables.events(spark, sf).count())
+    } finally q.stop()
+  }
+}

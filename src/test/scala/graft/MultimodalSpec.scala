@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.{Multimodal, MultimodalStub, MediaFile, MediaMeta}
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf)
+
+  test("ingest: binary content survives a parquet round-trip with typed meta") {
+    val media = Multimodal.ingest(docs.limit(20))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-media").toString
+    media.write.mode("overwrite").parquet(tmp)
+    val back = spark.read.parquet(tmp)
+    assert(back.schema("content").dataType.typeName == "binary")
+    assert(back.schema("meta").dataType.typeName == "struct")
+    assert(back.count() == 20)
+    // content bytes identical after round-trip
+    val orig = media.collect().map(m => m.media_id -> m.content.toSeq).toMap
+    val rb = back.select("media_id", "content").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(orig == rb)
+  }
+
+  test("featurize: deterministic features, stable across partitionings") {
+    val media = Multimodal.ingest(docs)
+    val f1 = Multimodal.featurize(media).collect()
+      .map(f => f.media_id -> f.feature.toSeq).toMap
+    val f2 = Multimodal.featurize(media.repartition(7)).collect()
+      .map(f => f.media_id -> f.feature.toSeq).toMap
+    assert(f1 == f2)
+    assert(f1.values.forall(v => v.length == Multimodal.FeatureDim))
+    assert(f1.values.forall(v => v.forall(x => x >= 0f && x < 1f)))
+  }
+
+  test("stub decode batch: frame semantics per kind") {
+    val mk = (id: Long, kind: String, n: Int) =>
+      MediaFile(id, kind, Array.fill(n)(7.toByte), MediaMeta(0, 0, 0, "x"))
+    val out = MultimodalStub.decodeBatch(Seq(
+      mk(1, "image", 250), mk(2, "video", 250), mk(3, "audio", 250)))
+    assert(out.map(_.n_frames) == Seq(1, 3, 0))
+    assert(out.forall(_.n_bytes == 250))
+  }
+
+  test("mediaSummary groups all files by kind") {
+    val s = Multimodal.mediaSummary(docs)
+    val total = s.agg(sum("n_files")).collect()(0).getLong(0)
+    assert(total == docs.count())
+    assert(s.count() == 3)
+  }
+}
