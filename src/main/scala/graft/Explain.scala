@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: print the formatted physical plan and timed row count for
+  * one `SparkEntry.queries` entry.
+  * Usage: runMain graft.Explain <queryName> [sfDir] */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    println(s"==== $name @ $sfDir ====")
+    df.explain("formatted")
+    val t0 = System.nanoTime()
+    val n = df.count()
+    println(f"==== $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s ====")
+    spark.stop()
+  }
+}

@@ -13,11 +13,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     WordCount.queries ++ Relational.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries ++ Events.queries
+      Dedup.queries ++ Similarity.queries ++ Events.queries ++
+      Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     WordCount.oracle ++ Relational.oracle ++ TextAnalysis.oracle ++
-      Dedup.oracle ++ Similarity.oracle ++ Events.oracle
+      Dedup.oracle ++ Similarity.oracle ++ Events.oracle ++
+      Multimodal.oracle
 }

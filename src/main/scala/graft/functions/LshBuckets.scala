@@ -1,0 +1,100 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+
+/** Random-hyperplane LSH bucket computation shared by interpreted eval
+  * and generated code.
+  *
+  * The ±1 hyperplane sign matrices are CONSTANTS, derived once at class
+  * load (md5 parity of "table:plane:dim" — the same public derivation the
+  * DuckDB oracle unrolls as literal `±v[i]` sums), so the per-row work is
+  * `Tables×Bits` signed component sums — zero hash calls per row. Fold
+  * order is left-to-right over dims in IEEE double (multiplying by ±1.0
+  * is exact), bit-identical to the oracle's unrolled expression.
+  *
+  * A vector shorter than [[Dim]] buckets to 0 in every table (the oracle's
+  * `v[i]` past the end is NULL, nulling the whole sum → every bit 0).
+  */
+object LshImpl {
+  val Dim = 64       // embedding model dimension (fixed per deployment)
+  val Bits = 8       // bits per hash table → 2^8 buckets
+  val NumTables = 4  // OR-amplified tables
+
+  private def planeSign(t: Int, j: Int, i: Int): Double = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s"$t:$j:$i".getBytes(StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** Signs(t)(j)(i) — derived once, driver- and executor-side identical. */
+  val Signs: Array[Array[Array[Double]]] =
+    Array.tabulate(NumTables, Bits, Dim)(planeSign)
+
+  /** Bucket ids for all tables: out(t) has bit j set iff
+    * dot(v, plane_tj) > 0. */
+  def buckets(arr: ArrayData): ArrayData = {
+    val out = new Array[Long](NumTables)
+    if (arr.numElements() >= Dim) {
+      var t = 0
+      while (t < NumTables) {
+        var bucket = 0L
+        var j = 0
+        while (j < Bits) {
+          val s = Signs(t)(j)
+          var sum = 0.0
+          var i = 0
+          while (i < Dim) {
+            sum += arr.getFloat(i).toDouble * s(i)
+            i += 1
+          }
+          if (sum > 0) bucket |= (1L << j)
+          j += 1
+        }
+        out(t) = bucket
+        t += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native Catalyst expression: `graft_lsh_buckets(embedding)` →
+  * ARRAY<LONG> of per-table LSH bucket ids, computed in one pass per row.
+  *
+  * Why an Expression: the declarative form is a ±element chain of
+  * Dim×Bits×Tables = 2048 terms, which overflows Janino's method limit
+  * and falls back to interpreted eval; `defineCodeGen` emits a single
+  * static call, keeping the whole scan inside whole-stage codegen — at
+  * 100 TB the index build runs map-only at scan speed. */
+case class LshBuckets(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_lsh_buckets expects ARRAY<FLOAT>, got ${other.catalogString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    LshImpl.buckets(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LshImpl.buckets($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBuckets =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_lsh_buckets"
+}

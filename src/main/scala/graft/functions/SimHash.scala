@@ -30,18 +30,17 @@ object SimHashImpl {
     var i = 0
     val n = s.length
     val sb = new java.lang.StringBuilder
-    while (i <= n) {
-      // ASCII-letter runs only — must match WordCount.TokenRe ("[^A-Za-z]+")
-      val isLetter = i < n && {
-        val ch = s.charAt(i)
-        (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z')
-      }
-      if (isLetter) sb.append(s.charAt(i))
+    // Unicode-letter runs by code point — must match WordCount.TokenRe
+    // ("[^\p{L}]+"): Character.isLetter(int) is exactly category L
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (Character.isLetter(cp)) sb.appendCodePoint(cp)
       else if (sb.length > 0) {
         counts.merge(sb.toString, 1L, (a, b) => a + b); sb.setLength(0)
       }
-      i += 1
+      i += Character.charCount(cp)
     }
+    if (sb.length > 0) counts.merge(sb.toString, 1L, (a, b) => a + b)
     val acc = new Array[Long](Bits)
     counts.forEach { (w, c) =>
       val h = h32(w)

@@ -13,12 +13,14 @@ import org.apache.spark.sql.functions._
   * every pipeline is oracle-checked, not just row counts.
   *
   * Scale design (100 TB):
-  *  - signatures are computed map-side from an explode → per-doc partial
-  *    aggregation (one shuffle keyed by doc_id, combine enabled);
+  *  - MinHash signatures + band hashes are computed per-row (shingle
+  *    array → 1 md5/shingle → affine hash family → array_min) — fully
+  *    map-only, ZERO shuffles before the LSH band join;
   *  - LSH banding turns O(n²) comparison into a shuffle keyed by
   *    (band, band_hash) whose buckets are the only quadratic zones;
-  *  - n-gram Jaccard joins on (source, bigram) — an inverted-index join,
-  *    never a cross join;
+  *  - n-gram Jaccard joins on (source, bigram) with an absolute
+  *    document-frequency cap — an inverted-index join whose per-posting
+  *    fan-out is bounded at any corpus size;
   *  - no driver-side collection anywhere.
   */
 object Dedup {
@@ -44,6 +46,23 @@ object Dedup {
   val Bands = 4
   val RowsPerBand: Int = NumHashes / Bands
 
+  /** Universal-hash family for MinHash: h_j(s) = (A_j·H(s) + B_j) mod P
+    * over ONE md5 base hash H(s) per shingle — md5 is the expensive part,
+    * so the family costs 1 md5 + NumHashes integer ops per shingle
+    * instead of NumHashes md5s. P is the largest 32-bit prime; A_j is
+    * bounded to 20 bits so A_j·H(s) < 2^52 stays exact in BIGINT/Long
+    * arithmetic on both engines. Constants derived once from md5("a:j") /
+    * md5("b:j") and inlined as literals in plan and oracle alike. */
+  val HashP = 4294967291L
+  private def hconst(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16)
+  }
+  val HashA: IndexedSeq[Long] = (0 until NumHashes).map(j => (hconst(s"a:$j") % ((1L << 20) - 1)) + 1)
+  val HashB: IndexedSeq[Long] = (0 until NumHashes).map(j => hconst(s"b:$j") % HashP)
+
   /** 1-based index array [1 .. size-(n-1)] — empty when the doc is too
     * short (a bare `sequence(1, size-2)` would run backwards for short
     * docs and then index out of bounds). */
@@ -51,27 +70,44 @@ object Dedup {
     when(size(ws) >= n, sequence(lit(1), size(ws) - (n - 1)))
       .otherwise(array().cast("array<int>"))
 
-  /** Word 3-shingles of a document, as one row per distinct shingle. */
-  def shingles(docs: DataFrame): DataFrame = {
-    val ws = wordsCol
-    // shingle_i = w_i ⧺ ' ' ⧺ w_{i+1} ⧺ ' ' ⧺ w_{i+2}, via codegen'd
-    // transform over an index sequence — no UDF.
-    val sh = transform(gramIdx(ws, 3),
-      i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))
-    docs.select(col("doc_id"), explode(sh).as("shingle")).distinct()
-  }
+  /** k-gram array from a MATERIALIZED words column. `ws` must be a
+    * projected attribute, never the split expression itself: inlining the
+    * expression makes every `element_at(ws, i)` re-split the text, i.e.
+    * O(n²) regex work per document (measured 2× on dedup_minhash at
+    * sf0.1 before this was isolated). */
+  private def grams(ws: Column, n: Int): Column =
+    transform(gramIdx(ws, n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*))
 
-  /** MinHash signatures, banded: (doc_id, band, band_hash). The LSH
-    * "bucket key" table — docs sharing any (band, band_hash) are
-    * near-duplicate candidates. */
-  def minhashBands(docs: DataFrame): DataFrame = {
-    val sig = shingles(docs)
-      .select(col("doc_id"), explode(sequence(lit(0), lit(NumHashes - 1))).as("j"),
-        col("shingle"))
-      .select(col("doc_id"), col("j"), h32(col("j"), col("shingle")).as("h"))
-      .groupBy("doc_id")
-      .agg(min(when(col("j") === 0, col("h"))).as("s0"),
-        (1 until NumHashes).map(j => min(when(col("j") === j, col("h"))).as(s"s$j")): _*)
+  /** Word 3-shingles of a document, as one row per distinct shingle. */
+  def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), wordsCol.as("ws"))
+      .select(col("doc_id"), explode(grams(col("ws"), 3)).as("shingle")).distinct()
+
+  /** MinHash signatures + banding, map-only: the shingle set, all 16
+    * signature minima, and the band hashes are computed inside ONE
+    * per-row projection — `array_min(transform(shingles, h32(j, _)))`
+    * per hash function — so the whole signature stage is shuffle-free
+    * (the previous explode(sequence(0,15))→groupBy shape inflated
+    * shuffle input 16× for the same result). Docs with no shingles
+    * (< 3 words) emit nothing, same as the exploded pipeline.
+    * No sort here: this is the reusable building block; query-boundary
+    * sorts live in [[minhashBands]]/[[minhashPairs]]. */
+  private def minhashBanded(docs: DataFrame): DataFrame = {
+    // materialize words once; filter on the CHEAP equivalent condition
+    // (≥3 words ⟺ ≥1 shingle) so predicate pushdown never duplicates
+    // the gram construction
+    val withSh = docs.select(col("doc_id"), wordsCol.as("ws"))
+      .where(size(col("ws")) >= 3)
+      .select(col("doc_id"), array_distinct(grams(col("ws"), 3)).as("shingles"))
+    // one md5 per shingle; the 16 signature mins are affine transforms
+    val withBase = withSh.select(col("doc_id"),
+      transform(col("shingles"),
+        s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")).as("bh"))
+    val sigCols = (0 until NumHashes).map { j =>
+      array_min(transform(col("bh"), h => (h * HashA(j) + HashB(j)) % HashP)).as(s"s$j")
+    }
+    val sig = withBase.select(col("doc_id") +: sigCols: _*)
     val bandCols = (0 until Bands).map { b =>
       val sigs = (0 until RowsPerBand).map(r => col(s"s${b * RowsPerBand + r}").cast("string"))
       md5(concat_ws(",", sigs: _*)).as(s"bh$b")
@@ -80,12 +116,19 @@ object Dedup {
     val stackExpr = (0 until Bands).map(b => s"$b, bh$b").mkString(", ")
     banded.selectExpr("doc_id", s"stack($Bands, $stackExpr) AS (band, band_hash)")
       .select(col("doc_id"), col("band").cast("long").as("band"), col("band_hash"))
-      .orderBy("doc_id", "band")
   }
 
-  /** Candidate near-duplicate pairs: docs colliding in any LSH band. */
+  /** The LSH "bucket key" table — docs sharing any (band, band_hash) are
+    * near-duplicate candidates. */
+  def minhashBands(docs: DataFrame): DataFrame =
+    minhashBanded(docs).orderBy("doc_id", "band")
+
+  /** Candidate near-duplicate pairs: docs colliding in any LSH band.
+    * Shares [[minhashBanded]] with `dedup_minhash` (both sides of the
+    * self-join canonicalize to the same map-only subplan, so the scan is
+    * the only work before the one (band, band_hash) shuffle). */
   def minhashPairs(docs: DataFrame): DataFrame = {
-    val b = minhashBands(docs)
+    val b = minhashBanded(docs)
     val l = b.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
     val r = b.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
     l.join(r, Seq("band", "band_hash"))
@@ -113,17 +156,31 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Word-bigram Jaccard: top-20 most similar same-source pairs, via an
-    * inverted-index join on (source, bigram) — the scalable shape. */
+  /** A bigram held by more than this many docs of one source is treated
+    * as a stop-bigram and dropped from the Jaccard universe: it carries
+    * ~zero similarity evidence but Θ(df²) join fan-out. An ABSOLUTE cap
+    * keeps the inverted-index join's per-posting cost bounded at any
+    * corpus size — the one property that makes this shape survive 100 TB
+    * (without it, one hot bigram goes quadratic in corpus size). */
+  val MaxBigramDf = 10
+
+  /** Word-bigram Jaccard: top-20 most similar same-source pairs, via a
+    * DF-capped inverted-index join on (source, bigram) — never a cross
+    * join, never an unbounded posting list. Jaccard is computed over the
+    * capped (discriminative-bigram) universe on both engines. */
   def ngramJaccard(docs: DataFrame): DataFrame = {
-    val ws = wordsCol
-    val bi = transform(gramIdx(ws, 2),
-      i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1)))
     val docBigrams = docs
-      .select(col("doc_id"), col("source"), explode(bi).as("bigram")).distinct()
-    val sizes = docBigrams.groupBy("doc_id").agg(count(lit(1)).as("nset"))
-    val a = docBigrams.select(col("doc_id").as("doc_a"), col("source"), col("bigram"))
-    val b = docBigrams.select(col("doc_id").as("doc_b"), col("source"), col("bigram"))
+      .select(col("doc_id"), col("source"), wordsCol.as("ws"))
+      .select(col("doc_id"), col("source"), explode(grams(col("ws"), 2)).as("bigram"))
+      .distinct()
+    val keep = docBigrams.groupBy("source", "bigram")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= MaxBigramDf)
+      .select("source", "bigram")
+    val kept = docBigrams.join(keep, Seq("source", "bigram"))
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("nset"))
+    val a = kept.select(col("doc_id").as("doc_a"), col("source"), col("bigram"))
+    val b = kept.select(col("doc_id").as("doc_b"), col("source"), col("bigram"))
     a.join(b, Seq("source", "bigram"))
       .where(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
@@ -136,10 +193,14 @@ object Dedup {
   }
 
   /** Same simhash via the native codegen'd expression
-    * [[graft.functions.SimHash32]] — map-only, no 32× bit-row blowup. */
+    * [[graft.functions.SimHash32]] — map-only, no 32× bit-row blowup.
+    * Letterless docs are filtered out (the declarative pipeline and its
+    * oracle emit no row for a doc with zero tokens; without the filter
+    * the native path would emit simhash=0 for them). */
   def simhashNative(docs: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
-    docs.selectExpr("doc_id", "graft_simhash32(text) AS simhash").orderBy("doc_id")
+    docs.where(col("text").rlike("\\p{L}"))
+      .selectExpr("doc_id", "graft_simhash32(text) AS simhash").orderBy("doc_id")
   }
 
   type Q = (SparkSession, String) => DataFrame
@@ -154,8 +215,7 @@ object Dedup {
 
   // ---- DuckDB oracles ----
 
-  private val W =
-    "list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), w -> w <> '')"
+  private val W = WordCount.OracleWords
 
   /** H(seed, s) on the DuckDB side. */
   private def oh32(seed: String, s: String): String =
@@ -168,10 +228,10 @@ object Dedup {
 
   private val sigSql = {
     val mins = (0 until NumHashes)
-      .map(j => s"min(CASE WHEN j = $j THEN h END) AS s$j").mkString(", ")
+      .map(j => s"min((h * ${HashA(j)} + ${HashB(j)}) % $HashP) AS s$j").mkString(", ")
     s"""SELECT doc_id, $mins FROM (
-       |  SELECT doc_id, j, ${oh32("j::VARCHAR", "shingle")} AS h
-       |  FROM ($shinglesSql) sh, (SELECT unnest(range(0, $NumHashes)) AS j) js) hs
+       |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+       |  FROM ($shinglesSql) sh) bh
        |GROUP BY doc_id""".stripMargin
   }
 
@@ -219,12 +279,15 @@ object Dedup {
          |  SELECT DISTINCT doc_id, source, words[i] || ' ' || words[i+1] AS bigram
          |  FROM (SELECT doc_id, source, $W AS words FROM documents) dw,
          |       unnest(range(1, len(words))) AS u(i)),
-         |sz AS (SELECT doc_id, count(*) AS nset FROM db GROUP BY doc_id)
+         |keep AS (SELECT source, bigram FROM db
+         |         GROUP BY 1, 2 HAVING count(*) <= $MaxBigramDf),
+         |fdb AS (SELECT db.* FROM db JOIN keep USING (source, bigram)),
+         |sz AS (SELECT doc_id, count(*) AS nset FROM fdb GROUP BY doc_id)
          |SELECT doc_a, doc_b,
          |  shared::DOUBLE / (sa.nset + sb.nset - shared) AS jaccard
          |FROM (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-         |  FROM db a JOIN db b ON a.source = b.source AND a.bigram = b.bigram
+         |  FROM fdb a JOIN fdb b ON a.source = b.source AND a.bigram = b.bigram
          |    AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2) p
          |JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b

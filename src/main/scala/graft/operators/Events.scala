@@ -105,9 +105,9 @@ object Events {
          |  count(*) AS n_events, ${osum("value")} AS total_value
          |FROM (
          |  SELECT user_id, ts, value,
-         |    SUM(is_new) OVER (PARTITION BY user_id
+         |    CAST(SUM(is_new) OVER (PARTITION BY user_id
          |      ORDER BY CAST(ts AS TIMESTAMP), event_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          |  FROM (
          |    SELECT user_id, event_id, ts, value,
          |      CASE WHEN prev_us IS NULL OR us - prev_us > $SessionGapUs

@@ -3,6 +3,7 @@ package graft.operators
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -83,6 +84,30 @@ object Multimodal {
         sum(col("n_frames").cast("long")).as("total_frames"))
       .orderBy("kind")
   }
+
+  type Q = (SparkSession, String) => DataFrame
+  val queries: Map[String, Q] = Map(
+    "mm_summary" -> ((s, d) => mediaSummary(Tables.documents(s, d))),
+  )
+
+  /** `mm_summary` runs the full binary pipeline (ingest → batched decode
+    * → per-kind agg), but every aggregated value is arithmetic over the
+    * source text (UTF-8 byte length, doc_id mod 3), so DuckDB can derive
+    * the identical result without decoding — the §2.7 plumbing becomes
+    * driver-checkable end to end. */
+  val oracle: Map[String, String] = Map(
+    "mm_summary" ->
+      """SELECT kind, count(*) AS n_files,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(sum(CASE WHEN kind = 'video' THEN 1 + n_bytes // 100
+        |                WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS total_frames
+        |FROM (
+        |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |         ELSE 'video' END AS kind,
+        |    octet_length(encode(text)) AS n_bytes
+        |  FROM documents) m
+        |GROUP BY kind ORDER BY kind""".stripMargin,
+  )
 }
 
 /** The clearly-marked fake codec. A production build replaces exactly

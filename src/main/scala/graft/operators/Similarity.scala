@@ -1,36 +1,51 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.LshImpl
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Similarity search over the `embeddings` table (SURVEY §2.4):
-  * brute-force cosine top-k as the correctness baseline, and
-  * random-hyperplane LSH bucketing as the scale path.
+/** Similarity search over the `embeddings` table (SURVEY §2.4) plus
+  * embedding-level near-duplicate detection (SURVEY §2.3 `dedup_embed`):
+  * brute-force cosine top-k as the correctness baseline, and multi-table
+  * random-hyperplane LSH as the scale path.
   *
-  * Determinism across engines: outputs carry (query_id, rank, neighbor_id)
-  * but NO floating-point scores — each engine orders by its own cosine
-  * (gaps between distinct random vectors are ~1e-3, far above the ~1e-15
-  * cross-engine FP divergence; exact-duplicate vectors tie exactly and
-  * fall back to the vec_id tie-break), so the integer output is stable
-  * while the float stays internal.
+  * Hyperplanes are CONSTANTS: the ±1 sign matrices are derived once at
+  * class load ([[graft.functions.LshImpl.Signs]], md5 parity of
+  * "table:plane:dim") and baked into the native codegen'd expression
+  * `graft_lsh_buckets` — the per-row work is a flat signed sum of vector
+  * components, zero hash calls per row (the previous shape recomputed
+  * ~384 md5s/row inside `zip_with`).
+  *
+  * Index shape: `LshTables` independent hash tables of `LshBits` bits
+  * each (OR-amplification). Candidates are pairs sharing a bucket in ANY
+  * table — recall grows with L while each table's bucket width stays
+  * n/2^bits. At 100 TB you raise LshBits (bucket width ∝ n/2^bits, so
+  * +10 bits absorbs 1000×) and tune L for recall; both are plan-time
+  * constants so the per-row cost stays a flat sign-sum.
+  *
+  * Determinism across engines: query outputs carry only integers
+  * (ids/ranks/buckets); cosine stays internal to ORDER/threshold where
+  * inter-value gaps (~1e-3) dwarf cross-engine FP noise (~1e-15).
   *
   * Scale design (100 TB):
-  *  - the query side is tiny and broadcast: brute force is one pass over
-  *    the corpus per partition (a broadcast nested-loop join), with the
-  *    top-k cut by a per-query window — no shuffle of the corpus;
-  *  - LSH replaces the full scan with a bucket-equijoin: corpus shuffles
-  *    once on bucket id, candidates are only same-bucket rows;
-  *  - at 1000 executors the brute-force cosine is embarrassingly parallel
-  *    and the window's shuffle carries only (query × corpus-partition)
-  *    partial top-k rows once AQE kicks in.
+  *  - brute force: query side broadcast, corpus never shuffled; per-query
+  *    window cut to top-k via WindowGroupLimit (partial top-k per
+  *    partition before the shuffle);
+  *  - LSH: bucket assignment is map-only; the candidate join shuffles
+  *    only (id, tbl, bucket) triples, then vectors are fetched by id for
+  *    candidates only — full vectors never ride the bucket shuffle;
+  *  - dedup_embed: same bucketed candidates, cosine-threshold filter —
+  *    never all-pairs.
   */
 object Similarity {
 
   val TopK = 5
-  val QueryStride = 50   // vec_id % stride == 0 ⇒ query vector
-  val LshBits = 6        // 64 buckets
+  val QueryStride = 50             // vec_id % stride == 0 ⇒ query vector
+  val LshBits: Int = LshImpl.Bits          // 256 buckets per table
+  val LshTables: Int = LshImpl.NumTables   // OR-amplified hash tables
+  val DupCosine = 0.35             // dedup_embed near-duplicate threshold
 
   /** Embedding as array<double> — keeps both engines in IEEE double. */
   private def vec(c: Column): Column = transform(c, x => x.cast("double"))
@@ -61,39 +76,49 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Deterministic ±1 hyperplane component for (plane j, dim i):
-    * sign of bit 0 of H(j, i). */
-  private def planeSign(j: Column, i: Column): Column =
-    when(Dedup.h32(j, i.cast("string")) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
-
-  /** LSH bucket id of a (double-cast) vector: bit j = [dot(v, plane_j) > 0]. */
-  private def bucketOf(v: Column): Column = {
-    val bits = (0 until LshBits).map { j =>
-      // dot with ±1 plane = signed sum of components, left-to-right
-      val signed = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * planeSign(lit(j), i)),
-        lit(0.0), _ + _)
-      when(signed > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+  /** The LSH index: (vec_id, tbl, bucket), one row per table — a single
+    * map-only scan through the native codegen'd expression
+    * [[graft.functions.LshBuckets]] (the declarative ±element chain is
+    * 2048 terms and overflows Janino; the expression is one static call).
+    * Unsorted building block shared by `ann_lsh`, `ann_lsh_topk`,
+    * `dedup_embed`. */
+  private def lshIndex(em: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(em.sparkSession)
+    em.select(col("vec_id"),
+        posexplode(call_function("graft_lsh_buckets", col("embedding")))
+          .as(Seq("tbl", "bucket")))
+      .select(col("vec_id"), col("tbl").cast("long").as("tbl"), col("bucket"))
   }
 
   /** Bucket assignment for the whole corpus — the LSH index itself. */
   def lshBuckets(em: DataFrame): DataFrame =
-    em.select(col("vec_id"), bucketOf(vec(col("embedding"))).as("bucket"))
-      .orderBy("vec_id")
+    lshIndex(em).orderBy("vec_id", "tbl")
 
-  /** ANN via LSH: top-k among same-bucket candidates only. */
+  /** Distinct candidate id-pairs sharing a bucket in any table. Only id
+    * triples ride the shuffle; vectors are joined back afterwards. */
+  private def lshCandidates(em: DataFrame): DataFrame = {
+    val idx = lshIndex(em)
+    val a = idx.select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))
+    val b = idx.select(col("vec_id").as("vec_b"), col("tbl"), col("bucket"))
+    a.join(b, Seq("tbl", "bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+  }
+
+  /** ANN via LSH: top-k among candidates sharing any bucket with the
+    * query (deduplicated across tables before ranking). */
   def lshTopK(em: DataFrame): DataFrame = {
-    val b = lshBuckets(em)
-    val corpus = em.select(col("vec_id").as("neighbor_id"), vec(col("embedding")).as("nv"))
-      .join(b.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
-    val qs = queriesDf(em)
-      .join(b.withColumnRenamed("vec_id", "query_id"), "query_id")
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    qs.join(corpus, Seq("bucket"))
+    val idx = lshIndex(em)
+    val qIdx = idx.where(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
+    val nIdx = idx.select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket"))
+    val cand = qIdx.join(nIdx, Seq("tbl", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val corpus = em.select(col("vec_id").as("neighbor_id"), vec(col("embedding")).as("nv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(broadcast(queriesDf(em)), "query_id")
+      .join(corpus, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("nv")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= TopK)
@@ -101,30 +126,52 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs (SURVEY §2.3 `dedup_embed`):
+    * LSH-bucketed candidates filtered to cosine ≥ [[DupCosine]] — the
+    * paraphrase-level dedup MinHash can't see, without ever going
+    * all-pairs. Output is integer ids only. */
+  def embedDup(em: DataFrame): DataFrame = {
+    val va = em.select(col("vec_id").as("vec_a"), vec(col("embedding")).as("av"))
+    val vb = em.select(col("vec_id").as("vec_b"), vec(col("embedding")).as("bv"))
+    lshCandidates(em)
+      .join(va, "vec_a").join(vb, "vec_b")
+      .where(cosine(col("av"), col("bv")) >= DupCosine)
+      .select("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b")
+  }
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "ann_bruteforce" -> ((s, d) => bruteForce(Tables.embeddings(s, d))),
     "ann_lsh"        -> ((s, d) => lshBuckets(Tables.embeddings(s, d))),
     "ann_lsh_topk"   -> ((s, d) => lshTopK(Tables.embeddings(s, d))),
+    "dedup_embed"    -> ((s, d) => embedDup(Tables.embeddings(s, d))),
   )
 
   // ---- DuckDB oracles ----
 
   private val V = "embedding::DOUBLE[]"
 
-  private def oh32(seed: String, s: String): String =
-    s"('0x' || substr(md5($seed || ':' || $s), 1, 8))::BIGINT"
-
-  // bucket via per-plane signed sums; mirrors bucketOf
-  private val bucketSql: String = {
-    val bits = (0 until LshBits).map { j =>
-      val sign = s"CASE WHEN ${oh32(s"'$j'", "(i - 1)::VARCHAR")} % 2 = 0 THEN 1.0 ELSE -1.0 END"
-      s"""(CASE WHEN (SELECT sum(v[i] * $sign)
-         |       FROM (SELECT unnest(range(1, len(v) + 1)) AS i) ix) > 0
-         |  THEN ${1L << j} ELSE 0 END)""".stripMargin
-    }
-    bits.mkString(" + ")
+  /** Unrolled `±v[1] ±v[2] …` for one plane — literal signs, same
+    * left-to-right fold as [[signedSum]]. */
+  private def signedSumSql(signs: Array[Double]): String = {
+    val s = signs.zipWithIndex.map { case (sg, i) =>
+      (if (sg > 0) "+" else "-") + s"v[${i + 1}]"
+    }.mkString
+    if (s.startsWith("+")) s.substring(1) else s
   }
+
+  private def bucketSql(t: Int): String =
+    (0 until LshBits).map { j =>
+      s"(CASE WHEN (${signedSumSql(LshImpl.Signs(t)(j))}) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** (vec_id, tbl, bucket) for all tables — mirrors [[lshIndex]]. */
+  private val indexSql: String =
+    (0 until LshTables).map { t =>
+      s"""SELECT vec_id, $t::BIGINT AS tbl, CAST(${bucketSql(t)} AS BIGINT) AS bucket
+         |FROM (SELECT vec_id, $V AS v FROM embeddings) e""".stripMargin
+    }.mkString(" UNION ALL ")
 
   val oracle: Map[String, String] = Map(
     "ann_bruteforce" ->
@@ -136,22 +183,33 @@ object Similarity {
          |  WHERE q.vec_id % $QueryStride = 0) t
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
     "ann_lsh" ->
-      s"""SELECT vec_id, CAST($bucketSql AS BIGINT) AS bucket
-         |FROM (SELECT vec_id, $V AS v FROM embeddings) e
-         |ORDER BY vec_id""".stripMargin,
+      s"""SELECT vec_id, tbl, bucket FROM ($indexSql) bk
+         |ORDER BY vec_id, tbl""".stripMargin,
     "ann_lsh_topk" ->
-      s"""WITH bk AS (
-         |  SELECT vec_id, CAST($bucketSql AS BIGINT) AS bucket
-         |  FROM (SELECT vec_id, $V AS v FROM embeddings) e)
+      s"""WITH bk AS ($indexSql),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+         |  FROM bk q JOIN bk n ON q.tbl = n.tbl AND q.bucket = n.bucket
+         |    AND q.vec_id <> n.vec_id
+         |  WHERE q.vec_id % $QueryStride = 0)
          |SELECT query_id, rank, neighbor_id FROM (
-         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-         |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, n.vec_id) AS rank
-         |  FROM embeddings q
-         |  JOIN bk qb ON qb.vec_id = q.vec_id
-         |  JOIN bk nb ON nb.bucket = qb.bucket
-         |  JOIN embeddings n ON n.vec_id = nb.vec_id AND n.vec_id <> q.vec_id
-         |  WHERE q.vec_id % $QueryStride = 0) t
+         |  SELECT c.query_id, c.neighbor_id,
+         |    row_number() OVER (PARTITION BY c.query_id
+         |      ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, c.neighbor_id) AS rank
+         |  FROM cand c
+         |  JOIN embeddings q ON q.vec_id = c.query_id
+         |  JOIN embeddings n ON n.vec_id = c.neighbor_id) t
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    "dedup_embed" ->
+      s"""WITH bk AS ($indexSql),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |    AND a.vec_id < b.vec_id)
+         |SELECT c.vec_a, c.vec_b FROM cand c
+         |JOIN embeddings a ON a.vec_id = c.vec_a
+         |JOIN embeddings b ON b.vec_id = c.vec_b
+         |WHERE list_cosine_similarity(a.$V, b.$V) >= $DupCosine
+         |ORDER BY vec_a, vec_b""".stripMargin,
   )
 }

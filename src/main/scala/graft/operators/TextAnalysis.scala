@@ -65,9 +65,11 @@ object TextAnalysis {
         size(array_distinct(ws)).cast("long").as("n_distinct"),
         aggregate(transform(ws, w => length(w).cast("long")), lit(0L), _ + _).as("sum_wlen"),
         size(filter(ws, w => w.isInCollection(stop))).cast("long").as("n_stop"))
-      .withColumn("mean_wlen", col("sum_wlen").cast("double") / col("n_tokens"))
-      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
-      .withColumn("distinct_ratio", col("n_distinct").cast("double") / col("n_tokens"))
+      // nullif guard: a letterless doc has n_tokens=0; bare division would
+      // be NULL in Spark but inf/NaN in DuckDB — nullif makes both NULL
+      .withColumn("mean_wlen", col("sum_wlen").cast("double") / nullif(col("n_tokens"), lit(0L)))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / nullif(col("n_tokens"), lit(0L)))
+      .withColumn("distinct_ratio", col("n_distinct").cast("double") / nullif(col("n_tokens"), lit(0L)))
       // linear quality score; each term is a deterministic double
       .withColumn("quality",
         col("distinct_ratio") * 0.5 + (lit(1.0) - col("stop_ratio")) * 0.3 +
@@ -113,8 +115,7 @@ object TextAnalysis {
   )
 
   // words-array SQL fragment shared by the oracles
-  private val W =
-    "list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), w -> w <> '')"
+  private val W = WordCount.OracleWords
   private def inList(items: Seq[String]) = items.map(s => s"'$s'").mkString("(", ",", ")")
   private def nMarker(items: Seq[String]) =
     s"len(list_filter($W, w -> w IN ${inList(items)}))::BIGINT"
@@ -139,14 +140,14 @@ object TextAnalysis {
          |    least(mean_wlen / 10.0, 1.0) * 0.2 AS quality
          |FROM (
          |  SELECT doc_id, n_chars, n_tokens, n_distinct,
-         |    sum_wlen::DOUBLE / n_tokens AS mean_wlen,
-         |    n_stop::DOUBLE / n_tokens AS stop_ratio,
-         |    n_distinct::DOUBLE / n_tokens AS distinct_ratio
+         |    sum_wlen::DOUBLE / nullif(n_tokens, 0) AS mean_wlen,
+         |    n_stop::DOUBLE / nullif(n_tokens, 0) AS stop_ratio,
+         |    n_distinct::DOUBLE / nullif(n_tokens, 0) AS distinct_ratio
          |  FROM (
          |    SELECT doc_id, length(text)::BIGINT AS n_chars,
          |      len($W)::BIGINT AS n_tokens,
          |      len(list_distinct($W))::BIGINT AS n_distinct,
-         |      list_sum(list_transform($W, w -> length(w)::BIGINT))::BIGINT AS sum_wlen,
+         |      coalesce(list_sum(list_transform($W, w -> length(w)::BIGINT)), 0)::BIGINT AS sum_wlen,
          |      ${nMarker(Seq("the", "a", "of", "and", "to", "in"))} AS n_stop
          |    FROM documents) b) t
          |ORDER BY doc_id""".stripMargin,
@@ -154,7 +155,7 @@ object TextAnalysis {
       s"""SELECT doc_id,
          |  len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS ws_tokens,
          |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT AS re_tokens,
-         |  list_sum(list_transform($W, w -> ((length(w) + 3) // 4)::BIGINT))::BIGINT AS bpe_tokens
+         |  coalesce(list_sum(list_transform($W, w -> ((length(w) + 3) // 4)::BIGINT)), 0)::BIGINT AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       s"""SELECT doc_id,

@@ -24,9 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object WordCount {
 
-  /** Split on runs of non-letters — reference `!unicode.IsLetter` splitter
-    * restricted to ASCII (the corpus is ASCII; see SURVEY §2.1). */
-  val TokenRe = "[^A-Za-z]+"
+  /** Split on runs of non-letters — reference `!unicode.IsLetter`
+    * semantics in full: `\p{L}` is the Unicode letter category in both
+    * Java regex (Spark) and RE2 (DuckDB), so the same pattern string
+    * drives the operator and its oracle, and non-ASCII corpora tokenize
+    * identically to the reference. */
+  val TokenRe = "[^\\p{L}]+"
 
   /** One row per token. Empty strings (leading separator artifacts) dropped,
     * as `strings.FieldsFunc` never yields empties. */
@@ -79,9 +82,14 @@ object WordCount {
     "wc_per_doc"   -> ((s, d) => perDocCounts(Tables.documents(s, d))),
   )
 
+  /** DuckDB words-array fragment — same `\p{L}` pattern as [[TokenRe]];
+    * shared by every oracle that tokenizes. */
+  val OracleWords: String =
+    s"list_filter(regexp_split_to_array(text, '$TokenRe'), w -> w <> '')"
+
   private val TokensSql =
-    """SELECT doc_id, lang, word FROM (
-      |  SELECT doc_id, lang, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS word
+    s"""SELECT doc_id, lang, word FROM (
+      |  SELECT doc_id, lang, unnest(regexp_split_to_array(text, '$TokenRe')) AS word
       |  FROM documents) t WHERE word <> ''""".stripMargin
 
   val oracle: Map[String, String] = Map(

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.SimHash32
+import graft.functions.{LshBuckets, SimHash32}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -25,6 +25,9 @@ object GraftFunctions {
     ("graft_simhash32",
       new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
       (args: Seq[Expression]) => SimHash32(args.head)),
+    ("graft_lsh_buckets",
+      new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
+      (args: Seq[Expression]) => LshBuckets(args.head)),
   )
 
   /** Imperative registration on an existing session. */

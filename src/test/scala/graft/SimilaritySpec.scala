@@ -26,11 +26,26 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
-  test("lsh buckets: all vecs assigned, buckets within 2^LshBits") {
+  test("lsh buckets: every vec in every table, buckets within 2^LshBits") {
     val b = Similarity.lshBuckets(em)
-    assert(b.count() == em.count())
+    assert(b.count() == em.count() * Similarity.LshTables)
+    assert(b.select("tbl").distinct().count() == Similarity.LshTables)
     val bad = b.where(col("bucket") < 0 || col("bucket") >= (1L << Similarity.LshBits)).count()
     assert(bad == 0)
+  }
+
+  test("dedup_embed: ordered distinct pairs, all above the cosine threshold") {
+    val dups = Similarity.embedDup(em)
+    assert(dups.where(col("vec_a") >= col("vec_b")).count() == 0)
+    assert(dups.groupBy("vec_a", "vec_b").count().where(col("count") > 1).count() == 0)
+    // re-verify the threshold by recomputing cosine for returned pairs
+    val va = em.select(col("vec_id").as("vec_a"),
+      transform(col("embedding"), x => x.cast("double")).as("av"))
+    val vb = em.select(col("vec_id").as("vec_b"),
+      transform(col("embedding"), x => x.cast("double")).as("bv"))
+    val below = dups.join(va, "vec_a").join(vb, "vec_b")
+      .where(Similarity.cosine(col("av"), col("bv")) < Similarity.DupCosine)
+    assert(below.count() == 0)
   }
 
   test("lsh topk is a subset of brute-force candidate space (same bucket ⇒ ranked subset)") {

@@ -33,6 +33,17 @@ for name, sql in sorted(oracle.items()):
     if len(mine) != len(ref):
         fails.append((name, f"rows {len(mine)} vs {len(ref)}"))
         print(f"FAIL {name}: rows {len(mine)} vs {len(ref)}"); continue
+    # dtype compare first: the driver's hash is type-sensitive (int64 1
+    # vs float64 1.0 hash differently), so numpy == alone is too lax
+    def canon_dtype(d):
+        s = str(d)
+        return "datetime64" if s.startswith("datetime64") else s
+    dt_bad = [c for c in mine.columns
+              if canon_dtype(mine[c].dtype) != canon_dtype(ref[c].dtype)]
+    if dt_bad:
+        detail = {c: (str(mine[c].dtype), str(ref[c].dtype)) for c in dt_bad}
+        fails.append((name, f"dtype mismatch {detail}"))
+        print(f"FAIL {name}: dtype mismatch {detail}"); continue
     # exact value compare, row order as produced
     diff_cols = []
     for c in mine.columns:
