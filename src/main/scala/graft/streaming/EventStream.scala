@@ -27,8 +27,21 @@ private case class SessionState(start: Long, last: Long, n: Long, total: Double)
   */
 object EventStream {
 
-  val SessionGapMs: Long = 30L * 60 * 1000
+  /** Gap in MICROSECONDS — the same exact-integer arithmetic as the
+    * batch operator ([[graft.operators.Events.SessionGapUs]]); computing
+    * in `Timestamp.getTime` millis would truncate the µs fraction and
+    * diverge from batch on sub-millisecond data. */
+  val SessionGapUs: Long = graft.operators.Events.SessionGapUs
   val WatermarkDelay = "1 hour"
+
+  private def toMicros(t: Timestamp): Long =
+    t.getTime * 1000 + (t.getNanos % 1000000) / 1000
+
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000) * 1000)
+    t.setNanos(Math.floorMod(us, 1000000).toInt * 1000)
+    t
+  }
 
   /** Tumbling hourly aggregates with watermark — streaming twin of
     * `Events.tumbling`. Works on any streaming DataFrame with
@@ -53,11 +66,11 @@ object EventStream {
           var closed = List.empty[Session]
           var cur = state.getOption
           // deterministic in-batch order: micro-batches are unordered sets
-          for (e <- batch.toSeq.sortBy(ev => (ev.ts.getTime, ev.event_id))) {
-            val t = e.ts.getTime
+          for (e <- batch.toSeq.sortBy(ev => (toMicros(ev.ts), ev.event_id))) {
+            val t = toMicros(e.ts)
             cur match {
-              case Some(s) if t - s.last > SessionGapMs =>
-                closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.last),
+              case Some(s) if t - s.last > SessionGapUs =>
+                closed ::= Session(userId, fromMicros(s.start), fromMicros(s.last),
                   s.n, s.total)
                 cur = Some(SessionState(t, t, 1, e.value))
               case Some(s) =>
@@ -69,11 +82,12 @@ object EventStream {
           cur match {
             case Some(s) if state.hasTimedOut =>
               state.remove()
-              closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.last),
+              closed ::= Session(userId, fromMicros(s.start), fromMicros(s.last),
                 s.n, s.total)
             case Some(s) =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + SessionGapMs)
+              // timeout is in millis; round up so it never fires early
+              state.setTimeoutTimestamp(Math.floorDiv(s.last + SessionGapUs, 1000) + 1)
             case None => if (state.hasTimedOut) state.remove()
           }
           closed.reverseIterator

@@ -55,6 +55,45 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionizer replaying the whole events table converges to batch") {
+    val s = spark
+    import s.implicits._
+    val batchDf = Tables.events(spark, sf)
+    val evs = batchDf
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val maxTs = evs.map(_.ts.getTime).max
+    val input = MemoryStream[Event](s)
+    val q = EventStream.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessfull").outputMode("append").start()
+    try {
+      input.addData(evs)
+      q.processAllAvailable()
+      // two sentinel batches (negative user ids): the first advances the
+      // watermark past every open session's timeout, the second triggers
+      // the event-time timeout sweep that flushes them
+      input.addData(Event(-1, new Timestamp(maxTs + 10L * 3600 * 1000), -1, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(-2, new Timestamp(maxTs + 20L * 3600 * 1000), -2, "view", 0.0))
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4))
+      val streamed = s.sql(
+        """SELECT user_id, session_start, session_end, n_events,
+          |  round(total_value, 4) AS tv FROM sessfull WHERE user_id >= 0""".stripMargin)
+        .collect().map(key).toSet
+      val batch = graft.operators.Events.sessionize(batchDf)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), round(col("total_value"), 4).as("tv"))
+        .collect().map(key).toSet
+      val onlyStream = streamed -- batch
+      val onlyBatch = batch -- streamed
+      assert(streamed == batch,
+        s"\nonly-stream(${onlyStream.size}): ${onlyStream.take(5)}" +
+          s"\nonly-batch(${onlyBatch.size}): ${onlyBatch.take(5)}")
+    } finally q.stop()
+  }
+
   test("file-stream reader replays the parquet events with proper timestamps") {
     val stream = EventStream.readEventStream(spark, sf)
     assert(stream.isStreaming)
