@@ -124,17 +124,63 @@ object Dedup {
     minhashBanded(docs).orderBy("doc_id", "band")
 
   /** Candidate near-duplicate pairs: docs colliding in any LSH band.
-    * Shares [[minhashBanded]] with `dedup_minhash` (both sides of the
-    * self-join canonicalize to the same map-only subplan, so the scan is
-    * the only work before the one (band, band_hash) shuffle). */
-  def minhashPairs(docs: DataFrame): DataFrame = {
+    * Both sides of the self-join canonicalize to the same map-only
+    * subplan, so the scan is the only work before the one
+    * (band, band_hash) shuffle. */
+  def minhashPairs(docs: DataFrame): DataFrame =
+    minhashCandidates(docs).orderBy("doc_a", "doc_b")
+
+  /** Distinct candidate pairs (doc_a < doc_b) — the unsorted core of
+    * [[minhashPairs]], reused by [[minhashClusters]]. */
+  private def minhashCandidates(docs: DataFrame): DataFrame = {
     val b = minhashBanded(docs)
     val l = b.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
     val r = b.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
     l.join(r, Seq("band", "band_hash"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Near-duplicate CLUSTERS: connected components over the MinHash
+    * candidate-pair graph, labelling every document with the minimum
+    * doc_id of its component (the canonical survivor a training pipeline
+    * keeps). Iterative min-label propagation: each round every node takes
+    * the min of its own label and its neighbours' labels; labels only
+    * decrease, so the exact-integer label sum is a monotone convergence
+    * witness. Rounds = component diameter — LSH dup components are tiny
+    * chains, so this converges in a handful of rounds (a planet-scale
+    * graph would switch to the two-phase large-star/small-star
+    * formulation, same per-round join shape). Each round persists its
+    * labels and unpersists the previous round, so lineage stays O(1). */
+  def minhashClusters(docs: DataFrame): DataFrame = {
+    val pairs = minhashCandidates(docs)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var done = false
+    while (!done) {
+      val nbrMin = edges.join(labels, col("src") === col("doc_id"))
+        .select(col("dst"), col("cluster_id").as("nl"))
+        .groupBy("dst").agg(min("nl").as("nbr_min"))
+      val next = labels.join(nbrMin, col("doc_id") === col("dst"), "left_outer")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist()
+      val nextSum = labelSum(next)
+      labels.unpersist()
+      labels = next
+      done = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).cast("long").as("is_canonical"))
+      .orderBy("doc_id")
   }
 
   val SimhashBits = 32
@@ -208,6 +254,7 @@ object Dedup {
     "dedup_exact"          -> ((s, d) => exact(Tables.documents(s, d))),
     "dedup_minhash"        -> ((s, d) => minhashBands(Tables.documents(s, d))),
     "dedup_minhash_pairs"  -> ((s, d) => minhashPairs(Tables.documents(s, d))),
+    "dedup_cluster"        -> ((s, d) => minhashClusters(Tables.documents(s, d))),
     "dedup_simhash"        -> ((s, d) => simhash(Tables.documents(s, d))),
     "dedup_simhash_native" -> ((s, d) => simhashNative(Tables.documents(s, d))),
     "dedup_ngram"          -> ((s, d) => ngramJaccard(Tables.documents(s, d))),
@@ -270,6 +317,22 @@ object Dedup {
          |FROM ($bandsSql) a JOIN ($bandsSql) b
          |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // connected components as a recursive transitive closure: min reachable
+    // id == the min-label fixpoint the Spark loop converges to
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE pr AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ($bandsSql) a JOIN ($bandsSql) b
+         |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |          UNION ALL SELECT doc_b, doc_a FROM pr),
+         |reach(node, root) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+         |SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id,
+         |  (node = min(root))::BIGINT AS is_canonical
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "dedup_simhash" -> simhashSql,
     // the native expression implements the identical algorithm, so it
     // shares the declarative pipeline's oracle

@@ -126,6 +126,54 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  val CentroidStride = 37  // vec_id % stride == 0 ⇒ IVF centroid
+  val NProbe = 2           // cells probed per query
+
+  /** IVF (inverted-file) ANN — the other classic scale path next to LSH:
+    * a small deterministic centroid set partitions the corpus into cells
+    * (each vector assigned to its nearest centroid); a query probes only
+    * its [[NProbe]] nearest cells and ranks candidates there.
+    *
+    * Scale shape: centroids are tiny and BROADCAST, so cell assignment is
+    * map-only over the corpus (per-partition top-1 via WindowGroupLimit
+    * before the per-vector shuffle); the candidate join shuffles on
+    * cell id — bucket width n/K, tuned via the centroid count (real
+    * deployments use K ≈ √n k-means centroids; the deterministic stride
+    * here stands in for the trained codebook, which is model input, not
+    * query semantics). */
+  def ivfTopK(em: DataFrame): DataFrame = {
+    val cents = em.where(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), vec(col("embedding")).as("cv"))
+    def nearestCells(side: DataFrame, idCol: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cent_id"))
+      // explicit broadcast nested-loop over the TINY centroid set: n×K
+      // comparisons, linear in corpus size — not a corpus×corpus product
+      side.crossJoin(broadcast(cents))
+        .select(col(idCol), col("cent_id"), cosine(col("v"), col("cv")).as("ccos"))
+        .withColumn("crn", row_number().over(w))
+        .where(col("crn") <= n)
+        .select(col(idCol), col("cent_id").as("cell"))
+    }
+    val corpus = em.select(col("vec_id"), vec(col("embedding")).as("v"))
+    val assign = nearestCells(corpus, "vec_id", 1)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val probes = nearestCells(
+      corpus.where(col("vec_id") % QueryStride === 0)
+        .withColumnRenamed("vec_id", "query_id"), "query_id", NProbe)
+    val cand = probes.join(assign, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val nv = em.select(col("vec_id").as("neighbor_id"), vec(col("embedding")).as("nv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(broadcast(queriesDf(em)), "query_id")
+      .join(nv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("nv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs (SURVEY §2.3 `dedup_embed`):
     * LSH-bucketed candidates filtered to cosine ≥ [[DupCosine]] — the
     * paraphrase-level dedup MinHash can't see, without ever going
@@ -145,6 +193,7 @@ object Similarity {
     "ann_bruteforce" -> ((s, d) => bruteForce(Tables.embeddings(s, d))),
     "ann_lsh"        -> ((s, d) => lshBuckets(Tables.embeddings(s, d))),
     "ann_lsh_topk"   -> ((s, d) => lshTopK(Tables.embeddings(s, d))),
+    "ann_ivf"        -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
     "dedup_embed"    -> ((s, d) => embedDup(Tables.embeddings(s, d))),
   )
 
@@ -192,6 +241,35 @@ object Similarity {
          |  FROM bk q JOIN bk n ON q.tbl = n.tbl AND q.bucket = n.bucket
          |    AND q.vec_id <> n.vec_id
          |  WHERE q.vec_id % $QueryStride = 0)
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    row_number() OVER (PARTITION BY c.query_id
+         |      ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, c.neighbor_id) AS rank
+         |  FROM cand c
+         |  JOIN embeddings q ON q.vec_id = c.query_id
+         |  JOIN embeddings n ON n.vec_id = c.neighbor_id) t
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, $V AS cv FROM embeddings
+         |  WHERE vec_id % $CentroidStride = 0),
+         |assign AS (
+         |  SELECT vec_id AS neighbor_id, cell FROM (
+         |    SELECT e.vec_id, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.$V, c.cv) DESC, c.cent_id) AS crn
+         |    FROM embeddings e, cents c) a WHERE crn = 1),
+         |probes AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT q.vec_id AS query_id, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.$V, c.cv) DESC, c.cent_id) AS crn
+         |    FROM embeddings q, cents c WHERE q.vec_id % $QueryStride = 0) p
+         |  WHERE crn <= $NProbe),
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, a.neighbor_id
+         |  FROM probes p JOIN assign a ON a.cell = p.cell
+         |  WHERE a.neighbor_id <> p.query_id)
          |SELECT query_id, rank, neighbor_id FROM (
          |  SELECT c.query_id, c.neighbor_id,
          |    row_number() OVER (PARTITION BY c.query_id

@@ -106,12 +106,44 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Exact per-language length percentiles by RANK SELECTION: the value
+    * at row ceil(q·n) of the in-group sort — all-integer arithmetic, so
+    * both engines agree bit-for-bit (interpolating quantile functions
+    * differ across engines in convention and FP rounding). Distributed
+    * shape: one shuffle on the group key + in-partition sort; at scale
+    * with a skewed group you'd switch to an approx sketch or a two-pass
+    * range-partitioned selection, same contract. */
+  def lengthPercentiles(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("n_chars")
+    val wn = Window.partitionBy("lang")
+    val ranked = docs.select(col("lang"), col("n_chars"),
+      row_number().over(w).as("rn"), count(lit(1)).over(wn).as("n"))
+    def atQ(q: Double, name: String) =
+      min(when(col("rn") === ceil(col("n") * q).cast("long"), col("n_chars"))).as(name)
+    ranked.groupBy("lang")
+      .agg(max(col("n")).as("n_docs"), atQ(0.5, "p50"), atQ(0.9, "p90"), atQ(0.99, "p99"))
+      .orderBy("lang")
+  }
+
+  /** Deterministic hash split (train/eval sampling): keep a doc iff its
+    * md5-derived bucket of doc_id falls under [[SamplePct]] — stable
+    * under reruns, re-partitioning, and corpus growth (membership depends
+    * only on doc_id), the property random() sampling lacks. */
+  val SamplePct = 5
+  def hashSample(docs: DataFrame): DataFrame =
+    docs.where(Dedup.h32(lit("smp"), col("doc_id").cast("string")) % 100 < SamplePct)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "text_langid"      -> ((s, d) => langId(Tables.documents(s, d))),
     "text_quality"     -> ((s, d) => quality(Tables.documents(s, d))),
     "text_tokencount"  -> ((s, d) => tokenCount(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d))),
+    "text_percentiles" -> ((s, d) => lengthPercentiles(Tables.documents(s, d))),
+    "text_sample"      -> ((s, d) => hashSample(Tables.documents(s, d))),
   )
 
   // words-array SQL fragment shared by the oracles
@@ -164,5 +196,20 @@ object TextAnalysis {
          |  md5(array_to_string($W[1:8], ' ')) AS fp_head,
          |  md5(array_to_string($W[-8:], ' ')) AS fp_tail
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_percentiles" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+        |  CAST(min(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN n_chars END) AS BIGINT) AS p50,
+        |  CAST(min(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN n_chars END) AS BIGINT) AS p90,
+        |  CAST(min(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN n_chars END) AS BIGINT) AS p99
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ('0x' || substr(md5('smp:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 < $SamplePct
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -37,6 +37,26 @@ class DedupSpec extends SparkSpec {
     assert(p.count() == p.distinct().count())
   }
 
+  test("clusters: every doc labelled, candidate pairs co-clustered, canonical is min") {
+    val c = Dedup.minhashClusters(docs)
+    assert(c.count() == docs.count())
+    assert(c.where(col("cluster_id") > col("doc_id")).count() == 0)
+    // the canonical doc of each cluster carries its own id as label
+    assert(c.where(col("is_canonical") === 1 && col("cluster_id") =!= col("doc_id")).count() == 0)
+    // every LSH candidate pair must land in the same component
+    val lbl = c.select(col("doc_id"), col("cluster_id"))
+    val p = Dedup.minhashPairs(docs)
+    val split = p
+      .join(lbl.toDF("doc_a", "ca"), "doc_a")
+      .join(lbl.toDF("doc_b", "cb"), "doc_b")
+      .where(col("ca") =!= col("cb"))
+    assert(split.count() == 0)
+    // each cluster's min member is its label
+    val badMin = c.groupBy("cluster_id").agg(min("doc_id").as("mn"))
+      .where(col("cluster_id") =!= col("mn"))
+    assert(badMin.count() == 0)
+  }
+
   test("identical docs collide in every band; disjoint docs in none") {
     val s = spark
     import s.implicits._

@@ -48,6 +48,13 @@ class SimilaritySpec extends SparkSpec {
     assert(below.count() == 0)
   }
 
+  test("ivf topk: unique ranks within TopK, no self-matches") {
+    val ivf = Similarity.ivfTopK(em)
+    assert(ivf.where(col("query_id") === col("neighbor_id")).count() == 0)
+    assert(ivf.where(col("rank") > Similarity.TopK).count() == 0)
+    assert(ivf.groupBy("query_id", "rank").count().where(col("count") > 1).count() == 0)
+  }
+
   test("lsh topk is a subset of brute-force candidate space (same bucket ⇒ ranked subset)") {
     val topk = Similarity.lshTopK(em)
     // each (query, rank) unique and rank <= TopK

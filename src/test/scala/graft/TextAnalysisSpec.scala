@@ -14,6 +14,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(preds.subsetOf(TextAnalysis.Markers.map(_._1).toSet + "und"))
   }
 
+  test("percentiles: ordered p50<=p90<=p99 within observed range, n_docs sums to total") {
+    val p = TextAnalysis.lengthPercentiles(docs)
+    assert(p.where(col("p50") > col("p90") || col("p90") > col("p99")).count() == 0)
+    val total = p.agg(sum("n_docs")).head().getLong(0)
+    assert(total == docs.count())
+    val joined = p.join(
+      docs.groupBy("lang").agg(min("n_chars").as("mn"), max("n_chars").as("mx")), "lang")
+    assert(joined.where(col("p50") < col("mn") || col("p99") > col("mx")).count() == 0)
+  }
+
+  test("hash sample: deterministic, membership depends only on doc_id") {
+    val s1 = TextAnalysis.hashSample(docs).collect().map(_.getLong(0)).toSeq
+    val s2 = TextAnalysis.hashSample(docs.repartition(7)).collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2 && s1.nonEmpty && s1.length < docs.count())
+  }
+
   test("quality: ratios bounded, score in (0, 1]") {
     val q = TextAnalysis.quality(docs)
     assert(q.where(col("stop_ratio") < 0 || col("stop_ratio") > 1).count() == 0)
