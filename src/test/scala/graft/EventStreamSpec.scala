@@ -55,6 +55,31 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming tumbling replaying the whole events table converges to batch") {
+    val s = spark
+    import s.implicits._
+    val batchDf = Tables.events(spark, sf)
+    val evs = batchDf
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val input = MemoryStream[Event](s)
+    val q = EventStream.tumbling(input.toDF())
+      .writeStream.format("memory").queryName("tumbfull").outputMode("complete").start()
+    try {
+      input.addData(evs)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      val streamed = s.sql(
+        "SELECT bucket, event_type, n, round(total, 4) AS t FROM tumbfull")
+        .collect().map(key).toSet
+      val batch = graft.operators.Events.tumbling(batchDf)
+        .select(col("bucket"), col("event_type"), col("n"), round(col("total"), 4).as("t"))
+        .collect().map(key).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming sessionizer replaying the whole events table converges to batch") {
     val s = spark
     import s.implicits._

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.WordCount
+import graft.sinks.Sinks
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+
+class SourcesSinksSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf)
+
+  test("chunked: concatenating a doc's chunks restores the text, chunk count is ceil(len/size)") {
+    val size = 64
+    val ch = Sources.chunked(docs, size)
+    val restored = ch.groupBy("doc_id")
+      .agg(concat_ws("", sort_array(collect_list(struct(col("chunk_no"), col("chunk"))))
+        .getField("chunk")).as("rebuilt"),
+        count(lit(1)).as("nc"))
+    val joined = restored.join(docs.select(col("doc_id"), col("text")), "doc_id")
+    assert(joined.where(col("rebuilt") =!= col("text")).count() == 0)
+    assert(joined.where(col("nc") =!=
+      ceil(length(col("text")).cast("double") / size).cast("long")).count() == 0)
+  }
+
+  test("chunked word count converges to direct word count for chunks larger than any doc") {
+    val big = Sources.chunked(docs, 1 << 20).withColumnRenamed("chunk", "text")
+    val direct = WordCount.wordCount(docs).collect().map(r => (r.getString(0), r.getLong(1)))
+    val viaChunks = WordCount.wordCount(big).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(direct.toSeq == viaChunks.toSeq)
+  }
+
+  test("text file readers round-trip a corpus written to disk") {
+    val dir = Files.createTempDirectory("graft-src").toString
+    docs.limit(20).select(col("text"))
+      .write.mode("overwrite").text(dir)
+    val files = Sources.textFiles(spark, dir)
+    assert(files.count() > 0)
+    val lines = Sources.textLines(spark, dir)
+    assert(lines.count() == 20) // one doc per line (no newlines in corpus)
+  }
+
+  test("bucketed tables join with no shuffle exchange on either side") {
+    val s = spark
+    val whA = Files.createTempDirectory("graft-ba").toString
+    val whB = Files.createTempDirectory("graft-bb").toString
+    s.sql("DROP TABLE IF EXISTS b_orders")
+    s.sql("DROP TABLE IF EXISTS b_customer")
+    Sinks.writeBucketed(Tables.orders(s, sf), "b_orders", whA, "o_custkey", 4)
+    Sinks.writeBucketed(Tables.customer(s, sf), "b_customer", whB, "c_custkey", 4)
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = s.table("b_orders")
+        .join(s.table("b_customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      val physical = j.queryExecution.executedPlan.toString
+      // the co-located join itself must not shuffle; the only exchange
+      // allowed is the one for the final small aggregation
+      val joinPart = physical.split("HashAggregate").last
+      assert(joinPart.contains("SortMergeJoin"))
+      assert(!joinPart.contains("Exchange"),
+        s"bucketed join should have no exchange below the join:\n$physical")
+      // and it returns the same result as the plain join
+      val plain = Tables.orders(s, sf)
+        .join(Tables.customer(s, sf), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      assert(j.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+        plain.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("partitioned write prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    Sinks.writePartitioned(docs, dir, "lang")
+    val scan = spark.read.parquet(dir).where(col("lang") === "en")
+    val planStr = scan.queryExecution.executedPlan.toString
+    assert(scan.count() == docs.where(col("lang") === "en").count())
+    assert(planStr.contains("PartitionFilters: [isnotnull(lang"),
+      s"expected partition filter in:\n$planStr")
+  }
+}
