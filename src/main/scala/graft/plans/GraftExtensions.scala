@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{LshBuckets, SimHash32}
+import graft.functions.{CosineSim, LshBuckets, SimHash32}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -28,6 +28,9 @@ object GraftFunctions {
     ("graft_lsh_buckets",
       new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
       (args: Seq[Expression]) => LshBuckets(args.head)),
+    ("graft_cosine",
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))),
   )
 
   /** Imperative registration on an existing session. */

@@ -16,6 +16,7 @@ object SparkSpec {
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftFunctions.register(s)
     s
   }
   val sf: String = "/root/testdata/sf0.001"
