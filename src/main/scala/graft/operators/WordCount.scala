@@ -74,12 +74,28 @@ object WordCount {
   import org.apache.spark.sql.SparkSession
   import graft.Tables
 
+  /** Chunk width for `wc_chunked`. The reference uses CHUNK_SIZE=32768
+    * (`core/utils.go:320-343`); 256 exercises the same boundary
+    * semantics — a token crossing a chunk edge is split in two, exactly
+    * as the reference's byte chunking splits it — at test corpus sizes. */
+  val ChunkChars = 256
+
+  /** The reference's FULL ingestion+count pipeline: chunkize, then
+    * tokenize each chunk independently (`Map_parse_builtin` per chunk),
+    * then global count+sort. Differs from [[wordCount]] only by the
+    * reference's boundary-split artifact, which is part of its
+    * semantics. */
+  def chunkedWordCount(docs: DataFrame): DataFrame =
+    wordCount(graft.sources.Sources.chunked(docs, ChunkChars)
+      .withColumnRenamed("chunk", "text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wc_wordcount" -> ((s, d) => wordCount(Tables.documents(s, d))),
     "wc_topk"      -> ((s, d) => topK(Tables.documents(s, d), 50)),
     "wc_distinct"  -> ((s, d) => distinctPerLang(Tables.documents(s, d))),
     "wc_lengths"   -> ((s, d) => lengthHistogram(Tables.documents(s, d))),
     "wc_per_doc"   -> ((s, d) => perDocCounts(Tables.documents(s, d))),
+    "wc_chunked"   -> ((s, d) => chunkedWordCount(Tables.documents(s, d))),
   )
 
   /** DuckDB words-array fragment — same `\p{L}` pattern as [[TokenRe]];
@@ -109,5 +125,13 @@ object WordCount {
     "wc_per_doc" ->
       s"""SELECT doc_id, count(*) AS n_tokens, count(DISTINCT word) AS n_distinct
          |FROM ($TokensSql) tk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "wc_chunked" ->
+      s"""SELECT word, count(*) AS cnt FROM (
+         |  SELECT unnest(regexp_split_to_array(
+         |    substr(text, i * $ChunkChars + 1, $ChunkChars), '$TokenRe')) AS word
+         |  FROM documents,
+         |    unnest(range(0, CAST(ceil(length(text) / $ChunkChars.0) AS BIGINT))) AS u(i)
+         |) t WHERE word <> ''
+         |GROUP BY word ORDER BY cnt DESC, word""".stripMargin,
   )
 }
