@@ -55,6 +55,23 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** Sessionization via Spark's BUILT-IN `session_window` — the
+    * idiomatic form of [[sessionize]] (same 30-min gap, same output
+    * minus the per-user session ordinal; `session_window.end` is
+    * last-event-time + gap, so the true session end is end − gap).
+    * Catalyst plans this as a single aggregation over merging session
+    * windows — no window-function sort pass — and the identical
+    * expression works under Structured Streaming. Both forms are kept:
+    * this one for the plan, [[sessionize]] for the ordinal semantics. */
+  def sessionizeSW(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), xsum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("sw.start").as("session_start"),
+        (col("sw.end") - expr("INTERVAL 30 MINUTES")).as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+
   /** Funnel: users reaching each stage view → click → purchase. */
   def funnel(ev: DataFrame): DataFrame = {
     val perUser = ev.groupBy("user_id").agg(
@@ -89,6 +106,7 @@ object Events {
   val queries: Map[String, Q] = Map(
     "ev_tumbling"   -> ((s, d) => tumbling(Tables.events(s, d))),
     "ev_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
+    "ev_sessions_sw"-> ((s, d) => sessionizeSW(Tables.events(s, d))),
     "ev_funnel"     -> ((s, d) => funnel(Tables.events(s, d))),
     "ev_retention"  -> ((s, d) => retention(Tables.events(s, d))),
   )
@@ -120,6 +138,30 @@ object Events {
          |                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
          |      FROM events) g) n) s
          |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // same session semantics as ev_sessionize, keyed by start instead of
+    // the ordinal (session_window has no per-user numbering)
+    "ev_sessions_sw" ->
+      s"""SELECT user_id,
+         |  CAST(min(ts) AS TIMESTAMP) AS session_start,
+         |  CAST(max(ts) AS TIMESTAMP) AS session_end,
+         |  count(*) AS n_events, ${osum("value")} AS total_value
+         |FROM (
+         |  SELECT user_id, ts, value,
+         |    CAST(SUM(is_new) OVER (PARTITION BY user_id
+         |      ORDER BY CAST(ts AS TIMESTAMP), event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM (
+         |    SELECT user_id, event_id, ts, value,
+         |      CASE WHEN prev_us IS NULL OR us - prev_us > $SessionGapUs
+         |        THEN 1 ELSE 0 END AS is_new
+         |    FROM (
+         |      SELECT user_id, event_id, ts, value,
+         |        epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |        lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+         |          OVER (PARTITION BY user_id
+         |                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+         |      FROM events) g) n) s
+         |GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin,
     "ev_funnel" ->
       """SELECT
         |  count(CASE WHEN v = 1 THEN 1 END) AS step_view,

@@ -36,6 +36,16 @@ class EventsSpec extends SparkSpec {
     assert(s.filter(_.getLong(0) == 20L).map(_.getLong(1)).toSet == Set(1L))
   }
 
+  test("session_window sessionizer agrees with the window-function sessionizer") {
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), round(col("total_value"), 6).as("tv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(key(Events.sessionizeSW(ev)) == key(Events.sessionize(ev)))
+  }
+
   test("funnel is monotonically decreasing") {
     val f = Events.funnel(ev).collect()(0)
     assert(f.getLong(0) >= f.getLong(1) && f.getLong(1) >= f.getLong(2))
