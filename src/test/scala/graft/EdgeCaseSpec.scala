@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Degenerate-document hardening: every text operator must survive (no
+  * throw, no spurious rows) docs that are empty, whitespace-only,
+  * letterless, non-ASCII, or sub-shingle-length — the classes the
+  * sf corpora don't contain. */
+class EdgeCaseSpec extends SparkSpec {
+
+  private def weird: DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "", "en", "src0", 0L),
+      (2L, "   ", "en", "src0", 3L),
+      (3L, "123 456 !!", "en", "src0", 10L),            // letterless
+      (4L, "héllo wörld Ψυχή héllo", "de", "src0", 22L), // non-ASCII letters
+      (5L, "one", "en", "src0", 3L),                     // < shingle width
+      (6L, "two words", "en", "src0", 9L),
+      (7L, "the the the the", "en", "src0", 15L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("wordcount: unicode letters tokenize, letterless docs contribute nothing") {
+    val wc = WordCount.wordCount(weird).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wc("héllo") == 2L && wc("Ψυχή") == 1L && wc("the") == 4L)
+    assert(!wc.keySet.exists(_.exists(_.isDigit)))
+  }
+
+  test("quality: zero-token docs get NULL ratios, not a crash") {
+    val q = TextAnalysis.quality(weird)
+    val zeroTok = q.where(col("n_tokens") === 0)
+    assert(zeroTok.count() == 3) // docs 1, 2, 3
+    assert(zeroTok.where(col("mean_wlen").isNotNull || col("quality").isNotNull).count() == 0)
+    assert(q.where(col("n_tokens") > 0 && col("quality").isNull).count() == 0)
+  }
+
+  test("tokencount/fingerprint/langid: one row per doc, including degenerate docs") {
+    assert(TextAnalysis.tokenCount(weird).count() == 7)
+    assert(TextAnalysis.fingerprint(weird).count() == 7)
+    val l = TextAnalysis.langId(weird)
+    assert(l.count() == 7)
+    assert(l.where(col("doc_id").isin(1L, 2L, 3L) && col("pred_lang") =!= "und").count() == 0)
+  }
+
+  test("minhash: only docs with >= 3 words get bands; native simhash drops letterless docs") {
+    val b = Dedup.minhashBands(weird)
+    assert(b.select("doc_id").distinct().collect().map(_.getLong(0)).toSet ==
+      Set(4L, 7L)) // the only docs with >= 3 words
+    val declarative = Dedup.simhash(weird).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = Dedup.simhashNative(weird).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(declarative == native) // same doc set AND same values, unicode included
+  }
+
+  test("ngram jaccard: repeated-word doc collapses to its distinct bigram set") {
+    val j = Dedup.ngramJaccard(weird)
+    // no pair may involve a doc without bigrams (docs 1,2,3,5)
+    assert(j.where(col("doc_a").isin(1L, 2L, 3L, 5L) ||
+      col("doc_b").isin(1L, 2L, 3L, 5L)).count() == 0)
+  }
+
+  test("chunked source: empty docs yield zero chunks, others reassemble") {
+    val ch = graft.sources.Sources.chunked(weird, 4)
+    assert(ch.where(col("doc_id") === 1L).count() == 0)
+    val re = ch.where(col("doc_id") === 4L).orderBy("chunk_no")
+      .agg(concat_ws("", collect_list("chunk"))).head().getString(0)
+    assert(re == "héllo wörld Ψυχή héllo")
+  }
+}
