@@ -268,27 +268,51 @@ object Dedup {
   private def oh32(seed: String, s: String): String =
     s"('0x' || substr(md5($seed || ':' || $s), 1, 8))::BIGINT"
 
-  private val shinglesSql =
+  // oracle fragments parameterized by source relation so composed
+  // pipelines (TrainingPipeline) can run them over filtered CTEs
+
+  private def shinglesSql(rel: String) =
     s"""SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-       |FROM (SELECT doc_id, $W AS words FROM documents) dw,
+       |FROM (SELECT doc_id, $W AS words FROM $rel) dw,
        |     unnest(range(1, len(words) - 1)) AS u(i)""".stripMargin
 
-  private val sigSql = {
+  private def sigSql(rel: String) = {
     val mins = (0 until NumHashes)
       .map(j => s"min((h * ${HashA(j)} + ${HashB(j)}) % $HashP) AS s$j").mkString(", ")
     s"""SELECT doc_id, $mins FROM (
        |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
-       |  FROM ($shinglesSql) sh) bh
+       |  FROM (${shinglesSql(rel)}) sh) bh
        |GROUP BY doc_id""".stripMargin
   }
 
-  private val bandsSql = {
+  /** (doc_id, band, band_hash) over any relation with (doc_id, text). */
+  def bandsSqlFor(rel: String): String = {
     val bandRows = (0 until Bands).map { b =>
       val parts = (0 until RowsPerBand).map(r => s"s${b * RowsPerBand + r}::VARCHAR")
       s"SELECT doc_id, $b::BIGINT AS band, md5(${parts.mkString(" || ',' || ")}) AS band_hash FROM sig"
     }
-    s"WITH sig AS ($sigSql) " + bandRows.mkString(" UNION ALL ")
+    s"WITH sig AS (${sigSql(rel)}) " + bandRows.mkString(" UNION ALL ")
   }
+
+  /** Connected-component labels over any (doc_id, text) relation —
+    * mirrors [[minhashClusters]]; no trailing ORDER BY so it can embed
+    * as a subquery. */
+  def clusterSqlFor(rel: String): String =
+    s"""WITH RECURSIVE pr AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM (${bandsSqlFor(rel)}) a JOIN (${bandsSqlFor(rel)}) b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+       |          UNION ALL SELECT doc_b, doc_a FROM pr),
+       |reach(node, root) AS (
+       |  SELECT doc_id, doc_id FROM $rel
+       |  UNION
+       |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+       |SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id,
+       |  (node = min(root))::BIGINT AS is_canonical
+       |FROM reach GROUP BY node""".stripMargin
+
+  private val bandsSql = bandsSqlFor("documents")
 
   private val simhashSql =
     s"""SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
@@ -319,20 +343,7 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin,
     // connected components as a recursive transitive closure: min reachable
     // id == the min-label fixpoint the Spark loop converges to
-    "dedup_cluster" ->
-      s"""WITH RECURSIVE pr AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM ($bandsSql) a JOIN ($bandsSql) b
-         |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
-         |          UNION ALL SELECT doc_b, doc_a FROM pr),
-         |reach(node, root) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
-         |SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id,
-         |  (node = min(root))::BIGINT AS is_canonical
-         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "dedup_cluster" -> (clusterSqlFor("documents") + " ORDER BY doc_id"),
     "dedup_simhash" -> simhashSql,
     // the native expression implements the identical algorithm, so it
     // shares the declarative pipeline's oracle

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The flagship END-TO-END training-data pipeline: the composition a real
+  * corpus build runs, assembled purely from the library's own operators —
+  *
+  *   input → language-confidence filter → quality filter →
+  *   exact dedup → near-duplicate (MinHash cluster) dedup
+  *
+  * Per-row filters (lang, quality) are semi-joins against per-doc metric
+  * tables; set-dependent stages (content-hash dedup, clustering) run over
+  * the SURVIVORS of the previous stage, exactly as production pipelines
+  * order them (cheap row-local filters first, the expensive pairwise
+  * stage last, over the smallest corpus). `pipe_summary` emits per-stage
+  * surviving counts — the whole composition is DuckDB-mirrored, so the
+  * correctness gate checks the five-stage pipeline end to end.
+  *
+  * Scale: stages 1–2 are map-only semi-joins with broadcastable id sets;
+  * stage 3 is one md5 shuffle; stage 4 inherits the bounded LSH-band
+  * topology of [[Dedup.minhashClusters]].
+  */
+object TrainingPipeline {
+
+  val QualityMin = 0.55
+
+  /** Labelled stage outputs, in pipeline order. */
+  def stages(docs: DataFrame): Seq[(String, DataFrame)] = {
+    val okLang = TextAnalysis.langId(docs).where(col("agree") === 1).select("doc_id")
+    val okQual = TextAnalysis.quality(docs)
+      .where(col("quality") >= QualityMin).select("doc_id")
+    val s1 = docs.join(okLang, "doc_id")
+    val s2 = s1.join(okQual, "doc_id")
+    val s3 = s2.join(
+      Dedup.exact(s2).where(col("doc_id") === col("keep_id")).select("doc_id"), "doc_id")
+    val s4 = s3.join(
+      Dedup.minhashClusters(s3).where(col("is_canonical") === 1).select("doc_id"), "doc_id")
+    Seq("p0_input" -> docs, "p1_langid" -> s1, "p2_quality" -> s2,
+      "p3_exact" -> s3, "p4_neardup" -> s4)
+  }
+
+  /** The cleaned corpus itself (last stage's rows). */
+  def corpus(docs: DataFrame): DataFrame = stages(docs).last._2
+
+  /** Per-stage survivor counts — the driver-checked contract. */
+  def summary(docs: DataFrame): DataFrame =
+    stages(docs).map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
+    }.reduce(_ unionAll _).orderBy("stage")
+
+  type Q = (SparkSession, String) => DataFrame
+  val queries: Map[String, Q] = Map(
+    "pipe_summary" -> ((s, d) => summary(Tables.documents(s, d))),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "pipe_summary" ->
+      s"""WITH lg AS (SELECT doc_id FROM (${TextAnalysis.oracle("text_langid")}) x
+         |            WHERE agree = 1),
+         |ql AS (SELECT doc_id FROM (${TextAnalysis.oracle("text_quality")}) x
+         |       WHERE quality >= $QualityMin),
+         |s1 AS (SELECT d.* FROM documents d JOIN lg USING (doc_id)),
+         |s2 AS (SELECT s1.* FROM s1 JOIN ql USING (doc_id)),
+         |s3 AS (SELECT * FROM s2
+         |       QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))),
+         |s4 AS (SELECT s3.* FROM s3
+         |       JOIN (${Dedup.clusterSqlFor("s3")}) c
+         |         ON c.doc_id = s3.doc_id AND c.is_canonical = 1)
+         |SELECT stage, n_docs FROM (
+         |  SELECT 'p0_input' AS stage, count(*) AS n_docs FROM documents
+         |  UNION ALL SELECT 'p1_langid', count(*) FROM s1
+         |  UNION ALL SELECT 'p2_quality', count(*) FROM s2
+         |  UNION ALL SELECT 'p3_exact', count(*) FROM s3
+         |  UNION ALL SELECT 'p4_neardup', count(*) FROM s4) t
+         |ORDER BY stage""".stripMargin,
+  )
+}

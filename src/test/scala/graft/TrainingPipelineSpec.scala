@@ -1,0 +1,30 @@
+package graft
+
+import graft.operators.TrainingPipeline
+import org.apache.spark.sql.functions._
+
+class TrainingPipelineSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf)
+
+  test("stage counts decrease monotonically and summary matches stage frames") {
+    val st = TrainingPipeline.stages(docs)
+    val counts = st.map { case (n, df) => n -> df.count() }
+    assert(counts.map(_._2) == counts.map(_._2).sorted.reverse)
+    val fromSummary = TrainingPipeline.summary(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromSummary == counts.toMap)
+  }
+
+  test("cleaned corpus survivors pass every stage's own predicate") {
+    val c = TrainingPipeline.corpus(docs)
+    // each survivor agrees on language and clears the quality bar
+    val lang = graft.operators.TextAnalysis.langId(docs)
+      .select(col("doc_id"), col("agree"))
+    val bad = c.join(lang, "doc_id").where(col("agree") =!= 1)
+    assert(bad.count() == 0)
+    // survivors are pairwise distinct by content hash
+    val dup = c.groupBy(md5(col("text"))).count().where(col("count") > 1)
+    assert(dup.count() == 0)
+  }
+}
