@@ -242,6 +242,66 @@ object Relational {
       .limit(100)
   }
 
+  /** TPC-H Q19 shape: join under a DISJUNCTION of conjunct groups — the
+    * optimizer must extract the common join key and push the residual
+    * OR-of-ANDs below/onto the join rather than falling back to a
+    * cartesian. */
+  def q19Disjunct: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    li.join(p, col("l_partkey") === col("p_partkey") && (
+      (col("p_brand") === "Brand#11" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#22" && col("p_size").between(5, 20) &&
+        col("l_quantity").between(5, 30)) ||
+      (col("p_brand") === "Brand#33" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(10, 40))))
+      .agg(xsum(col("l_extendedprice") * (ONE - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q21 shape: one EXISTS + one NOT EXISTS correlated on the same
+    * key, decorrelated into a semi- and an anti-join: suppliers with a
+    * line in a multi-supplier order where no OTHER supplier's line was
+    * returned. */
+  def q21MultiCorr: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val ls = li.select("l_orderkey", "l_suppkey").distinct()
+    val other = ls.select(col("l_orderkey").as("b_orderkey"), col("l_suppkey").as("b_suppkey"))
+    val otherR = li.where(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("r_orderkey"), col("l_suppkey").as("r_suppkey"))
+      .distinct()
+    val withOther = ls.join(other,
+      col("l_orderkey") === col("b_orderkey") && col("l_suppkey") =!= col("b_suppkey"),
+      "left_semi")
+    val clean = withOther.join(otherR,
+      col("l_orderkey") === col("r_orderkey") && col("l_suppkey") =!= col("r_suppkey"),
+      "left_anti")
+    clean.groupBy("l_suppkey").agg(count(lit(1)).as("n_orders"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_orders"))
+      .orderBy(col("n_orders").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS, grouped:
+    * above-average-balance customers with no urgent orders, per nation.
+    * Threshold derivation (exact decimal sum → one double division) is
+    * identical in both engines, so the comparison is deterministic. */
+  def q22AntiSubq: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+    val thr = cust.where(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast("decimal(28,10)")).cast("double") /
+        count(lit(1))).as("thr"))
+    cust.join(broadcast(thr), col("c_acctbal") > col("thr"))
+      .join(Tables.orders(s, d).where(col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"), xsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_agg"       -> q1Agg,
     "q2_filter"    -> q2Filter,
@@ -261,6 +321,9 @@ object Relational {
     "q16_sort"     -> q16Sort,
     "q17_avg_subq" -> q17AvgSubq,
     "q18_topn_agg" -> q18TopNAgg,
+    "q19_disjunct" -> q19Disjunct,
+    "q21_multicorr"-> q21MultiCorr,
+    "q22_anti_subq"-> q22AntiSubq,
   )
 
   val oracle: Map[String, String] = Map(
@@ -373,5 +436,42 @@ object Relational {
          |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
          |HAVING ${osum("l_quantity")} > 180.0
          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q19_disjunct" ->
+      s"""SELECT ${osum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  count(*) AS n_lines
+         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey AND (
+         |  (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10
+         |     AND l_quantity BETWEEN 1 AND 20) OR
+         |  (p_brand = 'Brand#22' AND p_size BETWEEN 5 AND 20
+         |     AND l_quantity BETWEEN 5 AND 30) OR
+         |  (p_brand = 'Brand#33' AND p_size BETWEEN 10 AND 30
+         |     AND l_quantity BETWEEN 10 AND 40))""".stripMargin,
+    "q21_multicorr" ->
+      """WITH ls AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+        |SELECT s_suppkey, s_name, n_orders FROM (
+        |  SELECT l_suppkey, count(*) AS n_orders FROM ls a
+        |  WHERE EXISTS (SELECT 1 FROM ls b
+        |                WHERE b.l_orderkey = a.l_orderkey
+        |                  AND b.l_suppkey <> a.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM lineitem c
+        |                    WHERE c.l_orderkey = a.l_orderkey
+        |                      AND c.l_suppkey <> a.l_suppkey
+        |                      AND c.l_returnflag = 'R')
+        |  GROUP BY l_suppkey) g
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |ORDER BY n_orders DESC, s_suppkey LIMIT 20""".stripMargin,
+    "q22_anti_subq" ->
+      s"""WITH t AS (
+         |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE)
+         |           / COUNT(*) AS thr
+         |  FROM customer WHERE c_acctbal > 0.0)
+         |SELECT c_nationkey, count(*) AS numcust,
+         |  ${osum("c_acctbal")} AS totacctbal
+         |FROM customer c, t
+         |WHERE c.c_acctbal > t.thr
+         |  AND NOT EXISTS (SELECT 1 FROM orders o
+         |                  WHERE o.o_custkey = c.c_custkey
+         |                    AND o.o_orderpriority = '1-URGENT')
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
   )
 }
