@@ -72,6 +72,25 @@ object Events {
         col("n_events"), col("total_value"))
       .orderBy("user_id", "session_start")
 
+  /** Click-attribution interval join: every view within 1 h before a
+    * purchase by the same user. Batch form of the stream-stream interval
+    * join ([[graft.streaming.EventStream.attribution]]); at scale this is
+    * one shuffle on user_id with the time predicate evaluated inside the
+    * join — never a time-unbounded pairing. */
+  def attribution(ev: DataFrame): DataFrame = {
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    v.join(p, col("user_id") === col("p_user") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        col("purchase_ts"), col("view_ts"))
+      .orderBy("user_id", "purchase_id", "view_id")
+  }
+
   /** Funnel: users reaching each stage view → click → purchase. */
   def funnel(ev: DataFrame): DataFrame = {
     val perUser = ev.groupBy("user_id").agg(
@@ -108,6 +127,7 @@ object Events {
     "ev_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
     "ev_sessions_sw"-> ((s, d) => sessionizeSW(Tables.events(s, d))),
     "ev_funnel"     -> ((s, d) => funnel(Tables.events(s, d))),
+    "ev_attribution"-> ((s, d) => attribution(Tables.events(s, d))),
     "ev_retention"  -> ((s, d) => retention(Tables.events(s, d))),
   )
 
@@ -173,6 +193,17 @@ object Events {
         |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
         |  FROM events GROUP BY user_id) u""".stripMargin,
+    "ev_attribution" ->
+      """SELECT v.user_id, p.pid AS purchase_id, v.vid AS view_id,
+        |  CAST(p.pts AS TIMESTAMP) AS purchase_ts,
+        |  CAST(v.vts AS TIMESTAMP) AS view_ts
+        |FROM (SELECT user_id, event_id AS vid, CAST(ts AS TIMESTAMP) AS vts
+        |      FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT user_id AS pu, event_id AS pid, CAST(ts AS TIMESTAMP) AS pts
+        |      FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.pu AND v.vts <= p.pts
+        |     AND v.vts >= p.pts - INTERVAL 1 HOUR
+        |ORDER BY user_id, purchase_id, view_id""".stripMargin,
     "ev_retention" ->
       """SELECT CAST(d.day AS TIMESTAMP) AS day, count(*) AS active,
         |  count(n.next_day) AS retained

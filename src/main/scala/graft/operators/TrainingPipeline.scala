@@ -26,15 +26,20 @@ object TrainingPipeline {
 
   val QualityMin = 0.55
 
-  /** Labelled stage outputs, in pipeline order. */
+  /** Labelled stage outputs, in pipeline order. Intermediate stages are
+    * persisted: every later stage AND the per-stage counts re-read them,
+    * and stage 4's clustering loop alone would otherwise re-derive the
+    * whole prefix several times (the frames are id-plus-doc-columns at
+    * post-filter cardinality, a fraction of the input). */
   def stages(docs: DataFrame): Seq[(String, DataFrame)] = {
     val okLang = TextAnalysis.langId(docs).where(col("agree") === 1).select("doc_id")
     val okQual = TextAnalysis.quality(docs)
       .where(col("quality") >= QualityMin).select("doc_id")
     val s1 = docs.join(okLang, "doc_id")
-    val s2 = s1.join(okQual, "doc_id")
+    val s2 = s1.join(okQual, "doc_id").persist()
     val s3 = s2.join(
       Dedup.exact(s2).where(col("doc_id") === col("keep_id")).select("doc_id"), "doc_id")
+      .persist()
     val s4 = s3.join(
       Dedup.minhashClusters(s3).where(col("is_canonical") === 1).select("doc_id"), "doc_id")
     Seq("p0_input" -> docs, "p1_langid" -> s1, "p2_quality" -> s2,

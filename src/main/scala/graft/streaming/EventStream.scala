@@ -94,6 +94,25 @@ object EventStream {
       }
   }
 
+  /** Stream-stream interval join: attribute each purchase to every view
+    * by the same user within the hour before it — the streaming twin of
+    * [[graft.operators.Events.attribution]]. Both sides carry watermarks
+    * so Spark bounds the join state: a buffered view can be dropped once
+    * the purchase watermark passes view_ts + 1 h. */
+  def attribution(views: DataFrame, purchases: DataFrame): DataFrame =
+    views
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", WatermarkDelay)
+      .join(
+        purchases
+          .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts"))
+          .withWatermark("purchase_ts", WatermarkDelay),
+        expr("""user_id = p_user AND view_ts <= purchase_ts
+               |AND view_ts >= purchase_ts - INTERVAL 1 HOUR""".stripMargin))
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        col("purchase_ts"), col("view_ts"))
+
   /** Read the events parquet dir as a (bounded) file stream — the
     * readStream → transform → writeStream wiring used by integration
     * runs; the driver tables are static parquet so `maxFilesPerTrigger`

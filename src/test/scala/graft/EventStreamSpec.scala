@@ -119,6 +119,31 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join replaying the whole events table converges to batch") {
+    val s = spark
+    import s.implicits._
+    val batchDf = Tables.events(spark, sf)
+    val evs = batchDf
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val views = MemoryStream[Event](s)
+    val purchases = MemoryStream[Event](s)
+    val q = EventStream.attribution(views.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      views.addData(evs.filter(_.event_type == "view"))
+      purchases.addData(evs.filter(_.event_type == "purchase"))
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getTimestamp(3), r.getTimestamp(4))
+      val streamed = s.sql(
+        "SELECT user_id, purchase_id, view_id, purchase_ts, view_ts FROM attr")
+        .collect().map(key).toSet
+      val batch = graft.operators.Events.attribution(batchDf).collect().map(key).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("file-stream reader replays the parquet events with proper timestamps") {
     val stream = EventStream.readEventStream(spark, sf)
     assert(stream.isStreaming)
