@@ -6,9 +6,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The five-stage TrainingPipeline summary exercises text analysis,
+    * dedup, clustering, and aggregation in one composed run. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+    TrainingPipeline.summary(Tables.documents(spark, "/root/testdata/sf0.001"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

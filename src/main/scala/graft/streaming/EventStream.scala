@@ -113,6 +113,16 @@ object EventStream {
       .select(col("user_id"), col("purchase_id"), col("view_id"),
         col("purchase_ts"), col("view_ts"))
 
+  /** Streaming exact deduplication: drop re-delivered events by
+    * event_id — the streaming face of the dedup family for
+    * at-least-once sources. `dropDuplicatesWithinWatermark` keys state
+    * by event_id and evicts entries once the watermark passes, so state
+    * stays bounded by the re-delivery horizon instead of growing with
+    * the stream. */
+  def dedupe(events: DataFrame): DataFrame =
+    events.withWatermark("ts", WatermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Read the events parquet dir as a (bounded) file stream — the
     * readStream → transform → writeStream wiring used by integration
     * runs; the driver tables are static parquet so `maxFilesPerTrigger`

@@ -144,6 +144,25 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedupe drops at-least-once re-deliveries") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[Event](s)
+    val q = EventStream.dedupe(input.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      val batch = Seq(
+        Event(1, ts(0), 10, "view", 1.0),
+        Event(2, ts(5), 10, "click", 2.0))
+      input.addData(batch ++ batch) // duplicated delivery in one batch
+      q.processAllAvailable()
+      input.addData(batch) // and re-delivered again in a later batch
+      q.processAllAvailable()
+      val n = s.sql("SELECT count(*) FROM dedup").collect()(0).getLong(0)
+      assert(n == 2)
+    } finally q.stop()
+  }
+
   test("file-stream reader replays the parquet events with proper timestamps") {
     val stream = EventStream.readEventStream(spark, sf)
     assert(stream.isStreaming)

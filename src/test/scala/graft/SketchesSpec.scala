@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.{Sketches, TextAnalysis, WordCount}
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf)
+
+  test("HLL distinct-per-lang within 5% of exact") {
+    val exact = WordCount.distinctPerLang(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Sketches.approxDistinctPerLang(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((lang, a) <- approx) {
+      val e = exact(lang)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"$lang: approx $a vs exact $e")
+    }
+  }
+
+  test("approx percentiles within one neighbor of the exact rank selection") {
+    val exact = TextAnalysis.lengthPercentiles(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val approx = Sketches.approxLengthPercentiles(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((lang, (a50, a90, a99)) <- approx) {
+      val (e50, e90, e99) = exact(lang)
+      // tolerance: 5% of the value range per lang
+      val spread = math.max(10L, (e99 - e50) / 5)
+      assert(math.abs(a50 - e50) <= spread && math.abs(a90 - e90) <= spread &&
+        math.abs(a99 - e99) <= spread, s"$lang: $approx vs $exact")
+    }
+  }
+}
