@@ -51,7 +51,9 @@ object Bench {
             None
         }
       }
-      name -> (if (times.nonEmpty) times.min else 0.0)
+      // a query that failed ANY run contributes 0 — an error may never
+      // improve (or even count toward) the total
+      name -> (if (errors.contains(name)) 0.0 else times.min)
     }
     def jstr(s: String) = "\"" + s + "\""
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")

@@ -13,12 +13,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * ulp and downstream rank/threshold comparisons are unchanged. */
 object CosineImpl {
   def cosine(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // fail LOUDLY on ragged or null-holding vectors, matching the strict
+    // behavior of the declarative form / DuckDB list_cosine_similarity —
+    // a silently truncated cosine is a cross-engine divergence waiting
+    // to ship
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_cosine: length mismatch ($n vs ${b.numElements()})")
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(s"graft_cosine: null element at $i")
       val x = a.getDouble(i)
       val y = b.getDouble(i)
       dot += x * y

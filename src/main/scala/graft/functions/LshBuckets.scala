@@ -1,8 +1,5 @@
 package graft.functions
 
-import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
-
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -26,12 +23,8 @@ object LshImpl {
   val Bits = 8       // bits per hash table → 2^8 buckets
   val NumTables = 4  // OR-amplified tables
 
-  private def planeSign(t: Int, j: Int, i: Int): Double = {
-    val hex = MessageDigest.getInstance("MD5")
-      .digest(s"$t:$j:$i".getBytes(StandardCharsets.UTF_8))
-      .take(4).map(b => f"$b%02x").mkString
-    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
-  }
+  private def planeSign(t: Int, j: Int, i: Int): Double =
+    if (Md5Hash.prefix32(s"$t:$j:$i") % 2 == 0) 1.0 else -1.0
 
   /** Signs(t)(j)(i) — derived once, driver- and executor-side identical. */
   val Signs: Array[Array[Array[Double]]] =

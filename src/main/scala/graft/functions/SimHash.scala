@@ -1,8 +1,5 @@
 package graft.functions
 
-import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
-
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -16,12 +13,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object SimHashImpl {
   val Bits = 32
 
-  def h32(word: String): Long = {
-    val md = MessageDigest.getInstance("MD5")
-    val hex = md.digest(("sh:" + word).getBytes(StandardCharsets.UTF_8))
-      .take(4).map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex, 16)
-  }
+  def h32(word: String): Long = Md5Hash.prefix32("sh:" + word)
 
   def simhash32(text: UTF8String): Long = {
     if (text == null) return 0L

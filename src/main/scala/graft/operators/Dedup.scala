@@ -54,12 +54,7 @@ object Dedup {
     * arithmetic on both engines. Constants derived once from md5("a:j") /
     * md5("b:j") and inlined as literals in plan and oracle alike. */
   val HashP = 4294967291L
-  private def hconst(s: String): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(4).map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex, 16)
-  }
+  private def hconst(s: String): Long = graft.functions.Md5Hash.prefix32(s)
   val HashA: IndexedSeq[Long] = (0 until NumHashes).map(j => (hconst(s"a:$j") % ((1L << 20) - 1)) + 1)
   val HashB: IndexedSeq[Long] = (0 until NumHashes).map(j => hconst(s"b:$j") % HashP)
 
@@ -151,15 +146,21 @@ object Dedup {
     * chains, so this converges in a handful of rounds (a planet-scale
     * graph would switch to the two-phase large-star/small-star
     * formulation, same per-round join shape). Each round persists its
-    * labels and unpersists the previous round, so lineage stays O(1). */
+    * labels and unpersists the previous round, so lineage stays O(1);
+    * the RETURNED frame stays cached (it backs the lazily-consumed
+    * result — MEMORY_AND_DISK, evictable) and long-lived sessions may
+    * `unpersist()` it when done. */
   def minhashClusters(docs: DataFrame): DataFrame = {
     val pairs = minhashCandidates(docs)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    // sum() over zero rows is NULL — an empty corpus must converge
+    // immediately, not NPE
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
+      Option(df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var done = false
     while (!done) {

@@ -23,6 +23,9 @@ object Events {
   import Compat._
 
   val SessionGapUs: Long = 1800L * 1000000L
+  /** The same gap as an interval string — single source for
+    * [[sessionizeSW]] so the three forms can never desync. */
+  val SessionGapInterval: String = s"${SessionGapUs / 1000000L} seconds"
 
   /** Tumbling-window (hour) aggregates per event type. */
   def tumbling(ev: DataFrame): DataFrame =
@@ -64,11 +67,11 @@ object Events {
     * expression works under Structured Streaming. Both forms are kept:
     * this one for the plan, [[sessionize]] for the ordinal semantics. */
   def sessionizeSW(ev: DataFrame): DataFrame =
-    ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+    ev.groupBy(col("user_id"), session_window(col("ts"), SessionGapInterval).as("sw"))
       .agg(count(lit(1)).as("n_events"), xsum(col("value")).as("total_value"))
       .select(col("user_id"),
         col("sw.start").as("session_start"),
-        (col("sw.end") - expr("INTERVAL 30 MINUTES")).as("session_end"),
+        (col("sw.end") - expr(s"INTERVAL '$SessionGapInterval'")).as("session_end"),
         col("n_events"), col("total_value"))
       .orderBy("user_id", "session_start")
 
@@ -131,6 +134,26 @@ object Events {
     "ev_retention"  -> ((s, d) => retention(Tables.events(s, d))),
   )
 
+  /** Shared oracle inner query: per-event session_id via lag + running
+    * sum, exact integer µs — used by both sessionize oracles so the
+    * session semantics live in one place. */
+  private val sessionedSql: String =
+    s"""SELECT user_id, ts, value,
+       |  CAST(SUM(is_new) OVER (PARTITION BY user_id
+       |    ORDER BY CAST(ts AS TIMESTAMP), event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |FROM (
+       |  SELECT user_id, event_id, ts, value,
+       |    CASE WHEN prev_us IS NULL OR us - prev_us > $SessionGapUs
+       |      THEN 1 ELSE 0 END AS is_new
+       |  FROM (
+       |    SELECT user_id, event_id, ts, value,
+       |      epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+       |      lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+       |        OVER (PARTITION BY user_id
+       |              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+       |    FROM events) g) n""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "ev_tumbling" ->
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
@@ -141,22 +164,7 @@ object Events {
          |  CAST(min(ts) AS TIMESTAMP) AS session_start,
          |  CAST(max(ts) AS TIMESTAMP) AS session_end,
          |  count(*) AS n_events, ${osum("value")} AS total_value
-         |FROM (
-         |  SELECT user_id, ts, value,
-         |    CAST(SUM(is_new) OVER (PARTITION BY user_id
-         |      ORDER BY CAST(ts AS TIMESTAMP), event_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-         |  FROM (
-         |    SELECT user_id, event_id, ts, value,
-         |      CASE WHEN prev_us IS NULL OR us - prev_us > $SessionGapUs
-         |        THEN 1 ELSE 0 END AS is_new
-         |    FROM (
-         |      SELECT user_id, event_id, ts, value,
-         |        epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-         |        lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
-         |          OVER (PARTITION BY user_id
-         |                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
-         |      FROM events) g) n) s
+         |FROM ($sessionedSql) s
          |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     // same session semantics as ev_sessionize, keyed by start instead of
     // the ordinal (session_window has no per-user numbering)
@@ -165,22 +173,7 @@ object Events {
          |  CAST(min(ts) AS TIMESTAMP) AS session_start,
          |  CAST(max(ts) AS TIMESTAMP) AS session_end,
          |  count(*) AS n_events, ${osum("value")} AS total_value
-         |FROM (
-         |  SELECT user_id, ts, value,
-         |    CAST(SUM(is_new) OVER (PARTITION BY user_id
-         |      ORDER BY CAST(ts AS TIMESTAMP), event_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-         |  FROM (
-         |    SELECT user_id, event_id, ts, value,
-         |      CASE WHEN prev_us IS NULL OR us - prev_us > $SessionGapUs
-         |        THEN 1 ELSE 0 END AS is_new
-         |    FROM (
-         |      SELECT user_id, event_id, ts, value,
-         |        epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-         |        lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
-         |          OVER (PARTITION BY user_id
-         |                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
-         |      FROM events) g) n) s
+         |FROM ($sessionedSql) s
          |GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin,
     "ev_funnel" ->
       """SELECT

@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 class TrainingPipelineSpec extends SparkSpec {
 
   private def docs = Tables.documents(spark, sf)
+  // one pipeline build for the whole suite — stages() eagerly runs the
+  // clustering loop, so rebuilding it per test doubles the work
+  private lazy val st = TrainingPipeline.stages(docs)
 
   test("stage counts decrease monotonically and summary matches stage frames") {
-    val st = TrainingPipeline.stages(docs)
     val counts = st.map { case (n, df) => n -> df.count() }
     assert(counts.map(_._2) == counts.map(_._2).sorted.reverse)
     val fromSummary = TrainingPipeline.summary(docs).collect()
@@ -17,7 +19,7 @@ class TrainingPipelineSpec extends SparkSpec {
   }
 
   test("cleaned corpus survivors pass every stage's own predicate") {
-    val c = TrainingPipeline.corpus(docs)
+    val c = st.last._2
     // each survivor agrees on language and clears the quality bar
     val lang = graft.operators.TextAnalysis.langId(docs)
       .select(col("doc_id"), col("agree"))
