@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hot-key (skew) handling for shuffle joins. AQE's skew-join split
+  * handles most skew at runtime; explicit SALTING is the static form for
+  * the pathological case — one key carrying an unbounded share of the
+  * fact side, where even a split partition must still co-locate the key.
+  *
+  * `saltedJoin` spreads every join key over `salts` shuffle partitions:
+  * the fact side gets a deterministic per-row salt, the build side is
+  * replicated once per salt value, and the join runs on (key, salt).
+  * The result set is IDENTICAL to the unsalted join — `q20_salted`'s
+  * oracle is the plain join SQL, so the equivalence is machine-checked,
+  * not asserted. */
+object Skew {
+
+  /** Equi-join `fact.factKey = dim.dimKey` with `salts`-way key spreading.
+    * `factSalt` must be deterministic per fact row (any hash of fact
+    * columns); it never escapes the join. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+                 factSalt: Column, salts: Int): DataFrame = {
+    val sf = fact.withColumn("__salt", pmod(factSalt, lit(salts)))
+    val sd = dim.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    sf.join(sd, col(factKey) === col(dimKey) && sf("__salt") === sd("__salt"))
+      .drop("__salt")
+  }
+
+  /** Salted fact⋈dim aggregate: lineitem revenue per order priority.
+    * Functionally the plain join; physically each l_orderkey spreads
+    * over 8 shuffle partitions. */
+  def q20Salted: (SparkSession, String) => DataFrame = (s, d) => {
+    import Compat._
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_linenumber"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+    saltedJoin(li, ord, "l_orderkey", "o_orderkey",
+        hash(col("l_orderkey"), col("l_linenumber")), salts = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"), xsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q20_salted" -> q20Salted)
+
+  /** The PLAIN join — salting must be invisible in the result. */
+  val oracle: Map[String, String] = Map(
+    "q20_salted" ->
+      s"""SELECT o_orderpriority, count(*) AS n_lines,
+         |  ${Compat.osum("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+  )
+}
