@@ -85,9 +85,21 @@ object Multimodal {
       .orderBy("kind")
   }
 
+  /** Binary-content dedup THROUGH the media path: unique blobs per kind,
+    * counted from the `content_hash` the batched decoder emits. The hash
+    * of the binary content equals md5 of the source text bytes, so
+    * DuckDB mirrors it without decoding. */
+  def mediaDedup(docs: DataFrame): DataFrame =
+    featurize(ingest(docs))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_files"),
+        countDistinct(col("content_hash")).as("n_unique"))
+      .orderBy("kind")
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "mm_summary" -> ((s, d) => mediaSummary(Tables.documents(s, d))),
+    "mm_dedup"   -> ((s, d) => mediaDedup(Tables.documents(s, d))),
   )
 
   /** `mm_summary` runs the full binary pipeline (ingest → batched decode
@@ -105,6 +117,14 @@ object Multimodal {
         |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |         ELSE 'video' END AS kind,
         |    octet_length(encode(text)) AS n_bytes
+        |  FROM documents) m
+        |GROUP BY kind ORDER BY kind""".stripMargin,
+    "mm_dedup" ->
+      """SELECT kind, count(*) AS n_files,
+        |  count(DISTINCT md5(text)) AS n_unique
+        |FROM (
+        |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |         ELSE 'video' END AS kind, text
         |  FROM documents) m
         |GROUP BY kind ORDER BY kind""".stripMargin,
   )
