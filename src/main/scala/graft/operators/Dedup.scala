@@ -184,6 +184,70 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The same connected components via alternating LARGE-STAR /
+    * SMALL-STAR rounds (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", 2014) — the planet-scale formulation:
+    * converges in O(log²) rounds regardless of component DIAMETER,
+    * where plain min-label propagation needs diameter-many rounds (a
+    * pathological million-doc near-dup chain would take a million).
+    * Each round is two grouped joins over the edge set only — the
+    * corpus is never touched after candidate generation. Shares the
+    * `dedup_cluster` oracle, so the two implementations are
+    * machine-checked equivalent, not assumed. */
+  def minhashClustersLS(docs: DataFrame): DataFrame =
+    connectedComponents(docs.select(col("doc_id")), minhashCandidates(docs))
+
+  /** Large-star/small-star connected components over ANY pair relation
+    * (doc_a, doc_b) — reusable for whatever candidate generator produced
+    * the pairs (MinHash bands, embedding buckets, explicit edges). */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    def bidir(e: DataFrame) =
+      e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    // large-star: every neighbor LARGER than u links to the minimum of
+    // u's closed neighborhood
+    def largeStar(e: DataFrame): DataFrame = {
+      val b = bidir(e)
+      val g = b.groupBy("src").agg(min("dst").as("mn"))
+      b.join(g, "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), least(col("mn"), col("src")).as("dst"))
+        .where(col("src") =!= col("dst")).distinct()
+    }
+    // small-star: orient each edge from its larger endpoint; all smaller
+    // neighbors and u itself link to the minimum
+    def smallStar(e: DataFrame): DataFrame = {
+      val o = e.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val g = o.groupBy("src").agg(min("dst").as("m"))
+      o.join(g, "src").select(col("dst").as("src"), col("m").as("dst"))
+        .unionAll(g.select(col("src"), col("m").as("dst")))
+        .where(col("src") =!= col("dst")).distinct()
+    }
+    // localCheckpoint each round: materializes AND truncates lineage —
+    // persist alone leaves the logical plan nesting every prior round,
+    // which grows super-linearly and OOMs the driver on deep graphs
+    var edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .localCheckpoint(true)
+    var stable = false
+    while (!stable) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // set equality as the convergence witness (edge sets are candidate-
+      // pair sized, far below corpus scale)
+      stable = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+    }
+    // the converged edge frame stays cached: it backs the lazily-consumed
+    // result (same contract as minhashClusters' label frame)
+    val labels = nodes.select(col("doc_id"))
+      .join(edges.groupBy("src").agg(min("dst").as("root")),
+        col("doc_id") === col("src"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("cluster_id"))
+    labels.select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).cast("long").as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   val SimhashBits = 32
 
   /** 32-bit SimHash per document from term frequencies. */
@@ -256,6 +320,7 @@ object Dedup {
     "dedup_minhash"        -> ((s, d) => minhashBands(Tables.documents(s, d))),
     "dedup_minhash_pairs"  -> ((s, d) => minhashPairs(Tables.documents(s, d))),
     "dedup_cluster"        -> ((s, d) => minhashClusters(Tables.documents(s, d))),
+    "dedup_cluster_ls"     -> ((s, d) => minhashClustersLS(Tables.documents(s, d))),
     "dedup_simhash"        -> ((s, d) => simhash(Tables.documents(s, d))),
     "dedup_simhash_native" -> ((s, d) => simhashNative(Tables.documents(s, d))),
     "dedup_ngram"          -> ((s, d) => ngramJaccard(Tables.documents(s, d))),
@@ -345,6 +410,9 @@ object Dedup {
     // connected components as a recursive transitive closure: min reachable
     // id == the min-label fixpoint the Spark loop converges to
     "dedup_cluster" -> (clusterSqlFor("documents") + " ORDER BY doc_id"),
+    // same fixpoint, different algorithm — sharing the oracle makes the
+    // large-star/small-star implementation machine-checked equivalent
+    "dedup_cluster_ls" -> (clusterSqlFor("documents") + " ORDER BY doc_id"),
     "dedup_simhash" -> simhashSql,
     // the native expression implements the identical algorithm, so it
     // shares the declarative pipeline's oracle

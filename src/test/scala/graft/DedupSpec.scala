@@ -57,6 +57,26 @@ class DedupSpec extends SparkSpec {
     assert(badMin.count() == 0)
   }
 
+  test("large-star/small-star clustering agrees with label propagation on the corpus") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(key(Dedup.minhashClustersLS(docs)) == key(Dedup.minhashClusters(docs)))
+  }
+
+  test("large-star/small-star collapses a long CHAIN — the adversarial-diameter case") {
+    // a 200-link path graph: naive propagation needs ~200 rounds; the
+    // star rounds must collapse it in O(log^2)
+    val s = spark
+    import s.implicits._
+    val n = 200
+    val nodes = (0 until n).map(_.toLong).toDF("doc_id")
+    val chain = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
+    val c = Dedup.connectedComponents(nodes, chain)
+    assert(c.select("cluster_id").distinct().collect().map(_.getLong(0)).toSet == Set(0L))
+    assert(c.where(col("is_canonical") === 1).count() == 1)
+    assert(c.count() == n)
+  }
+
   test("identical docs collide in every band; disjoint docs in none") {
     val s = spark
     import s.implicits._
