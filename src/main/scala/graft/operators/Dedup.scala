@@ -248,6 +248,19 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** MULTI-SIGNAL near-dup clusters: the union of text-level (MinHash
+    * band) and embedding-level (LSH-bucketed cosine) candidate pairs,
+    * clustered with [[connectedComponents]] — surface dups MinHash sees
+    * and paraphrase dups only the embedding space sees collapse into one
+    * component. `vec_id` is the doc_id of the embedded document. */
+  def combinedClusters(docs: DataFrame, em: DataFrame): DataFrame = {
+    val textPairs = minhashCandidates(docs)
+    val embPairs = Similarity.embedDupPairs(em)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    connectedComponents(docs.select(col("doc_id")),
+      textPairs.unionAll(embPairs).distinct())
+  }
+
   val SimhashBits = 32
 
   /** 32-bit SimHash per document from term frequencies. */
@@ -321,6 +334,8 @@ object Dedup {
     "dedup_minhash_pairs"  -> ((s, d) => minhashPairs(Tables.documents(s, d))),
     "dedup_cluster"        -> ((s, d) => minhashClusters(Tables.documents(s, d))),
     "dedup_cluster_ls"     -> ((s, d) => minhashClustersLS(Tables.documents(s, d))),
+    "dedup_combined"       -> ((s, d) =>
+      combinedClusters(Tables.documents(s, d), Tables.embeddings(s, d))),
     "dedup_simhash"        -> ((s, d) => simhash(Tables.documents(s, d))),
     "dedup_simhash_native" -> ((s, d) => simhashNative(Tables.documents(s, d))),
     "dedup_ngram"          -> ((s, d) => ngramJaccard(Tables.documents(s, d))),
@@ -360,23 +375,30 @@ object Dedup {
     s"WITH sig AS (${sigSql(rel)}) " + bandRows.mkString(" UNION ALL ")
   }
 
-  /** Connected-component labels over any (doc_id, text) relation —
-    * mirrors [[minhashClusters]]; no trailing ORDER BY so it can embed
-    * as a subquery. */
-  def clusterSqlFor(rel: String): String =
-    s"""WITH RECURSIVE pr AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM (${bandsSqlFor(rel)}) a JOIN (${bandsSqlFor(rel)}) b
-       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+  /** MinHash candidate-pair SQL over any (doc_id, text) relation. */
+  def bandPairsSql(rel: String): String =
+    s"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM (${bandsSqlFor(rel)}) a JOIN (${bandsSqlFor(rel)}) b
+       |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id""".stripMargin
+
+  /** Connected-component labels from ANY pairs query over ANY node
+    * relation — the oracle mirror of [[connectedComponents]]; no
+    * trailing ORDER BY so it can embed as a subquery. */
+  def closureSqlFor(nodesRel: String, pairsSql: String): String =
+    s"""WITH RECURSIVE pr AS ($pairsSql),
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
        |          UNION ALL SELECT doc_b, doc_a FROM pr),
        |reach(node, root) AS (
-       |  SELECT doc_id, doc_id FROM $rel
+       |  SELECT doc_id, doc_id FROM $nodesRel
        |  UNION
        |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
        |SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id,
        |  (node = min(root))::BIGINT AS is_canonical
        |FROM reach GROUP BY node""".stripMargin
+
+  /** Mirrors [[minhashClusters]] over any (doc_id, text) relation. */
+  def clusterSqlFor(rel: String): String =
+    closureSqlFor(rel, bandPairsSql(rel))
 
   private val bandsSql = bandsSqlFor("documents")
 
@@ -413,6 +435,9 @@ object Dedup {
     // same fixpoint, different algorithm — sharing the oracle makes the
     // large-star/small-star implementation machine-checked equivalent
     "dedup_cluster_ls" -> (clusterSqlFor("documents") + " ORDER BY doc_id"),
+    "dedup_combined" -> (closureSqlFor("documents",
+      s"${bandPairsSql("documents")} UNION ${Similarity.embedPairsSql}") +
+      " ORDER BY doc_id"),
     "dedup_simhash" -> simhashSql,
     // the native expression implements the identical algorithm, so it
     // shares the declarative pipeline's oracle

@@ -179,7 +179,10 @@ object Similarity {
     * LSH-bucketed candidates filtered to cosine ≥ [[DupCosine]] — the
     * paraphrase-level dedup MinHash can't see, without ever going
     * all-pairs. Output is integer ids only. */
-  def embedDup(em: DataFrame): DataFrame = {
+  /** Unsorted near-duplicate id pairs — the reusable core of
+    * [[embedDup]], also consumed by multi-signal dedup
+    * ([[Dedup.combinedClusters]]). */
+  def embedDupPairs(em: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(em.sparkSession)
     val va = em.select(col("vec_id").as("vec_a"), vec(col("embedding")).as("av"))
     val vb = em.select(col("vec_id").as("vec_b"), vec(col("embedding")).as("bv"))
@@ -187,8 +190,21 @@ object Similarity {
       .join(va, "vec_a").join(vb, "vec_b")
       .where(cosine(col("av"), col("bv")) >= DupCosine)
       .select("vec_a", "vec_b")
-      .orderBy("vec_a", "vec_b")
   }
+
+  def embedDup(em: DataFrame): DataFrame =
+    embedDupPairs(em).orderBy("vec_a", "vec_b")
+
+  /** DuckDB mirror of [[embedDupPairs]], aliased to (doc_a, doc_b) for
+    * composition with the dedup closure oracle. */
+  def embedPairsSql: String =
+    s"""SELECT c.vec_a AS doc_a, c.vec_b AS doc_b FROM (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM ($indexSql) a JOIN ($indexSql) b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id) c
+       |JOIN embeddings a ON a.vec_id = c.vec_a
+       |JOIN embeddings b ON b.vec_id = c.vec_b
+       |WHERE list_cosine_similarity(a.$V, b.$V) >= $DupCosine""".stripMargin
 
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
