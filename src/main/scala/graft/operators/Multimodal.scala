@@ -71,6 +71,36 @@ object Multimodal {
     }
   }
 
+  /** Resize stage (images/video): same batched mapPartitions contract as
+    * [[featurize]]; the stub scales content proportionally to the pixel
+    * change and rewrites meta — a real build swaps in the codec's scaler
+    * without touching the plumbing. Audio rows pass through untouched. */
+  def resize(media: Dataset[MediaFile], width: Int, height: Int): Dataset[MediaFile] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.map(m => if (m.kind == "audio") m else MultimodalStub.resize(m, width, height))
+      }
+    }
+  }
+
+  /** Frame-sampling stage (video): one output row per sampled frame,
+    * every `stride`-th pseudo-frame — the generator-shaped stage (rows
+    * out > rows in) a real video pipeline runs before per-frame
+    * featurization. Non-video rows yield no frames. */
+  def frameSample(media: Dataset[MediaFile], stride: Int): Dataset[MediaFile] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { m =>
+      if (m.kind != "video") Iterator.empty
+      else {
+        val nFrames = 1 + m.content.length / 100
+        (0 until nFrames by stride).iterator.map(f => MultimodalStub.frame(m, f))
+      }
+    }
+  }
+
   /** End-to-end: documents → binary media → per-kind feature summary.
     * Aggregates only plumbing-derived integers, so the result is
     * deterministic and testable without real codecs. */
@@ -162,4 +192,29 @@ object MultimodalStub {
       }
       MediaFeatures(m.media_id, m.kind, m.content.length.toLong, hashHex, feature, frames)
     }
+
+  /** STUB resize: deterministically truncate/extend content to the
+    * pixel-proportional size and rewrite meta. Real implementation:
+    * decode, scale, re-encode. */
+  def resize(m: MediaFile, width: Int, height: Int): MediaFile = {
+    val oldPixels = math.max(1, m.meta.width * m.meta.height)
+    val newLen = math.max(1,
+      (m.content.length.toLong * (width * height) / oldPixels).toInt)
+    val out = new Array[Byte](newLen)
+    var i = 0
+    while (i < newLen) { out(i) = m.content(i % m.content.length); i += 1 }
+    m.copy(content = out, meta = m.meta.copy(width = width, height = height))
+  }
+
+  /** STUB frame extraction: a deterministic slice keyed by frame index.
+    * Real implementation: seek + decode the frame. */
+  def frame(m: MediaFile, idx: Int): MediaFile = {
+    val len = math.min(100, m.content.length)
+    val start = (idx * 100) % math.max(1, m.content.length)
+    val out = new Array[Byte](len)
+    var i = 0
+    while (i < len) { out(i) = m.content((start + i) % m.content.length); i += 1 }
+    m.copy(media_id = m.media_id * 100000 + idx, kind = "frame", content = out,
+      meta = m.meta.copy(format = "frame"))
+  }
 }

@@ -93,16 +93,27 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Karp–Rabin rolling-hash parameters: h = fold((acc·31 + H(w)) mod P)
+    * over per-word md5-prefix hashes — position-sensitive (unlike
+    * fp_shape) yet incremental, the classic streaming fingerprint.
+    * acc < P < 2^32 keeps acc·31 + x < 2^37: exact in BIGINT/Long. */
+  val RollBase = 31L
+  val RollP = 4294967291L
+
   /** Document fingerprints: content hash, order-invariant shape hash
-    * (sorted tokens), and head/tail positional hashes. */
+    * (sorted tokens), head/tail positional hashes, and the rolling hash. */
   def fingerprint(docs: DataFrame): DataFrame = {
     val ws = wordsCol
+    val rolling = aggregate(
+      transform(ws, w => conv(substring(md5(concat(lit("rl:"), w)), 1, 8), 16, 10).cast("long")),
+      lit(0L), (acc, x) => (acc * RollBase + x) % RollP)
     docs.select(
         col("doc_id"),
         md5(col("text")).as("fp_content"),
         md5(array_join(array_sort(ws), " ")).as("fp_shape"),
         md5(array_join(slice(ws, 1, 8), " ")).as("fp_head"),
-        md5(array_join(slice(ws, -8, 8), " ")).as("fp_tail"))
+        md5(array_join(slice(ws, -8, 8), " ")).as("fp_tail"),
+        rolling.as("fp_rolling"))
       .orderBy("doc_id")
   }
 
@@ -194,7 +205,11 @@ object TextAnalysis {
          |  md5(text) AS fp_content,
          |  md5(array_to_string(list_sort($W), ' ')) AS fp_shape,
          |  md5(array_to_string($W[1:8], ' ')) AS fp_head,
-         |  md5(array_to_string($W[-8:], ' ')) AS fp_tail
+         |  md5(array_to_string($W[-8:], ' ')) AS fp_tail,
+         |  list_reduce(
+         |    list_prepend(0::BIGINT, list_transform($W,
+         |      w -> ('0x' || substr(md5('rl:' || w), 1, 8))::BIGINT)),
+         |    (acc, x) -> (acc * $RollBase + x) % $RollP) AS fp_rolling
          |FROM documents ORDER BY doc_id""".stripMargin,
     "text_percentiles" ->
       """WITH r AS (

@@ -42,6 +42,32 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(_.n_bytes == 250))
   }
 
+  test("resize: image/video content rescales with meta, audio passes through") {
+    val media = Multimodal.ingest(docs.limit(30))
+    val resized = Multimodal.resize(media, 32, 32)
+    assert(resized.count() == 30)
+    val byKind = resized.collect().groupBy(_.kind)
+    for (m <- byKind.getOrElse("image", Array()) ++ byKind.getOrElse("video", Array())) {
+      assert(m.meta.width == 32 && m.meta.height == 32)
+      assert(m.content.nonEmpty)
+    }
+    val origAudio = media.filter(_.kind == "audio").collect().map(m => m.media_id -> m.content.toSeq).toMap
+    val newAudio = byKind.getOrElse("audio", Array()).map(m => m.media_id -> m.content.toSeq).toMap
+    assert(origAudio == newAudio)
+    // deterministic: same input, same output
+    assert(Multimodal.resize(media, 32, 32).collect().map(_.content.toSeq).toSeq ==
+      resized.collect().map(_.content.toSeq).toSeq)
+  }
+
+  test("frameSample: one row per sampled frame, video only, count matches stride") {
+    val media = Multimodal.ingest(docs.limit(30))
+    val frames = Multimodal.frameSample(media, stride = 2)
+    assert(frames.filter(_.kind != "frame").count() == 0)
+    val expected = media.filter(_.kind == "video").collect()
+      .map(m => (1 + m.content.length / 100 + 1) / 2).sum
+    assert(frames.count() == expected)
+  }
+
   test("mediaSummary groups all files by kind") {
     val s = Multimodal.mediaSummary(docs)
     val total = s.agg(sum("n_files")).collect()(0).getLong(0)
