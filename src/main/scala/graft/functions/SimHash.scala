@@ -15,15 +15,15 @@ object SimHashImpl {
 
   def h32(word: String): Long = Md5Hash.prefix32("sh:" + word)
 
-  def simhash32(text: UTF8String): Long = {
-    if (text == null) return 0L
+  /** Tokenize + count in one pass: Unicode-letter runs by code point —
+    * must match WordCount.TokenRe ("[^\p{L}]+"): Character.isLetter(int)
+    * is exactly category L. Kept separately callable so the equivalence
+    * with the regex tokenizer is property-tested (TokenizerProps). */
+  def tokenCounts(s: String): java.util.HashMap[String, Long] = {
     val counts = new java.util.HashMap[String, Long]()
-    val s = text.toString
     var i = 0
     val n = s.length
     val sb = new java.lang.StringBuilder
-    // Unicode-letter runs by code point — must match WordCount.TokenRe
-    // ("[^\p{L}]+"): Character.isLetter(int) is exactly category L
     while (i < n) {
       val cp = s.codePointAt(i)
       if (Character.isLetter(cp)) sb.appendCodePoint(cp)
@@ -33,6 +33,12 @@ object SimHashImpl {
       i += Character.charCount(cp)
     }
     if (sb.length > 0) counts.merge(sb.toString, 1L, (a, b) => a + b)
+    counts
+  }
+
+  def simhash32(text: UTF8String): Long = {
+    if (text == null) return 0L
+    val counts = tokenCounts(text.toString)
     val acc = new Array[Long](Bits)
     counts.forEach { (w, c) =>
       val h = h32(w)
