@@ -22,6 +22,11 @@ object Explain {
     val t0 = System.nanoTime()
     val n = df.count()
     println(f"==== $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s ====")
+    // the FINAL adaptive plan (visible only after execution) shows what
+    // AQE actually did: ReusedExchange/ReusedSubquery, skew splits,
+    // coalesced partitions
+    println(s"==== $name final adaptive plan ====")
+    println(df.queryExecution.executedPlan.toString)
     spark.stop()
   }
 }

@@ -119,9 +119,11 @@ object Dedup {
     minhashBanded(docs).orderBy("doc_id", "band")
 
   /** Candidate near-duplicate pairs: docs colliding in any LSH band.
-    * Both sides of the self-join canonicalize to the same map-only
-    * subplan, so the scan is the only work before the one
-    * (band, band_hash) shuffle. */
+    * Both sides recompute the map-only banded subplan (verified: AQE does
+    * not reuse across the self-join's sides) — pure CPU, no extra
+    * shuffle. A production run that reuses the index materializes
+    * [[minhashBands]] once (e.g. `Sinks.writeBucketed` on band_hash) and
+    * self-joins the stored table; the one-shot form stays declarative. */
   def minhashPairs(docs: DataFrame): DataFrame =
     minhashCandidates(docs).orderBy("doc_a", "doc_b")
 

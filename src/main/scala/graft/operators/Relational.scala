@@ -189,15 +189,22 @@ object Relational {
       .orderBy("src")
   }
 
-  /** Scalar subquery (max-of-aggregate) — TPC-H Q15 shape. */
+  /** Scalar subquery (max-of-aggregate) — TPC-H Q15 shape. The max is an
+    * ARGMAX over the aggregated revenue table via a global window, so
+    * lineitem is scanned and aggregated ONCE (a separate max-subquery
+    * plan recomputes the whole revenue aggregate — verified no exchange
+    * reuse in the final adaptive plan). The global window sees only the
+    * per-supplier aggregate, which is dimension-sized. */
   def q15Subquery: Q = (s, d) => {
     val revenue = Tables.lineitem(s, d)
       .groupBy(col("l_suppkey").as("supplier_no"))
       .agg(xsum(col("l_extendedprice") * (ONE - col("l_discount"))).as("total_revenue"))
-    val maxRev = revenue.agg(max(col("total_revenue")).as("mx"))
+    val top = revenue
+      .withColumn("mx", max(col("total_revenue")).over(Window.partitionBy()))
+      .where(col("total_revenue") === col("mx"))
+      .drop("mx")
     Tables.supplier(s, d)
-      .join(revenue, col("s_suppkey") === col("supplier_no"))
-      .join(broadcast(maxRev), col("total_revenue") === col("mx"))
+      .join(top, col("s_suppkey") === col("supplier_no"))
       .select("s_suppkey", "s_name", "total_revenue")
       .orderBy("s_suppkey")
   }
