@@ -107,20 +107,20 @@ object Events {
   }
 
   /** Day-over-day retention: active users per day and how many return
-    * the next day. */
+    * the next day. A user returns iff their NEXT distinct active day is
+    * day+1, so `lead` over the one distinct (user, day) table replaces
+    * the self-join — the final-adaptive-plan audit showed the join form
+    * scanning and deduplicating events twice (no AQE exchange reuse
+    * across self-join sides). One scan, one distinct, one same-keyed
+    * window shuffle. */
   def retention(ev: DataFrame): DataFrame = {
     val days = ev.select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
-    // fresh lineage for the probe side avoids self-join ambiguity
-    val next = ev.select(col("user_id").as("u2"), date_trunc("day", col("ts")).as("next_day"))
-      .distinct()
-    days
-      .join(next,
-        col("user_id") === col("u2") &&
-          col("next_day") === col("day") + expr("INTERVAL 1 DAY"),
-        "left_outer")
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days.withColumn("next_day", lead(col("day"), 1).over(w))
       .groupBy(col("day"))
       .agg(count(lit(1)).as("active"),
-        count(col("next_day")).as("retained"))
+        count(when(col("next_day") === col("day") + expr("INTERVAL 1 DAY"), 1))
+          .as("retained"))
       .orderBy("day")
   }
 
