@@ -143,6 +143,24 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"), xsum(col("o_totalprice")).as("total"))
       .orderBy(col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
 
+  /** CUBE: all grouping-set combinations of (mktsegment, orderstatus). */
+  def q23Cube: Q = (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), xsum(col("o_totalprice")).as("total"))
+      .orderBy(col("c_mktsegment").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+
+  /** PIVOT: per-day event-type counts as columns (explicit value list —
+    * the deterministic form; an open pivot would scan for values first). */
+  def q24Pivot: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", Seq("view", "click", "purchase"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("view", "click", "purchase"))
+      .orderBy("day")
+
   /** Group + HAVING. */
   def q10Having: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -331,6 +349,8 @@ object Relational {
     "q19_disjunct" -> q19Disjunct,
     "q21_multicorr"-> q21MultiCorr,
     "q22_anti_subq"-> q22AntiSubq,
+    "q23_cube"     -> q23Cube,
+    "q24_pivot"    -> q24Pivot,
   )
 
   val oracle: Map[String, String] = Map(
@@ -467,6 +487,18 @@ object Relational {
         |  GROUP BY l_suppkey) g
         |JOIN supplier ON s_suppkey = l_suppkey
         |ORDER BY n_orders DESC, s_suppkey LIMIT 20""".stripMargin,
+    "q23_cube" ->
+      s"""SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+         |  ${osum("o_totalprice")} AS total
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY CUBE (c_mktsegment, o_orderstatus)
+         |ORDER BY c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+    "q24_pivot" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "q22_anti_subq" ->
       s"""WITH t AS (
          |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE)

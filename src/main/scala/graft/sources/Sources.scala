@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Ingestion surface beyond the driver's parquet tables (SURVEY §2.8).
   *
@@ -30,6 +31,16 @@ object Sources {
   def textFiles(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("wholetext", "true").text(dir)
       .select(input_file_name().as("path"), col("value").as("text"))
+
+  /** Header CSV with an EXPLICIT schema — `inferSchema` is banned at
+    * scale (it is a full extra pass over the data before the real one). */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** JSON-lines with an explicit schema (same no-inference rule; schema
+    * also prunes the parse to the projected fields). */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 
   /** Fixed-size chunking of a (doc_id, text) corpus — the reference's
     * chunkization (`core/utils.go:320-343`) as a per-row transform:

@@ -163,6 +163,21 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming parquet file sink round-trips the replayed events with a checkpoint") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val q = EventStream.readEventStream(spark, sf)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start(outDir)
+    try {
+      q.processAllAvailable()
+      val written = spark.read.parquet(outDir)
+      assert(written.count() == Tables.events(spark, sf).count())
+    } finally q.stop()
+  }
+
   test("file-stream reader replays the parquet events with proper timestamps") {
     val stream = EventStream.readEventStream(spark, sf)
     assert(stream.isStreaming)

@@ -41,6 +41,19 @@ class SourcesSinksSpec extends SparkSpec {
     assert(lines.count() == 20) // one doc per line (no newlines in corpus)
   }
 
+  test("csv and jsonl readers round-trip the documents table with explicit schemas") {
+    val sample = docs.limit(50).select("doc_id", "text", "lang")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val expected = asSet(sample)
+    val csvDir = Files.createTempDirectory("graft-csv").toString
+    sample.write.mode("overwrite").option("header", "true").csv(csvDir)
+    assert(asSet(Sources.csv(spark, csvDir, sample.schema)) == expected)
+    val jsonDir = Files.createTempDirectory("graft-json").toString
+    sample.write.mode("overwrite").json(jsonDir)
+    assert(asSet(Sources.jsonl(spark, jsonDir, sample.schema)) == expected)
+  }
+
   test("bucketed tables join with no shuffle exchange on either side") {
     val s = spark
     val whA = Files.createTempDirectory("graft-ba").toString
