@@ -147,8 +147,25 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
 
+  /** Canonical text normalization — the cleaning pass every corpus build
+    * runs first: lowercase, strip non-letter runs to single spaces, trim.
+    * Emitted as (hash, lengths) so the gate compares the full normalized
+    * string without shipping it. Pure codegen'd per-row chain. */
+  def normalize(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), TokenRe0, " "))
+    docs.select(
+        col("doc_id"),
+        md5(norm).as("norm_hash"),
+        length(norm).cast("long").as("n_norm_chars"),
+        length(col("text")).cast("long").as("n_raw_chars"))
+      .orderBy("doc_id")
+  }
+  // the tokenizer class reused as a replacement pattern
+  private val TokenRe0 = WordCount.TokenRe
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
+    "text_normalize"   -> ((s, d) => normalize(Tables.documents(s, d))),
     "text_langid"      -> ((s, d) => langId(Tables.documents(s, d))),
     "text_quality"     -> ((s, d) => quality(Tables.documents(s, d))),
     "text_tokencount"  -> ((s, d) => tokenCount(Tables.documents(s, d))),
@@ -164,6 +181,12 @@ object TextAnalysis {
     s"len(list_filter($W, w -> w IN ${inList(items)}))::BIGINT"
 
   val oracle: Map[String, String] = Map(
+    "text_normalize" ->
+      s"""SELECT doc_id,
+         |  md5(trim(regexp_replace(lower(text), '${WordCount.TokenRe}', ' ', 'g'))) AS norm_hash,
+         |  length(trim(regexp_replace(lower(text), '${WordCount.TokenRe}', ' ', 'g')))::BIGINT AS n_norm_chars,
+         |  length(text)::BIGINT AS n_raw_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_langid" -> {
       val counts = Markers.map { case (l, m) => s"${nMarker(m)} AS n_$l" }.mkString(", ")
       val best = "greatest(" + Markers.map(m => s"n_${m._1}").mkString(", ") + ")"

@@ -18,6 +18,16 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(fromSummary == counts.toMap)
   }
 
+  test("cleaned corpus writes lang-partitioned and reads back pruned") {
+    val out = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    graft.sinks.Sinks.writePartitioned(st.last._2, out, "lang")
+    val back = spark.read.parquet(out)
+    assert(back.count() == st.last._2.count())
+    val en = back.where(col("lang") === "en")
+    assert(en.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(lang"))
+    assert(en.count() == st.last._2.where(col("lang") === "en").count())
+  }
+
   test("cleaned corpus survivors pass every stage's own predicate") {
     val c = st.last._2
     // each survivor agrees on language and clears the quality bar
