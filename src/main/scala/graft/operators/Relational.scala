@@ -234,23 +234,19 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(100)
 
-  /** Per-group average subquery (decorrelated) — TPC-H Q17 shape. */
+  /** Per-group average subquery (decorrelated) — TPC-H Q17 shape. The
+    * per-part average is a WINDOW over the one brand-filtered join, so
+    * lineitem is scanned once and shuffled once on l_partkey (the
+    * aggregate-then-rejoin form scanned lineitem twice with two
+    * shuffles). Brand filter broadcasts; avg over integral-valued
+    * doubles is exact (sum < 2^53), so the threshold is deterministic
+    * across engines and partitionings. */
   def q17AvgSubq: Q = (s, d) => {
-    val li = Tables.lineitem(s, d)
     val brandParts = Tables.part(s, d).where(col("p_brand") === "Brand#13")
-    // semi-join the average's input to the selected brand first: only the
-    // per-part groups that can survive the final join are aggregated,
-    // instead of averaging all of lineitem (a 100×-scale waste — the
-    // per-group average is identical either way).
-    val qlim = li
-      .join(broadcast(brandParts.select(col("p_partkey").as("bp_partkey"))),
-        col("l_partkey") === col("bp_partkey"), "left_semi")
-      .groupBy(col("l_partkey").as("ap_partkey"))
-      .agg((avg("l_quantity") * 0.2).as("qty_limit"))
-    // avg over integral-valued doubles is exact (sum < 2^53), so the
-    // threshold is deterministic across engines and partitionings.
-    li.join(brandParts, col("l_partkey") === col("p_partkey"))
-      .join(qlim, col("l_partkey") === col("ap_partkey"))
+    Tables.lineitem(s, d)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .withColumn("qty_limit",
+        avg("l_quantity").over(Window.partitionBy("l_partkey")) * 0.2)
       .where(col("l_quantity") < col("qty_limit"))
       .agg((xsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
   }
