@@ -295,23 +295,26 @@ object Dedup {
     * join, never an unbounded posting list. Jaccard is computed over the
     * capped (discriminative-bigram) universe on both engines. */
   def ngramJaccard(docs: DataFrame): DataFrame = {
-    val docBigrams = docs
+    import org.apache.spark.sql.expressions.Window
+    // DF cap and per-doc set size as WINDOW counts over the one bigram
+    // table — the aggregate-then-rejoin form recomputed the exploded
+    // distinct bigrams ~6× through its join chain; here each self-join
+    // side derives it once and na/nb ride through the join as columns
+    val kept = docs
       .select(col("doc_id"), col("source"), wordsCol.as("ws"))
       .select(col("doc_id"), col("source"), explode(grams(col("ws"), 2)).as("bigram"))
       .distinct()
-    val keep = docBigrams.groupBy("source", "bigram")
-      .agg(count(lit(1)).as("df"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("source", "bigram")))
       .where(col("df") <= MaxBigramDf)
-      .select("source", "bigram")
-    val kept = docBigrams.join(keep, Seq("source", "bigram"))
-    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("nset"))
-    val a = kept.select(col("doc_id").as("doc_a"), col("source"), col("bigram"))
-    val b = kept.select(col("doc_id").as("doc_b"), col("source"), col("bigram"))
+      .withColumn("nset", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val a = kept.select(col("doc_id").as("doc_a"), col("source"), col("bigram"),
+      col("nset").as("na"))
+    val b = kept.select(col("doc_id").as("doc_b"), col("source"), col("bigram"),
+      col("nset").as("nb"))
     a.join(b, Seq("source", "bigram"))
       .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nset", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nset", "nb"), "doc_b")
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"), first("na").as("na"), first("nb").as("nb"))
       .select(col("doc_a"), col("doc_b"),
         (col("shared").cast("double") / (col("na") + col("nb") - col("shared"))).as("jaccard"))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
