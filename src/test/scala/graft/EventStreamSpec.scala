@@ -144,6 +144,38 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window expression runs under streaming and converges to batch") {
+    val s = spark
+    import s.implicits._
+    val batchDf = Tables.events(spark, sf)
+    val evs = batchDf
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val maxTs = evs.map(_.ts.getTime).max
+    val input = MemoryStream[Event](s)
+    val q = input.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), graft.operators.Events.SessionGapInterval).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"), col("n_events"))
+      .writeStream.format("memory").queryName("swstream").outputMode("append").start()
+    try {
+      input.addData(evs)
+      q.processAllAvailable()
+      // sentinel advances the watermark so every real session finalizes
+      input.addData(Event(-1, new Timestamp(maxTs + 10L * 3600 * 1000), -1, "view", 0.0))
+      q.processAllAvailable()
+      val streamed = s.sql(
+        "SELECT user_id, session_start, n_events FROM swstream WHERE user_id >= 0")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+      val batch = graft.operators.Events.sessionizeSW(batchDf)
+        .select("user_id", "session_start", "n_events")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming dedupe drops at-least-once re-deliveries") {
     val s = spark
     import s.implicits._
