@@ -94,6 +94,34 @@ object Events {
       .orderBy("user_id", "purchase_id", "view_id")
   }
 
+  /** AS-OF JOIN — an operator Spark lacks natively — composed the
+    * scalable way: UNION both sides, one (key, time)-ordered window, and
+    * `last(_, ignoreNulls)` carries the most recent left-side attribute
+    * forward. One shuffle on the key, NO range fan-out (an interval-join
+    * formulation explodes on wide gaps; this is O(n log n) regardless).
+    * Semantics: each purchase matched to the latest view with
+    * view_ts <= purchase_ts per user; views deduplicated per (user, ts)
+    * by max event_id so ties are deterministic. Checked against DuckDB's
+    * NATIVE `ASOF JOIN`. */
+  def asofAttribution(ev: DataFrame): DataFrame = {
+    val views = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_id"))
+      .select(col("user_id"), col("ts"), lit(0).as("side"), col("view_id"),
+        lit(null).cast("long").as("purchase_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        lit(null).cast("long").as("view_id"), col("event_id").as("purchase_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("side"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    views.unionAll(purchases)
+      .withColumn("matched_view", last(col("view_id"), ignoreNulls = true).over(w))
+      .where(col("side") === 1 && col("matched_view").isNotNull)
+      .select(col("user_id"), col("purchase_id"), col("matched_view").as("view_id"))
+      .orderBy("user_id", "purchase_id")
+  }
+
   /** Funnel: users reaching each stage view → click → purchase. */
   def funnel(ev: DataFrame): DataFrame = {
     val perUser = ev.groupBy("user_id").agg(
@@ -131,6 +159,7 @@ object Events {
     "ev_sessions_sw"-> ((s, d) => sessionizeSW(Tables.events(s, d))),
     "ev_funnel"     -> ((s, d) => funnel(Tables.events(s, d))),
     "ev_attribution"-> ((s, d) => attribution(Tables.events(s, d))),
+    "ev_asof"       -> ((s, d) => asofAttribution(Tables.events(s, d))),
     "ev_retention"  -> ((s, d) => retention(Tables.events(s, d))),
   )
 
@@ -197,6 +226,18 @@ object Events {
         |  ON v.user_id = p.pu AND v.vts <= p.pts
         |     AND v.vts >= p.pts - INTERVAL 1 HOUR
         |ORDER BY user_id, purchase_id, view_id""".stripMargin,
+    // DuckDB's NATIVE ASOF JOIN is the oracle for the composed
+    // union-window as-of join
+    "ev_asof" ->
+      """SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+        |  v.view_id AS view_id
+        |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT user_id AS vuser, max(event_id) AS view_id,
+        |             CAST(ts AS TIMESTAMP) AS vts
+        |           FROM events WHERE event_type = 'view' GROUP BY user_id, ts) v
+        |  ON p.user_id = v.vuser AND v.vts <= p.ts
+        |ORDER BY user_id, purchase_id""".stripMargin,
     "ev_retention" ->
       """SELECT CAST(d.day AS TIMESTAMP) AS day, count(*) AS active,
         |  count(n.next_day) AS retained
