@@ -62,6 +62,34 @@ class EdgeCaseSpec extends SparkSpec {
       col("doc_b").isin(1L, 2L, 3L, 5L)).count() == 0)
   }
 
+  test("percentiles: a single-doc language has p50=p90=p99=its own length") {
+    val p = TextAnalysis.lengthPercentiles(
+      weird.where(col("doc_id") === 4L)) // lone 'de' doc
+    val r = p.collect()(0)
+    assert(r.getLong(2) == 22L && r.getLong(3) == 22L && r.getLong(4) == 22L)
+  }
+
+  test("normalize: letterless doc collapses to the empty-string hash") {
+    val n = TextAnalysis.normalize(weird)
+    val emptyHash = "d41d8cd98f00b204e9800998ecf8427e" // md5("")
+    val letterless = n.where(col("doc_id").isin(1L, 2L, 3L)).collect()
+    assert(letterless.forall(r => r.getString(1) == emptyHash && r.getLong(2) == 0L))
+  }
+
+  test("as-of attribution on a user with views only emits nothing") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, new java.sql.Timestamp(1000), 7L, "view", 1.0),
+      (2L, new java.sql.Timestamp(2000), 7L, "view", 1.0),
+      (3L, new java.sql.Timestamp(3000), 8L, "purchase", 1.0), // purchase, never viewed
+      (4L, new java.sql.Timestamp(500), 9L, "view", 1.0),
+      (5L, new java.sql.Timestamp(600), 9L, "purchase", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val a = Events.asofAttribution(ev).collect()
+    assert(a.length == 1 && a(0).getLong(0) == 9L && a(0).getLong(2) == 4L)
+  }
+
   test("chunked source: empty docs yield zero chunks, others reassemble") {
     val ch = graft.sources.Sources.chunked(weird, 4)
     assert(ch.where(col("doc_id") === 1L).count() == 0)
