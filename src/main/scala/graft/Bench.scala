@@ -42,6 +42,10 @@ object Bench {
     // steady-state estimate and stays honest (errors still recorded)
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
+        // clean cache state per run: iterative operators persist frames
+        // internally; letting them pile up across 61 queries thrashes
+        // storage memory and skews later timings
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch {
