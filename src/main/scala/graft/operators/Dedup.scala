@@ -227,7 +227,11 @@ object Dedup {
     }
     // localCheckpoint each round: materializes AND truncates lineage —
     // persist alone leaves the logical plan nesting every prior round,
-    // which grows super-linearly and OOMs the driver on deep graphs
+    // which grows super-linearly and OOMs the driver on deep graphs.
+    // Superseded rounds' checkpoint blocks are reclaimed by the
+    // ContextCleaner once the driver reference drops (the `edges` var
+    // reassignment below) — checkpoints are not CacheManager-tracked, so
+    // catalog.clearCache() does not (and need not) free them.
     var edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .localCheckpoint(true)
     var stable = false

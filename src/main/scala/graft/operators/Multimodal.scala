@@ -197,6 +197,10 @@ object MultimodalStub {
     * pixel-proportional size and rewrite meta. Real implementation:
     * decode, scale, re-encode. */
   def resize(m: MediaFile, width: Int, height: Int): MediaFile = {
+    // empty blob stays empty (indexing into zero-length content would
+    // throw); meta still reflects the requested dimensions
+    if (m.content.isEmpty)
+      return m.copy(meta = m.meta.copy(width = width, height = height))
     val oldPixels = math.max(1, m.meta.width * m.meta.height)
     val newLen = math.max(1,
       (m.content.length.toLong * (width * height) / oldPixels).toInt)

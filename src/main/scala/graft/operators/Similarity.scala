@@ -184,11 +184,8 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs (SURVEY §2.3 `dedup_embed`):
-    * LSH-bucketed candidates filtered to cosine ≥ [[DupCosine]] — the
-    * paraphrase-level dedup MinHash can't see, without ever going
-    * all-pairs. Output is integer ids only. */
-  /** Unsorted near-duplicate id pairs — the reusable core of
+  /** Unsorted near-duplicate id pairs: LSH-bucketed candidates filtered
+    * to cosine ≥ [[DupCosine]] — never all-pairs. The reusable core of
     * [[embedDup]], also consumed by multi-signal dedup
     * ([[Dedup.combinedClusters]]). */
   def embedDupPairs(em: DataFrame): DataFrame = {
@@ -201,6 +198,9 @@ object Similarity {
       .select("vec_a", "vec_b")
   }
 
+  /** Embedding-cosine near-duplicate pairs (SURVEY §2.3 `dedup_embed`):
+    * the paraphrase-level dedup MinHash can't see. Integer ids only,
+    * deterministically ordered. */
   def embedDup(em: DataFrame): DataFrame =
     embedDupPairs(em).orderBy("vec_a", "vec_b")
 

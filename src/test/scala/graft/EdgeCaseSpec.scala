@@ -90,6 +90,14 @@ class EdgeCaseSpec extends SparkSpec {
     assert(a.length == 1 && a(0).getLong(0) == 9L && a(0).getLong(2) == 4L)
   }
 
+  test("multimodal resize survives empty-content blobs") {
+    val resized = Multimodal.resize(Multimodal.ingest(weird), 16, 16).collect()
+    assert(resized.length == 7)
+    val empty = resized.find(_.media_id == 1L).get // doc 1 has empty text
+    assert(empty.content.isEmpty)
+    assert(empty.kind == "audio" || (empty.meta.width == 16 && empty.meta.height == 16))
+  }
+
   test("chunked source: empty docs yield zero chunks, others reassemble") {
     val ch = graft.sources.Sources.chunked(weird, 4)
     assert(ch.where(col("doc_id") === 1L).count() == 0)
