@@ -8,17 +8,67 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every `SparkEntry.queries` entry at the sf dir
   * from SPARK_GRAFT_SF_DIR and emits ONE JSON line:
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},
-  *   "errors":{...},"sf":"..."}`.
+  *   "errors":{...},"deltas":{...},"sf":"..."}`.
   *
   * Honesty rules: a failing query is recorded in `errors` (name →
-  * exception) and contributes 0 to the timing map — it can never
-  * "improve" the total. The session is warmed (JVM/codegen/parquet
-  * reader) before the first timed query so query #1 in map order does
-  * not absorb ~4 s of startup. The JSON line is printed to stdout AND
-  * written to BENCH_LOCAL.json so it stays machine-readable under sbt
-  * log noise.
+  * exception) and contributes a FIXED PENALTY of [[Bench.ErrorPenaltySec]]
+  * to the timing map and total — strictly worse than any plausible
+  * success, so a crash can never read as a speedup (the previous
+  * contribute-0 rule made an erroring query LOWER the total). The session
+  * is warmed (JVM/codegen/parquet reader) before the first timed query so
+  * query #1 in map order does not absorb ~4 s of startup. The JSON line
+  * is printed to stdout AND written to BENCH_LOCAL.json so it stays
+  * machine-readable under sbt log noise.
+  *
+  * Regression tracking: if a previous round's BENCH_r*.json exists in the
+  * working dir, the highest-numbered one is parsed and a `deltas` section
+  * (name → prev/now/ratio) is emitted, so an in-suite regression is
+  * caught by the builder in the same run that introduces it.
   */
 object Bench {
+
+  /** Per-failed-query penalty (sec). Far above any real query at bench
+    * scale, so errors always worsen the total. */
+  val ErrorPenaltySec = 999.0
+
+  /** Full inter-query state reset. `clearCache` only drops
+    * CacheManager-tracked relations; `localCheckpoint` blocks from the
+    * iterative operators are plain persisted RDDs the catalog does not
+    * know about, and the ContextCleaner frees them only after a driver
+    * GC notices the dropped references. Unpersisting every persistent
+    * RDD + an explicit GC hint makes each query start from clean storage
+    * memory — without this, checkpoint blocks accumulate across the
+    * suite and later queries thrash (dedup_combined measured 34.8 s
+    * in-suite vs 6.7 s standalone before this fix). */
+  private[graft] def deepClean(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    System.gc()
+  }
+
+  /** (fileName, name→sec) of the highest-numbered BENCH_r*.json in `dir`,
+    * if any. Minimal one-line-JSON field scrape — the bench files are
+    * machine-written, flat, and dependency-free parsing keeps the build
+    * hermetic. */
+  private[graft] def previousBench(dir: String): Option[(String, Map[String, Double])] = {
+    val d = new java.io.File(dir)
+    val files = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+    if (files.isEmpty) return None
+    val latest = files.maxBy(f => f.getName.replaceAll("\\D", "").toInt)
+    // the driver's round files embed the bench line ESCAPED inside a
+    // "tail" log-capture string — unescape so the field scrape sees the
+    // same `"queries":{...}` shape as a raw bench line
+    val text = new String(Files.readAllBytes(latest.toPath), StandardCharsets.UTF_8)
+      .replace("\\\"", "\"")
+    val qblock = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r
+      .findFirstMatchIn(text).map(_.group(1)).getOrElse("")
+    val pair = "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
+    val m = pair.findAllMatchIn(qblock)
+      .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
+    if (m.isEmpty) None else Some(latest.getName -> m)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -42,10 +92,7 @@ object Bench {
     // steady-state estimate and stays honest (errors still recorded)
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
-        // clean cache state per run: iterative operators persist frames
-        // internally; letting them pile up across 61 queries thrashes
-        // storage memory and skews later timings
-        spark.catalog.clearCache()
+        deepClean(spark)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch {
@@ -55,20 +102,39 @@ object Bench {
             None
         }
       }
-      // a query that failed ANY run contributes 0 — an error may never
-      // improve (or even count toward) the total
-      name -> (if (errors.contains(name)) 0.0 else times.min)
+      name -> (if (errors.contains(name)) ErrorPenaltySec else times.min)
     }
     def jstr(s: String) = "\"" + s + "\""
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val prev = previousBench(".")
+    val ds = prev match {
+      case None => "{}"
+      case Some((_, pm)) =>
+        results.flatMap { case (k, now) =>
+          pm.get(k).map { p =>
+            val ratio = if (p > 0) now / p else -1.0
+            s"${jstr(k)}:{${jstr("prev")}:$p,${jstr("now")}:$now,${jstr("ratio")}:${f"$ratio%.3f"}}"
+          }
+        }.mkString("{", ",", "}")
+    }
+    val prevName = prev.map(p => jstr(p._1)).getOrElse("null")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"prev_bench":$prevName,"deltas":$ds,"sf":"$sfDir"}"""
     println(line)
     Files.write(Paths.get("BENCH_LOCAL.json"), line.getBytes(StandardCharsets.UTF_8))
     if (errors.nonEmpty)
-      System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
+      System.err.println(s"[bench] ${errors.size} queries FAILED (penalty ${ErrorPenaltySec}s each): ${errors.keys.mkString(", ")}")
+    prev.foreach { case (pn, pm) =>
+      val regressed = results.filter { case (k, now) =>
+        pm.get(k).exists(p => p > 0.3 && now > p * 2) && !errors.contains(k)
+      }
+      if (regressed.nonEmpty)
+        System.err.println(s"[bench] regressions vs $pn: " + regressed.map { case (k, now) =>
+          f"$k ${pm(k)}%.2f->${now}%.2f"
+        }.mkString(", "))
+    }
     spark.stop()
   }
 }

@@ -20,7 +20,10 @@ object Explain {
     println(s"==== $name @ $sfDir ====")
     df.explain("formatted")
     val t0 = System.nanoTime()
-    val n = df.count()
+    // execute THIS query's physical plan (df.count() would wrap it in a
+    // new agg plan, leaving df's own AdaptiveSparkPlan un-finalized — the
+    // post-run print below would show isFinalPlan=false forever)
+    val n = df.queryExecution.executedPlan.execute().count()
     println(f"==== $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s ====")
     // the FINAL adaptive plan (visible only after execution) shows what
     // AQE actually did: ReusedExchange/ReusedSubquery, skew splits,

@@ -16,12 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     WordCount.queries ++ Relational.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Events.queries ++
-      Multimodal.queries ++ TrainingPipeline.queries ++ Skew.queries
+      Multimodal.queries ++ TrainingPipeline.queries ++ Skew.queries ++
+      RuntimeFilters.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    WordCount.oracle ++ Relational.oracle ++ TextAnalysis.oracle ++
+    WordCount.oracleAll ++ Relational.oracle ++ TextAnalysis.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ Events.oracle ++
-      Multimodal.oracle ++ TrainingPipeline.oracle ++ Skew.oracle
+      Multimodal.oracle ++ TrainingPipeline.oracle ++ Skew.oracle ++
+      RuntimeFilters.oracle
 }

@@ -16,8 +16,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      // clean cache per query: iterative operators persist internally
-      spark.catalog.clearCache()
+      // full state reset per query: clearCache + unpersist checkpoint
+      // RDDs + GC hint (see Bench.deepClean — catalog.clearCache alone
+      // leaves localCheckpoint blocks accumulating across the suite)
+      Bench.deepClean(spark)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

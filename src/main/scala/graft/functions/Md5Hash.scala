@@ -8,10 +8,11 @@ import java.security.MessageDigest
   * constant (MinHash family, LSH sign matrices, SimHash word hashes)
   * and both engines' oracles agree on. */
 object Md5Hash {
-  def prefix32(s: String): Long = {
-    val hex = MessageDigest.getInstance("MD5")
+  def hex(s: String): String =
+    MessageDigest.getInstance("MD5")
       .digest(s.getBytes(StandardCharsets.UTF_8))
-      .take(4).map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex, 16)
-  }
+      .map(b => f"$b%02x").mkString
+
+  def prefix32(s: String): Long =
+    java.lang.Long.parseLong(hex(s).take(8), 16)
 }

@@ -199,6 +199,19 @@ object Dedup {
   def minhashClustersLS(docs: DataFrame): DataFrame =
     connectedComponents(docs.select(col("doc_id")), minhashCandidates(docs))
 
+  /** Free the storage blocks behind a `localCheckpoint(true)`-produced
+    * frame. A checkpointed Dataset is backed by a `LogicalRDD` holding
+    * the persisted RDD; unpersisting it directly releases the blocks NOW
+    * instead of whenever the ContextCleaner's next driver GC notices the
+    * dropped reference (which across a long suite may be never — this
+    * was the round-2 bench-contamination root cause). Non-blocking: the
+    * executors reclaim asynchronously while the next round runs. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Large-star/small-star connected components over ANY pair relation
     * (doc_a, doc_b) — reusable for whatever candidate generator produced
     * the pairs (MinHash bands, embedding buckets, explicit edges). */
@@ -228,19 +241,36 @@ object Dedup {
     // localCheckpoint each round: materializes AND truncates lineage —
     // persist alone leaves the logical plan nesting every prior round,
     // which grows super-linearly and OOMs the driver on deep graphs.
-    // Superseded rounds' checkpoint blocks are reclaimed by the
-    // ContextCleaner once the driver reference drops (the `edges` var
-    // reassignment below) — checkpoints are not CacheManager-tracked, so
-    // catalog.clearCache() does not (and need not) free them.
+    // Superseded rounds' checkpoint blocks are freed EXPLICITLY below
+    // (checkpoints are not CacheManager-tracked; waiting for the
+    // ContextCleaner needs a driver GC that may never happen mid-suite,
+    // which is exactly how storage memory filled up across a 61-query
+    // bench run).
+    // Convergence witness: ONE aggregate action per round — (row count,
+    // exact-decimal sum of per-edge hashes). Rounds produce DISTINCT
+    // edge sets, so equal (count, hash-sum) across consecutive rounds
+    // witnesses set equality up to a 64-bit hash-sum collision
+    // (≈2⁻⁶⁴ — and a false positive merely stops one round early on a
+    // monotone contraction). Replaces two exceptAll.isEmpty wide-shuffle
+    // actions per round: at cluster scale each saved action is a full
+    // round-trip.
+    def edgeStats(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+        Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
     var edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .localCheckpoint(true)
-    var stable = false
+    var prevStats = edgeStats(edges)
+    var stable = prevStats._1 == 0L // no edges: already converged
     while (!stable) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      // set equality as the convergence witness (edge sets are candidate-
-      // pair sized, far below corpus scale)
-      stable = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      val nextStats = edgeStats(next)
+      freeCheckpoint(edges) // superseded round's blocks, freed eagerly
       edges = next
+      stable = nextStats == prevStats
+      prevStats = nextStats
     }
     // the converged edge frame stays cached: it backs the lazily-consumed
     // result (same contract as minhashClusters' label frame)

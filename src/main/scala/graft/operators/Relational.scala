@@ -32,14 +32,14 @@ object Relational {
     * DECIMAL(28,10) (exact, commutative) → DECIMAL(28,2) → DOUBLE at emit.
     * The scale-2 hop matters: DuckDB's decimal→double cast is not correctly
     * rounded at scale 10 (int128/1e10 in FP), but is exact at scale 2. */
-  private def xsum(c: Column): Column =
+  private[operators] def xsum(c: Column): Column =
     sum(c.cast(DecimalType(28, 10))).cast(DecimalType(28, 2)).cast(DoubleType)
   private val ONE = lit(1.0)
 
   // Name of the xsum pattern on the DuckDB side. ROUND (HALF_UP, matching
   // Spark's decimal cast) rather than a decimal down-cast, which truncates
   // in DuckDB.
-  private def osum(e: String): String =
+  private[operators] def osum(e: String): String =
     s"CAST(ROUND(SUM(CAST($e AS DECIMAL(28,10))), 2) AS DOUBLE)"
 
   type Q = (SparkSession, String) => DataFrame
@@ -207,19 +207,28 @@ object Relational {
       .orderBy("src")
   }
 
-  /** Scalar subquery (max-of-aggregate) — TPC-H Q15 shape. The max is an
-    * ARGMAX over the aggregated revenue table via a global window, so
-    * lineitem is scanned and aggregated ONCE (a separate max-subquery
-    * plan recomputes the whole revenue aggregate — verified no exchange
-    * reuse in the final adaptive plan). The global window sees only the
-    * per-supplier aggregate, which is dimension-sized. */
+  /** Scalar subquery (max-of-aggregate) — TPC-H Q15 shape. The scalar
+    * max is a BROADCAST join against the 1-row `revenue.agg(max)` —
+    * scale-flat at any supplier count, unlike the previous
+    * `Window.partitionBy()` argmax, whose single-partition sort-window
+    * becomes a ceiling at tens of millions of suppliers (and spams
+    * `WindowExec: No Partition Defined` warnings). Both sides of the
+    * self-reference hang off the IDENTICAL l_suppkey shuffle, so AQE's
+    * ReusedExchange materializes the revenue aggregate once — lineitem
+    * is still scanned and shuffled a single time (verified in the final
+    * adaptive plan). */
   def q15Subquery: Q = (s, d) => {
+    // isnotnull at the base makes BOTH revenue subtrees byte-identical
+    // (the supplier join pushes IsNotNull into only its side otherwise,
+    // defeating exchange reuse → two lineitem scans); the oracle carries
+    // the same predicate. No-op on TPC-H data (l_suppkey is never null).
     val revenue = Tables.lineitem(s, d)
+      .where(col("l_suppkey").isNotNull)
       .groupBy(col("l_suppkey").as("supplier_no"))
       .agg(xsum(col("l_extendedprice") * (ONE - col("l_discount"))).as("total_revenue"))
     val top = revenue
-      .withColumn("mx", max(col("total_revenue")).over(Window.partitionBy()))
-      .where(col("total_revenue") === col("mx"))
+      .join(broadcast(revenue.agg(max(col("total_revenue")).as("mx"))),
+        col("total_revenue") === col("mx"))
       .drop("mx")
     Tables.supplier(s, d)
       .join(top, col("s_suppkey") === col("supplier_no"))
@@ -437,7 +446,7 @@ object Relational {
       s"""WITH revenue AS (
          |  SELECT l_suppkey AS supplier_no,
          |    ${osum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
-         |  FROM lineitem GROUP BY l_suppkey)
+         |  FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY l_suppkey)
          |SELECT s_suppkey, s_name, total_revenue FROM supplier, revenue
          |WHERE s_suppkey = supplier_no
          |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)

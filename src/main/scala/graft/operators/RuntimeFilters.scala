@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Runtime-filter demonstrations (SURVEY §2.2 extension, r3): the two
+  * mechanisms that cut a 100 TB fact scan down to the partitions/rows a
+  * selective dimension filter actually reaches, WITHOUT any literal
+  * pushdown being possible at plan time —
+  *
+  *  - **Dynamic partition pruning**: the fact side is a
+  *    partition-by-join-key table; Spark executes the filtered dim side
+  *    first and injects the surviving join keys as a partition filter
+  *    into the fact scan, so only matching partition directories are
+  *    read at all. On a date- or tenant-partitioned 100 TB fact table
+  *    this is the difference between scanning 5/25 of the data and all
+  *    of it.
+  *  - **Bloom-filter runtime filter** (`InjectRuntimeFilter`): for
+  *    non-partition join keys, a bloom filter built from the dim side is
+  *    applied row-wise at the fact scan. Demonstrated in PlanShapeSpec
+  *    (thresholds lowered to fire at test scale); the plan contains
+  *    `bloom_filter_agg`/`might_contain`.
+  *
+  * The reference has no analogue — its mappers always read every chunk
+  * (`core/map_reduce.go` Map stage) — this is pure Spark-side gain.
+  *
+  * The partitioned fact is a [[graft.sources.Fixtures]] layout written
+  * from the driver's own `customer` table (the values are identical, so
+  * the DuckDB oracle runs over the original parquet).
+  */
+object RuntimeFilters {
+
+  /** Write-once-per-call partitioned copy of `customer`, partitioned by
+    * the join key. Small (dimension-sized) — the 100 TB analogue is the
+    * fact table already living partitioned in the lake. */
+  def partitionedCustomer(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.sources.Fixtures.dir("dpp_customer", d)
+    Tables.customer(s, d).write.mode("overwrite")
+      .partitionBy("c_nationkey").parquet(dir)
+    s.read.parquet(dir)
+  }
+
+  /** Customers-per-nation for ONE region, where the nation set is known
+    * only at runtime (it comes through the region join): the customer
+    * scan must be pruned by DYNAMIC partition pruning, not a static
+    * predicate. PlanShapeSpec asserts `dynamicpruning` reaches the scan's
+    * PartitionFilters. */
+  def dppJoin(s: SparkSession, d: String): DataFrame = {
+    val fact = partitionedCustomer(s, d)
+    val dim = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    fact.join(broadcast(dim), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_custs"),
+        Relational.xsum(col("c_acctbal")).as("total_acctbal"))
+      .orderBy("n_name")
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+  val queries: Map[String, Q] = Map(
+    "q25_dpp" -> ((s, d) => dppJoin(s, d)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q25_dpp" ->
+      s"""SELECT n_name, count(*) AS n_custs,
+         |  ${Relational.osum("c_acctbal")} AS total_acctbal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+  )
+}

@@ -89,6 +89,31 @@ object WordCount {
     wordCount(graft.sources.Sources.chunked(docs, ChunkChars)
       .withColumnRenamed("chunk", "text"))
 
+  /** The reference's ACTUAL input path, driver-gated end to end: raw text
+    * files on disk → splittable line scan → schema extraction → per-doc
+    * chunkization → tokenize → count (`core/utils.go:320-343` →
+    * `Map_parse_builtin`). The query first lays the corpus out as raw
+    * text (one `<doc_id>\t<text>` line per document — the id prefix and
+    * tab are non-letters, so they contribute ZERO tokens), then computes
+    * the word count FROM THE FILES via [[graft.sources.Sources.textLines]],
+    * so the verified plan starts at a text FileScan, not a parquet one.
+    * `textLines` (not `wholetext`) is the 100 TB shape: line scans are
+    * splittable, whole-file reads are not; the wholetext reader keeps its
+    * own ScalaTest coverage. Shares the `wc_chunked` oracle — file
+    * round-trip plus chunk-boundary semantics in one hash-match. */
+  def filesWordCount(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.sources.Fixtures.dir("wc_files", d)
+    graft.Tables.documents(s, d)
+      .select(concat_ws("\t", col("doc_id"), col("text")))
+      .write.mode("overwrite").text(dir)
+    val parsed = graft.sources.Sources.textLines(s, dir)
+      .select(substring_index(col("line"), "\t", 1).cast("long").as("doc_id"),
+        // substring AFTER the first tab — robust even if a text ever
+        // contained a tab itself
+        expr("substring(line, instr(line, '\t') + 1)").as("text"))
+    chunkedWordCount(parsed)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wc_wordcount" -> ((s, d) => wordCount(Tables.documents(s, d))),
     "wc_topk"      -> ((s, d) => topK(Tables.documents(s, d), 50)),
@@ -96,6 +121,7 @@ object WordCount {
     "wc_lengths"   -> ((s, d) => lengthHistogram(Tables.documents(s, d))),
     "wc_per_doc"   -> ((s, d) => perDocCounts(Tables.documents(s, d))),
     "wc_chunked"   -> ((s, d) => chunkedWordCount(Tables.documents(s, d))),
+    "wc_files"     -> ((s, d) => filesWordCount(s, d)),
   )
 
   /** DuckDB words-array fragment — same `\p{L}` pattern as [[TokenRe]];
@@ -134,4 +160,11 @@ object WordCount {
          |) t WHERE word <> ''
          |GROUP BY word ORDER BY cnt DESC, word""".stripMargin,
   )
+
+  /** `wc_files` shares the chunked-count oracle: the file round-trip is
+    * token-preserving by construction, so any read-path defect (schema,
+    * splitting, encoding) surfaces as a hash mismatch against the same
+    * SQL. */
+  val oracleAll: Map[String, String] =
+    oracle + ("wc_files" -> oracle("wc_chunked"))
 }
