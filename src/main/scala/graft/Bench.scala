@@ -31,20 +31,12 @@ object Bench {
     * scale, so errors always worsen the total. */
   val ErrorPenaltySec = 999.0
 
-  /** Full inter-query state reset. `clearCache` only drops
-    * CacheManager-tracked relations; `localCheckpoint` blocks from the
-    * iterative operators are plain persisted RDDs the catalog does not
-    * know about, and the ContextCleaner frees them only after a driver
-    * GC notices the dropped references. Unpersisting every persistent
-    * RDD + an explicit GC hint makes each query start from clean storage
-    * memory — without this, checkpoint blocks accumulate across the
-    * suite and later queries thrash (dedup_combined measured 34.8 s
-    * in-suite vs 6.7 s standalone before this fix). */
-  private[graft] def deepClean(spark: SparkSession): Unit = {
-    spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-    System.gc()
-  }
+  /** Full inter-query state reset — see [[Cleanup.releaseAll]] for why
+    * clearCache alone is not enough (checkpoint blocks accumulated
+    * across the suite and skewed later queries: dedup_combined measured
+    * 34.8 s in-suite vs 6.7 s standalone before this fix). */
+  private[graft] def deepClean(spark: SparkSession): Unit =
+    Cleanup.releaseAll(spark)
 
   /** (fileName, name→sec) of the highest-numbered BENCH_r*.json in `dir`,
     * if any. Minimal one-line-JSON field scrape — the bench files are

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library-level storage cleanup for long-lived sessions.
+  *
+  * Two kinds of storage survive a query that composed the iterative
+  * operators ([[operators.Dedup.minhashClusters]],
+  * [[operators.Dedup.connectedComponents]],
+  * [[operators.TrainingPipeline.stages]]):
+  *
+  *  - CacheManager-tracked relations (`persist()`), dropped by
+  *    `spark.catalog.clearCache()`;
+  *  - `localCheckpoint` blocks, which the catalog does NOT track — the
+  *    ContextCleaner frees them only after a driver GC notices the
+  *    dropped reference, which on a busy driver may be arbitrarily far
+  *    away (this skew was measurable: a 6.7 s query read 34.8 s when 60
+  *    prior queries' blocks had piled up).
+  *
+  * [[releaseAll]] drops both, now. It is session-wide by design — the
+  * per-operator contracts ("returned frame stays cached") are for
+  * composition within one pipeline; between pipelines, release
+  * everything. Verify/Bench call this between queries.
+  */
+object Cleanup {
+  def releaseAll(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    System.gc()
+  }
+}

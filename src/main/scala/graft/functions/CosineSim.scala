@@ -35,6 +35,13 @@ object CosineImpl {
       nb += y * y
       i += 1
     }
+    // zero-norm (or empty) input would yield 0/0 = NaN, and Spark orders
+    // NaN GREATEST — a degenerate vector would silently rank first in
+    // every cosine-DESC top-k. Same fail-loud contract as ragged/null:
+    // a zero embedding is upstream corruption, not a similarity of NaN.
+    if (na == 0.0 || nb == 0.0)
+      throw new IllegalArgumentException(
+        s"graft_cosine: zero-norm vector (n=$n, |a|²=$na, |b|²=$nb)")
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 }

@@ -31,10 +31,19 @@ object LshImpl {
     Array.tabulate(NumTables, Bits, Dim)(planeSign)
 
   /** Bucket ids for all tables: out(t) has bit j set iff
-    * dot(v, plane_tj) > 0. */
+    * dot(v, plane_tj) > 0. A NULL element anywhere in the first [[Dim]]
+    * components zeroes EVERY bucket — mirroring the oracle, where a NULL
+    * `v[i]` nulls each plane's whole sum and `sum > 0` is then false for
+    * every bit (previously a null element silently read as 0.0 under
+    * UnsafeArrayData, diverging from that semantics). */
   def buckets(arr: ArrayData): ArrayData = {
     val out = new Array[Long](NumTables)
+    var hasNull = false
     if (arr.numElements() >= Dim) {
+      var i = 0
+      while (i < Dim && !hasNull) { hasNull = arr.isNullAt(i); i += 1 }
+    }
+    if (arr.numElements() >= Dim && !hasNull) {
       var t = 0
       while (t < NumTables) {
         var bucket = 0L

@@ -33,10 +33,12 @@ import org.apache.spark.sql.functions._
   * ~0.04 for LSH and ~0.34 for IVF(nprobe=2) on the TEST vectors —
   * which are random and near-orthogonal, so a query's true neighbors
   * are barely more correlated than chance and bucketed recall is
-  * data-limited, not implementation-limited. On real clustered
-  * embeddings the same parameters give far higher recall; the dials
-  * are LshBits/LshTables (OR-amplification) and NProbe, all plan-time
-  * constants.
+  * data-limited, not implementation-limited. On clustered embeddings
+  * (the regime real corpora live in) the SAME parameters measure ≥0.8
+  * top-5 recall for both indexes — machine-checked in SimilaritySpec's
+  * deterministic clustered-corpus test, so "the index retrieves" is a
+  * proven property, not a claim. The dials are LshBits/LshTables
+  * (OR-amplification) and NProbe, all plan-time constants.
   *
   * Scale design (100 TB):
   *  - brute force: query side broadcast, corpus never shuffled; per-query

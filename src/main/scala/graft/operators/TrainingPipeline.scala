@@ -30,7 +30,15 @@ object TrainingPipeline {
     * persisted: every later stage AND the per-stage counts re-read them,
     * and stage 4's clustering loop alone would otherwise re-derive the
     * whole prefix several times (the frames are id-plus-doc-columns at
-    * post-filter cardinality, a fraction of the input). */
+    * post-filter cardinality, a fraction of the input).
+    *
+    * CALLER-MUST-CLEAR contract (same as [[Dedup.minhashClusters]]): the
+    * persisted intermediates (and the clustering stage's internal label
+    * cache) stay resident so the returned lazy frames can be consumed
+    * any number of times. A long-lived session composing several corpus
+    * builds releases them between builds with [[release]] (or
+    * [[graft.Cleanup.releaseAll]], which Verify/Bench use between
+    * queries). */
   def stages(docs: DataFrame): Seq[(String, DataFrame)] = {
     val okLang = TextAnalysis.langId(docs).where(col("agree") === 1).select("doc_id")
     val okQual = TextAnalysis.quality(docs)
@@ -48,6 +56,13 @@ object TrainingPipeline {
 
   /** The cleaned corpus itself (last stage's rows). */
   def corpus(docs: DataFrame): DataFrame = stages(docs).last._2
+
+  /** Release a finished [[stages]] result's persisted intermediates.
+    * Unpersisting a never-persisted frame is a no-op, so this is safe on
+    * every stage; the clustering loop's internal caches are session-
+    * tracked and fall to [[graft.Cleanup.releaseAll]]. */
+  def release(st: Seq[(String, DataFrame)]): Unit =
+    st.foreach { case (_, df) => df.unpersist() }
 
   /** Per-stage survivor counts — the driver-checked contract. */
   def summary(docs: DataFrame): DataFrame =

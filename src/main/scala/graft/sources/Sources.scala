@@ -16,8 +16,14 @@ import org.apache.spark.sql.types.StructType
   *    FileSourceScan already does the reference's chunk-placement job
   *    (splits, locality, replication) via the storage layer;
   *  - [[chunked]] reproduces the reference's fixed-size-chunk DATA MODEL
-  *    (including its split-token boundary artifact) when byte-compatible
-  *    re-execution of reference jobs is wanted.
+  *    (including its split-token boundary artifact) per document. Note
+  *    one deliberate divergence: the reference concatenates ALL input
+  *    files into a single string before slicing (`core/utils.go`
+  *    `strings.Join(filesData, "")`), so its chunk boundaries can also
+  *    merge/split tokens ACROSS file boundaries, and depend on file
+  *    enumeration order; per-document chunking keeps the intra-document
+  *    boundary-split semantics while staying deterministic and
+  *    embarrassingly parallel.
   */
 object Sources {
 

@@ -54,4 +54,49 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan(SparkEntry.queries("q6_scanagg")(spark, sf))
     assert(p.contains("PushedFilters: [IsNotNull"), p)
   }
+
+  test("q25_dpp: dynamic partition pruning reaches the fact scan's partition filters") {
+    val p = plan(SparkEntry.queries("q25_dpp")(spark, sf))
+    assert(p.contains("dynamicpruning"),
+      s"expected dynamicpruningexpression in PartitionFilters, got:\n$p")
+  }
+
+  test("bloom-filter runtime filter injects on a selective shuffle join") {
+    // At real scale InjectRuntimeFilter fires on its own (creation side
+    // under 10 MB, application scan over 10 GB); at test scale we lower
+    // the application-side threshold and disable auto-broadcast so the
+    // join is a shuffle join — the mechanism under test is the rewrite
+    // itself: the fact scan gains a might_contain(bloom_filter_agg(...))
+    // row filter built from the filtered dim side.
+    val c = spark.conf
+    val savedBroadcast = c.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = Tables.lineitem(spark, sf)
+      val urgent = Tables.orders(spark, sf)
+        .where(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(urgent,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("bloom_filter") || opt.contains("might_contain"),
+        s"expected a bloom runtime filter in the optimized plan, got:\n$opt")
+    } finally {
+      c.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+      c.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
+  test("iterative operators leave no storage behind after releaseAll") {
+    // the caller-must-clear contract's other half: after a composed
+    // pipeline run, one releaseAll returns the session to zero cached
+    // frames and zero persistent RDDs (checkpoint blocks included)
+    val st = operators.TrainingPipeline.stages(Tables.documents(spark, sf))
+    st.last._2.count()
+    operators.TrainingPipeline.release(st)
+    Cleanup.releaseAll(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"persistent RDDs remain: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
 }
