@@ -16,6 +16,13 @@ case class Session(user_id: Long, session_start: Timestamp, session_end: Timesta
 
 private case class SessionState(start: Long, last: Long, n: Long, total: Double)
 
+/** A purchase matched to the latest view at-or-before it. */
+case class AsofMatch(user_id: Long, purchase_id: Long, view_id: Long)
+
+/** Per-user as-of state: retained views and watermark-pending purchases,
+  * both as (eventTimeUs, eventId). */
+private case class AsofState(views: List[(Long, Long)], pending: List[(Long, Long)])
+
 /** Structured Streaming twins of [[graft.operators.Events]] (SURVEY §2.6).
   *
   * The batch queries define the semantics; these run the same computations
@@ -91,6 +98,71 @@ object EventStream {
             case None => if (state.hasTimedOut) state.remove()
           }
           closed.reverseIterator
+      }
+  }
+
+  /** Streaming AS-OF join — the incremental twin of
+    * [[graft.operators.Events.asofAttribution]]: each purchase matched to
+    * the LATEST view with view_ts <= purchase_ts per user (ties at equal
+    * ts resolved view-first / max view event_id, same as batch).
+    *
+    * Why not a stream-stream join: as-of lookback is UNBOUNDED (the
+    * matching view may be arbitrarily old), which a watermarked interval
+    * join cannot express — its state eviction is exactly what as-of must
+    * not do to old views. Keyed state can: per user we retain the single
+    * latest view older than the watermark plus the in-horizon
+    * views/purchases, so state is O(1) per user at any stream length.
+    *
+    * Correctness under out-of-order arrival: a purchase is emitted only
+    * once the event-time watermark passes its timestamp — after that, any
+    * view that could still change its match would be watermark-late. A
+    * purchase with no view at-or-before it is dropped at flush, exactly
+    * as batch drops unmatched purchases. Flush happens on the next batch
+    * touching the user OR via event-time timeout (so quiet users still
+    * emit). */
+  def asof(events: Dataset[Event]): Dataset[AsofMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .where(col("event_type").isin("view", "purchase"))
+      .withWatermark("ts", WatermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[AsofState]) =>
+          val st = state.getOption.getOrElse(AsofState(Nil, Nil))
+          var views = st.views
+          var pending = st.pending
+          for (e <- batch) {
+            val t = toMicros(e.ts)
+            if (e.event_type == "view") views = (t, e.event_id) :: views
+            else pending = (t, e.event_id) :: pending
+          }
+          // batch semantics: one view per (user, ts), ties keep max id
+          views = views.groupBy(_._1).map { case (t, vs) => (t, vs.map(_._2).max) }
+            .toList.sortBy(_._1)
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          // flush purchases the watermark has sealed (ts < wm ⇒ any view
+          // that could still match them would arrive late and be dropped)
+          val (ripe, stillPending) = pending.partition(_._1 < wmUs)
+          val out = ripe.sorted.flatMap { case (pts, pid) =>
+            views.takeWhile(_._1 <= pts).lastOption
+              .map { case (_, vid) => AsofMatch(userId, pid, vid) }
+          }
+          // prune views: future purchases have ts >= wm, so of the views
+          // older than the horizon only the LATEST can ever be an answer
+          val horizonUs = (wmUs :: stillPending.map(_._1)).min
+          val (old, recent) = views.partition(_._1 < horizonUs)
+          val kept = old.lastOption.toList ::: recent
+          if (kept.isEmpty && stillPending.isEmpty) state.remove()
+          else {
+            state.update(AsofState(kept, stillPending))
+            // wake this user when the watermark passes its oldest pending
+            // purchase (ceil to ms so the timeout never fires early)
+            if (stillPending.nonEmpty)
+              state.setTimeoutTimestamp(
+                Math.floorDiv(stillPending.map(_._1).min, 1000) + 1)
+          }
+          out.iterator
       }
   }
 

@@ -176,6 +176,68 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of replaying the whole events table converges to batch") {
+    val s = spark
+    import s.implicits._
+    val batchDf = Tables.events(spark, sf)
+    val evs = batchDf
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val maxTs = evs.map(_.ts.getTime).max
+    val input = MemoryStream[Event](s)
+    val q = EventStream.asof(input.toDS())
+      .writeStream.format("memory").queryName("asofstream").outputMode("append").start()
+    try {
+      input.addData(evs)
+      q.processAllAvailable()
+      // sentinels: first advances the watermark past every pending
+      // purchase, second runs the event-time-timeout sweep that flushes
+      // users untouched by later batches
+      input.addData(Event(-1, new Timestamp(maxTs + 10L * 3600 * 1000), -1, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(-2, new Timestamp(maxTs + 20L * 3600 * 1000), -2, "view", 0.0))
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val streamed = s.sql(
+        "SELECT user_id, purchase_id, view_id FROM asofstream WHERE user_id >= 0")
+        .collect().map(key).toSet
+      val batch = graft.operators.Events.asofAttribution(batchDf).collect().map(key).toSet
+      val onlyStream = streamed -- batch
+      val onlyBatch = batch -- streamed
+      assert(streamed == batch,
+        s"\nonly-stream(${onlyStream.size}): ${onlyStream.take(5)}" +
+          s"\nonly-batch(${onlyBatch.size}): ${onlyBatch.take(5)}")
+    } finally q.stop()
+  }
+
+  test("streaming as-of emits nothing before the watermark seals a purchase, then matches the latest earlier view") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[Event](s)
+    val q = EventStream.asof(input.toDS())
+      .writeStream.format("memory").queryName("asofsmall").outputMode("append").start()
+    try {
+      // purchase arrives BEFORE the out-of-order later view; the correct
+      // match (view 2, the latest <= purchase) must win anyway
+      input.addData(
+        Event(1, ts(0), 10, "view", 0.0),
+        Event(3, ts(120), 10, "purchase", 9.0))
+      q.processAllAvailable()
+      assert(s.sql("SELECT * FROM asofsmall").count() == 0) // not sealed yet
+      input.addData(Event(2, ts(60), 10, "view", 0.0)) // out-of-order view
+      q.processAllAvailable()
+      // advance watermark + timeout sweep
+      input.addData(Event(-1, ts(100000), -1, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(-2, ts(200000), -2, "view", 0.0))
+      q.processAllAvailable()
+      val rows = s.sql(
+        "SELECT user_id, purchase_id, view_id FROM asofsmall WHERE user_id >= 0").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getLong(1) == 3L && rows(0).getLong(2) == 2L)
+    } finally q.stop()
+  }
+
   test("streaming dedupe drops at-least-once re-deliveries") {
     val s = spark
     import s.implicits._
