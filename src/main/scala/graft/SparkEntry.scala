@@ -17,7 +17,7 @@ object SparkEntry {
     WordCount.queries ++ Relational.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Events.queries ++
       Multimodal.queries ++ TrainingPipeline.queries ++ Skew.queries ++
-      RuntimeFilters.queries
+      RuntimeFilters.queries ++ graft.sinks.Sinks.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +25,5 @@ object SparkEntry {
     WordCount.oracleAll ++ Relational.oracle ++ TextAnalysis.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ Events.oracle ++
       Multimodal.oracle ++ TrainingPipeline.oracle ++ Skew.oracle ++
-      RuntimeFilters.oracle
+      RuntimeFilters.oracle ++ graft.sinks.Sinks.oracle
 }

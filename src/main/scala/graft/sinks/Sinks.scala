@@ -1,6 +1,8 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Output surface (SURVEY §2.8): the layouts a 100 TB deployment writes,
   * chosen so DOWNSTREAM reads avoid work the layout already did.
@@ -10,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   *  - bucketed (+ sorted) tables → co-located joins and aggregations: two
   *    tables bucketed by the same key into the same bucket count join
   *    with NO shuffle exchange on either side (verified by plan assertion
-  *    in SinksSpec) — the bucketing IS the shuffle, paid once at write;
+  *    in SinksSpec AND driver-gated end to end by `q26_bucketed`) — the
+  *    bucketing IS the shuffle, paid once at write;
   *  - plain sorted parquet → min/max zone skipping on the sort column.
   *
   * This is the Spark-native replacement for the reference's reducer-
@@ -25,10 +28,22 @@ object Sinks {
 
   /** Bucketed + in-bucket-sorted table registered in the catalog at
     * `path`. Joins/aggs on `bucketCol` between tables with equal bucket
-    * counts need no exchange and no sort. */
+    * counts need no exchange and no sort.
+    *
+    * The pre-write `repartition(buckets, bucketCol)` matters: bucket
+    * assignment and DataFrame hash partitioning use the same Murmur3
+    * pmod, so each write task holds exactly one bucket and emits ONE
+    * file per bucket (a non-aligned write scatters every bucket across
+    * every task). Note on sorts: since Spark 3.0 the bucketed scan does
+    * not REPORT in-bucket order by default
+    * (`spark.sql.legacy.bucketedTableScan.outputOrdering` — a planning
+    * cost tradeoff), so a downstream merge join still plans in-partition
+    * Sorts; they run exchange-free over already-sorted runs. The
+    * eliminated shuffles are the scale win. */
   def writeBucketed(df: DataFrame, table: String, path: String,
                     bucketCol: String, buckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
+    df.repartition(buckets, col(bucketCol))
+      .write.mode(SaveMode.Overwrite)
       .option("path", path)
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
@@ -39,4 +54,60 @@ object Sinks {
     * on the sort column give zone-skipping for range predicates. */
   def writeSorted(df: DataFrame, path: String, sortCol: String): Unit =
     df.sortWithinPartitions(sortCol).write.mode(SaveMode.Overwrite).parquet(path)
+
+  val JoinBuckets = 8
+
+  /** Register (writing once per fixture dir) lineitem and orders as
+    * co-bucketed, in-bucket-sorted catalog tables on l_orderkey /
+    * o_orderkey. On re-runs the parquet layout is reused and only the
+    * catalog entry is re-created (each Verify/Bench session has a fresh
+    * in-memory catalog). */
+  def bucketedFactTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    def ensure(src: DataFrame, name: String, bucketCol: String): DataFrame = {
+      val path = graft.sources.Fixtures.dir(s"bkt${JoinBuckets}_$name", d)
+      val table = s"graft_bkt_${name}_${graft.functions.Md5Hash.hex(d).take(8)}"
+      if (new java.io.File(s"$path/_SUCCESS").exists()) {
+        val cols = src.schema.fields
+          .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+        s.sql(s"""CREATE TABLE IF NOT EXISTS $table ($cols) USING parquet
+                 |CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`)
+                 |INTO $JoinBuckets BUCKETS LOCATION '$path'""".stripMargin)
+      } else writeBucketed(src, table, path, bucketCol, JoinBuckets)
+      s.table(table)
+    }
+    (ensure(Tables.lineitem(s, d), "lineitem", "l_orderkey"),
+      ensure(Tables.orders(s, d), "orders", "o_orderkey"))
+  }
+
+  /** Co-located fact-fact join (SURVEY §2.8, driver-gated): lineitem ⋈
+    * orders on the shared bucket key, aggregated per priority. The
+    * `merge` hint pins SortMergeJoin (at gate scale orders would
+    * auto-broadcast and hide the point); with both sides co-bucketed the
+    * join runs with ZERO exchanges below it — the shuffle was paid once
+    * at write time, which at 100 TB is the difference between
+    * re-shuffling the fact table per query and never (the remaining
+    * in-partition Sorts are exchange-free; see [[writeBucketed]]).
+    * Plan-asserted in PlanShapeSpec. */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val (li, ord) = bucketedFactTables(s, d)
+    li.hint("merge")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        graft.operators.Relational.xsum(col("l_extendedprice")).as("total_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+  val queries: Map[String, Q] = Map(
+    "q26_bucketed" -> ((s, d) => bucketedJoin(s, d)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q26_bucketed" ->
+      s"""SELECT o_orderpriority, count(*) AS n_items,
+         |  ${graft.operators.Relational.osum("l_extendedprice")} AS total_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+  )
 }

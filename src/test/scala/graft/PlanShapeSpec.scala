@@ -88,6 +88,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q26_bucketed: co-located merge join — no exchange below the join, buckets used") {
+    val p = plan(SparkEntry.queries("q26_bucketed")(spark, sf))
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("Bucketed: true"), p)
+    // exactly two exchanges in the whole plan: the post-join aggregation
+    // and the final orderBy — ZERO on the join inputs (the bucketing was
+    // the shuffle, paid at write time). The in-partition Sorts below the
+    // join remain: since Spark 3.0 the bucketed scan does not report
+    // in-bucket sort order by default (planning-cost tradeoff,
+    // spark.sql.legacy.bucketedTableScan.outputOrdering) — they are
+    // exchange-free timsorts over already-sorted runs, not shuffles.
+    val joinSubtree = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!joinSubtree.contains("Exchange"),
+      s"expected no exchange below the bucketed join, got:\n$p")
+    assert(exchanges(p) <= 2, s"expected only agg+sort exchanges, got:\n$p")
+  }
+
   test("iterative operators leave no storage behind after releaseAll") {
     // the caller-must-clear contract's other half: after a composed
     // pipeline run, one releaseAll returns the session to zero cached
