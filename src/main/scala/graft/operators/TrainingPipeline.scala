@@ -48,8 +48,14 @@ object TrainingPipeline {
     val s3 = s2.join(
       Dedup.exact(s2).where(col("doc_id") === col("keep_id")).select("doc_id"), "doc_id")
       .persist()
+    // large-star/small-star clustering: per-round work is EDGE-sized
+    // (candidate pairs), unlike label propagation whose every round
+    // re-joins the full corpus-sized label table — at 100 TB that is the
+    // difference between iterating on a few-million-row pair set and on
+    // the corpus. Same fixpoint (both implementations share the
+    // dedup_cluster oracle).
     val s4 = s3.join(
-      Dedup.minhashClusters(s3).where(col("is_canonical") === 1).select("doc_id"), "doc_id")
+      Dedup.minhashClustersLS(s3).where(col("is_canonical") === 1).select("doc_id"), "doc_id")
     Seq("p0_input" -> docs, "p1_langid" -> s1, "p2_quality" -> s2,
       "p3_exact" -> s3, "p4_neardup" -> s4)
   }
