@@ -295,19 +295,24 @@ object Relational {
     * line in a multi-supplier order where no OTHER supplier's line was
     * returned. */
   def q21MultiCorr: Q = (s, d) => {
-    val li = Tables.lineitem(s, d)
-    val ls = li.select("l_orderkey", "l_suppkey").distinct()
-    val other = ls.select(col("l_orderkey").as("b_orderkey"), col("l_suppkey").as("b_suppkey"))
-    val otherR = li.where(col("l_returnflag") === "R")
-      .select(col("l_orderkey").as("r_orderkey"), col("l_suppkey").as("r_suppkey"))
-      .distinct()
-    val withOther = ls.join(other,
-      col("l_orderkey") === col("b_orderkey") && col("l_suppkey") =!= col("b_suppkey"),
-      "left_semi")
-    val clean = withOther.join(otherR,
-      col("l_orderkey") === col("r_orderkey") && col("l_suppkey") =!= col("r_suppkey"),
-      "left_anti")
-    clean.groupBy("l_suppkey").agg(count(lit(1)).as("n_orders"))
+    // ONE lineitem scan. The EXISTS ("another supplier in the order") and
+    // NOT EXISTS ("no OTHER supplier with an R line") decorrelate into
+    // per-order counts over the distinct (order, supplier) pairs:
+    //   ∃ other supplier        ⟺ n_supp > 1
+    //   ∄ other R-supplier      ⟺ n_r − has_r = 0
+    // The semi+anti self-join form scanned lineitem three times with
+    // three distinct-shuffles; here it is one grouped scan plus a window
+    // over the order key — at 100 TB, one pass over the fact table
+    // instead of three.
+    val pairs = Tables.lineitem(s, d)
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
+    val w = Window.partitionBy("l_orderkey")
+    pairs
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_r", sum(col("has_r")).over(w))
+      .where(col("n_supp") > 1 && (col("n_r") - col("has_r")) === 0)
+      .groupBy("l_suppkey").agg(count(lit(1)).as("n_orders"))
       .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_orders"))
       .orderBy(col("n_orders").desc, col("s_suppkey"))
