@@ -19,6 +19,18 @@ private case class SessionState(start: Long, last: Long, n: Long, total: Double)
 /** A purchase matched to the latest view at-or-before it. */
 case class AsofMatch(user_id: Long, purchase_id: Long, view_id: Long)
 
+/** A watermark-sealed (user, day) activity mark: `retained` = the user
+  * was also active the next day. `day` is the day start (a plain data
+  * column); `sealed_at` is the event-time column — the global watermark
+  * at the moment of sealing, i.e. the FRONTIER, so downstream stateful
+  * consumers never see it as late. */
+case class RetentionMark(user_id: Long, day: Timestamp, sealed_at: Timestamp,
+                         retained: Boolean)
+
+/** Per-user retention state: open (not yet sealed) distinct active days
+  * as epoch-day numbers. */
+private case class RetentionState(days: List[Long])
+
 /** Per-user as-of state: retained views and watermark-pending purchases,
   * both as (eventTimeUs, eventId). */
 private case class AsofState(views: List[(Long, Long)], pending: List[(Long, Long)])
@@ -184,6 +196,84 @@ object EventStream {
                |AND view_ts >= purchase_ts - INTERVAL 1 HOUR""".stripMargin))
       .select(col("user_id"), col("purchase_id"), col("view_id"),
         col("purchase_ts"), col("view_ts"))
+
+  private val DayMs = 24L * 3600 * 1000
+
+  /** Streaming day-over-day retention MARKS — the stateful half of the
+    * retention twin ([[graft.operators.Events.retention]]). Keyed state
+    * per user holds the OPEN distinct active days; a day d seals once the
+    * event-time watermark passes the start of d+2 (no event inside d+1
+    * can still arrive), at which point `retained(d) = user also active
+    * on d+1` is final. Out-of-order days within the watermark horizon
+    * are handled by construction — a day only seals when its successor
+    * day is complete. State is O(open days) per user, bounded by the
+    * watermark horizon.
+    *
+    * Marks carry `sealed_at` = watermark-at-seal (+1 ms) as their event
+    * time, NOT the day they describe: a sealed day is necessarily ≥2
+    * days behind the watermark, and a single global watermark cannot
+    * both drive the sealing and accept rows behind itself (min policy
+    * deadlocks at epoch, max policy late-drops each batch's oldest
+    * sealed day — both observed). Frontier-stamping makes the marks
+    * never-late by construction. All of one day's marks seal in the
+    * SAME micro-batch (data-active users inline, idle users via the
+    * event-time timeout, which fires for every expired group), so all
+    * share one `sealed_at`. */
+  def retentionMarks(events: DataFrame): Dataset[RetentionMark] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id"), col("ts"))
+      .withWatermark("ts", WatermarkDelay)
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RetentionState, RetentionMark](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[(Long, Timestamp)], state: GroupState[RetentionState]) =>
+          val prev = state.getOption.map(_.days).getOrElse(Nil)
+          val days = (prev ++ batch.map(e => Math.floorDiv(e._2.getTime, DayMs)))
+            .distinct.sorted
+          val wmMs = state.getCurrentWatermarkMs()
+          // day d is sealed once wm reaches the start of d+2
+          val (closed, open) = days.partition(d => (d + 2) * DayMs <= wmMs)
+          val out = closed.map(d =>
+            RetentionMark(userId, new Timestamp(d * DayMs),
+              new Timestamp(wmMs + 1), days.contains(d + 1)))
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(RetentionState(open))
+            // wake when the oldest open day's successor completes
+            state.setTimeoutTimestamp((open.min + 2) * DayMs)
+          }
+          out.iterator
+      }
+  }
+
+  /** Full streaming retention: the sealed marks rolled up per day with a
+    * chained aggregation (two stateful operators). Grouping is by
+    * (sealed_at, day): `sealed_at` is the never-late event-time column
+    * that drives append-mode eviction, and since every mark of one day
+    * shares one `sealed_at` (see [[retentionMarks]]), each day emits
+    * EXACTLY one (day, active, retained) row — matching
+    * [[graft.operators.Events.retention]] row-for-row on replay.
+    *
+    * Requires two query-lifetime confs (see EventStreamSpec):
+    *  - `spark.sql.streaming.multipleWatermarkPolicy=max`: with the
+    *    default min policy the fresh `sealed_at` watermark node starts
+    *    at epoch and pins the global watermark there before any mark can
+    *    flow — the upstream then never seals: a startup deadlock. Max
+    *    policy lets the source watermark drive; frontier stamping is
+    *    what makes that safe (marks are never behind it).
+    *  - `spark.sql.streaming.statefulOperator.checkCorrectness
+    *    .enabled=false`: Spark statically flags every
+    *    flatMapGroupsWithState-then-aggregation chain; the hazard it
+    *    guards against (rows behind the watermark discarded downstream)
+    *    is designed out here by frontier stamping. */
+  def retention(events: DataFrame): DataFrame =
+    retentionMarks(events).toDF()
+      .withWatermark("sealed_at", "1 hour")
+      .groupBy(col("sealed_at"), col("day"))
+      .agg(count(lit(1)).as("active"),
+        count(when(col("retained"), 1)).as("retained"))
+      .select(col("day"), col("active"), col("retained"))
 
   /** Streaming exact deduplication: drop re-delivered events by
     * event_id — the streaming face of the dedup family for

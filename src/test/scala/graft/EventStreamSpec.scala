@@ -238,6 +238,61 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming retention (two chained stateful operators) replayed day-ordered converges to batch") {
+    val s = spark
+    import s.implicits._
+    val batchDf = Tables.events(spark, sf)
+    val evs = batchDf
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq.sortBy(_.ts.getTime)
+    val maxTs = evs.map(_.ts.getTime).max
+    val weekMs = 7L * 24 * 3600 * 1000
+    val input = MemoryStream[Event](s)
+    // the chain intentionally emits marks behind the global watermark
+    // (bounded: 2-day seal lag vs 10-day downstream horizon) — disable
+    // the blanket pattern check for this query, as documented on
+    // EventStream.retention
+    // both re-checked per micro-batch: stay set for the query's
+    // lifetime (documented on EventStream.retention)
+    val checkConf = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val wmConf = "spark.sql.streaming.multipleWatermarkPolicy"
+    s.conf.set(checkConf, "false")
+    s.conf.set(wmConf, "max")
+    val q = EventStream.retention(input.toDF())
+      .writeStream.format("memory").queryName("retstream").outputMode("append").start()
+    try {
+      // ordered-chunk replay (streams arrive roughly in order); the
+      // frontier-stamped marks make chunk size immaterial for lateness
+      evs.grouped(evs.size / 4 + 1).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      // sentinels: advance the watermark so the last days seal, then
+      // once more so their (sealed_at, day) groups evict
+      (1 to 3).foreach { i =>
+        input.addData(Event(-i, new Timestamp(maxTs + i * weekMs), -i, "view", 0.0))
+        q.processAllAvailable()
+      }
+      def key(r: org.apache.spark.sql.Row) = (r.getTimestamp(0), r.getLong(1), r.getLong(2))
+      val rows = s.sql(
+        s"SELECT day, active, retained FROM retstream WHERE day <= timestamp_millis($maxTs)")
+        .collect().map(key)
+      // exactly one row per day: all of a day's marks share one sealed_at
+      assert(rows.map(_._1).distinct.length == rows.length,
+        s"duplicate day rows: ${rows.groupBy(_._1).filter(_._2.length > 1).keys}")
+      val streamed = rows.toSet
+      val batch = graft.operators.Events.retention(batchDf)
+        .select(col("day"), col("active"), col("retained"))
+        .collect().map(key).toSet
+      val onlyStream = streamed -- batch
+      val onlyBatch = batch -- streamed
+      assert(streamed == batch,
+        s"\nonly-stream(${onlyStream.size}): ${onlyStream.take(5)}" +
+          s"\nonly-batch(${onlyBatch.size}): ${onlyBatch.take(5)}")
+    } finally {
+      q.stop(); s.conf.set(checkConf, "true"); s.conf.set(wmConf, "min")
+    }
+  }
+
   test("streaming dedupe drops at-least-once re-deliveries") {
     val s = spark
     import s.implicits._
