@@ -293,6 +293,53 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming as-of drops purchases with no view at-or-before them (same as batch)") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[Event](s)
+    val q = EventStream.asof(input.toDS())
+      .writeStream.format("memory").queryName("asofnone").outputMode("append").start()
+    try {
+      // purchase BEFORE any view; a later view must not match it
+      input.addData(
+        Event(1, ts(0), 10, "purchase", 5.0),
+        Event(2, ts(60), 10, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(-1, ts(100000), -1, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(-2, ts(200000), -2, "view", 0.0))
+      q.processAllAvailable()
+      assert(s.sql("SELECT * FROM asofnone WHERE user_id >= 0").count() == 0)
+    } finally q.stop()
+  }
+
+  test("streaming retention marks: isolated and consecutive days seal with correct retained flags") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[Event](s)
+    val dayMs = 24L * 3600 * 1000
+    def dts(day: Int, sec: Long) = new Timestamp(1704067200000L + day * dayMs + sec * 1000)
+    val q = EventStream.retentionMarks(input.toDF()).toDF()
+      .writeStream.format("memory").queryName("marksedge").outputMode("append").start()
+    try {
+      // user 10: days {0, 1, 3} → retained(0)=true, retained(1)=false,
+      // retained(3)=false; day 2 absent entirely
+      input.addData(
+        Event(1, dts(0, 10), 10, "view", 0.0),
+        Event(2, dts(1, 20), 10, "view", 0.0),
+        Event(3, dts(3, 30), 10, "view", 0.0))
+      q.processAllAvailable()
+      (1 to 2).foreach { i =>
+        input.addData(Event(-i, dts(10 + i * 3, 0), -i, "view", 0.0))
+        q.processAllAvailable()
+      }
+      val marks = s.sql(
+        "SELECT day, retained FROM marksedge WHERE user_id = 10 ORDER BY day")
+        .collect().map(r => (r.getTimestamp(0).getTime - 1704067200000L) / dayMs -> r.getBoolean(1))
+      assert(marks.toSeq == Seq(0L -> true, 1L -> false, 3L -> false), marks.mkString(","))
+    } finally q.stop()
+  }
+
   test("streaming dedupe drops at-least-once re-deliveries") {
     val s = spark
     import s.implicits._
