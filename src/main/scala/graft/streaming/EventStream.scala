@@ -31,6 +31,10 @@ case class RetentionMark(user_id: Long, day: Timestamp, sealed_at: Timestamp,
   * as epoch-day numbers. */
 private case class RetentionState(days: List[Long])
 
+/** A user's current funnel stage flags (monotone — flags only turn on). */
+case class FunnelFlags(user_id: Long, saw_view: Boolean, saw_click: Boolean,
+                       saw_purchase: Boolean)
+
 /** Per-user as-of state: retained views and watermark-pending purchases,
   * both as (eventTimeUs, eventId). */
 private case class AsofState(views: List[(Long, Long)], pending: List[(Long, Long)])
@@ -274,6 +278,34 @@ object EventStream {
       .agg(count(lit(1)).as("active"),
         count(when(col("retained"), 1)).as("retained"))
       .select(col("day"), col("active"), col("retained"))
+
+  /** Streaming funnel stage machine — the incremental twin of
+    * [[graft.operators.Events.funnel]]'s per-user flags. Keyed state
+    * holds each user's monotone (view, click, purchase) flags and emits
+    * the updated flags whenever they change (Update mode: funnel
+    * membership is an all-time property, so there is no event-time seal
+    * — the current counts are always revisable, exactly like the batch
+    * query re-run on a growing table). State is three booleans per user;
+    * the funnel counts are a stateless rollup of the latest flags
+    * (`step_click` counts v∧c, etc.), verified replay-equal to batch in
+    * EventStreamSpec. */
+  def funnelFlags(events: Dataset[Event]): Dataset[FunnelFlags] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelFlags, FunnelFlags](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelFlags]) =>
+          var f = state.getOption.getOrElse(FunnelFlags(userId, false, false, false))
+          for (e <- batch) e.event_type match {
+            case "view"     => f = f.copy(saw_view = true)
+            case "click"    => f = f.copy(saw_click = true)
+            case "purchase" => f = f.copy(saw_purchase = true)
+            case _          => ()
+          }
+          state.update(f)
+          f
+      }
+  }
 
   /** Streaming exact deduplication: drop re-delivered events by
     * event_id — the streaming face of the dedup family for

@@ -340,6 +340,35 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel flags replaying the whole events table converge to the batch funnel") {
+    val s = spark
+    import s.implicits._
+    val batchDf = Tables.events(spark, sf)
+    val evs = batchDf
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq.sortBy(_.ts.getTime)
+    val input = MemoryStream[Event](s)
+    val q = EventStream.funnelFlags(input.toDS())
+      .writeStream.format("memory").queryName("funstream").outputMode("update").start()
+    try {
+      evs.grouped(evs.size / 3 + 1).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      // latest flags per user = OR over emissions (flags are monotone)
+      val counts = s.sql(
+        """SELECT count(CASE WHEN v THEN 1 END) AS step_view,
+          |  count(CASE WHEN v AND c THEN 1 END) AS step_click,
+          |  count(CASE WHEN v AND c AND p THEN 1 END) AS step_purchase
+          |FROM (SELECT user_id, max(saw_view) v, max(saw_click) c,
+          |        max(saw_purchase) p
+          |      FROM funstream GROUP BY user_id)""".stripMargin)
+        .collect()(0)
+      val b = graft.operators.Events.funnel(batchDf).collect()(0)
+      assert((counts.getLong(0), counts.getLong(1), counts.getLong(2)) ==
+        (b.getLong(0), b.getLong(1), b.getLong(2)))
+    } finally q.stop()
+  }
+
   test("streaming dedupe drops at-least-once re-deliveries") {
     val s = spark
     import s.implicits._
