@@ -102,10 +102,11 @@ object WordCount {
     * own ScalaTest coverage. Shares the `wc_chunked` oracle — file
     * round-trip plus chunk-boundary semantics in one hash-match. */
   def filesWordCount(s: SparkSession, d: String): DataFrame = {
-    val dir = graft.sources.Fixtures.dir("wc_files", d)
-    graft.Tables.documents(s, d)
-      .select(concat_ws("\t", col("doc_id"), col("text")))
-      .write.mode("overwrite").text(dir)
+    val dir = graft.sources.Fixtures.dirFor("wc_files", d, "documents")
+    if (!graft.sources.Fixtures.ready(dir))
+      graft.Tables.documents(s, d)
+        .select(concat_ws("\t", col("doc_id"), col("text")))
+        .write.mode("overwrite").text(dir)
     val parsed = graft.sources.Sources.textLines(s, dir)
       .select(substring_index(col("line"), "\t", 1).cast("long").as("doc_id"),
         // substring AFTER the first tab — robust even if a text ever

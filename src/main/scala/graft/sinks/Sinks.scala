@@ -64,9 +64,9 @@ object Sinks {
     * in-memory catalog). */
   def bucketedFactTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     def ensure(src: DataFrame, name: String, bucketCol: String): DataFrame = {
-      val path = graft.sources.Fixtures.dir(s"bkt${JoinBuckets}_$name", d)
+      val path = graft.sources.Fixtures.dirFor(s"bkt${JoinBuckets}_$name", d, name)
       val table = s"graft_bkt_${name}_${graft.functions.Md5Hash.hex(d).take(8)}"
-      if (new java.io.File(s"$path/_SUCCESS").exists()) {
+      if (graft.sources.Fixtures.ready(path)) {
         val cols = src.schema.fields
           .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
         s.sql(s"""CREATE TABLE IF NOT EXISTS $table ($cols) USING parquet
