@@ -17,7 +17,8 @@ object SparkEntry {
     WordCount.queries ++ Relational.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Events.queries ++
       Multimodal.queries ++ TrainingPipeline.queries ++ Skew.queries ++
-      RuntimeFilters.queries ++ graft.sinks.Sinks.queries
+      RuntimeFilters.queries ++ graft.sinks.Sinks.queries ++
+      graft.sources.Sources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
     WordCount.oracleAll ++ Relational.oracle ++ TextAnalysis.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ Events.oracle ++
       Multimodal.oracle ++ TrainingPipeline.oracle ++ Skew.oracle ++
-      RuntimeFilters.oracle ++ graft.sinks.Sinks.oracle
+      RuntimeFilters.oracle ++ graft.sinks.Sinks.oracle ++
+      graft.sources.Sources.oracle
 }

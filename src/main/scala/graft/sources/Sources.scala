@@ -48,6 +48,61 @@ object Sources {
   def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Schema for the (doc_id, lang, text) round-trip fixtures. */
+  private val DocSchema = StructType.fromDDL("doc_id BIGINT, lang STRING, text STRING")
+
+  /** Per-language text-integrity summary used by the CSV/JSONL gate
+    * keys: doc count, exact char total, and a content hash summed over
+    * every document — a single flipped byte anywhere in any text
+    * changes `sum_h`, so a hash-match proves the reader configuration
+    * round-trips the corpus byte-exactly (quoting, escaping, encoding,
+    * null handling). */
+  private def integrity(docs: DataFrame): DataFrame =
+    docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("sum_chars"),
+        sum(graft.operators.Dedup.h32(lit("rt"), col("text"))).as("sum_h"))
+      .orderBy("lang")
+
+  /** Driver-gated CSV read path (`src_csv`): corpus staged as header CSV
+    * (quote-all on write so delimiter/quote-bearing text stays exact),
+    * read back with the EXPLICIT schema, integrity-summarized against
+    * the parquet oracle. */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = Fixtures.dirFor("src_csv", d, "documents")
+    if (!Fixtures.ready(dir))
+      graft.Tables.documents(s, d).select("doc_id", "lang", "text")
+        .write.option("header", "true").option("quoteAll", "true").csv(dir)
+    integrity(csv(s, dir, DocSchema))
+  }
+
+  /** Driver-gated JSONL read path (`src_jsonl`): same integrity contract
+    * through the JSON-lines writer/reader pair. */
+  def jsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = Fixtures.dirFor("src_jsonl", d, "documents")
+    if (!Fixtures.ready(dir))
+      graft.Tables.documents(s, d).select("doc_id", "lang", "text")
+        .write.json(dir)
+    integrity(jsonl(s, dir, DocSchema))
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+  val queries: Map[String, Q] = Map(
+    "src_csv"   -> ((s, d) => csvRoundtrip(s, d)),
+    "src_jsonl" -> ((s, d) => jsonlRoundtrip(s, d)),
+  )
+
+  private val integritySql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(('0x' || substr(md5('rt:' || text), 1, 8))::BIGINT) AS BIGINT) AS sum_h
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "src_csv"   -> integritySql,
+    "src_jsonl" -> integritySql,
+  )
+
   /** Fixed-size chunking of a (doc_id, text) corpus — the reference's
     * chunkization (`core/utils.go:320-343`) as a per-row transform:
     * doc i yields ceil(len/chunkSize) chunks, (doc_id, chunk_no, chunk).
