@@ -36,4 +36,23 @@ object Sketches {
       .agg(count(lit(1)).as("n_docs"), q(0.5, "p50"), q(0.9, "p90"), q(0.99, "p99"))
       .orderBy("lang")
   }
+
+  /** MERGEABLE sketches, made explicit: per-(lang, source) HLL sketch
+    * BYTES (Datasketches HllSketch, `hll_sketch_agg`), then a second
+    * aggregation that UNIONS the serialized sketches up to per-language
+    * estimates — the two-phase shape a 100 TB deployment runs (build
+    * sketches per partition/day/shard, persist the bytes, merge on
+    * demand; distinct values never travel). `approx_count_distinct`
+    * hides the same mergeability inside one operator; this surfaces the
+    * sketch as DATA so pre-aggregation across jobs/days composes. */
+  def distinctTokenSketches(docs: DataFrame): DataFrame =
+    WordCount.tokens(docs, col("lang"), col("source"))
+      .groupBy("lang", "source")
+      .agg(hll_sketch_agg(col("word")).as("sketch"))
+
+  /** Merge phase: union stored sketch bytes per language, estimate. */
+  def mergeDistinctSketches(sketches: DataFrame): DataFrame =
+    sketches.groupBy("lang")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("n_distinct_approx"))
+      .orderBy("lang")
 }

@@ -105,6 +105,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(p) <= 2, s"expected only agg+sort exchanges, got:\n$p")
   }
 
+  test("AQE splits a skewed join partition at runtime (isSkew in the final plan)") {
+    // one hot key carrying ~all rows: the shape salting (q20_salted)
+    // handles manually, here handled by AQE's runtime skew-join split.
+    // Thresholds lowered so test-scale data crosses them; at real scale
+    // the defaults (256 MB partition, 5× median) fire on genuine skew.
+    val s = spark
+    import s.implicits._
+    val c = s.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    ).map(k => k -> c.get(k)).toMap
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      // NOTE: no aggregation above the join — a downstream operator that
+      // reuses the join's hash partitioning forbids the skew split (AQE
+      // would have to re-shuffle); payload is low-compressibility so the
+      // hot partition's shuffle bytes cross the lowered threshold
+      val hot = (1L to 50000L)
+        .map(i => (if (i % 100 == 0) i % 997 else 7L, s"payload-$i-${i * 2654435761L}"))
+        .toDF("k", "payload")
+      val dim = (1L to 1000L).map(i => (i, s"d$i")).toDF("k", "attr")
+      val joined = hot.join(dim, "k")
+      joined.queryExecution.executedPlan.execute().count()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isSkew=true") || finalPlan.contains("skew=true"),
+        s"expected a runtime skew split in the final adaptive plan:\n$finalPlan")
+    } finally saved.foreach { case (k, v) => c.set(k, v) }
+  }
+
   test("iterative operators leave no storage behind after releaseAll") {
     // the caller-must-clear contract's other half: after a composed
     // pipeline run, one releaseAll returns the session to zero cached

@@ -19,6 +19,23 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("two-phase sketch-merge (hll_sketch_agg bytes → hll_union_agg) matches exact within 5%") {
+    val exact = WordCount.distinctPerLang(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // phase 1 materialized as plain bytes — what a 100 TB run persists
+    // per shard/day; phase 2 merges WITHOUT touching the raw tokens
+    val sketches = Sketches.distinctTokenSketches(docs)
+    assert(sketches.schema("sketch").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val merged = Sketches.mergeDistinctSketches(sketches).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.keySet == exact.keySet)
+    for ((lang, a) <- merged) {
+      val e = exact(lang)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"$lang: merged $a vs exact $e")
+    }
+  }
+
   test("approx percentiles within one neighbor of the exact rank selection") {
     val exact = TextAnalysis.lengthPercentiles(docs).collect()
       .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
