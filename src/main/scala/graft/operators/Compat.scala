@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Cross-engine exact-arithmetic helpers shared by the operator modules
   * (oracle discipline: SURVEY §4). */
-private[operators] object Compat {
+private[graft] object Compat {
 
   /** Exact, order-independent sum of a double expression; emits DOUBLE. */
   def xsum(c: Column): Column =

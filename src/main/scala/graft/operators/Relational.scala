@@ -28,19 +28,9 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Relational {
 
-  /** Exact, order-independent sum of a double expression: per-row double →
-    * DECIMAL(28,10) (exact, commutative) → DECIMAL(28,2) → DOUBLE at emit.
-    * The scale-2 hop matters: DuckDB's decimal→double cast is not correctly
-    * rounded at scale 10 (int128/1e10 in FP), but is exact at scale 2. */
-  private[graft] def xsum(c: Column): Column =
-    sum(c.cast(DecimalType(28, 10))).cast(DecimalType(28, 2)).cast(DoubleType)
+  // exact cross-engine sums (oracle discipline §4) — see Compat
+  import Compat.{osum, xsum}
   private val ONE = lit(1.0)
-
-  // Name of the xsum pattern on the DuckDB side. ROUND (HALF_UP, matching
-  // Spark's decimal cast) rather than a decimal down-cast, which truncates
-  // in DuckDB.
-  private[graft] def osum(e: String): String =
-    s"CAST(ROUND(SUM(CAST($e AS DECIMAL(28,10))), 2) AS DOUBLE)"
 
   type Q = (SparkSession, String) => DataFrame
 

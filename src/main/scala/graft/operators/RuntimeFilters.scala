@@ -57,7 +57,7 @@ object RuntimeFilters {
     fact.join(broadcast(dim), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
       .agg(count(lit(1)).as("n_custs"),
-        Relational.xsum(col("c_acctbal")).as("total_acctbal"))
+        Compat.xsum(col("c_acctbal")).as("total_acctbal"))
       .orderBy("n_name")
   }
 
@@ -69,7 +69,7 @@ object RuntimeFilters {
   val oracle: Map[String, String] = Map(
     "q25_dpp" ->
       s"""SELECT n_name, count(*) AS n_custs,
-         |  ${Relational.osum("c_acctbal")} AS total_acctbal
+         |  ${Compat.osum("c_acctbal")} AS total_acctbal
          |FROM customer
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey

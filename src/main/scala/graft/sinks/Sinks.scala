@@ -94,7 +94,7 @@ object Sinks {
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
-        graft.operators.Relational.xsum(col("l_extendedprice")).as("total_price"))
+        graft.operators.Compat.xsum(col("l_extendedprice")).as("total_price"))
       .orderBy("o_orderpriority")
   }
 
@@ -106,7 +106,7 @@ object Sinks {
   val oracle: Map[String, String] = Map(
     "q26_bucketed" ->
       s"""SELECT o_orderpriority, count(*) AS n_items,
-         |  ${graft.operators.Relational.osum("l_extendedprice")} AS total_price
+         |  ${graft.operators.Compat.osum("l_extendedprice")} AS total_price
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
