@@ -250,14 +250,23 @@ object Relational {
       .agg((xsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
   }
 
-  /** Aggregate + HAVING on fact + top-N — TPC-H Q18 shape. */
+  /** Aggregate + HAVING on fact + top-N — TPC-H Q18 shape. The quantity
+    * aggregate runs over lineitem ALONE, keyed by order, with the HAVING
+    * applied before any join: orders/customer join 1:1 per order, so the
+    * per-order sum is identical — but the agg exchange carries
+    * (orderkey, qty) instead of the fully-joined fact, and only the few
+    * qualifying orders reach the joins at all. (The join-first form
+    * grouped the joined fact on five columns — fine at gate scale,
+    * needless fact-width shuffle at 100 TB.) */
   def q18TopNAgg: Q = (s, d) => {
-    Tables.customer(s, d)
-      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
-      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val big = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
       .agg(xsum(col("l_quantity")).as("sum_qty"))
       .where(col("sum_qty") > 180.0)
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+      .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(100)
   }
