@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Harness plumbing guards: the bench delta tracker must read BOTH the
+  * raw one-line bench format and the driver's round files (which embed
+  * the bench line escaped inside a "tail" log capture). */
+class HarnessSpec extends AnyFunSuite {
+
+  test("previousBench parses raw bench lines and picks the highest round") {
+    val dir = Files.createTempDirectory("graft-bench").toFile
+    def write(name: String, text: String): Unit =
+      Files.write(new java.io.File(dir, name).toPath,
+        text.getBytes(StandardCharsets.UTF_8))
+    write("BENCH_r01.json",
+      """{"metric":"total","value":3.0,"queries":{"q1":1.0,"q2":2.0},"errors":{}}""")
+    write("BENCH_r02.json",
+      """{"metric":"total","value":2.5,"queries":{"q1":0.5,"q2":2.0},"errors":{}}""")
+    val Some((name, m)) = Bench.previousBench(dir.getPath)
+    assert(name == "BENCH_r02.json")
+    assert(m == Map("q1" -> 0.5, "q2" -> 2.0))
+  }
+
+  test("previousBench parses the driver's escaped-tail wrapping") {
+    val dir = Files.createTempDirectory("graft-bench").toFile
+    val tail = """[info] {\"metric\":\"total\",\"value\":1.2,\"queries\":{\"q1\":1.2},\"errors\":{}}"""
+    Files.write(new java.io.File(dir, "BENCH_r07.json").toPath,
+      s"""{"n": 2, "rc": 0, "tail": "$tail", "parsed": null}"""
+        .getBytes(StandardCharsets.UTF_8))
+    val Some((name, m)) = Bench.previousBench(dir.getPath)
+    assert(name == "BENCH_r07.json")
+    assert(m == Map("q1" -> 1.2))
+  }
+
+  test("previousBench returns None when no bench files exist") {
+    val dir = Files.createTempDirectory("graft-bench-empty").toFile
+    assert(Bench.previousBench(dir.getPath).isEmpty)
+  }
+}
