@@ -35,28 +35,55 @@ object TextAnalysis {
   private def markerCount(ws: Column, markers: Seq[String]): Column =
     size(filter(ws, w => w.isInCollection(markers)))
 
+  /** The predicted language as ONE column expression over `text` —
+    * argmax marker-hit count with fixed en>de>es>fr>zh tie precedence
+    * (fold-right: the first branch equalling the max wins, matching the
+    * oracle's CASE chain), 'und' when nothing matches. Repeated
+    * sub-expressions (the split, each marker count) are deduplicated by
+    * whole-stage codegen's common-subexpression elimination. */
+  def langPredCol: Column = {
+    val ws = wordsCol
+    val counts = Markers.map { case (_, m) => markerCount(ws, m) }
+    val best = counts.reduce(greatest(_, _))
+    Markers.zip(counts).foldRight(lit("und")) { case (((l, _), c), elseC) =>
+      when(c === best && best > 0, lit(l)).otherwise(elseC)
+    }
+  }
+
+  /** Row-local language-agreement flag: predicted language equals the
+    * `lang` label. Lets pipelines filter in the SAME scan that reads the
+    * text instead of semi-joining against [[langId]]'s metric table. */
+  def langAgreeCol: Column = col("lang") === langPredCol
+
   /** Heuristic language ID: argmax marker-hit count, fixed precedence
     * en>de>es>fr>zh on ties, 'und' when nothing matches. */
-  def langId(docs: DataFrame): DataFrame = {
-    val ws = wordsCol
-    val scored = docs.select(
-      col("doc_id") +: col("lang") +:
-        Markers.map { case (l, m) => markerCount(ws, m).cast("long").as(s"n_$l") }: _*)
-    val best = Markers.map(m => col(s"n_${m._1}")).reduce(greatest(_, _))
-    val pred = Markers.foldRight(lit("und")) { case ((l, _), elseC) =>
-      when(col(s"n_$l") === best && best > 0, lit(l)).otherwise(elseC)
-    }
-    // fold-right gives en>de>es>fr>zh precedence: the first branch that
-    // equals the max wins, matching the oracle's CASE chain.
-    scored.select(col("doc_id"), pred.as("pred_lang"), col("lang"),
-        (col("lang") === pred).cast("long").as("agree"))
+  def langId(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), langPredCol.as("pred_lang"), col("lang"),
+        langAgreeCol.cast("long").as("agree"))
       .orderBy("doc_id")
+
+  private val QualityStop = Seq("the", "a", "of", "and", "to", "in")
+
+  /** The linear quality score as ONE column expression over `text` —
+    * identical arithmetic to [[quality]]'s staged form (spec-asserted),
+    * for pipelines that filter inline in the reading scan. */
+  def qualityScoreCol: Column = {
+    val ws = wordsCol
+    val nTok = nullif(size(ws).cast("long"), lit(0L))
+    val meanWlen =
+      aggregate(transform(ws, w => length(w).cast("long")), lit(0L), _ + _)
+        .cast("double") / nTok
+    val stopRatio =
+      size(filter(ws, w => w.isInCollection(QualityStop))).cast("double") / nTok
+    val distinctRatio = size(array_distinct(ws)).cast("double") / nTok
+    distinctRatio * 0.5 + (lit(1.0) - stopRatio) * 0.3 +
+      least(meanWlen / 10.0, lit(1.0)) * 0.2
   }
 
   /** Quality signals: token count, mean word length, stopword ratio,
     * distinct ratio — all exact-integer-derived doubles. */
   def quality(docs: DataFrame): DataFrame = {
-    val stop = Seq("the", "a", "of", "and", "to", "in")
+    val stop = QualityStop
     val ws = wordsCol
     docs.select(
         col("doc_id"),

@@ -10,17 +10,18 @@ import org.apache.spark.sql.functions._
   *   input → language-confidence filter → quality filter →
   *   exact dedup → near-duplicate (MinHash cluster) dedup
   *
-  * Per-row filters (lang, quality) are semi-joins against per-doc metric
-  * tables; set-dependent stages (content-hash dedup, clustering) run over
-  * the SURVIVORS of the previous stage, exactly as production pipelines
+  * Per-row filters (lang, quality) are evaluated INLINE in the scan that
+  * reads the text (both flags in one projection — no metric-table joins);
+  * set-dependent stages (content-hash dedup, clustering) run over the
+  * SURVIVORS of the previous stage, exactly as production pipelines
   * order them (cheap row-local filters first, the expensive pairwise
   * stage last, over the smallest corpus). `pipe_summary` emits per-stage
   * surviving counts — the whole composition is DuckDB-mirrored, so the
   * correctness gate checks the five-stage pipeline end to end.
   *
-  * Scale: stages 1–2 are map-only semi-joins with broadcastable id sets;
-  * stage 3 is one md5 shuffle; stage 4 inherits the bounded LSH-band
-  * topology of [[Dedup.minhashClusters]].
+  * Scale: stages 1–2 are zero-shuffle row-local filters; stage 3 is one
+  * md5 shuffle; stage 4 inherits the bounded LSH-band topology of
+  * [[Dedup.minhashClustersLS]].
   */
 object TrainingPipeline {
 
@@ -40,11 +41,21 @@ object TrainingPipeline {
     * [[graft.Cleanup.releaseAll]], which Verify/Bench use between
     * queries). */
   def stages(docs: DataFrame): Seq[(String, DataFrame)] = {
-    val okLang = TextAnalysis.langId(docs).where(col("agree") === 1).select("doc_id")
-    val okQual = TextAnalysis.quality(docs)
-      .where(col("quality") >= QualityMin).select("doc_id")
-    val s1 = docs.join(okLang, "doc_id")
-    val s2 = s1.join(okQual, "doc_id").persist()
+    // stages 1-2 are ROW-LOCAL predicates, so both flags are computed in
+    // the same scan that reads the text — zero joins, zero shuffles (the
+    // earlier semi-join-per-filter form derived a metric table per
+    // filter and joined each back; at 100 TB that is two fact-wide
+    // shuffles for predicates the scan can evaluate in place). s1 is
+    // consumed once (its survivor count), so it stays an unpersisted
+    // map-only plan; s2 feeds every later stage and is the frame worth
+    // caching.
+    val flagged = docs
+      .withColumn("g_lang_ok", TextAnalysis.langAgreeCol)
+      .withColumn("g_qual_ok", TextAnalysis.qualityScoreCol >= QualityMin)
+    val docCols = docs.columns.map(col).toSeq
+    val s1 = flagged.where(col("g_lang_ok")).select(docCols: _*)
+    val s2 = flagged.where(col("g_lang_ok") && col("g_qual_ok"))
+      .select(docCols: _*).persist()
     val s3 = s2.join(
       Dedup.exact(s2).where(col("doc_id") === col("keep_id")).select("doc_id"), "doc_id")
       .persist()

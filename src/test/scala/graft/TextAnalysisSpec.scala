@@ -5,6 +5,19 @@ import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("inline flag columns agree exactly with the staged langId/quality frames") {
+    val docs = Tables.documents(spark, sf)
+    val inline = docs.select(col("doc_id"),
+        operators.TextAnalysis.langAgreeCol.cast("long").as("agree_i"),
+        operators.TextAnalysis.qualityScoreCol.as("quality_i"))
+    val staged = operators.TextAnalysis.langId(docs).select("doc_id", "agree")
+      .join(operators.TextAnalysis.quality(docs).select("doc_id", "quality"), "doc_id")
+    val joined = inline.join(staged, "doc_id")
+    assert(joined.where(col("agree_i") =!= col("agree")).count() == 0)
+    // exact same double arithmetic, not approximate agreement
+    assert(joined.where(col("quality_i") =!= col("quality")).count() == 0)
+  }
+
   private def docs = Tables.documents(spark, sf)
 
   test("langid: one row per doc, pred in known set") {
