@@ -106,8 +106,10 @@ object Bench {
       case Some((_, pm)) =>
         results.flatMap { case (k, now) =>
           pm.get(k).map { p =>
-            val ratio = if (p > 0) now / p else -1.0
-            s"${jstr(k)}:{${jstr("prev")}:$p,${jstr("now")}:$now,${jstr("ratio")}:${f"$ratio%.3f"}}"
+            // Double.toString is locale-independent (an f"%.3f" is not —
+            // a comma-decimal locale would emit invalid JSON)
+            val ratio = if (p > 0) math.round(now / p * 1000.0) / 1000.0 else -1.0
+            s"${jstr(k)}:{${jstr("prev")}:$p,${jstr("now")}:$now,${jstr("ratio")}:$ratio}"
           }
         }.mkString("{", ",", "}")
     }

@@ -244,8 +244,15 @@ object EventStream {
           if (open.isEmpty) state.remove()
           else {
             state.update(RetentionState(open))
-            // wake when the oldest open day's successor completes
-            state.setTimeoutTimestamp((open.min + 2) * DayMs)
+            // wake when the oldest open day's successor completes. The
+            // -1 ms matters: timeouts fire on wm > ts but sealing tests
+            // wm ≥ boundary — at wm EXACTLY the boundary a data-silent
+            // user would otherwise seal one batch later than data-active
+            // ones, splitting that day across two sealed_at values (and
+            // two output rows). Clamped above the current watermark,
+            // which setTimeoutTimestamp requires.
+            state.setTimeoutTimestamp(
+              math.max((open.min + 2) * DayMs - 1, wmMs + 1))
           }
           out.iterator
       }
