@@ -31,12 +31,6 @@ object Bench {
     * scale, so errors always worsen the total. */
   val ErrorPenaltySec = 999.0
 
-  /** Full inter-query state reset — see [[Cleanup.releaseAll]] for why
-    * clearCache alone is not enough (checkpoint blocks accumulated
-    * across the suite and skewed later queries: dedup_combined measured
-    * 34.8 s in-suite vs 6.7 s standalone before this fix). */
-  private[graft] def deepClean(spark: SparkSession): Unit =
-    Cleanup.releaseAll(spark)
 
   /** (fileName, name→sec) of the highest-numbered BENCH_r*.json in `dir`,
     * if any. Minimal one-line-JSON field scrape — the bench files are
@@ -84,7 +78,10 @@ object Bench {
     // steady-state estimate and stays honest (errors still recorded)
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
-        deepClean(spark)
+        // full state reset: clearCache alone leaves localCheckpoint
+        // blocks resident (dedup_combined measured 34.8 s in-suite vs
+        // 6.7 s standalone before this)
+        Cleanup.releaseAll(spark)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch {

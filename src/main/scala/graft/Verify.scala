@@ -17,9 +17,9 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       // full state reset per query: clearCache + unpersist checkpoint
-      // RDDs + GC hint (see Bench.deepClean — catalog.clearCache alone
-      // leaves localCheckpoint blocks accumulating across the suite)
-      Bench.deepClean(spark)
+      // RDDs + GC hint (catalog.clearCache alone leaves localCheckpoint
+      // blocks accumulating across the suite)
+      Cleanup.releaseAll(spark)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -103,10 +103,14 @@ object WordCount {
     * round-trip plus chunk-boundary semantics in one hash-match. */
   def filesWordCount(s: SparkSession, d: String): DataFrame = {
     val dir = graft.sources.Fixtures.dirFor("wc_files", d, "documents")
-    if (!graft.sources.Fixtures.ready(dir))
-      graft.Tables.documents(s, d)
-        .select(concat_ws("\t", col("doc_id"), col("text")))
+    if (!graft.sources.Fixtures.ready(dir)) {
+      val docs = graft.Tables.documents(s, d)
+      // one line per doc: a text containing \n would split into extra
+      // lines and chunk at different offsets than the oracle — fail loud
+      graft.sources.Fixtures.requireLineSafe(docs, "wc_files")
+      docs.select(concat_ws("\t", col("doc_id"), col("text")))
         .write.mode("overwrite").text(dir)
+    }
     val parsed = graft.sources.Sources.textLines(s, dir)
       .select(substring_index(col("line"), "\t", 1).cast("long").as("doc_id"),
         // substring AFTER the first tab — robust even if a text ever

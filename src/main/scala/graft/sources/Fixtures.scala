@@ -11,21 +11,28 @@ package graft.sources
   * automatically. Writes are small (document/customer-sized, never
   * fact-scan-sized) and deterministic. */
 object Fixtures {
-  def dir(kind: String, sfDir: String): String = key(kind, sfDir)
-
-  /** Fixture dir whose identity also tracks the source table's file
-    * stamp — use for reusable layouts derived from `table.parquet`. */
+  /** Fixture dir whose identity tracks the source table's file stamp —
+    * reusable layouts derived from `table.parquet` invalidate
+    * automatically when the test data regenerates. */
   def dirFor(kind: String, sfDir: String, table: String): String = {
     val f = new java.io.File(s"$sfDir/$table.parquet")
-    key(kind, s"$sfDir|${f.lastModified}|${f.length}")
+    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val ident = s"$sfDir|${f.lastModified}|${f.length}"
+    s"$base/graft_fixture_${kind}_${graft.functions.Md5Hash.hex(ident).take(8)}"
   }
 
   /** True if `path` holds a completed write (reuse it instead of
     * rewriting). */
   def ready(path: String): Boolean = new java.io.File(s"$path/_SUCCESS").exists()
 
-  private def key(kind: String, ident: String): String = {
-    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp")
-    s"$base/graft_fixture_${kind}_${graft.functions.Md5Hash.hex(ident).take(8)}"
+  /** Fail-loud precondition for fixtures whose on-disk layout is
+    * line-oriented (raw text lines, non-multiLine CSV, JSON lines): a
+    * document containing a line break would silently split into multiple
+    * records and the gate's hash compare would chase a phantom reader
+    * bug. One cheap action, paid only when a fixture is (re)written. */
+  def requireLineSafe(docs: org.apache.spark.sql.DataFrame, what: String): Unit = {
+    val bad = docs.where(org.apache.spark.sql.functions.col("text").rlike("[\\n\\r]")).count()
+    require(bad == 0,
+      s"$what fixture needs newline-free text; $bad documents contain \\n or \\r")
   }
 }

@@ -70,9 +70,14 @@ object Sources {
     * the parquet oracle. */
   def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
     val dir = Fixtures.dirFor("src_csv", d, "documents")
-    if (!Fixtures.ready(dir))
-      graft.Tables.documents(s, d).select("doc_id", "lang", "text")
-        .write.option("header", "true").option("quoteAll", "true").csv(dir)
+    if (!Fixtures.ready(dir)) {
+      val docs = graft.Tables.documents(s, d).select("doc_id", "lang", "text")
+      // the reader under test is the splittable (non-multiLine) form, so
+      // embedded line breaks would split records — refuse them loudly
+      Fixtures.requireLineSafe(docs, "src_csv")
+      docs.write.mode("overwrite")
+        .option("header", "true").option("quoteAll", "true").csv(dir)
+    }
     integrity(csv(s, dir, DocSchema))
   }
 
@@ -81,8 +86,9 @@ object Sources {
   def jsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
     val dir = Fixtures.dirFor("src_jsonl", d, "documents")
     if (!Fixtures.ready(dir))
+      // JSON escapes \n, so line breaks in text are safe here
       graft.Tables.documents(s, d).select("doc_id", "lang", "text")
-        .write.json(dir)
+        .write.mode("overwrite").json(dir)
     integrity(jsonl(s, dir, DocSchema))
   }
 

@@ -250,7 +250,10 @@ object EventStream {
             // user would otherwise seal one batch later than data-active
             // ones, splitting that day across two sealed_at values (and
             // two output rows). Clamped above the current watermark,
-            // which setTimeoutTimestamp requires.
+            // which setTimeoutTimestamp requires; the clamp leaves a
+            // residual 1 ms coincidence (wm hits boundary-1 then exactly
+            // boundary in consecutive batches) that would again split a
+            // day — EventStreamSpec's uniqueness assertion is the guard.
             state.setTimeoutTimestamp(
               math.max((open.min + 2) * DayMs - 1, wmMs + 1))
           }
