@@ -261,10 +261,13 @@ class EventStreamSpec extends SparkSpec {
     val q = EventStream.retention(input.toDF())
       .writeStream.format("memory").queryName("retstream").outputMode("append").start()
     try {
-      // ordered-chunk replay (streams arrive roughly in order); the
+      // ordered-chunk replay (streams arrive roughly in order — the
+      // watermark contract) with each chunk's CONTENTS shuffled: the
+      // intra-batch disorder the operator itself must absorb; the
       // frontier-stamped marks make chunk size immaterial for lateness
+      val rnd = new scala.util.Random(7)
       evs.grouped(evs.size / 4 + 1).foreach { chunk =>
-        input.addData(chunk); q.processAllAvailable()
+        input.addData(rnd.shuffle(chunk)); q.processAllAvailable()
       }
       // sentinels: advance the watermark so the last days seal, then
       // once more so their (sealed_at, day) groups evict
@@ -291,6 +294,39 @@ class EventStreamSpec extends SparkSpec {
     } finally {
       q.stop(); s.conf.set(checkConf, "true"); s.conf.set(wmConf, "min")
     }
+  }
+
+  test("streaming as-of converges under shuffled intra-batch order (seeded)") {
+    // time-ordered chunks whose CONTENTS arrive in random order — the
+    // disorder watermark semantics must absorb (between-batch order is
+    // the watermark contract; within-batch order is the operator's job)
+    val s = spark
+    import s.implicits._
+    val batchDf = Tables.events(spark, sf)
+    val evs = batchDf
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq.sortBy(_.ts.getTime)
+    val maxTs = evs.map(_.ts.getTime).max
+    val rnd = new scala.util.Random(42)
+    val input = MemoryStream[Event](s)
+    val q = EventStream.asof(input.toDS())
+      .writeStream.format("memory").queryName("asofshuf").outputMode("append").start()
+    try {
+      evs.grouped(evs.size / 5 + 1).foreach { chunk =>
+        input.addData(rnd.shuffle(chunk)); q.processAllAvailable()
+      }
+      (1 to 2).foreach { i =>
+        input.addData(Event(-i, new Timestamp(maxTs + i * 10L * 3600 * 1000), -i, "view", 0.0))
+        q.processAllAvailable()
+      }
+      def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val streamed = s.sql(
+        "SELECT user_id, purchase_id, view_id FROM asofshuf WHERE user_id >= 0")
+        .collect().map(key).toSet
+      val batch = graft.operators.Events.asofAttribution(batchDf).collect().map(key).toSet
+      assert(streamed == batch,
+        s"diff: +${(streamed -- batch).take(3)} -${(batch -- streamed).take(3)}")
+    } finally q.stop()
   }
 
   test("streaming as-of drops purchases with no view at-or-before them (same as batch)") {
