@@ -10,11 +10,19 @@ import org.scalatest.funsuite.AnyFunSuite
   * the bench line escaped inside a "tail" log capture). */
 class HarnessSpec extends AnyFunSuite {
 
+  private def tempDir(prefix: String): java.io.File = {
+    val d = Files.createTempDirectory(prefix).toFile
+    d.deleteOnExit()
+    d
+  }
+
   test("previousBench parses raw bench lines and picks the highest round") {
-    val dir = Files.createTempDirectory("graft-bench").toFile
-    def write(name: String, text: String): Unit =
-      Files.write(new java.io.File(dir, name).toPath,
-        text.getBytes(StandardCharsets.UTF_8))
+    val dir = tempDir("graft-bench")
+    def write(name: String, text: String): Unit = {
+      val f = new java.io.File(dir, name)
+      f.deleteOnExit()
+      Files.write(f.toPath, text.getBytes(StandardCharsets.UTF_8))
+    }
     write("BENCH_r01.json",
       """{"metric":"total","value":3.0,"queries":{"q1":1.0,"q2":2.0},"errors":{}}""")
     write("BENCH_r02.json",
@@ -25,9 +33,11 @@ class HarnessSpec extends AnyFunSuite {
   }
 
   test("previousBench parses the driver's escaped-tail wrapping") {
-    val dir = Files.createTempDirectory("graft-bench").toFile
+    val dir = tempDir("graft-bench")
     val tail = """[info] {\"metric\":\"total\",\"value\":1.2,\"queries\":{\"q1\":1.2},\"errors\":{}}"""
-    Files.write(new java.io.File(dir, "BENCH_r07.json").toPath,
+    val f = new java.io.File(dir, "BENCH_r07.json")
+    f.deleteOnExit()
+    Files.write(f.toPath,
       s"""{"n": 2, "rc": 0, "tail": "$tail", "parsed": null}"""
         .getBytes(StandardCharsets.UTF_8))
     val Some((name, m)) = Bench.previousBench(dir.getPath)
@@ -36,7 +46,6 @@ class HarnessSpec extends AnyFunSuite {
   }
 
   test("previousBench returns None when no bench files exist") {
-    val dir = Files.createTempDirectory("graft-bench-empty").toFile
-    assert(Bench.previousBench(dir.getPath).isEmpty)
+    assert(Bench.previousBench(tempDir("graft-bench-empty").getPath).isEmpty)
   }
 }

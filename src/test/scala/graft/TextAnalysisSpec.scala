@@ -13,9 +13,11 @@ class TextAnalysisSpec extends SparkSpec {
     val staged = operators.TextAnalysis.langId(docs).select("doc_id", "agree")
       .join(operators.TextAnalysis.quality(docs).select("doc_id", "quality"), "doc_id")
     val joined = inline.join(staged, "doc_id")
-    assert(joined.where(col("agree_i") =!= col("agree")).count() == 0)
+    // null-SAFE inequality: a one-sided NULL (e.g. a dropped nullif
+    // guard on one form) must fail the test, not be filtered by it
+    assert(joined.where(!(col("agree_i") <=> col("agree"))).count() == 0)
     // exact same double arithmetic, not approximate agreement
-    assert(joined.where(col("quality_i") =!= col("quality")).count() == 0)
+    assert(joined.where(!(col("quality_i") <=> col("quality"))).count() == 0)
   }
 
   private def docs = Tables.documents(spark, sf)
