@@ -293,6 +293,32 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Quality-based cluster REPRESENTATIVES: a real corpus build keeps
+    * the best-quality member of each near-duplicate cluster, not the
+    * lowest doc_id — lowest-id selection systematically biases toward
+    * whatever happened to be ingested first. Components come from
+    * [[minhashClustersLS]] (the scale-path clustering); the quality
+    * score is [[TextAnalysis.qualityScoreCol]] evaluated inline in the
+    * scan (no metric-table join); ties break on doc_id for determinism.
+    * One window over the cluster key picks the argmax — cluster-sized
+    * partitions, never corpus-wide. */
+  def bestRepresentatives(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col("doc_id"),
+      TextAnalysis.qualityScoreCol.as("quality"))
+    // explicit NULLS LAST (a letterless doc has NULL quality): Spark and
+    // DuckDB agree on this default for DESC, but pin it on both sides
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality").desc_nulls_last, col("doc_id"))
+    minhashClustersLS(docs)
+      .join(scored, "doc_id")
+      .withColumn("best_id", first(col("doc_id")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("doc_id"), col("cluster_id"), col("best_id"),
+        (col("doc_id") === col("best_id")).cast("long").as("is_best"))
+      .orderBy("doc_id")
+  }
+
   /** MULTI-SIGNAL near-dup clusters: the union of text-level (MinHash
     * band) and embedding-level (LSH-bucketed cosine) candidate pairs,
     * clustered with [[connectedComponents]] — surface dups MinHash sees
@@ -382,6 +408,7 @@ object Dedup {
     "dedup_minhash_pairs"  -> ((s, d) => minhashPairs(Tables.documents(s, d))),
     "dedup_cluster"        -> ((s, d) => minhashClusters(Tables.documents(s, d))),
     "dedup_cluster_ls"     -> ((s, d) => minhashClustersLS(Tables.documents(s, d))),
+    "dedup_best"           -> ((s, d) => bestRepresentatives(Tables.documents(s, d))),
     "dedup_combined"       -> ((s, d) =>
       combinedClusters(Tables.documents(s, d), Tables.embeddings(s, d))),
     "dedup_simhash"        -> ((s, d) => simhash(Tables.documents(s, d))),
@@ -483,6 +510,17 @@ object Dedup {
     // same fixpoint, different algorithm — sharing the oracle makes the
     // large-star/small-star implementation machine-checked equivalent
     "dedup_cluster_ls" -> (clusterSqlFor("documents") + " ORDER BY doc_id"),
+    "dedup_best" ->
+      s"""WITH cl AS (${clusterSqlFor("documents")}),
+         |q AS (SELECT doc_id, quality FROM (${TextAnalysis.oracle("text_quality")}) tq),
+         |j AS (SELECT cl.doc_id, cl.cluster_id, q.quality
+         |      FROM cl JOIN q USING (doc_id)),
+         |b AS (SELECT cluster_id, doc_id AS best_id FROM j
+         |      QUALIFY row_number() OVER (PARTITION BY cluster_id
+         |        ORDER BY quality DESC NULLS LAST, doc_id) = 1)
+         |SELECT j.doc_id, j.cluster_id, b.best_id,
+         |  (j.doc_id = b.best_id)::BIGINT AS is_best
+         |FROM j JOIN b USING (cluster_id) ORDER BY j.doc_id""".stripMargin,
     "dedup_combined" -> (closureSqlFor("documents",
       s"${bandPairsSql("documents")} UNION ${Similarity.embedPairsSql}") +
       " ORDER BY doc_id"),

@@ -5,6 +5,21 @@ import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkSpec {
 
+  test("bestRepresentatives: one best per cluster, and it attains the cluster's max quality") {
+    val docs = Tables.documents(spark, sf)
+    val best = Dedup.bestRepresentatives(docs)
+    // exactly one is_best row per cluster, and best_id is constant in it
+    val perCluster = best.groupBy("cluster_id")
+      .agg(sum("is_best").as("n_best"), countDistinct("best_id").as("n_ids"))
+    assert(perCluster.where(col("n_best") =!= 1 || col("n_ids") =!= 1).count() == 0)
+    // the chosen doc's quality is the maximum of its cluster (ties allowed)
+    val q = operators.TextAnalysis.quality(docs).select("doc_id", "quality")
+    val withQ = best.join(q, "doc_id")
+    val mx = withQ.groupBy("cluster_id").agg(max("quality").as("mxq"))
+    val chosen = withQ.where(col("is_best") === 1).join(mx, "cluster_id")
+    assert(chosen.where(!(col("quality") <=> col("mxq"))).count() == 0)
+  }
+
   private def docs = Tables.documents(spark, sf)
 
   test("exact: keep_id is a fixed point and never exceeds doc_id") {
