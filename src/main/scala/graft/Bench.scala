@@ -52,7 +52,16 @@ object Bench {
     val pair = "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
     val m = pair.findAllMatchIn(qblock)
       .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
-    if (m.isEmpty) None else Some(latest.getName -> m)
+    if (m.nonEmpty) Some(latest.getName -> m)
+    else {
+      // the driver may FRONT-truncate the captured line, cutting the
+      // queries block; the deltas section sits at the end and survives —
+      // its "now" values ARE that round's timings, so scrape those
+      val deltaPair = "\"([^\"]+)\"\\s*:\\s*\\{\"prev\":[0-9.eE+-]+,\"now\":([0-9.eE+-]+)".r
+      val md = deltaPair.findAllMatchIn(text)
+        .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
+      if (md.isEmpty) None else Some(latest.getName -> md)
+    }
   }
 
   def main(args: Array[String]): Unit = {

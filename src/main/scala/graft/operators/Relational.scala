@@ -54,13 +54,23 @@ object Relational {
       .select("p_partkey", "p_name", "p_brand", "p_retailprice")
       .orderBy("p_partkey")
 
-  /** TPC-H Q3 shape: 3-way join + agg + top-N. */
+  /** TPC-H Q3 shape: 3-way join + agg + top-N, read from the BUCKETED
+    * fact layout (Sinks.bucketedFactTables): lineitem and orders are
+    * co-bucketed on the order key, so the fact-fact join plans ZERO
+    * exchanges on either input — the shuffle was paid once at write. The
+    * filtered customer dim broadcasts EXPLICITLY so the custkey join
+    * cannot re-partition orders and destroy its bucket partitioning; the
+    * downstream group-by keys include l_orderkey, so the aggregation
+    * inherits the join's partitioning exchange-free too, and the top-N is
+    * a TakeOrdered. Net: zero shuffle exchanges in the whole plan
+    * (asserted in PlanShapeSpec). */
   def q3Join: Q = (s, d) => {
+    val (li0, ord0) = graft.sinks.Sinks.bucketedFactTables(s, d)
     val cust = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
-    val ord  = Tables.orders(s, d).where(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
-    val li   = Tables.lineitem(s, d).where(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
-    cust.join(ord, col("c_custkey") === col("o_custkey"))
-      .join(li, col("o_orderkey") === col("l_orderkey"))
+    val ord  = ord0.where(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val li   = li0.where(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+    broadcast(cust).join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li.hint("merge"), col("o_orderkey") === col("l_orderkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(xsum(col("l_extendedprice") * (ONE - col("l_discount"))).as("revenue"))
       .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -179,10 +189,20 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
-  /** Left outer join + distribution — TPC-H Q13 shape. */
+  /** Left outer join + distribution — TPC-H Q13 shape, read from the
+    * CUSTKEY bucketed layouts: customer and orders are co-bucketed on the
+    * customer key (the orders table's second sort order — see
+    * Sinks.bucketedLayout), so the outer join plans zero exchanges on
+    * either input AND the per-customer count inherits the join's
+    * partitioning exchange-free. Only the tiny c_count redistribution
+    * (rows = distinct order counts) and the final sort shuffle. customer
+    * cannot broadcast here (left-outer builds the right side, which is
+    * the orders fact), so pre-bucketing both sides is the only
+    * shuffle-free plan — plan-asserted in PlanShapeSpec. */
   def q13OuterJoin: Q = (s, d) => {
-    Tables.customer(s, d)
-      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+    graft.sinks.Sinks.customerBucketed(s, d).hint("merge")
+      .join(graft.sinks.Sinks.ordersByCust(s, d),
+        col("c_custkey") === col("o_custkey"), "left_outer")
       .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
       .groupBy("c_count").agg(count(lit(1)).as("custdist"))
       .orderBy(col("custdist").desc, col("c_count").desc)
@@ -257,15 +277,22 @@ object Relational {
     * (orderkey, qty) instead of the fully-joined fact, and only the few
     * qualifying orders reach the joins at all. (The join-first form
     * grouped the joined fact on five columns — fine at gate scale,
-    * needless fact-width shuffle at 100 TB.) */
+    * needless fact-width shuffle at 100 TB.)
+    *
+    * r4: both facts read from the order-key BUCKETED layout — the
+    * per-order quantity aggregate runs exchange-free inside lineitem's
+    * buckets, the orders join is co-located, and customer broadcasts, so
+    * the whole query plans ZERO shuffle exchanges (TakeOrdered handles
+    * the top-N). Plan-asserted in PlanShapeSpec. */
   def q18TopNAgg: Q = (s, d) => {
-    val big = Tables.lineitem(s, d)
+    val (li, ord) = graft.sinks.Sinks.bucketedFactTables(s, d)
+    val big = li
       .groupBy("l_orderkey")
       .agg(xsum(col("l_quantity")).as("sum_qty"))
       .where(col("sum_qty") > 180.0)
-    Tables.orders(s, d)
+    ord.hint("merge")
       .join(big, col("o_orderkey") === col("l_orderkey"))
-      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.customer(s, d)), col("c_custkey") === col("o_custkey"))
       .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(100)
@@ -302,8 +329,12 @@ object Relational {
     // The semi+anti self-join form scanned lineitem three times with
     // three distinct-shuffles; here it is one grouped scan plus a window
     // over the order key — at 100 TB, one pass over the fact table
-    // instead of three.
-    val pairs = Tables.lineitem(s, d)
+    // instead of three. r4: lineitem reads from the order-key BUCKETED
+    // layout, so even that one pass plans no exchange: the (orderkey,
+    // suppkey) group-by and the orderkey window both run inside the
+    // buckets (HashPartitioning(l_orderkey) satisfies both clusterings);
+    // the only shuffle left is the tiny per-supplier count.
+    val pairs = graft.sinks.Sinks.lineitemBucketed(s, d)
       .groupBy("l_orderkey", "l_suppkey")
       .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
     val w = Window.partitionBy("l_orderkey")

@@ -57,27 +57,43 @@ object Sinks {
 
   val JoinBuckets = 8
 
-  /** Register (writing once per fixture dir) lineitem and orders as
-    * co-bucketed, in-bucket-sorted catalog tables on l_orderkey /
-    * o_orderkey. On re-runs the parquet layout is reused and only the
-    * catalog entry is re-created (each Verify/Bench session has a fresh
-    * in-memory catalog). */
-  def bucketedFactTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    def ensure(src: DataFrame, name: String, bucketCol: String): DataFrame = {
-      val path = graft.sources.Fixtures.dirFor(s"bkt${JoinBuckets}_$name", d, name)
-      val table = s"graft_bkt_${name}_${graft.functions.Md5Hash.hex(d).take(8)}"
-      if (graft.sources.Fixtures.ready(path)) {
-        val cols = src.schema.fields
-          .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-        s.sql(s"""CREATE TABLE IF NOT EXISTS $table ($cols) USING parquet
-                 |CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`)
-                 |INTO $JoinBuckets BUCKETS LOCATION '$path'""".stripMargin)
-      } else writeBucketed(src, table, path, bucketCol, JoinBuckets)
-      s.table(table)
-    }
-    (ensure(Tables.lineitem(s, d), "lineitem", "l_orderkey"),
-      ensure(Tables.orders(s, d), "orders", "o_orderkey"))
+  /** Bucketed layout of one fact table, written once per (sf dir, source
+    * stamp) and reused: the catalog entry is re-created per session (each
+    * Verify/Bench session has a fresh in-memory catalog), the parquet
+    * layout persists. This is the engine's DEFAULT fact read path for
+    * join-key-heavy queries (q3/q13/q18/q21/q26): the bucketing IS the
+    * join shuffle, paid once at write instead of per query — at 100 TB
+    * the difference between re-shuffling the fact table for every query
+    * and never. A table may carry layouts on several keys (orders on
+    * o_orderkey for order joins AND o_custkey for customer joins) — the
+    * multi-sort-order / projection technique columnar warehouses use. */
+  def bucketedLayout(s: SparkSession, d: String, name: String, bucketCol: String,
+                     src: (SparkSession, String) => DataFrame): DataFrame = {
+    val path = graft.sources.Fixtures.dirFor(s"bkt${JoinBuckets}_${name}_$bucketCol", d, name)
+    val table = s"graft_bkt_${name}_${bucketCol}_${graft.functions.Md5Hash.hex(d).take(8)}"
+    if (graft.sources.Fixtures.ready(path)) {
+      val cols = src(s, d).schema.fields
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $table ($cols) USING parquet
+               |CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`)
+               |INTO $JoinBuckets BUCKETS LOCATION '$path'""".stripMargin)
+    } else writeBucketed(src(s, d), table, path, bucketCol, JoinBuckets)
+    s.table(table)
   }
+
+  def lineitemBucketed(s: SparkSession, d: String): DataFrame =
+    bucketedLayout(s, d, "lineitem", "l_orderkey", Tables.lineitem)
+  def ordersBucketed(s: SparkSession, d: String): DataFrame =
+    bucketedLayout(s, d, "orders", "o_orderkey", Tables.orders)
+  def ordersByCust(s: SparkSession, d: String): DataFrame =
+    bucketedLayout(s, d, "orders", "o_custkey", Tables.orders)
+  def customerBucketed(s: SparkSession, d: String): DataFrame =
+    bucketedLayout(s, d, "customer", "c_custkey", Tables.customer)
+
+  /** lineitem + orders co-bucketed on the order key (the layout
+    * `q26_bucketed` gates and q3/q18/q21 read). */
+  def bucketedFactTables(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    (lineitemBucketed(s, d), ordersBucketed(s, d))
 
   /** Co-located fact-fact join (SURVEY §2.8, driver-gated): lineitem ⋈
     * orders on the shared bucket key, aggregated per priority. The

@@ -105,6 +105,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(p) <= 2, s"expected only agg+sort exchanges, got:\n$p")
   }
 
+  test("bucketed fact read path: q3/q13/q18/q21 plan zero fact-side exchanges") {
+    // The r4 default read path (Sinks.bucketedLayout): order-key-joined
+    // facts (q3/q18/q21) and custkey-joined facts (q13) read co-bucketed
+    // layouts, so every fact join and every fact-keyed aggregation runs
+    // inside the buckets — the shuffle was paid once at write time.
+    def sortMergeSubtreeHasNoExchange(p: String): Boolean = {
+      val i = p.indexOf("SortMergeJoin")
+      i >= 0 && !p.substring(i).contains("Exchange hashpartitioning")
+    }
+    // q3: broadcast dim + co-located fact SMJ + in-bucket agg + TakeOrdered
+    val p3 = plan(SparkEntry.queries("q3_join")(spark, sf))
+    assert(p3.contains("Bucketed: true"), p3)
+    assert(exchanges(p3) == 0, s"q3 should plan ZERO shuffle exchanges:\n$p3")
+    // q18: in-bucket per-order agg + co-located SMJ + broadcast customer
+    val p18 = plan(SparkEntry.queries("q18_topn_agg")(spark, sf))
+    assert(p18.contains("Bucketed: true"), p18)
+    assert(exchanges(p18) == 0, s"q18 should plan ZERO shuffle exchanges:\n$p18")
+    // q21: in-bucket (orderkey, suppkey) group + orderkey window; only the
+    // tiny per-supplier count shuffles
+    val p21 = plan(SparkEntry.queries("q21_multicorr")(spark, sf))
+    assert(p21.contains("Bucketed: true"), p21)
+    assert(exchanges(p21) <= 1, s"q21 should shuffle only the supplier count:\n$p21")
+    // q13: co-located outer SMJ + in-bucket per-customer count; only the
+    // c_count redistribution and the final sort shuffle
+    val p13 = plan(SparkEntry.queries("q13_outerjoin")(spark, sf))
+    assert(p13.contains("Bucketed: true"), p13)
+    assert(sortMergeSubtreeHasNoExchange(p13), s"q13 join inputs must be exchange-free:\n$p13")
+    assert(exchanges(p13) <= 2, s"q13 should shuffle only c_count + final sort:\n$p13")
+  }
+
   test("AQE splits a skewed join partition at runtime (isSkew in the final plan)") {
     // one hot key carrying ~all rows: the shape salting (q20_salted)
     // handles manually, here handled by AQE's runtime skew-join split.
