@@ -13,18 +13,27 @@ case class MediaMeta(width: Int, height: Int, sampleRate: Int, format: String)
 /** A media row: opaque binary content + typed metadata (SURVEY §2.7). */
 case class MediaFile(media_id: Long, kind: String, content: Array[Byte], meta: MediaMeta)
 
-/** Extracted features for one media row. */
+/** Extracted features for one media row. `width`/`height`/`lum` are READ
+  * FROM THE DECODED IMAGE for image rows (zero for other kinds);
+  * `n_bytes` is the decoded payload size (w·h·3 for RGB images, blob
+  * length otherwise). */
 case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
-                         content_hash: String, feature: Array[Float], n_frames: Int)
+                         content_hash: String, feature: Array[Float], n_frames: Int,
+                         width: Int, height: Int, lum: Long)
 
 /** Multimodal-column plumbing (SURVEY §2.7): image/audio/video as opaque
   * `binary` columns with typed metadata, decoded and featurized in
   * partition-local batches.
   *
-  * The DECODE STEP IS A DETERMINISTIC STUB — this container has no
-  * image/audio codecs, so [[MultimodalStub.decode]] fabricates
-  * "pixels" by an md5 chain over the bytes. Everything around it is the
-  * real Spark shape a production decode would use:
+  * IMAGE rows are REAL: ingest encodes genuine PNG bytes (JDK
+  * `javax.imageio` — no external codec needed) and the decode step reads
+  * them back with `ImageIO.read`, so width/height/luminance statistics
+  * come from actual decoded pixels; the driver's oracle re-derives them
+  * arithmetically because the encoded dimensions and pixel values are
+  * deterministic functions of the source document. Audio/video decode
+  * remains a clearly-marked stub ([[MultimodalStub]] — the container has
+  * no sound/video codecs). The surrounding Spark shape is production
+  * faithful for all kinds:
   *  - schema: `content BINARY` + `meta STRUCT<…>` survive parquet
   *    round-trips and shuffles;
   *  - execution: `mapPartitions` over a typed Dataset, processing rows in
@@ -39,26 +48,40 @@ object Multimodal {
   val FeatureDim = 16
   val BatchSize = 64
 
-  /** Fabricate a media table from the documents table: deterministic
-    * binary content (text bytes), kind by doc_id mod 3, synthetic meta. */
+  /** Fabricate a media table from the documents table: kind by doc_id
+    * mod 3. IMAGE rows carry REAL PNG bytes ([[ImageCodec.encodePng]]):
+    * dimensions (8 + n_chars%24) × (8 + n_chars%16), the first 16 pixels
+    * carrying the md5 digest of the text (so distinct texts yield
+    * distinct images — binary dedup semantics match text dedup), the
+    * rest a constant gray n_chars%256 — every decoded statistic is an
+    * arithmetic function of (n_chars, md5(text)) that DuckDB re-derives
+    * without a codec. Audio/video content stays raw text bytes for the
+    * stub decoder. */
   def ingest(docs: DataFrame): Dataset[MediaFile] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text"), col("n_chars")).as[(Long, String, Long)]
       .map { case (id, text, nChars) =>
-        val kind = (id % 3) match {
-          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        val bytes = text.getBytes(StandardCharsets.UTF_8)
+        (id % 3) match {
+          case 0 =>
+            val w = 8 + (nChars % 24).toInt
+            val h = 8 + (nChars % 16).toInt
+            val png = ImageCodec.encodePng(w, h,
+              MessageDigest.getInstance("MD5").digest(bytes), (nChars % 256).toInt)
+            MediaFile(id, "image", png, MediaMeta(w, h, 0, "png"))
+          case 1 =>
+            MediaFile(id, "audio", bytes,
+              MediaMeta((nChars % 640).toInt, (nChars % 480).toInt, 16000, "wav"))
+          case _ =>
+            MediaFile(id, "video", bytes,
+              MediaMeta((nChars % 640).toInt, (nChars % 480).toInt, 0, "mp4"))
         }
-        MediaFile(id, kind, text.getBytes(StandardCharsets.UTF_8),
-          MediaMeta(width = (nChars % 640).toInt, height = (nChars % 480).toInt,
-            sampleRate = if (kind == "audio") 16000 else 0, format = kind match {
-              case "image" => "png"; case "audio" => "wav"; case _ => "mp4"
-            }))
       }
   }
 
-  /** Batched decode + featurize via mapPartitions — the real execution
-    * shape with the stub codec inside. */
+  /** Batched decode + featurize via mapPartitions — images through the
+    * REAL JDK decoder, audio/video through the stub. */
   def featurize(media: Dataset[MediaFile]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -66,21 +89,50 @@ object Multimodal {
       // fixed-size batches: a real codec amortizes per-batch setup
       // (model load, Arrow buffer, JNI handle) exactly here
       rows.grouped(BatchSize).flatMap { batch =>
-        MultimodalStub.decodeBatch(batch)
+        decodeBatch(batch)
       }
     }
   }
 
-  /** Resize stage (images/video): same batched mapPartitions contract as
-    * [[featurize]]; the stub scales content proportionally to the pixel
-    * change and rewrites meta — a real build swaps in the codec's scaler
-    * without touching the plumbing. Audio rows pass through untouched. */
+  /** Per-batch decode dispatch: `image` → [[ImageCodec.decode]] (real
+    * pixels: width/height/luminance read from the decoded PNG, n_bytes =
+    * decoded RGB payload), `audio`/`video` → [[MultimodalStub]]
+    * pseudo-decode. The feature vector is a deterministic md5-chain
+    * pseudo-embedding for all kinds (a real build swaps the extractor,
+    * not the batch plumbing). */
+  def decodeBatch(batch: Seq[MediaFile]): Seq[MediaFeatures] =
+    batch.map { m =>
+      val hashHex = MessageDigest.getInstance("MD5").digest(m.content)
+        .map(b => f"$b%02x").mkString
+      val feature = MultimodalStub.pseudoFeature(m.content)
+      m.kind match {
+        case "image" =>
+          val (w, h, lum) = ImageCodec.decode(m.content, m.media_id)
+          MediaFeatures(m.media_id, m.kind, w.toLong * h * 3, hashHex, feature,
+            n_frames = 1, width = w, height = h, lum = lum)
+        case _ =>
+          val frames = if (m.kind == "video") 1 + m.content.length / 100 else 0
+          MediaFeatures(m.media_id, m.kind, m.content.length.toLong, hashHex, feature,
+            n_frames = frames, width = 0, height = 0, lum = 0L)
+      }
+    }
+
+  /** Resize stage: same batched mapPartitions contract as [[featurize]].
+    * Images run a REAL decode → Graphics2D rescale → PNG re-encode
+    * ([[ImageCodec.resize]]); video keeps the stub byte-scaler; audio
+    * rows pass through untouched. */
   def resize(media: Dataset[MediaFile], width: Int, height: Int): Dataset[MediaFile] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.grouped(BatchSize).flatMap { batch =>
-        batch.map(m => if (m.kind == "audio") m else MultimodalStub.resize(m, width, height))
+        batch.map {
+          case m if m.kind == "audio" => m
+          case m if m.kind == "image" =>
+            m.copy(content = ImageCodec.resize(m.content, width, height, m.media_id),
+              meta = m.meta.copy(width = width, height = height))
+          case m => MultimodalStub.resize(m, width, height)
+        }
       }
     }
   }
@@ -102,8 +154,10 @@ object Multimodal {
   }
 
   /** End-to-end: documents → binary media → per-kind feature summary.
-    * Aggregates only plumbing-derived integers, so the result is
-    * deterministic and testable without real codecs. */
+    * For images every aggregated value (pixel count, decoded payload
+    * bytes, luminance sum) is measured from the ACTUAL decoded PNG; the
+    * oracle re-derives them arithmetically because the encoding is a
+    * deterministic function of the source document. */
   def mediaSummary(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -111,14 +165,19 @@ object Multimodal {
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n_files"),
         sum(col("n_bytes")).as("total_bytes"),
-        sum(col("n_frames").cast("long")).as("total_frames"))
+        sum(col("n_frames").cast("long")).as("total_frames"),
+        sum(col("width").cast("long") * col("height")).as("total_pixels"),
+        sum(col("lum")).as("total_lum"))
       .orderBy("kind")
   }
 
   /** Binary-content dedup THROUGH the media path: unique blobs per kind,
-    * counted from the `content_hash` the batched decoder emits. The hash
-    * of the binary content equals md5 of the source text bytes, so
-    * DuckDB mirrors it without decoding. */
+    * counted from the `content_hash` the batched decoder emits. For
+    * audio/video the blob IS the text bytes, so the hash equals
+    * md5(text); for images the PNG embeds the full text digest in its
+    * first 16 pixels, making text→PNG injective on digests — distinct
+    * COUNTS match DuckDB's count(DISTINCT md5(text)) exactly even though
+    * the hash values differ. */
   def mediaDedup(docs: DataFrame): DataFrame =
     featurize(ingest(docs))
       .groupBy(col("kind"))
@@ -133,22 +192,34 @@ object Multimodal {
   )
 
   /** `mm_summary` runs the full binary pipeline (ingest → batched decode
-    * → per-kind agg), but every aggregated value is arithmetic over the
-    * source text (UTF-8 byte length, doc_id mod 3), so DuckDB can derive
-    * the identical result without decoding — the §2.7 plumbing becomes
-    * driver-checkable end to end. */
+    * → per-kind agg). Image statistics are measured from REAL decoded
+    * PNGs; DuckDB derives the identical numbers arithmetically from
+    * (n_chars, md5(text)) because the encoding is deterministic:
+    * dimensions (8+n_chars%24)×(8+n_chars%16), luminance = digest-byte
+    * sum + (pixels−16)·(n_chars%256), decoded payload = pixels·3. A
+    * hash-match therefore proves ImageIO really decoded the pixels the
+    * fixture encoded — the §2.7 path is driver-checked end to end. */
+  private val DigestByteSum: String = (0 until 16)
+    .map(i => s"('0x'||substr(dig,${2 * i + 1},2))::BIGINT").mkString(" + ")
+
   val oracle: Map[String, String] = Map(
     "mm_summary" ->
-      """SELECT kind, count(*) AS n_files,
-        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-        |  CAST(sum(CASE WHEN kind = 'video' THEN 1 + n_bytes // 100
-        |                WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS total_frames
-        |FROM (
-        |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |         ELSE 'video' END AS kind,
-        |    octet_length(encode(text)) AS n_bytes
-        |  FROM documents) m
-        |GROUP BY kind ORDER BY kind""".stripMargin,
+      s"""SELECT kind, count(*) AS n_files,
+         |  CAST(sum(CASE WHEN kind = 'image' THEN px * 3 ELSE n_bytes END) AS BIGINT) AS total_bytes,
+         |  CAST(sum(CASE WHEN kind = 'video' THEN 1 + n_bytes // 100
+         |                WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS total_frames,
+         |  CAST(sum(CASE WHEN kind = 'image' THEN px ELSE 0 END) AS BIGINT) AS total_pixels,
+         |  CAST(sum(CASE WHEN kind = 'image'
+         |           THEN $DigestByteSum + (px - 16) * (n_chars % 256)
+         |           ELSE 0 END) AS BIGINT) AS total_lum
+         |FROM (
+         |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         |         ELSE 'video' END AS kind,
+         |    octet_length(encode(text)) AS n_bytes, n_chars,
+         |    (8 + n_chars % 24) * (8 + n_chars % 16) AS px,
+         |    md5(text) AS dig
+         |  FROM documents) m
+         |GROUP BY kind ORDER BY kind""".stripMargin,
     "mm_dedup" ->
       """SELECT kind, count(*) AS n_files,
         |  count(DISTINCT md5(text)) AS n_unique
@@ -160,41 +231,93 @@ object Multimodal {
   )
 }
 
-/** The clearly-marked fake codec. A production build replaces exactly
-  * this object with real decoders (libjpeg/ffmpeg via JNI, or a Python
-  * worker via Arrow); signatures and batch shape stay unchanged. */
+/** REAL image codec — pure JDK (`javax.imageio`), no external
+  * dependency. Encodes/decodes genuine PNG bytes; every statistic the
+  * pipeline reports for images comes from pixels this codec actually
+  * decoded. */
+object ImageCodec {
+  import java.awt.image.BufferedImage
+
+  /** Deterministic grayscale PNG: w×h, first `head.length` pixels (in
+    * row-major order) carry `head`'s bytes as gray levels, the rest are
+    * the constant `gray`. PNG is lossless, so a decode recovers these
+    * values exactly. */
+  def encodePng(w: Int, h: Int, head: Array[Byte], gray: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = if (p < head.length) head(p) & 0xff else gray
+        img.setRGB(x, y, g * 0x010101)
+        p += 1; x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode PNG bytes → (width, height, luminance sum over all pixels).
+    * Fails loud on undecodable content (a silent null would surface as
+    * an oracle mismatch far from the cause). */
+  def decode(content: Array[Byte], mediaId: Long): (Int, Int, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    require(img != null, s"media $mediaId: content is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    var lum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { lum += (img.getRGB(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    (w, h, lum)
+  }
+
+  /** Real resize: decode → Graphics2D rescale → PNG re-encode. */
+  def resize(content: Array[Byte], w: Int, h: Int, mediaId: Long): Array[Byte] = {
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    require(src != null, s"media $mediaId: content is not a decodable image")
+    val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    g.drawImage(src, 0, 0, w, h, null)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dst, "png", bos)
+    bos.toByteArray
+  }
+}
+
+/** The clearly-marked fake codec for the kinds this container has no
+  * decoder for (audio/video). A production build replaces exactly this
+  * object with real decoders (ffmpeg via JNI, or a Python worker via
+  * Arrow); signatures and batch shape stay unchanged. Images do NOT go
+  * through here — see [[ImageCodec]]. */
 object MultimodalStub {
 
   private def md5(bytes: Array[Byte]): Array[Byte] =
     MessageDigest.getInstance("MD5").digest(bytes)
 
-  /** STUB decode: deterministic pseudo-"frames"/features from content
-    * bytes. Real implementation: decode image/audio, run the feature
-    * extractor per batch. */
-  def decodeBatch(batch: Seq[MediaFile]): Seq[MediaFeatures] =
-    batch.map { m =>
-      val digest = md5(m.content)
-      val hashHex = digest.map(b => f"$b%02x").mkString
-      // pseudo feature vector: chained md5, 16 floats in [0,1)
-      val feature = new Array[Float](Multimodal.FeatureDim)
-      var cur = digest
-      var i = 0
-      while (i < Multimodal.FeatureDim) {
-        feature(i) = ((cur(0) & 0xff) * 256 + (cur(1) & 0xff)) / 65536.0f
-        cur = md5(cur)
-        i += 1
-      }
-      // pseudo frame count: video samples 1 frame per 100 bytes
-      val frames = m.kind match {
-        case "video" => 1 + m.content.length / 100
-        case "image" => 1
-        case _       => 0
-      }
-      MediaFeatures(m.media_id, m.kind, m.content.length.toLong, hashHex, feature, frames)
+  /** Deterministic pseudo-embedding: chained md5, 16 floats in [0,1).
+    * Stands in for a real feature extractor for ALL kinds. */
+  def pseudoFeature(content: Array[Byte]): Array[Float] = {
+    val feature = new Array[Float](Multimodal.FeatureDim)
+    var cur = md5(content)
+    var i = 0
+    while (i < Multimodal.FeatureDim) {
+      feature(i) = ((cur(0) & 0xff) * 256 + (cur(1) & 0xff)) / 65536.0f
+      cur = md5(cur)
+      i += 1
     }
+    feature
+  }
 
-  /** STUB resize: deterministically truncate/extend content to the
-    * pixel-proportional size and rewrite meta. Real implementation:
+  /** STUB resize (video): deterministically truncate/extend content to
+    * the pixel-proportional size and rewrite meta. Real implementation:
     * decode, scale, re-encode. */
   def resize(m: MediaFile, width: Int, height: Int): MediaFile = {
     // empty blob stays empty (indexing into zero-length content would

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Multimodal, MultimodalStub, MediaFile, MediaMeta}
+import graft.operators.{ImageCodec, Multimodal, MediaFile, MediaMeta}
 import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
@@ -33,13 +33,40 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.values.forall(v => v.forall(x => x >= 0f && x < 1f)))
   }
 
-  test("stub decode batch: frame semantics per kind") {
+  test("decode batch: frame semantics per kind, image through the real codec") {
     val mk = (id: Long, kind: String, n: Int) =>
       MediaFile(id, kind, Array.fill(n)(7.toByte), MediaMeta(0, 0, 0, "x"))
-    val out = MultimodalStub.decodeBatch(Seq(
-      mk(1, "image", 250), mk(2, "video", 250), mk(3, "audio", 250)))
+    val png = ImageCodec.encodePng(10, 5, Array[Byte](1, 2, 3), 7)
+    val out = Multimodal.decodeBatch(Seq(
+      MediaFile(1, "image", png, MediaMeta(10, 5, 0, "png")),
+      mk(2, "video", 250), mk(3, "audio", 250)))
     assert(out.map(_.n_frames) == Seq(1, 3, 0))
-    assert(out.forall(_.n_bytes == 250))
+    // image: decoded dims and payload from the REAL decode
+    assert(out(0).width == 10 && out(0).height == 5)
+    assert(out(0).n_bytes == 10L * 5 * 3)
+    assert(out(0).lum == 1 + 2 + 3 + (50 - 3) * 7)
+    assert(out.drop(1).forall(_.n_bytes == 250))
+    assert(out.drop(1).forall(f => f.width == 0 && f.height == 0 && f.lum == 0))
+  }
+
+  test("image codec: PNG encode→decode round-trips exact pixels") {
+    val head = Array.range(0, 16).map(i => (i * 17 % 256).toByte)
+    val png = ImageCodec.encodePng(9, 8, head, 123)
+    // PNG magic bytes — the blob really is a PNG file
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val (w, h, lum) = ImageCodec.decode(png, 0)
+    assert(w == 9 && h == 8)
+    val expected = head.map(_ & 0xff).sum + (9 * 8 - 16).toLong * 123
+    assert(lum == expected)
+    // real resize: decoded dims follow the request
+    val (rw, rh, _) = ImageCodec.decode(ImageCodec.resize(png, 4, 3, 0), 0)
+    assert(rw == 4 && rh == 3)
+  }
+
+  test("image codec fails loud on undecodable bytes") {
+    intercept[IllegalArgumentException] {
+      ImageCodec.decode(Array.fill(64)(7.toByte), 42)
+    }
   }
 
   test("resize: image/video content rescales with meta, audio passes through") {
