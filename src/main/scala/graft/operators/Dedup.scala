@@ -302,15 +302,25 @@ object Dedup {
     * scan (no metric-table join); ties break on doc_id for determinism.
     * One window over the cluster key picks the argmax — cluster-sized
     * partitions, never corpus-wide. */
-  def bestRepresentatives(docs: DataFrame): DataFrame = {
+  def bestRepresentatives(docs: DataFrame): DataFrame =
+    representatives(
+      minhashClustersLS(docs),
+      docs.select(col("doc_id"), TextAnalysis.qualityScoreCol.as("quality")))
+
+  /** Representatives over PRECOMPUTED clusters: pipelines that already
+    * ran [[connectedComponents]] (or any clustering emitting (doc_id,
+    * cluster_id)) compose clusters → representatives without re-deriving
+    * candidates — at 100 TB the candidate generation is the expensive
+    * pass, so recomputing it inside representative selection would
+    * double the corpus cost. `scored` is any (doc_id, quality) relation;
+    * ties break on doc_id for determinism. */
+  def representatives(clusters: DataFrame, scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = docs.select(col("doc_id"),
-      TextAnalysis.qualityScoreCol.as("quality"))
     // explicit NULLS LAST (a letterless doc has NULL quality): Spark and
     // DuckDB agree on this default for DESC, but pin it on both sides
     val w = Window.partitionBy("cluster_id")
       .orderBy(col("quality").desc_nulls_last, col("doc_id"))
-    minhashClustersLS(docs)
+    clusters
       .join(scored, "doc_id")
       .withColumn("best_id", first(col("doc_id")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))

@@ -22,6 +22,27 @@ class DedupSpec extends SparkSpec {
 
   private def docs = Tables.documents(spark, sf)
 
+  test("representatives composes over precomputed clusters with zero re-derivation") {
+    // a pipeline that already ran connectedComponents reuses its output:
+    // representative selection must not regenerate MinHash candidates
+    val pairs = Dedup.minhashPairs(docs)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val clusters = Dedup.connectedComponents(docs.select(col("doc_id")), pairs)
+    val scored = docs.select(col("doc_id"),
+      operators.TextAnalysis.qualityScoreCol.as("quality"))
+    val composed = Dedup.representatives(clusters, scored)
+    // no candidate re-derivation: connectedComponents checkpoints its
+    // converged edges, so the composed plan must contain no shingle/band
+    // machinery (`explode` drives the shingle generator) — only the
+    // cluster labels + the quality scan
+    val p = composed.queryExecution.optimizedPlan.toString
+    assert(!p.toLowerCase.contains("explode"),
+      s"representatives re-derived MinHash candidates:\n$p")
+    // and it selects exactly what the one-call form selects
+    val oneCall = Dedup.bestRepresentatives(docs)
+    assert(composed.exceptAll(oneCall).isEmpty && oneCall.exceptAll(composed).isEmpty)
+  }
+
   test("exact: keep_id is a fixed point and never exceeds doc_id") {
     val e = Dedup.exact(docs)
     assert(e.where(col("keep_id") > col("doc_id")).count() == 0)
