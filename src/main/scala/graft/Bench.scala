@@ -82,10 +82,16 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // optional subset (comma-separated keys) for standalone/scale-stress
+    // runs; the driver never sets it, so round benches are unaffected
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     // min of 2 runs per query: one-shot timings at this scale carry
     // multi-second GC/compilation noise; min-of-N is the standard
     // steady-state estimate and stays honest (errors still recorded)
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
         // full state reset: clearCache alone leaves localCheckpoint
         // blocks resident (dedup_combined measured 34.8 s in-suite vs

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool (like [[Explain]]): materialize an N× scale-up of a test sf
+  * dir for scale-stress runs, preserving each copy's INTERNAL structure
+  * exactly while decorrelating copies from each other — so operator cost
+  * scales the way a genuinely larger corpus would, not the quadratic way
+  * naive replication would (10 identical copies of every document would
+  * multiply every near-dup cluster by 10 and candidate pairs by ~100).
+  *
+  *  - documents: copy i appends a copy-specific salt to EVERY word.
+  *    w → w·salt is injective on words, so shingle SETS transform
+  *    bijectively: within-copy Jaccard/MinHash/SimHash structure is
+  *    IDENTICAL to the original; across copies shingle sets are
+  *    disjoint. n_chars is recomputed to stay consistent.
+  *  - embeddings: copy i flips the sign of component j iff
+  *    xxhash64(j,i) is odd. A diagonal ±1 matrix is an isometry —
+  *    within-copy inner products (hence cosines, LSH buckets' relative
+  *    geometry) are exactly preserved; across copies the patterns are
+  *    pseudo-random, so cosines collapse toward 0.
+  *  - lineitem/orders: order keys shift by copy·OFFSET on both sides,
+  *    preserving the join fan-out per key.
+  *
+  * Usage: runMain graft.ScaleUp <srcSfDir> <dstDir> <copies>
+  */
+object ScaleUp {
+
+  val IdOffset = 100000000L
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, copiesStr) = args
+    val copies = copiesStr.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(name: String)(xform: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val out = (0 until copies).map(i => xform(base, i)).reduce(_ unionAll _)
+      out.write.mode(SaveMode.Overwrite).parquet(s"$dst/$name.parquet")
+      println(s"[scaleup] $name: ${base.count()} -> ${spark.read.parquet(s"$dst/$name.parquet").count()}")
+    }
+
+    replicate("documents") { (df, i) =>
+      val salted =
+        if (i == 0) df.withColumn("text", col("text"))
+        else df.withColumn("text",
+          array_join(transform(split(col("text"), " "), w => concat(w, lit(s"x$i"))), " "))
+      salted
+        .withColumn("doc_id", col("doc_id") + lit(i * IdOffset))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+
+    replicate("embeddings") { (df, i) =>
+      val flipped =
+        if (i == 0) df
+        else df.withColumn("embedding",
+          transform(col("embedding"),
+            (x, j) => x * (lit(1.0f) - lit(2.0f) * pmod(xxhash64(j, lit(i)), lit(2)).cast("float"))))
+      flipped.withColumn("vec_id", col("vec_id") + lit(i * IdOffset))
+    }
+
+    replicate("lineitem") { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * IdOffset))
+    }
+    replicate("orders") { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * IdOffset))
+    }
+    // dims pass through unchanged (queries under scale-stress broadcast
+    // them or don't read them)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part")) {
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
+    }
+    // events.ts is TIMESTAMP(NANOS), which a plain Spark read refuses
+    // (see Tables.events) — byte-copy preserves it exactly
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$src/events.parquet"),
+      java.nio.file.Paths.get(s"$dst/events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    spark.stop()
+  }
+}
