@@ -147,6 +147,68 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** INCREMENTAL dedup — the CDC/corpus-refresh shape: the existing
+    * corpus's banded MinHash index is STORED (written once, reused every
+    * batch; production would bucket it by band_hash), and each new-doc
+    * batch computes bands for the NEW documents only, probes the stored
+    * index for new↔existing candidates, and self-joins its own bands for
+    * new↔new candidates. Per-batch cost is proportional to the BATCH
+    * (signature pass + index probe), never to the corpus — at 100 TB the
+    * difference between re-scanning everything per refresh and touching
+    * only the delta. The new batch's bands BROADCAST to the probe, so the
+    * stored index is never shuffled. "New" here is the deterministic
+    * doc_id%20==0 slice so the oracle can mirror the split; the operator
+    * takes any (existing, fresh) pair of document frames. */
+  def incrementalPairs(existing: DataFrame, fresh: DataFrame, indexPath: String): DataFrame = {
+    if (!graft.sources.Fixtures.ready(indexPath))
+      minhashBanded(existing).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(indexPath)
+    val index = existing.sparkSession.read.parquet(indexPath)
+    // computed once, probed twice (index join + self-join)
+    val nb = minhashBanded(fresh).localCheckpoint(true)
+    val crossPairs = broadcast(nb.select(col("doc_id").as("new_id"), col("band"), col("band_hash")))
+      .join(index.select(col("doc_id").as("old_id"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .select(least(col("new_id"), col("old_id")).as("doc_a"),
+        greatest(col("new_id"), col("old_id")).as("doc_b"))
+    val l = nb.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
+    val r = nb.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
+    val newPairs = l.join(r, Seq("band", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    crossPairs.unionAll(newPairs).distinct().orderBy("doc_a", "doc_b")
+  }
+
+  /** Edit-distance near-dup pairs: bounded Levenshtein (≤ [[MaxEditDist]])
+    * between same-(lang, source) documents of similar length. Candidates
+    * come from a LENGTH-BAND join — one side also lands in the next
+    * band, so any pair within [[MaxLenDiff]] chars meets in some band —
+    * never from an all-pairs comparison; Spark's thresholded
+    * `levenshtein(l, r, k)` prunes each comparison to O(k·n). Band width
+    * = MaxLenDiff keeps per-bucket membership proportional to the local
+    * length histogram at any corpus size. */
+  val MaxEditDist = 8
+  val MaxLenDiff = 4
+  def editDistancePairs(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"), col("source"),
+      col("text"), col("n_chars"),
+      floor(col("n_chars") / MaxLenDiff).as("bkt"))
+    val l = base.select(col("doc_id").as("id_l"), col("lang"), col("source"),
+      col("text").as("text_l"), col("n_chars").as("len_l"), col("bkt"))
+    val r = base.select(col("doc_id").as("id_r"), col("lang"), col("source"),
+      col("text").as("text_r"), col("n_chars").as("len_r"),
+      explode(array(col("bkt"), col("bkt") + 1)).as("bkt"))
+    l.join(r, Seq("lang", "source", "bkt"))
+      .where(col("id_l") =!= col("id_r") &&
+        abs(col("len_l") - col("len_r")) <= MaxLenDiff)
+      .select(least(col("id_l"), col("id_r")).as("doc_a"),
+        greatest(col("id_l"), col("id_r")).as("doc_b"),
+        levenshtein(col("text_l"), col("text_r"), MaxEditDist).cast("long").as("dist"))
+      .where(col("dist") >= 0) // thresholded form returns -1 above the cap
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Near-duplicate CLUSTERS: connected components over the MinHash
     * candidate-pair graph, labelling every document with the minimum
     * doc_id of its component (the canonical survivor a training pipeline
@@ -424,6 +486,14 @@ object Dedup {
     "dedup_simhash"        -> ((s, d) => simhash(Tables.documents(s, d))),
     "dedup_simhash_native" -> ((s, d) => simhashNative(Tables.documents(s, d))),
     "dedup_ngram"          -> ((s, d) => ngramJaccard(Tables.documents(s, d))),
+    "dedup_incremental"    -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      incrementalPairs(
+        docs.where(pmod(col("doc_id"), lit(20)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(20)) === 0),
+        graft.sources.Fixtures.dirFor("minhash_index", d, "documents"))
+    },
+    "dedup_editdist"       -> ((s, d) => editDistancePairs(Tables.documents(s, d))),
   )
 
   // ---- DuckDB oracles ----
@@ -556,5 +626,20 @@ object Dedup {
          |  GROUP BY 1, 2) p
          |JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
          |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    // bands are per-row, so bands(new)⋈bands(existing) ∪ bands(new)⋈bands(new)
+    // equals the full band join restricted to pairs touching a new doc —
+    // the oracle needs no notion of the stored index
+    "dedup_incremental" ->
+      s"""SELECT doc_a, doc_b FROM (${bandPairsSql("documents")}) p
+         |WHERE doc_a % 20 = 0 OR doc_b % 20 = 0
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_editdist" ->
+      s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+         |FROM documents a JOIN documents b
+         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         |  AND abs(a.n_chars - b.n_chars) <= $MaxLenDiff
+         |WHERE levenshtein(a.text, b.text) <= $MaxEditDist
+         |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -94,6 +94,29 @@ object Events {
       .orderBy("user_id", "purchase_id", "view_id")
   }
 
+  /** LEFT-OUTER attribution: EVERY purchase, with its in-window views or
+    * NULL — the form a revenue report needs (unattributed purchases must
+    * not vanish). Same single user-keyed shuffle as [[attribution]];
+    * the streaming twin ([[graft.streaming.EventStream.attributionOuter]])
+    * is the watermarked outer interval join, whose null rows emit once
+    * the watermark proves no view can still arrive. */
+  def attributionOuter(ev: DataFrame): DataFrame = {
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    p.join(v, col("user_id") === col("v_user") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        col("purchase_ts"), col("view_ts"))
+      .orderBy(col("user_id"), col("purchase_id"),
+        col("view_id").asc_nulls_first)
+  }
+
   /** AS-OF JOIN — an operator Spark lacks natively — composed the
     * scalable way: UNION both sides, one (key, time)-ordered window, and
     * `last(_, ignoreNulls)` carries the most recent left-side attribute
@@ -159,6 +182,7 @@ object Events {
     "ev_sessions_sw"-> ((s, d) => sessionizeSW(Tables.events(s, d))),
     "ev_funnel"     -> ((s, d) => funnel(Tables.events(s, d))),
     "ev_attribution"-> ((s, d) => attribution(Tables.events(s, d))),
+    "ev_attr_outer" -> ((s, d) => attributionOuter(Tables.events(s, d))),
     "ev_asof"       -> ((s, d) => asofAttribution(Tables.events(s, d))),
     "ev_retention"  -> ((s, d) => retention(Tables.events(s, d))),
   )
@@ -226,6 +250,17 @@ object Events {
         |  ON v.user_id = p.pu AND v.vts <= p.pts
         |     AND v.vts >= p.pts - INTERVAL 1 HOUR
         |ORDER BY user_id, purchase_id, view_id""".stripMargin,
+    "ev_attr_outer" ->
+      """SELECT p.user_id, p.pid AS purchase_id, v.vid AS view_id,
+        |  CAST(p.pts AS TIMESTAMP) AS purchase_ts,
+        |  CAST(v.vts AS TIMESTAMP) AS view_ts
+        |FROM (SELECT user_id, event_id AS pid, CAST(ts AS TIMESTAMP) AS pts
+        |      FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id AS vu, event_id AS vid, CAST(ts AS TIMESTAMP) AS vts
+        |           FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.vu AND v.vts <= p.pts
+        |     AND v.vts >= p.pts - INTERVAL 1 HOUR
+        |ORDER BY user_id, purchase_id, view_id NULLS FIRST""".stripMargin,
     // DuckDB's NATIVE ASOF JOIN is the oracle for the composed
     // union-window as-of join
     "ev_asof" ->

@@ -367,6 +367,73 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  /** Per-group ARGMIN (TPC-H Q2's min-cost-supplier shape on our schema,
+    * which has no partsupp): for each PROMO part, the supplier selling it
+    * at the lowest average price. The per-(part, supplier) aggregate
+    * shuffles (partkey, suppkey, sums) only; the argmin is a window over
+    * the part key (group-sized partitions); part and supplier broadcast.
+    * Average = exact decimal sum / count, one double division — the rank
+    * key is bit-identical across engines, so ties (broken on suppkey)
+    * are deterministic. */
+  def q27ArgMin: Q = (s, d) => {
+    val ps = Tables.lineitem(s, d)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg((xsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"))
+    val w = Window.partitionBy("l_partkey").orderBy(col("avg_price"), col("l_suppkey"))
+    ps.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+      .join(broadcast(Tables.part(s, d).where(col("p_type") === "PROMO")),
+        col("p_partkey") === col("l_partkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+        round(col("avg_price"), 4).as("avg_price"))
+      .orderBy("p_partkey")
+  }
+
+  /** RUNNING TOTAL: cumulative daily order revenue — the canonical
+    * unbounded-preceding window frame. The cumulation runs over the
+    * DAY-AGGREGATED frame, never the fact table: day cardinality is
+    * calendar-bounded (a decade ≈ 3.7k rows), so the single-partition
+    * ordered window is scale-safe no matter how large orders grows —
+    * the fact-sized work is the grouped aggregate before it. Exact
+    * decimal sums end to end; doubles only at the final projection. */
+  def q28Running: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(28,10)")).as("dtot"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // down-cast to scale 2 BEFORE the double cast (Compat.xsum rule): a
+    // scale-10 decimal > 2^53 rounds differently across engines' double
+    // conversions; at scale 2 the conversion is uniquely rounded
+    daily
+      .withColumn("cum", sum(col("dtot")).over(w))
+      .select(col("day"),
+        col("dtot").cast(DecimalType(28, 2)).cast("double").as("day_total"),
+        col("cum").cast(DecimalType(38, 2)).cast("double").as("running_total"))
+      .orderBy("day")
+  }
+
+  /** MOVING AVERAGE: 7-day trailing mean of daily purchase value over
+    * the events stream — the bounded-frame window twin of [[q28Running]],
+    * same day-aggregated-then-window scale shape. The mean divides two
+    * exactly-aggregated numbers (decimal value sum, long event count), so
+    * one double division + round(4) is engine-exact. */
+  def q29MovAvg: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .where(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(28,10)")).as("dval"),
+        count(lit(1)).as("n"))
+    val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("wval", sum(col("dval")).over(w))
+      .withColumn("wn", sum(col("n")).over(w))
+      // scale-2 down-cast before the double conversion — see q28Running
+      .select(col("day"), col("n").as("n_purchases"),
+        round(col("wval").cast(DecimalType(38, 2)).cast("double") / col("wn"), 4).as("ma7"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_agg"       -> q1Agg,
     "q2_filter"    -> q2Filter,
@@ -391,6 +458,9 @@ object Relational {
     "q22_anti_subq"-> q22AntiSubq,
     "q23_cube"     -> q23Cube,
     "q24_pivot"    -> q24Pivot,
+    "q27_argmin"   -> q27ArgMin,
+    "q28_running"  -> q28Running,
+    "q29_movavg"   -> q29MovAvg,
   )
 
   val oracle: Map[String, String] = Map(
@@ -539,6 +609,42 @@ object Relational {
         |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
         |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q27_argmin" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE)
+        |      / COUNT(*) AS avg_price
+        |  FROM lineitem GROUP BY 1, 2),
+        |b AS (SELECT * FROM ps
+        |      QUALIFY row_number() OVER (PARTITION BY l_partkey
+        |        ORDER BY avg_price, l_suppkey) = 1)
+        |SELECT p_partkey, p_name, s_suppkey, s_name,
+        |  round(avg_price, 4) AS avg_price
+        |FROM b JOIN part ON p_partkey = l_partkey
+        |       JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE p_type = 'PROMO'
+        |ORDER BY p_partkey""".stripMargin,
+    "q28_running" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |    SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS dtot
+        |  FROM orders GROUP BY 1)
+        |SELECT day, CAST(ROUND(dtot, 2) AS DOUBLE) AS day_total,
+        |  CAST(ROUND(SUM(dtot) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+        |    AS running_total
+        |FROM daily ORDER BY day""".stripMargin,
+    "q29_movavg" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    SUM(CAST(value AS DECIMAL(28,10))) AS dval, COUNT(*) AS n
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT day, n AS n_purchases,
+        |  round(CAST(ROUND(SUM(dval) OVER w, 2) AS DOUBLE)
+        |        / SUM(n) OVER w, 4) AS ma7
+        |FROM daily
+        |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
     "q22_anti_subq" ->
       s"""WITH t AS (
          |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE)

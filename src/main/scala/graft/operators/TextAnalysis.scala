@@ -174,6 +174,27 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
 
+  /** STRATIFIED sample: exactly [[StratumK]] documents per language
+    * (fewer iff the stratum is smaller), chosen by md5-hash order so
+    * membership is deterministic and stable under re-partitioning —
+    * the per-stratum-exact counterpart of [[hashSample]]'s Bernoulli
+    * split. The rank filter plans as a WindowGroupLimit: each input
+    * partition pre-truncates to its local top-K before the stratum
+    * shuffle, so the exchange carries O(partitions·K) rows per stratum,
+    * not the corpus — the few-large-strata skew a naive window would
+    * hit at 100 TB never materializes. */
+  val StratumK = 10
+  def stratifiedSample(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(concat(lit("strat:"), col("doc_id").cast("string"))), col("doc_id"))
+    docs
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= StratumK)
+      .select(col("doc_id"), col("lang"), col("source"), col("rnk").cast("long").as("rnk"))
+      .orderBy("lang", "rnk")
+  }
+
   /** Canonical text normalization — the cleaning pass every corpus build
     * runs first: lowercase, strip non-letter runs to single spaces, trim.
     * Emitted as (hash, lengths) so the gate compares the full normalized
@@ -190,6 +211,33 @@ object TextAnalysis {
   // the tokenizer class reused as a replacement pattern
   private val TokenRe0 = WordCount.TokenRe
 
+  /** TF-IDF top terms per document: term frequency from the reference
+    * tokenizer, document frequency across the corpus, top-[[TfidfTopK]]
+    * terms ranked by the ALL-INTEGER key (tf desc, df asc, word asc) so
+    * the selected rows are engine-exact; the tfidf score itself
+    * (tf · ln(N/df)) is emitted rounded as a value column. Shape: two
+    * corpus-keyed aggregations (doc-term, term) + a broadcast 1-row doc
+    * count + a doc-keyed window — no all-pairs, no driver action; the
+    * doc-count join mirrors q15's broadcast scalar pattern. */
+  val TfidfTopK = 3
+  def tfidf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = WordCount.tokens(docs, col("doc_id"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("word").asc)
+    tf.join(df_, "word")
+      .join(broadcast(nDocs), lit(true))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= TfidfTopK)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        col("rnk").cast("long").as("rnk"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4).as("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "text_normalize"   -> ((s, d) => normalize(Tables.documents(s, d))),
@@ -199,6 +247,8 @@ object TextAnalysis {
     "text_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d))),
     "text_percentiles" -> ((s, d) => lengthPercentiles(Tables.documents(s, d))),
     "text_sample"      -> ((s, d) => hashSample(Tables.documents(s, d))),
+    "text_tfidf"       -> ((s, d) => tfidf(Tables.documents(s, d))),
+    "text_stratified"  -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
   )
 
   // words-array SQL fragment shared by the oracles
@@ -208,6 +258,29 @@ object TextAnalysis {
     s"len(list_filter($W, w -> w IN ${inList(items)}))::BIGINT"
 
   val oracle: Map[String, String] = Map(
+    "text_tfidf" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, word, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest($W) AS word FROM documents) tk
+         |  GROUP BY 1, 2),
+         |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |r AS (
+         |  SELECT doc_id, word, tf, df,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tf DESC, df ASC, word ASC) AS rnk
+         |  FROM tf JOIN dfreq USING (word))
+         |SELECT doc_id, word, tf, df, rnk,
+         |  round(tf * ln(n_docs::DOUBLE / df), 4) AS tfidf
+         |FROM r, n WHERE rnk <= $TfidfTopK
+         |ORDER BY doc_id, rnk""".stripMargin,
+    "text_stratified" ->
+      s"""SELECT doc_id, lang, source, rnk FROM (
+         |  SELECT doc_id, lang, source,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY md5('strat:' || doc_id::VARCHAR), doc_id) AS rnk
+         |  FROM documents) t
+         |WHERE rnk <= $StratumK ORDER BY lang, rnk""".stripMargin,
     "text_normalize" ->
       s"""SELECT doc_id,
          |  md5(trim(regexp_replace(lower(text), '${WordCount.TokenRe}', ' ', 'g'))) AS norm_hash,

@@ -201,6 +201,29 @@ object EventStream {
       .select(col("user_id"), col("purchase_id"), col("view_id"),
         col("purchase_ts"), col("view_ts"))
 
+  /** LEFT-OUTER stream-stream interval join — the streaming twin of
+    * [[graft.operators.Events.attributionOuter]]: every purchase emits,
+    * with NULL view columns once the watermark proves no qualifying view
+    * can still arrive (an outer interval join requires exactly the state
+    * bound the watermarks already give the inner form; the null side
+    * emits on state eviction, so unmatched rows are late by the
+    * watermark delay — the price of correctness under reordering). */
+  def attributionOuter(views: DataFrame, purchases: DataFrame): DataFrame =
+    purchases
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", WatermarkDelay)
+      .join(
+        views
+          .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+            col("ts").as("view_ts"))
+          .withWatermark("view_ts", WatermarkDelay),
+        expr("""user_id = v_user AND view_ts <= purchase_ts
+               |AND view_ts >= purchase_ts - INTERVAL 1 HOUR""".stripMargin),
+        "leftOuter")
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        col("purchase_ts"), col("view_ts"))
+
   private val DayMs = 24L * 3600 * 1000
 
   /** Streaming day-over-day retention MARKS — the stateful half of the

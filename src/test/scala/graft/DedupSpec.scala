@@ -43,6 +43,33 @@ class DedupSpec extends SparkSpec {
     assert(composed.exceptAll(oneCall).isEmpty && oneCall.exceptAll(composed).isEmpty)
   }
 
+  test("incrementalPairs equals the full band join restricted to new-doc pairs") {
+    val existing = docs.where(pmod(col("doc_id"), lit(20)) =!= 0)
+    val fresh = docs.where(pmod(col("doc_id"), lit(20)) === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-idx").toString + "/idx"
+    val inc = Dedup.incrementalPairs(existing, fresh, tmp).select("doc_a", "doc_b")
+    val full = Dedup.minhashPairs(docs)
+      .where(pmod(col("doc_a"), lit(20)) === 0 || pmod(col("doc_b"), lit(20)) === 0)
+      .select("doc_a", "doc_b")
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
+    // and the index was persisted for the next batch
+    assert(new java.io.File(s"$tmp/_SUCCESS").exists())
+  }
+
+  test("editDistancePairs: exact duplicates at distance 0, all pairs within caps") {
+    val p = Dedup.editDistancePairs(docs)
+    assert(p.where(col("dist") < 0 || col("dist") > Dedup.MaxEditDist).count() == 0)
+    assert(p.where(col("doc_a") >= col("doc_b")).count() == 0)
+    // every exact same-(lang,source) duplicate pair must surface with dist 0
+    val dup = docs.as("a").join(docs.as("b"),
+      col("a.text") === col("b.text") && col("a.lang") === col("b.lang") &&
+        col("a.source") === col("b.source") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val found = p.where(col("dist") === 0).select("doc_a", "doc_b")
+    assert(dup.exceptAll(found).isEmpty)
+  }
+
   test("exact: keep_id is a fixed point and never exceeds doc_id") {
     val e = Dedup.exact(docs)
     assert(e.where(col("keep_id") > col("doc_id")).count() == 0)

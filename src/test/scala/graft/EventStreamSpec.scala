@@ -144,6 +144,46 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LEFT-OUTER attribution join replay converges to batch (nulls included)") {
+    val s = spark
+    import s.implicits._
+    val batchDf = Tables.events(spark, sf)
+    val evs = batchDf
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val maxTs = evs.map(_.ts.getTime).max
+    val views = MemoryStream[Event](s)
+    val purchases = MemoryStream[Event](s)
+    val q = EventStream.attributionOuter(views.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attrout").outputMode("append").start()
+    try {
+      views.addData(evs.filter(_.event_type == "view"))
+      purchases.addData(evs.filter(_.event_type == "purchase"))
+      q.processAllAvailable()
+      // sentinels advance BOTH watermarks so evicted state flushes the
+      // null rows for unmatched purchases
+      views.addData(Event(-1, new Timestamp(maxTs + 10L * 3600 * 1000), -1, "view", 0.0))
+      purchases.addData(Event(-2, new Timestamp(maxTs + 10L * 3600 * 1000), -2, "purchase", 0.0))
+      q.processAllAvailable()
+      views.addData(Event(-3, new Timestamp(maxTs + 20L * 3600 * 1000), -3, "view", 0.0))
+      purchases.addData(Event(-4, new Timestamp(maxTs + 20L * 3600 * 1000), -4, "purchase", 0.0))
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), Option(r.get(2)), r.getTimestamp(3), Option(r.get(4)))
+      val streamed = s.sql(
+        """SELECT user_id, purchase_id, view_id, purchase_ts, view_ts
+          |FROM attrout WHERE user_id >= 0""".stripMargin)
+        .collect().map(key).toSet
+      val batch = graft.operators.Events.attributionOuter(batchDf)
+        .collect().map(key).toSet
+      val onlyStream = streamed -- batch
+      val onlyBatch = batch -- streamed
+      assert(streamed == batch,
+        s"\nonly-stream(${onlyStream.size}): ${onlyStream.take(5)}" +
+          s"\nonly-batch(${onlyBatch.size}): ${onlyBatch.take(5)}")
+    } finally q.stop()
+  }
+
   test("session_window expression runs under streaming and converges to batch") {
     val s = spark
     import s.implicits._

@@ -22,6 +22,23 @@ class TextAnalysisSpec extends SparkSpec {
 
   private def docs = Tables.documents(spark, sf)
 
+  test("tfidf: top-k per doc, ranks contiguous, score consistent with tf/df") {
+    val docs = Tables.documents(spark, sf)
+    val t = TextAnalysis.tfidf(docs)
+    // ≤ TopK rows per doc with ranks 1..k
+    val perDoc = t.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("rnk").as("mx"), min("rnk").as("mn"))
+    assert(perDoc.where(col("n") > TextAnalysis.TfidfTopK ||
+      col("mx") =!= col("n") || col("mn") =!= 1).count() == 0)
+    // score recomputes from the emitted integers
+    val nDocs = docs.count().toDouble
+    val bad = t.where(
+      abs(col("tfidf") - round(col("tf") * log(lit(nDocs) / col("df")), 4)) > 1e-9)
+    assert(bad.count() == 0)
+    // a word appearing in every document scores 0
+    assert(t.where(col("df") === docs.count() && col("tfidf") =!= 0.0).count() == 0)
+  }
+
   test("langid: one row per doc, pred in known set") {
     val l = TextAnalysis.langId(docs)
     assert(l.count() == docs.count())
