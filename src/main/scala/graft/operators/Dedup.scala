@@ -179,6 +179,31 @@ object Dedup {
     crossPairs.unionAll(newPairs).distinct().orderBy("doc_a", "doc_b")
   }
 
+  /** INCREMENTAL clustering — the second half of the corpus-refresh
+    * path: fold a new batch into EXISTING cluster labels without
+    * re-deriving any old candidate pair. Prior labels compress each old
+    * component to a STAR (doc → cluster root), which preserves
+    * connectivity exactly; union those star edges with the batch's
+    * [[incrementalPairs]] and rerun [[connectedComponents]] over the
+    * combined edge set. Cost ∝ |labels| + |batch pairs| — the old
+    * corpus is never shingled again (its labels are READ from the
+    * stored label table, here a parquet fixture written once). Shares
+    * the full-recompute closure oracle, so the incremental path is
+    * machine-checked equivalent to clustering from scratch. */
+  def incrementalClusters(existing: DataFrame, fresh: DataFrame, allDocs: DataFrame,
+                          indexPath: String, labelsPath: String): DataFrame = {
+    if (!graft.sources.Fixtures.ready(labelsPath))
+      minhashClustersLS(existing).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(labelsPath)
+    val oldLabels = existing.sparkSession.read.parquet(labelsPath)
+    val starEdges = oldLabels.where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+    val batchPairs = incrementalPairs(existing, fresh, indexPath)
+      .select("doc_a", "doc_b")
+    connectedComponents(allDocs.select(col("doc_id")),
+      starEdges.unionAll(batchPairs).distinct())
+  }
+
   /** Edit-distance near-dup pairs: bounded Levenshtein (≤ [[MaxEditDist]])
     * between same-(lang, source) documents of similar length. Candidates
     * come from a LENGTH-BAND join — one side also lands in the next
@@ -494,6 +519,15 @@ object Dedup {
         graft.sources.Fixtures.dirFor("minhash_index", d, "documents"))
     },
     "dedup_editdist"       -> ((s, d) => editDistancePairs(Tables.documents(s, d))),
+    "dedup_increclust"     -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      incrementalClusters(
+        docs.where(pmod(col("doc_id"), lit(20)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(20)) === 0),
+        docs,
+        graft.sources.Fixtures.dirFor("minhash_index", d, "documents"),
+        graft.sources.Fixtures.dirFor("cc_labels", d, "documents"))
+    },
   )
 
   // ---- DuckDB oracles ----
@@ -590,6 +624,10 @@ object Dedup {
     // same fixpoint, different algorithm — sharing the oracle makes the
     // large-star/small-star implementation machine-checked equivalent
     "dedup_cluster_ls" -> (clusterSqlFor("documents") + " ORDER BY doc_id"),
+    // the INCREMENTAL path (stored labels + batch pairs) shares the
+    // full-recompute closure oracle too: label-star compression must be
+    // connectivity-exact or this mismatches
+    "dedup_increclust" -> (clusterSqlFor("documents") + " ORDER BY doc_id"),
     "dedup_best" ->
       s"""WITH cl AS (${clusterSqlFor("documents")}),
          |q AS (SELECT doc_id, quality FROM (${TextAnalysis.oracle("text_quality")}) tq),

@@ -434,6 +434,60 @@ object Relational {
       .orderBy("day")
   }
 
+  /** Explicit GROUPING SETS with `grouping_id` disambiguation — the
+    * generalized form of ROLLUP/CUBE (q9/q23): three hand-picked sets
+    * (nation×status, nation, status) in ONE pass over the join, with
+    * the grouping id distinguishing a genuine NULL key from a
+    * rolled-up one. Same partial-aggregation scale shape as any
+    * grouped agg. */
+  def q30Gsets: Q = (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupingSets(
+        Seq(Seq(col("n_name"), col("o_orderstatus")), Seq(col("n_name")), Seq(col("o_orderstatus"))),
+        col("n_name"), col("o_orderstatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"), xsum(col("o_totalprice")).as("total"))
+      .orderBy(col("gid"), col("n_name").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
+  /** NTILE + per-tile aggregate: customers quartiled by account balance
+    * (global ordered tiles), then per-tile stats — the
+    * histogram-by-rank shape. The ntile window is a single ordered
+    * partition, but over (custkey, acctbal) PAIRS only — at 100 TB the
+    * right form is percentile-bucketing via approx quantiles
+    * (Sketches); this is the exact small-dimension form, and the
+    * per-tile aggregate after it is partial-aggregated as usual. */
+  def q31Ntile: Q = (s, d) => {
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"), ntile(4).over(w).as("tile"))
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n_cust"),
+        xsum(col("c_acctbal")).as("bal_total"),
+        min(col("c_acctbal")).as("bal_min"),
+        max(col("c_acctbal")).as("bal_max"))
+      .select(col("tile").cast("long").as("tile"), col("n_cust"),
+        col("bal_total"), col("bal_min"), col("bal_max"))
+      .orderBy("tile")
+  }
+
+  /** INTERSECT / EXCEPT set semantics in one result: nations that have
+    * BOTH customers and suppliers vs customer-only nations — both sides
+    * non-trivial at every SF (suppliers cover fewer nations than
+    * customers). Set ops plan as aggregate + left-semi/anti join under
+    * the hood, so only DISTINCT keys travel through the shuffle. */
+  def q32SetOps: Q = (s, d) => {
+    val custNations = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+    val suppNations = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+    val both = custNations.intersect(suppNations)
+      .select(col("nationkey"), lit("both").as("bucket"))
+    val custOnly = custNations.except(suppNations)
+      .select(col("nationkey"), lit("cust_only").as("bucket"))
+    both.unionAll(custOnly).orderBy("bucket", "nationkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_agg"       -> q1Agg,
     "q2_filter"    -> q2Filter,
@@ -461,6 +515,9 @@ object Relational {
     "q27_argmin"   -> q27ArgMin,
     "q28_running"  -> q28Running,
     "q29_movavg"   -> q29MovAvg,
+    "q30_gsets"    -> q30Gsets,
+    "q31_ntile"    -> q31Ntile,
+    "q32_setops"   -> q32SetOps,
   )
 
   val oracle: Map[String, String] = Map(
@@ -645,6 +702,32 @@ object Relational {
         |FROM daily
         |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY day""".stripMargin,
+    "q30_gsets" ->
+      s"""SELECT n_name, o_orderstatus,
+         |  CAST(GROUPING(n_name, o_orderstatus) AS BIGINT) AS gid,
+         |  count(*) AS n_orders, ${osum("o_totalprice")} AS total
+         |FROM orders, customer, nation
+         |WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+         |GROUP BY GROUPING SETS ((n_name, o_orderstatus), (n_name), (o_orderstatus))
+         |ORDER BY gid, n_name NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "q31_ntile" ->
+      s"""SELECT tile, count(*) AS n_cust, ${osum("c_acctbal")} AS bal_total,
+         |  min(c_acctbal) AS bal_min, max(c_acctbal) AS bal_max
+         |FROM (SELECT c_custkey, c_acctbal,
+         |        ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS tile
+         |      FROM customer) t
+         |GROUP BY tile ORDER BY tile""".stripMargin,
+    "q32_setops" ->
+      """SELECT nationkey, 'both' AS bucket FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT
+        |  SELECT s_nationkey AS nationkey FROM supplier) a
+        |UNION ALL
+        |SELECT nationkey, 'cust_only' AS bucket FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT
+        |  SELECT s_nationkey AS nationkey FROM supplier) b
+        |ORDER BY bucket, nationkey""".stripMargin,
     "q22_anti_subq" ->
       s"""WITH t AS (
          |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE)

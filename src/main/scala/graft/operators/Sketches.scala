@@ -55,4 +55,34 @@ object Sketches {
     sketches.groupBy("lang")
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("n_distinct_approx"))
       .orderBy("lang")
+
+  val CmsEps = 0.001       // CountMin over-estimate bound: eps · total items
+  val CmsConfidence = 0.99
+  val CmsSeed = 42
+
+  /** COUNT-MIN heavy hitters — the frequency-sketch member of the
+    * family: a fixed-size CountMinSketch over the token stream
+    * (one distributed build via `df.stat.countMinSketch`; only
+    * depth×width counters travel to the driver, never tokens), then
+    * point estimates for candidate heavy hitters. CMS never
+    * under-counts and over-counts by at most eps·N with the configured
+    * confidence — the property the spec binds against exact counts.
+    * At 100 TB the sketch size is unchanged; per-shard sketches merge
+    * with `mergeInPlace` exactly like the HLL bytes above. */
+  def heavyHitters(docs: DataFrame, candidates: Seq[String]): Seq[(String, Long)] = {
+    val cms = WordCount.tokens(docs)
+      .stat.countMinSketch(col("word"), CmsEps, CmsConfidence, CmsSeed)
+    candidates.map(w => w -> cms.estimateCount(w))
+  }
+
+  /** Two-phase CMS: per-shard sketches merged associatively — the
+    * persist-per-shard shape; returns the merged sketch's estimates. */
+  def heavyHittersSharded(docs: DataFrame, shardCol: String,
+                          shardValues: Seq[String], candidates: Seq[String]): Seq[(String, Long)] = {
+    val merged = shardValues
+      .map(v => WordCount.tokens(docs.where(col(shardCol) === v))
+        .stat.countMinSketch(col("word"), CmsEps, CmsConfidence, CmsSeed))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    candidates.map(w => w -> merged.estimateCount(w))
+  }
 }

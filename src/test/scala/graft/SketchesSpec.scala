@@ -36,6 +36,25 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("CountMin heavy hitters: never under-count, over-count bounded by eps·N") {
+    val exact = WordCount.wordCount(docs).limit(20).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = WordCount.tokens(docs).count()
+    val est = Sketches.heavyHitters(docs, exact.keys.toSeq).toMap
+    for ((w, ex) <- exact) {
+      assert(est(w) >= ex, s"CMS under-counted $w: ${est(w)} < $ex")
+      assert(est(w) <= ex + (Sketches.CmsEps * total).toLong + 1,
+        s"CMS over-counted $w beyond eps*N: ${est(w)} vs $ex (N=$total)")
+    }
+    // two-phase shard merge estimates the same counts within the same bound
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSeq
+    val sharded = Sketches.heavyHittersSharded(docs, "lang", langs, exact.keys.toSeq).toMap
+    for ((w, ex) <- exact) {
+      assert(sharded(w) >= ex && sharded(w) <= ex + (Sketches.CmsEps * total).toLong + 1,
+        s"merged CMS out of bounds for $w: ${sharded(w)} vs $ex")
+    }
+  }
+
   test("approx percentiles within one neighbor of the exact rank selection") {
     val exact = TextAnalysis.lengthPercentiles(docs).collect()
       .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
