@@ -376,7 +376,13 @@ object Relational {
     * key is bit-identical across engines, so ties (broken on suppkey)
     * are deterministic. */
   def q27ArgMin: Q = (s, d) => {
+    // the PROMO predicate is ~6× selective on partkey: push it below the
+    // (partkey, suppkey) aggregate as a broadcast semi-join so the big
+    // shuffle carries only surviving parts (per-partkey results unchanged)
+    val promoKeys = Tables.part(s, d).where(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
     val ps = Tables.lineitem(s, d)
+      .join(broadcast(promoKeys), col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy("l_partkey", "l_suppkey")
       .agg((xsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"))
     val w = Window.partitionBy("l_partkey").orderBy(col("avg_price"), col("l_suppkey"))
