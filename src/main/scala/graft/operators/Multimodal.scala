@@ -25,15 +25,17 @@ case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
   * `binary` columns with typed metadata, decoded and featurized in
   * partition-local batches.
   *
-  * IMAGE rows are REAL: ingest encodes genuine PNG bytes (JDK
-  * `javax.imageio` — no external codec needed) and the decode step reads
-  * them back with `ImageIO.read`, so width/height/luminance statistics
-  * come from actual decoded pixels; the driver's oracle re-derives them
-  * arithmetically because the encoded dimensions and pixel values are
-  * deterministic functions of the source document. Audio/video decode
-  * remains a clearly-marked stub ([[MultimodalStub]] — the container has
-  * no sound/video codecs). The surrounding Spark shape is production
-  * faithful for all kinds:
+  * IMAGE and AUDIO rows are REAL: ingest encodes genuine PNG bytes (JDK
+  * `javax.imageio`) and genuine RIFF/WAVE PCM bytes (JDK
+  * `javax.sound.sampled`) — no external codec needed — and the decode
+  * step reads them back with `ImageIO.read` / `AudioSystem`, so
+  * width/height/luminance and frame-count/amplitude statistics come
+  * from actual decoded pixels and samples; the driver's oracle
+  * re-derives them arithmetically because the encoded values are
+  * deterministic functions of the source document. Only VIDEO decode
+  * remains a clearly-marked stub ([[MultimodalStub]] — the JDK ships no
+  * video codec). The surrounding Spark shape is production faithful for
+  * all kinds:
   *  - schema: `content BINARY` + `meta STRUCT<…>` survive parquet
   *    round-trips and shuffles;
   *  - execution: `mapPartitions` over a typed Dataset, processing rows in
@@ -53,10 +55,15 @@ object Multimodal {
     * dimensions (8 + n_chars%24) × (8 + n_chars%16), the first 16 pixels
     * carrying the md5 digest of the text (so distinct texts yield
     * distinct images — binary dedup semantics match text dedup), the
-    * rest a constant gray n_chars%256 — every decoded statistic is an
-    * arithmetic function of (n_chars, md5(text)) that DuckDB re-derives
-    * without a codec. Audio/video content stays raw text bytes for the
-    * stub decoder. */
+    * rest a constant gray n_chars%256. AUDIO rows carry REAL WAV bytes
+    * ([[AudioCodec.encodeWav]]): 16-bit PCM mono at [[AudioCodec.Rate]]
+    * Hz, 256 + n_chars%512 sample frames, the first 16 samples encoding
+    * the text digest (same injectivity argument as images), the rest a
+    * constant amplitude derived from n_chars — every decoded statistic
+    * for BOTH kinds is an arithmetic function of (n_chars, md5(text))
+    * that DuckDB re-derives without a codec. Video content stays raw
+    * text bytes for the stub decoder (the JDK ships image and audio
+    * codecs, but no video codec). */
   def ingest(docs: DataFrame): Dataset[MediaFile] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -71,8 +78,10 @@ object Multimodal {
               MessageDigest.getInstance("MD5").digest(bytes), (nChars % 256).toInt)
             MediaFile(id, "image", png, MediaMeta(w, h, 0, "png"))
           case 1 =>
-            MediaFile(id, "audio", bytes,
-              MediaMeta((nChars % 640).toInt, (nChars % 480).toInt, 16000, "wav"))
+            val n = 256 + (nChars % 512).toInt
+            val wav = AudioCodec.encodeWav(n,
+              MessageDigest.getInstance("MD5").digest(bytes), (nChars % 128).toInt)
+            MediaFile(id, "audio", wav, MediaMeta(0, 0, AudioCodec.Rate, "wav"))
           case _ =>
             MediaFile(id, "video", bytes,
               MediaMeta((nChars % 640).toInt, (nChars % 480).toInt, 0, "mp4"))
@@ -96,10 +105,13 @@ object Multimodal {
 
   /** Per-batch decode dispatch: `image` → [[ImageCodec.decode]] (real
     * pixels: width/height/luminance read from the decoded PNG, n_bytes =
-    * decoded RGB payload), `audio`/`video` → [[MultimodalStub]]
-    * pseudo-decode. The feature vector is a deterministic md5-chain
-    * pseudo-embedding for all kinds (a real build swaps the extractor,
-    * not the batch plumbing). */
+    * decoded RGB payload), `audio` → [[AudioCodec.decode]] (real PCM:
+    * n_frames = decoded sample-frame count, n_bytes = decoded PCM
+    * payload, `lum` carries the |amplitude| sum — the signal-energy
+    * statistic for audio, as luminance is for images), `video` →
+    * [[MultimodalStub]] pseudo-decode. The feature vector is a
+    * deterministic md5-chain pseudo-embedding for all kinds (a real
+    * build swaps the extractor, not the batch plumbing). */
   def decodeBatch(batch: Seq[MediaFile]): Seq[MediaFeatures] =
     batch.map { m =>
       val hashHex = MessageDigest.getInstance("MD5").digest(m.content)
@@ -110,8 +122,12 @@ object Multimodal {
           val (w, h, lum) = ImageCodec.decode(m.content, m.media_id)
           MediaFeatures(m.media_id, m.kind, w.toLong * h * 3, hashHex, feature,
             n_frames = 1, width = w, height = h, lum = lum)
+        case "audio" =>
+          val (frames, absSum) = AudioCodec.decode(m.content, m.media_id)
+          MediaFeatures(m.media_id, m.kind, frames * 2L, hashHex, feature,
+            n_frames = frames, width = 0, height = 0, lum = absSum)
         case _ =>
-          val frames = if (m.kind == "video") 1 + m.content.length / 100 else 0
+          val frames = 1 + m.content.length / 100
           MediaFeatures(m.media_id, m.kind, m.content.length.toLong, hashHex, feature,
             n_frames = frames, width = 0, height = 0, lum = 0L)
       }
@@ -173,11 +189,11 @@ object Multimodal {
 
   /** Binary-content dedup THROUGH the media path: unique blobs per kind,
     * counted from the `content_hash` the batched decoder emits. For
-    * audio/video the blob IS the text bytes, so the hash equals
-    * md5(text); for images the PNG embeds the full text digest in its
-    * first 16 pixels, making text→PNG injective on digests — distinct
-    * COUNTS match DuckDB's count(DISTINCT md5(text)) exactly even though
-    * the hash values differ. */
+    * video the blob IS the text bytes, so the hash equals md5(text); for
+    * images and audio the PNG/WAV embeds the full text digest in its
+    * first 16 pixels/samples, making text→blob injective on digests —
+    * distinct COUNTS match DuckDB's count(DISTINCT md5(text)) exactly
+    * even though the hash values differ. */
   def mediaDedup(docs: DataFrame): DataFrame =
     featurize(ingest(docs))
       .groupBy(col("kind"))
@@ -192,31 +208,42 @@ object Multimodal {
   )
 
   /** `mm_summary` runs the full binary pipeline (ingest → batched decode
-    * → per-kind agg). Image statistics are measured from REAL decoded
-    * PNGs; DuckDB derives the identical numbers arithmetically from
-    * (n_chars, md5(text)) because the encoding is deterministic:
-    * dimensions (8+n_chars%24)×(8+n_chars%16), luminance = digest-byte
-    * sum + (pixels−16)·(n_chars%256), decoded payload = pixels·3. A
-    * hash-match therefore proves ImageIO really decoded the pixels the
-    * fixture encoded — the §2.7 path is driver-checked end to end. */
+    * → per-kind agg). Image AND audio statistics are measured from REAL
+    * decoded media (ImageIO pixels, javax.sound PCM frames); DuckDB
+    * derives the identical numbers arithmetically from
+    * (n_chars, md5(text)) because both encodings are deterministic:
+    * images — dimensions (8+n_chars%24)×(8+n_chars%16), luminance =
+    * digest-byte sum + (pixels−16)·(n_chars%256), payload = pixels·3;
+    * audio — 256+n_chars%512 PCM frames, payload = frames·2, |amplitude|
+    * sum = Σ|digest_i−128|·64 + (frames−16)·(n_chars%128)·32. A
+    * hash-match therefore proves the JDK codecs really decoded the
+    * samples the fixtures encoded — §2.7 is driver-checked end to end. */
   private val DigestByteSum: String = (0 until 16)
     .map(i => s"('0x'||substr(dig,${2 * i + 1},2))::BIGINT").mkString(" + ")
+  private val DigestAbsSum: String = (0 until 16)
+    .map(i => s"abs(('0x'||substr(dig,${2 * i + 1},2))::BIGINT - 128) * 64").mkString(" + ")
 
   val oracle: Map[String, String] = Map(
     "mm_summary" ->
       s"""SELECT kind, count(*) AS n_files,
-         |  CAST(sum(CASE WHEN kind = 'image' THEN px * 3 ELSE n_bytes END) AS BIGINT) AS total_bytes,
+         |  CAST(sum(CASE WHEN kind = 'image' THEN px * 3
+         |                WHEN kind = 'audio' THEN frames * 2
+         |                ELSE n_bytes END) AS BIGINT) AS total_bytes,
          |  CAST(sum(CASE WHEN kind = 'video' THEN 1 + n_bytes // 100
-         |                WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS total_frames,
+         |                WHEN kind = 'audio' THEN frames
+         |                ELSE 1 END) AS BIGINT) AS total_frames,
          |  CAST(sum(CASE WHEN kind = 'image' THEN px ELSE 0 END) AS BIGINT) AS total_pixels,
          |  CAST(sum(CASE WHEN kind = 'image'
          |           THEN $DigestByteSum + (px - 16) * (n_chars % 256)
+         |                WHEN kind = 'audio'
+         |           THEN $DigestAbsSum + (frames - 16) * (n_chars % 128) * 32
          |           ELSE 0 END) AS BIGINT) AS total_lum
          |FROM (
          |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
          |         ELSE 'video' END AS kind,
          |    octet_length(encode(text)) AS n_bytes, n_chars,
          |    (8 + n_chars % 24) * (8 + n_chars % 16) AS px,
+         |    256 + n_chars % 512 AS frames,
          |    md5(text) AS dig
          |  FROM documents) m
          |GROUP BY kind ORDER BY kind""".stripMargin,
@@ -292,11 +319,65 @@ object ImageCodec {
   }
 }
 
-/** The clearly-marked fake codec for the kinds this container has no
-  * decoder for (audio/video). A production build replaces exactly this
-  * object with real decoders (ffmpeg via JNI, or a Python worker via
-  * Arrow); signatures and batch shape stay unchanged. Images do NOT go
-  * through here — see [[ImageCodec]]. */
+/** REAL audio codec — pure JDK (`javax.sound.sampled`), no external
+  * dependency. Encodes/decodes genuine RIFF/WAVE bytes (16-bit signed
+  * PCM, mono, little-endian); the frame count and amplitude statistics
+  * the pipeline reports for audio come from samples this codec actually
+  * decoded. */
+object AudioCodec {
+  import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+  val Rate = 8000
+
+  private def format = new AudioFormat(Rate.toFloat, 16, 1, true, false)
+
+  /** Deterministic WAV: `n` sample frames, the first `head.length`
+    * samples carrying `head`'s bytes as ((b&0xff)−128)·64, the rest the
+    * constant amplitude `amp`·32. PCM is lossless, so a decode recovers
+    * these values exactly. */
+  def encodeWav(n: Int, head: Array[Byte], amp: Int): Array[Byte] = {
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = if (i < head.length) ((head(i) & 0xff) - 128) * 64 else amp * 32
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val stream = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), format, n.toLong)
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode WAV bytes → (sample-frame count, |amplitude| sum). Fails
+    * loud on undecodable content or a non-16-bit/mono format (a silent
+    * zero would surface as an oracle mismatch far from the cause). */
+  def decode(content: Array[Byte], mediaId: Long): (Int, Long) = {
+    val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(content))
+    val fmt = in.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+      s"media $mediaId: unexpected audio format $fmt")
+    val pcm = in.readAllBytes()
+    val n = pcm.length / 2
+    var absSum = 0L
+    var i = 0
+    while (i < n) {
+      val v = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+      absSum += math.abs(v)
+      i += 1
+    }
+    (n, absSum)
+  }
+}
+
+/** The clearly-marked fake codec for the ONE kind this container has no
+  * decoder for (video — the JDK ships no video codec). A production
+  * build replaces exactly this object with a real decoder (ffmpeg via
+  * JNI, or a Python worker via Arrow); signatures and batch shape stay
+  * unchanged. Images and audio do NOT go through here — see
+  * [[ImageCodec]] and [[AudioCodec]]. */
 object MultimodalStub {
 
   private def md5(bytes: Array[Byte]): Array[Byte] =

@@ -494,6 +494,28 @@ object Relational {
     both.unionAll(custOnly).orderBy("bucket", "nationkey")
   }
 
+  /** FULL OUTER join — the reconciliation shape: per-customer URGENT
+    * spend vs FINALIZED spend, keeping customers present on either side
+    * (48 left-only / 180 right-only / rest matched at sf0.01). Both
+    * inputs are filtered aggregates of the same fact keyed by custkey,
+    * so they arrive at the join already hash-partitioned on the join
+    * key — the full-outer SMJ adds sorts but no exchange. The `side`
+    * tag is derived from value nullability (sides never emit NULL sums),
+    * the pattern audit queries use to split matched/unmatched volume. */
+  def q33FullOuter: Q = (s, d) => {
+    val orders = Tables.orders(s, d)
+    val urgent = orders.where(col("o_orderpriority") === "1-URGENT")
+      .groupBy("o_custkey").agg(xsum(col("o_totalprice")).as("urgent_spend"))
+    val fin = orders.where(col("o_orderstatus") === "F")
+      .groupBy("o_custkey").agg(xsum(col("o_totalprice")).as("final_spend"))
+    urgent.join(fin, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"), col("urgent_spend"), col("final_spend"),
+        when(col("urgent_spend").isNull, lit("final_only"))
+          .when(col("final_spend").isNull, lit("urgent_only"))
+          .otherwise(lit("both")).as("side"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_agg"       -> q1Agg,
     "q2_filter"    -> q2Filter,
@@ -524,6 +546,7 @@ object Relational {
     "q30_gsets"    -> q30Gsets,
     "q31_ntile"    -> q31Ntile,
     "q32_setops"   -> q32SetOps,
+    "q33_fullouter"-> q33FullOuter,
   )
 
   val oracle: Map[String, String] = Map(
@@ -734,6 +757,17 @@ object Relational {
         |  EXCEPT
         |  SELECT s_nationkey AS nationkey FROM supplier) b
         |ORDER BY bucket, nationkey""".stripMargin,
+    "q33_fullouter" ->
+      s"""WITH u AS (SELECT o_custkey, ${osum("o_totalprice")} AS urgent_spend
+         |           FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+         |f AS (SELECT o_custkey, ${osum("o_totalprice")} AS final_spend
+         |      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
+         |SELECT o_custkey, urgent_spend, final_spend,
+         |  CASE WHEN urgent_spend IS NULL THEN 'final_only'
+         |       WHEN final_spend IS NULL THEN 'urgent_only'
+         |       ELSE 'both' END AS side
+         |FROM u FULL OUTER JOIN f USING (o_custkey)
+         |ORDER BY o_custkey""".stripMargin,
     "q22_anti_subq" ->
       s"""WITH t AS (
          |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE)

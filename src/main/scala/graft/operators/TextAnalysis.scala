@@ -238,6 +238,89 @@ object TextAnalysis {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Gopher/C4-style repetition and quality rules (the pre-training
+    * corpus filter family): per document — word count, mean word length,
+    * most-common-word frequency fraction, duplicate-bigram fraction, and
+    * stopword presence, plus the combined pass/fail flag. The repetition
+    * signals (top-word fraction, duplicate n-gram fraction) are the
+    * standard word-salad/boilerplate detectors from the Gopher and C4
+    * cleaning recipes.
+    *
+    * Distributed shape: one whitespace tokenize, then both statistics
+    * families flow through (doc_id, term)-keyed counts — the wordcount
+    * shuffle shape with full map-side combining — re-aggregated by
+    * doc_id. Both branch outputs land hash-partitioned on doc_id, so the
+    * final join adds no exchange. No windows over raw words, no per-row
+    * O(n²) lambdas: at 100 TB the cost is two combiner-friendly shuffles
+    * of (doc, term) counts, not a corpus re-sort. */
+  val GopherStops = Seq("the", "a", "of", "and", "to")
+  val GopherTopFracMax = 0.12
+  val GopherDupFracMax = 0.15
+  val GopherMinWords = 25
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val ws = docs.select(col("doc_id"),
+      filter(split(col("text"), " "), w => w =!= "").as("ws"))
+    val wc = ws.select(col("doc_id"), explode(col("ws")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+    val wstat = wc.groupBy("doc_id").agg(
+      sum("cnt").as("n_words"),
+      max("cnt").as("max_cnt"),
+      sum(length(col("word")).cast("long") * col("cnt")).as("sum_wlen"),
+      coalesce(sum(when(col("word").isInCollection(GopherStops), col("cnt"))), lit(0L))
+        .as("stop_cnt"))
+    // bigrams from the projected array attribute (an inline expression
+    // here would be re-split per element by the lambda)
+    val gstat = ws.select(col("doc_id"),
+        explode(when(size(col("ws")) >= 2,
+            transform(sequence(lit(0), size(col("ws")) - 2),
+              i => concat_ws(" ", element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(sum("cnt").as("n_grams"), count(lit(1)).as("d_grams"))
+    val topFrac = col("max_cnt").cast("double") / col("n_words")
+    val dupFrac = coalesce(
+      (col("n_grams") - col("d_grams")).cast("double") / nullif(col("n_grams"), lit(0L)),
+      lit(0.0))
+    wstat.join(gstat, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        round(col("sum_wlen").cast("double") / col("n_words"), 4).as("mean_wlen"),
+        round(topFrac, 4).as("top_frac"),
+        round(dupFrac, 4).as("dup_frac"),
+        col("stop_cnt"),
+        (topFrac <= GopherTopFracMax && dupFrac <= GopherDupFracMax &&
+          col("n_words") >= GopherMinWords && col("stop_cnt") >= 1)
+          .cast("long").as("passes"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark DECONTAMINATION (the GPT-3-style n-gram overlap filter):
+    * flag corpus documents sharing any [[DecontamN]]-gram with the
+    * benchmark set. The benchmark here is a deterministic slice of the
+    * corpus (doc_id % [[BenchMod]] == 0) standing in for an external
+    * eval file; in production it is tiny by definition, which is why the
+    * overlap test is a BROADCAST join against the distinct benchmark
+    * shingles — the corpus side stays map-only (shingle, distinct per
+    * doc) plus one doc-keyed count, and never shuffles on gram text.
+    * Emits (doc_id, n_hits) for contaminated docs; composing an
+    * anti-join against this result is the corpus-cleaning step. */
+  val DecontamN = 4
+  val BenchMod = 97
+  def decontaminate(docs: DataFrame): DataFrame = {
+    val ws = docs.select(col("doc_id"),
+      filter(split(col("text"), " "), w => w =!= "").as("ws"))
+    val grams = ws.select(col("doc_id"),
+      explode(when(size(col("ws")) >= DecontamN,
+          transform(sequence(lit(0), size(col("ws")) - DecontamN),
+            i => concat_ws(" ", slice(col("ws"), i + 1, lit(DecontamN)))))
+        .otherwise(array().cast("array<string>"))).as("g"))
+    val bench = grams.where(col("doc_id") % BenchMod === 0).select("g").distinct()
+    grams.where(col("doc_id") % BenchMod =!= 0)
+      .select("doc_id", "g").distinct()
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "text_normalize"   -> ((s, d) => normalize(Tables.documents(s, d))),
@@ -249,6 +332,8 @@ object TextAnalysis {
     "text_sample"      -> ((s, d) => hashSample(Tables.documents(s, d))),
     "text_tfidf"       -> ((s, d) => tfidf(Tables.documents(s, d))),
     "text_stratified"  -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
+    "text_gopher"      -> ((s, d) => gopherRules(Tables.documents(s, d))),
+    "text_decontam"    -> ((s, d) => decontaminate(Tables.documents(s, d))),
   )
 
   // words-array SQL fragment shared by the oracles
@@ -258,6 +343,38 @@ object TextAnalysis {
     s"len(list_filter($W, w -> w IN ${inList(items)}))::BIGINT"
 
   val oracle: Map[String, String] = Map(
+    "text_gopher" ->
+      s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |           FROM documents),
+         |tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+         |wc AS (SELECT doc_id, word, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         |a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+         |        CAST(max(cnt) AS BIGINT) AS max_cnt,
+         |        CAST(sum(length(word) * cnt) AS BIGINT) AS sum_wlen,
+         |        CAST(coalesce(sum(CASE WHEN word IN ${inList(GopherStops)} THEN cnt END), 0) AS BIGINT) AS stop_cnt
+         |      FROM wc GROUP BY 1),
+         |g AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram
+         |      FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) s),
+         |gc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |        CAST(count(DISTINCT gram) AS BIGINT) AS d_grams FROM g GROUP BY 1)
+         |SELECT doc_id, n_words,
+         |  round(sum_wlen::DOUBLE / n_words, 4) AS mean_wlen,
+         |  round(max_cnt::DOUBLE / n_words, 4) AS top_frac,
+         |  round(coalesce((n_grams - d_grams)::DOUBLE / nullif(n_grams, 0), 0), 4) AS dup_frac,
+         |  stop_cnt,
+         |  (max_cnt::DOUBLE / n_words <= $GopherTopFracMax
+         |   AND coalesce((n_grams - d_grams)::DOUBLE / nullif(n_grams, 0), 0) <= $GopherDupFracMax
+         |   AND n_words >= $GopherMinWords AND stop_cnt >= 1)::BIGINT AS passes
+         |FROM a LEFT JOIN gc USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "text_decontam" ->
+      s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |           FROM documents),
+         |grams AS (SELECT doc_id, array_to_string(ws[i:i+${DecontamN - 1}], ' ') AS g
+         |          FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - ${DecontamN - 1})) AS i) s),
+         |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % $BenchMod = 0)
+         |SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_hits
+         |FROM grams JOIN bench USING (g) WHERE doc_id % $BenchMod <> 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_tfidf" ->
       s"""WITH tf AS (
          |  SELECT doc_id, word, count(*) AS tf FROM (

@@ -93,9 +93,11 @@ class EdgeCaseSpec extends SparkSpec {
   test("multimodal resize survives empty-content blobs") {
     val resized = Multimodal.resize(Multimodal.ingest(weird), 16, 16).collect()
     assert(resized.length == 7)
-    val empty = resized.find(_.media_id == 1L).get // doc 1 has empty text
-    assert(empty.content.isEmpty)
-    assert(empty.kind == "audio" || (empty.meta.width == 16 && empty.meta.height == 16))
+    // doc 1 has empty text but is an audio row: the real WAV codec still
+    // emits a decodable 256-frame blob (digest head + zero amplitude)
+    val empty = resized.find(_.media_id == 1L).get
+    assert(empty.kind == "audio")
+    assert(graft.operators.AudioCodec.decode(empty.content, 1L)._1 == 256)
   }
 
   test("chunked source: empty docs yield zero chunks, others reassemble") {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{ImageCodec, Multimodal, MediaFile, MediaMeta}
+import graft.operators.{AudioCodec, ImageCodec, Multimodal, MediaFile, MediaMeta}
 import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
@@ -33,20 +33,40 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.values.forall(v => v.forall(x => x >= 0f && x < 1f)))
   }
 
-  test("decode batch: frame semantics per kind, image through the real codec") {
-    val mk = (id: Long, kind: String, n: Int) =>
-      MediaFile(id, kind, Array.fill(n)(7.toByte), MediaMeta(0, 0, 0, "x"))
+  test("decode batch: frame semantics per kind, image+audio through real codecs") {
     val png = ImageCodec.encodePng(10, 5, Array[Byte](1, 2, 3), 7)
+    val wav = AudioCodec.encodeWav(40, Array[Byte](130.toByte, 126), 5)
     val out = Multimodal.decodeBatch(Seq(
       MediaFile(1, "image", png, MediaMeta(10, 5, 0, "png")),
-      mk(2, "video", 250), mk(3, "audio", 250)))
-    assert(out.map(_.n_frames) == Seq(1, 3, 0))
+      MediaFile(2, "video", Array.fill(250)(7.toByte), MediaMeta(0, 0, 0, "x")),
+      MediaFile(3, "audio", wav, MediaMeta(0, 0, AudioCodec.Rate, "wav"))))
+    assert(out.map(_.n_frames) == Seq(1, 3, 40))
     // image: decoded dims and payload from the REAL decode
     assert(out(0).width == 10 && out(0).height == 5)
     assert(out(0).n_bytes == 10L * 5 * 3)
     assert(out(0).lum == 1 + 2 + 3 + (50 - 3) * 7)
-    assert(out.drop(1).forall(_.n_bytes == 250))
-    assert(out.drop(1).forall(f => f.width == 0 && f.height == 0 && f.lum == 0))
+    assert(out(1).n_bytes == 250 && out(1).lum == 0)
+    // audio: decoded PCM payload and |amplitude| sum from the REAL decode
+    assert(out(2).n_bytes == 40L * 2)
+    assert(out(2).lum == (130 - 128).abs * 64 + (126 - 128).abs * 64 + 38L * 5 * 32)
+  }
+
+  test("audio codec: WAV encode→decode round-trips exact samples") {
+    val head = Array.range(0, 16).map(i => (i * 17 % 256).toByte)
+    val wav = AudioCodec.encodeWav(100, head, 11)
+    // RIFF/WAVE magic — the blob really is a WAV file
+    assert(wav(0) == 'R' && wav(1) == 'I' && wav(2) == 'F' && wav(3) == 'F')
+    assert(wav(8) == 'W' && wav(9) == 'A' && wav(10) == 'V' && wav(11) == 'E')
+    val (frames, absSum) = AudioCodec.decode(wav, 0)
+    assert(frames == 100)
+    val expected = head.map(b => ((b & 0xff) - 128).abs.toLong * 64).sum + (100 - 16).toLong * 11 * 32
+    assert(absSum == expected)
+  }
+
+  test("audio codec fails loud on undecodable bytes") {
+    intercept[Exception] {
+      AudioCodec.decode(Array.fill(64)(7.toByte), 42)
+    }
   }
 
   test("image codec: PNG encode→decode round-trips exact pixels") {

@@ -36,4 +36,21 @@ class RelationalSpec extends SparkSpec {
   test("every query has a DuckDB oracle") {
     assert(Relational.queries.keySet == Relational.oracle.keySet)
   }
+
+  test("q33_fullouter covers every customer from either side exactly once") {
+    import org.apache.spark.sql.functions._
+    val r = Relational.q33FullOuter(spark, sf)
+    val orders = Tables.orders(spark, sf)
+    val expected = orders.where(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+      .union(orders.where(col("o_orderstatus") === "F").select("o_custkey"))
+      .distinct().count()
+    assert(r.count() == expected)
+    assert(r.groupBy("o_custkey").count().where(col("count") > 1).count() == 0)
+    // side tag is consistent with value nullability
+    assert(r.where(col("side") === "both" &&
+      (col("urgent_spend").isNull || col("final_spend").isNull)).count() == 0)
+    assert(r.where(col("side") === "urgent_only" && col("final_spend").isNotNull).count() == 0)
+    assert(r.where(col("side") === "final_only" && col("urgent_spend").isNotNull).count() == 0)
+  }
 }

@@ -83,4 +83,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(0).getString(2) == fp(1).getString(2))  // fp_shape equal
     assert(fp(0).getString(1) != fp(1).getString(1))  // fp_content differs
   }
+
+  test("gopher rules: one row per doc, fractions bounded, repetition caught") {
+    val s = spark
+    import s.implicits._
+    val g = TextAnalysis.gopherRules(docs)
+    assert(g.count() == docs.count())
+    assert(g.where(col("top_frac") <= 0 || col("top_frac") > 1).count() == 0)
+    assert(g.where(col("dup_frac") < 0 || col("dup_frac") >= 1).count() == 0)
+    assert(g.where(!col("passes").isin(0L, 1L)).count() == 0)
+    // a pure-repetition doc must fail, a varied stopworded doc must pass
+    val synth = Seq(
+      (1L, Array.fill(30)("spam spam").mkString(" ")),
+      (2L, (1 to 30).map(i => s"w$i").mkString("the ", " ", " end"))).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(synth).collect()
+      .map(x => x.getLong(0) -> x.getLong(6)).toMap
+    assert(r(1L) == 0L && r(2L) == 1L)
+  }
+
+  test("decontam: benchmark docs never flagged, hits are real shared 4-grams") {
+    val d = TextAnalysis.decontaminate(docs)
+    assert(d.where(col("doc_id") % TextAnalysis.BenchMod === 0).count() == 0)
+    assert(d.where(col("n_hits") <= 0).count() == 0)
+    // the composed cleaning step: anti-join removes exactly the flagged docs
+    val clean = docs.join(d, Seq("doc_id"), "left_anti")
+    assert(clean.count() == docs.count() - d.count())
+  }
 }
