@@ -314,9 +314,11 @@ object TextAnalysis {
             i => concat_ws(" ", slice(col("ws"), i + 1, lit(DecontamN)))))
         .otherwise(array().cast("array<string>"))).as("g"))
     val bench = grams.where(col("doc_id") % BenchMod === 0).select("g").distinct()
+    // broadcast-filter FIRST, dedupe after: the (doc_id, g) distinct then
+    // shuffles only the matching grams (O(hits)), never the corpus
     grams.where(col("doc_id") % BenchMod =!= 0)
-      .select("doc_id", "g").distinct()
       .join(broadcast(bench), "g")
+      .select("doc_id", "g").distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       .orderBy("doc_id")
   }

@@ -92,10 +92,25 @@ object Sources {
     integrity(jsonl(s, dir, DocSchema))
   }
 
+  /** Driver-gated ORC read path (`src_orc`): the second columnar format
+    * Spark ships natively (vectorized reader, predicate pushdown, column
+    * pruning — same scan machinery as parquet). Binary formats don't
+    * have CSV's quoting hazards, so the integrity gate here proves the
+    * writer/reader pair and type mapping, closing the
+    * parquet/ORC/CSV/JSONL/text matrix of built-in sources. */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = Fixtures.dirFor("src_orc", d, "documents")
+    if (!Fixtures.ready(dir))
+      graft.Tables.documents(s, d).select("doc_id", "lang", "text")
+        .write.mode("overwrite").orc(dir)
+    integrity(s.read.schema(DocSchema).orc(dir))
+  }
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "src_csv"   -> ((s, d) => csvRoundtrip(s, d)),
     "src_jsonl" -> ((s, d) => jsonlRoundtrip(s, d)),
+    "src_orc"   -> ((s, d) => orcRoundtrip(s, d)),
   )
 
   private val integritySql =
@@ -107,6 +122,7 @@ object Sources {
   val oracle: Map[String, String] = Map(
     "src_csv"   -> integritySql,
     "src_jsonl" -> integritySql,
+    "src_orc"   -> integritySql,
   )
 
   /** Fixed-size chunking of a (doc_id, text) corpus — the reference's

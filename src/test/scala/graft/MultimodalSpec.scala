@@ -116,7 +116,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("mediaSummary groups all files by kind") {
-    val s = Multimodal.mediaSummary(docs)
+    val s = Multimodal.mediaSummary(Multimodal.ingest(docs))
     val total = s.agg(sum("n_files")).collect()(0).getLong(0)
     assert(total == docs.count())
     assert(s.count() == 3)
