@@ -257,9 +257,26 @@ object TextAnalysis {
   val GopherTopFracMax = 0.12
   val GopherDupFracMax = 0.15
   val GopherMinWords = 25
-  def gopherRules(docs: DataFrame): DataFrame = {
-    val ws = docs.select(col("doc_id"),
+
+  /** (doc_id, ws) whitespace-word arrays — shared by the gopher and
+    * decontamination operators. */
+  private def wsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       filter(split(col("text"), " "), w => w =!= "").as("ws"))
+
+  /** (doc_id, g) word n-grams, exploded; docs shorter than `n` words
+    * yield no rows. Derived from the projected array attribute (an
+    * inline expression here would be re-split per element by the
+    * lambda). */
+  private def gramsOf(docs: DataFrame, n: Int): DataFrame =
+    wsOf(docs).select(col("doc_id"),
+      explode(when(size(col("ws")) >= n,
+          transform(sequence(lit(0), size(col("ws")) - n),
+            i => concat_ws(" ", slice(col("ws"), i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))).as("g"))
+
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val ws = wsOf(docs)
     val wc = ws.select(col("doc_id"), explode(col("ws")).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
     val wstat = wc.groupBy("doc_id").agg(
@@ -268,13 +285,7 @@ object TextAnalysis {
       sum(length(col("word")).cast("long") * col("cnt")).as("sum_wlen"),
       coalesce(sum(when(col("word").isInCollection(GopherStops), col("cnt"))), lit(0L))
         .as("stop_cnt"))
-    // bigrams from the projected array attribute (an inline expression
-    // here would be re-split per element by the lambda)
-    val gstat = ws.select(col("doc_id"),
-        explode(when(size(col("ws")) >= 2,
-            transform(sequence(lit(0), size(col("ws")) - 2),
-              i => concat_ws(" ", element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
-          .otherwise(array().cast("array<string>"))).as("g"))
+    val gstat = gramsOf(docs, 2)
       .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id").agg(sum("cnt").as("n_grams"), count(lit(1)).as("d_grams"))
     val topFrac = col("max_cnt").cast("double") / col("n_words")
@@ -306,13 +317,7 @@ object TextAnalysis {
   val DecontamN = 4
   val BenchMod = 97
   def decontaminate(docs: DataFrame): DataFrame = {
-    val ws = docs.select(col("doc_id"),
-      filter(split(col("text"), " "), w => w =!= "").as("ws"))
-    val grams = ws.select(col("doc_id"),
-      explode(when(size(col("ws")) >= DecontamN,
-          transform(sequence(lit(0), size(col("ws")) - DecontamN),
-            i => concat_ws(" ", slice(col("ws"), i + 1, lit(DecontamN)))))
-        .otherwise(array().cast("array<string>"))).as("g"))
+    val grams = gramsOf(docs, DecontamN)
     val bench = grams.where(col("doc_id") % BenchMod === 0).select("g").distinct()
     // broadcast-filter FIRST, dedupe after: the (doc_id, g) distinct then
     // shuffles only the matching grams (O(hits)), never the corpus
@@ -321,6 +326,20 @@ object TextAnalysis {
       .select("doc_id", "g").distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       .orderBy("doc_id")
+  }
+
+  /** Contaminated doc_ids of `corpus` against the benchmark slice of
+    * `benchDocs` — the composable form the training pipeline anti-joins:
+    * the benchmark set stays fixed (drawn from the ORIGINAL corpus, as
+    * an external eval file would be) while the corpus side is whatever
+    * survived the preceding stages. Same broadcast-first topology as
+    * [[decontaminate]]. */
+  def contaminatedIds(corpus: DataFrame, benchDocs: DataFrame): DataFrame = {
+    val bench = gramsOf(benchDocs.where(col("doc_id") % BenchMod === 0), DecontamN)
+      .select("g").distinct()
+    gramsOf(corpus.where(col("doc_id") % BenchMod =!= 0), DecontamN)
+      .join(broadcast(bench), "g")
+      .select("doc_id").distinct()
   }
 
   type Q = (SparkSession, String) => DataFrame
@@ -341,6 +360,43 @@ object TextAnalysis {
   // words-array SQL fragment shared by the oracles
   private val W = WordCount.OracleWords
   private def inList(items: Seq[String]) = items.map(s => s"'$s'").mkString("(", ",", ")")
+
+  /** doc_ids of `tbl` passing the Gopher rules — the composable subquery
+    * form pipeline oracles embed (internal CTE names carry the relation
+    * suffix to avoid collisions). Matches [[gopherRules]]' pass flag:
+    * the rule thresholds compare the RAW fractions, so no rounding is
+    * involved. */
+  def gopherPassSqlFor(tbl: String): String =
+    s"""(WITH wz_$tbl AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM $tbl),
+       |wcz_$tbl AS (SELECT doc_id, word, count(*) AS cnt
+       |             FROM (SELECT doc_id, unnest(ws) AS word FROM wz_$tbl) t GROUP BY 1, 2),
+       |az_$tbl AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+       |              CAST(max(cnt) AS BIGINT) AS max_cnt,
+       |              CAST(coalesce(sum(CASE WHEN word IN ${inList(GopherStops)} THEN cnt END), 0) AS BIGINT) AS stop_cnt
+       |            FROM wcz_$tbl GROUP BY 1),
+       |gz_$tbl AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram
+       |            FROM wz_$tbl, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) s),
+       |gcz_$tbl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |               CAST(count(DISTINCT gram) AS BIGINT) AS d_grams FROM gz_$tbl GROUP BY 1)
+       |SELECT doc_id FROM az_$tbl LEFT JOIN gcz_$tbl USING (doc_id)
+       |WHERE max_cnt::DOUBLE / n_words <= $GopherTopFracMax
+       |  AND coalesce((n_grams - d_grams)::DOUBLE / nullif(n_grams, 0), 0) <= $GopherDupFracMax
+       |  AND n_words >= $GopherMinWords AND stop_cnt >= 1)""".stripMargin
+
+  /** Contaminated doc_ids of `tbl` against the benchmark slice of the
+    * ORIGINAL documents table — mirrors [[contaminatedIds]]. */
+  def contamSqlFor(tbl: String): String = {
+    val k = DecontamN - 1
+    s"""(WITH wd_$tbl AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM $tbl),
+       |gd_$tbl AS (SELECT doc_id, array_to_string(ws[i:i+$k], ' ') AS g
+       |            FROM wd_$tbl, LATERAL (SELECT unnest(generate_series(1, len(ws) - $k)) AS i) s),
+       |gb_$tbl AS (SELECT DISTINCT array_to_string(ws[i:i+$k], ' ') AS g
+       |            FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |                  FROM documents WHERE doc_id % $BenchMod = 0) b,
+       |                 LATERAL (SELECT unnest(generate_series(1, len(ws) - $k)) AS i) s)
+       |SELECT DISTINCT doc_id FROM gd_$tbl JOIN gb_$tbl USING (g)
+       |WHERE doc_id % $BenchMod <> 0)""".stripMargin
+  }
   private def nMarker(items: Seq[String]) =
     s"len(list_filter($W, w -> w IN ${inList(items)}))::BIGINT"
 

@@ -8,20 +8,26 @@ import org.apache.spark.sql.functions._
   * corpus build runs, assembled purely from the library's own operators —
   *
   *   input → language-confidence filter → quality filter →
+  *   Gopher repetition rules → benchmark decontamination →
   *   exact dedup → near-duplicate (MinHash cluster) dedup
   *
   * Per-row filters (lang, quality) are evaluated INLINE in the scan that
   * reads the text (both flags in one projection — no metric-table joins);
-  * set-dependent stages (content-hash dedup, clustering) run over the
-  * SURVIVORS of the previous stage, exactly as production pipelines
-  * order them (cheap row-local filters first, the expensive pairwise
-  * stage last, over the smallest corpus). `pipe_summary` emits per-stage
-  * surviving counts — the whole composition is DuckDB-mirrored, so the
-  * correctness gate checks the five-stage pipeline end to end.
+  * aggregate- and set-dependent stages (gopher stats, decontamination,
+  * content-hash dedup, clustering) run over the SURVIVORS of the
+  * previous stage, exactly as production pipelines order them (cheap
+  * row-local filters first, doc-local aggregates next, the expensive
+  * pairwise stage last, over the smallest corpus). `pipe_summary` emits
+  * per-stage surviving counts — the whole composition is
+  * DuckDB-mirrored, so the correctness gate checks the seven-stage
+  * pipeline end to end.
   *
-  * Scale: stages 1–2 are zero-shuffle row-local filters; stage 3 is one
-  * md5 shuffle; stage 4 inherits the bounded LSH-band topology of
-  * [[Dedup.minhashClustersLS]].
+  * Scale: stages 1–2 are zero-shuffle row-local filters; stage 3 is two
+  * combiner-friendly (doc, term)-count shuffles; stage 4 is a broadcast
+  * filter (the benchmark set is tiny by definition — it stays pinned to
+  * the ORIGINAL corpus slice, as an external eval file would be); stage
+  * 5 is one md5 shuffle; stage 6 inherits the bounded LSH-band topology
+  * of [[Dedup.minhashClustersLS]].
   */
 object TrainingPipeline {
 
@@ -56,8 +62,19 @@ object TrainingPipeline {
     val s1 = flagged.where(col("g_lang_ok")).select(docCols: _*)
     val s2 = flagged.where(col("g_lang_ok") && col("g_qual_ok"))
       .select(docCols: _*).persist()
+    // gopher repetition/quality rules: doc-local aggregates over the
+    // survivors (combiner-friendly (doc, term) counts, never a corpus
+    // window)
     val s3 = s2.join(
-      Dedup.exact(s2).where(col("doc_id") === col("keep_id")).select("doc_id"), "doc_id")
+      TextAnalysis.gopherRules(s2).where(col("passes") === 1).select("doc_id"), "doc_id")
+      .persist()
+    // benchmark decontamination: anti-join the contaminated ids; the
+    // benchmark slice stays pinned to the ORIGINAL corpus (external eval
+    // sets don't shrink with upstream filtering)
+    val s4 = s3.join(TextAnalysis.contaminatedIds(s3, docs), Seq("doc_id"), "left_anti")
+      .persist()
+    val s5 = s4.join(
+      Dedup.exact(s4).where(col("doc_id") === col("keep_id")).select("doc_id"), "doc_id")
       .persist()
     // large-star/small-star clustering: per-round work is EDGE-sized
     // (candidate pairs), unlike label propagation whose every round
@@ -65,10 +82,11 @@ object TrainingPipeline {
     // difference between iterating on a few-million-row pair set and on
     // the corpus. Same fixpoint (both implementations share the
     // dedup_cluster oracle).
-    val s4 = s3.join(
-      Dedup.minhashClustersLS(s3).where(col("is_canonical") === 1).select("doc_id"), "doc_id")
+    val s6 = s5.join(
+      Dedup.minhashClustersLS(s5).where(col("is_canonical") === 1).select("doc_id"), "doc_id")
     Seq("p0_input" -> docs, "p1_langid" -> s1, "p2_quality" -> s2,
-      "p3_exact" -> s3, "p4_neardup" -> s4)
+      "p3_gopher" -> s3, "p4_decontam" -> s4, "p5_exact" -> s5,
+      "p6_neardup" -> s6)
   }
 
   /** The cleaned corpus itself (last stage's rows). */
@@ -100,17 +118,24 @@ object TrainingPipeline {
          |       WHERE quality >= $QualityMin),
          |s1 AS (SELECT d.* FROM documents d JOIN lg USING (doc_id)),
          |s2 AS (SELECT s1.* FROM s1 JOIN ql USING (doc_id)),
-         |s3 AS (SELECT * FROM s2
-         |       QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))),
+         |gp AS (SELECT doc_id FROM ${TextAnalysis.gopherPassSqlFor("s2")} g),
+         |s3 AS (SELECT s2.* FROM s2 JOIN gp USING (doc_id)),
+         |ct AS (SELECT doc_id FROM ${TextAnalysis.contamSqlFor("s3")} c),
          |s4 AS (SELECT s3.* FROM s3
-         |       JOIN (${Dedup.clusterSqlFor("s3")}) c
-         |         ON c.doc_id = s3.doc_id AND c.is_canonical = 1)
+         |       WHERE NOT EXISTS (SELECT 1 FROM ct WHERE ct.doc_id = s3.doc_id)),
+         |s5 AS (SELECT * FROM s4
+         |       QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))),
+         |s6 AS (SELECT s5.* FROM s5
+         |       JOIN (${Dedup.clusterSqlFor("s5")}) c
+         |         ON c.doc_id = s5.doc_id AND c.is_canonical = 1)
          |SELECT stage, n_docs FROM (
          |  SELECT 'p0_input' AS stage, count(*) AS n_docs FROM documents
          |  UNION ALL SELECT 'p1_langid', count(*) FROM s1
          |  UNION ALL SELECT 'p2_quality', count(*) FROM s2
-         |  UNION ALL SELECT 'p3_exact', count(*) FROM s3
-         |  UNION ALL SELECT 'p4_neardup', count(*) FROM s4) t
+         |  UNION ALL SELECT 'p3_gopher', count(*) FROM s3
+         |  UNION ALL SELECT 'p4_decontam', count(*) FROM s4
+         |  UNION ALL SELECT 'p5_exact', count(*) FROM s5
+         |  UNION ALL SELECT 'p6_neardup', count(*) FROM s6) t
          |ORDER BY stage""".stripMargin,
   )
 }
