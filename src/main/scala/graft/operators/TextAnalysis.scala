@@ -342,6 +342,38 @@ object TextAnalysis {
       .select("doc_id").distinct()
   }
 
+  /** Sequence PACKING — the concatenate-and-cut step that turns a
+    * cleaned corpus into fixed-length training sequences (the standard
+    * GPT pre-training shape): documents are laid out in a deterministic
+    * order (lang, doc_id) per language stream, each doc gets its token
+    * offset from a running sum, and the covered sequence window
+    * [first_seq, last_seq] falls out of integer division by
+    * [[PackSeqLen]]. All-integer arithmetic ⇒ engine-exact.
+    *
+    * Scale: the window runs over (doc_id, n_tokens) pairs ONLY — the
+    * text never enters the shuffle — partitioned by language stream. At
+    * 100 TB the same contract range-partitions each stream by doc_id
+    * and seeds per-range offsets from a one-pass prefix-sum of range
+    * totals (the classic distributed scan); the per-doc arithmetic is
+    * unchanged. */
+  val PackSeqLen = 64
+  def packing(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTok = size(filter(split(col("text"), " "), w => w =!= "")).cast("long")
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col("lang"), nTok.as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("start_off", sum("n_tokens").over(w) - col("n_tokens"))
+      // `div`: true integral division on longs (a double-divide-then-cast
+      // would silently lose exactness past 2^53 offsets)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("start_off"),
+        expr(s"start_off div $PackSeqLen").as("first_seq"),
+        expr(s"(start_off + n_tokens - 1) div $PackSeqLen").as("last_seq"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+      .orderBy("lang", "doc_id")
+  }
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "text_normalize"   -> ((s, d) => normalize(Tables.documents(s, d))),
@@ -355,6 +387,7 @@ object TextAnalysis {
     "text_stratified"  -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
     "text_gopher"      -> ((s, d) => gopherRules(Tables.documents(s, d))),
     "text_decontam"    -> ((s, d) => decontaminate(Tables.documents(s, d))),
+    "text_pack"        -> ((s, d) => packing(Tables.documents(s, d))),
   )
 
   // words-array SQL fragment shared by the oracles
@@ -401,6 +434,21 @@ object TextAnalysis {
     s"len(list_filter($W, w -> w IN ${inList(items)}))::BIGINT"
 
   val oracle: Map[String, String] = Map(
+    "text_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |           ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
+         |  FROM t WHERE n_tokens > 0)
+         |SELECT doc_id, lang, n_tokens, start_off,
+         |  start_off // $PackSeqLen AS first_seq,
+         |  (start_off + n_tokens - 1) // $PackSeqLen AS last_seq,
+         |  (start_off + n_tokens - 1) // $PackSeqLen - start_off // $PackSeqLen + 1 AS n_seqs
+         |FROM o ORDER BY lang, doc_id""".stripMargin,
     "text_gopher" ->
       s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
          |           FROM documents),

@@ -490,4 +490,30 @@ class EventStreamSpec extends SparkSpec {
       assert(n == Tables.events(spark, sf).count())
     } finally q.stop()
   }
+
+  test("the reference wordcount job runs UNCHANGED as a stream and converges to batch") {
+    // the strongest batch/stream twin statement the library makes: the
+    // SAME operator (WordCount.wordCount, declarative groupBy/agg/sort)
+    // is the streaming query — complete-mode running aggregation, no
+    // twin code path to diverge
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)](s)
+    val q = graft.operators.WordCount.wordCount(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("wcstream").outputMode("complete").start()
+    try {
+      // shuffled micro-batches: arrival order must not matter
+      val shuffled = new scala.util.Random(7).shuffle(rows)
+      val (b1, rest) = shuffled.splitAt(rows.length / 3)
+      val (b2, b3) = rest.splitAt(rows.length / 3)
+      for (b <- Seq(b1, b2, b3) if b.nonEmpty) { input.addData(b); q.processAllAvailable() }
+      val streamed = s.sql("SELECT word, cnt FROM wcstream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = graft.operators.WordCount.wordCount(docs).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
 }

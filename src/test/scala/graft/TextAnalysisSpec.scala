@@ -101,6 +101,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(1L) == 0L && r(2L) == 1L)
   }
 
+  test("packing: per-language streams tile with no gaps or overlaps") {
+    import org.apache.spark.sql.expressions.Window
+    val p = TextAnalysis.packing(docs)
+    // each doc starts exactly where its predecessor ended
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val gaps = p.withColumn("prev_end",
+        lag(col("start_off") + col("n_tokens"), 1, 0L).over(w))
+      .where(col("start_off") =!= col("prev_end"))
+    assert(gaps.count() == 0)
+    // n_seqs covers at least ceil(n_tokens / seqLen) sequences (one more
+    // when the doc straddles a boundary); `div`, not `/` — the double
+    // quotient would compare 1 < 1.17 and flag every non-multiple doc
+    assert(p.where(col("n_seqs") <
+      expr(s"(n_tokens + ${TextAnalysis.PackSeqLen - 1}) div ${TextAnalysis.PackSeqLen}"))
+      .count() == 0)
+  }
+
   test("decontam: benchmark docs never flagged, hits are real shared 4-grams") {
     val d = TextAnalysis.decontaminate(docs)
     assert(d.where(col("doc_id") % TextAnalysis.BenchMod === 0).count() == 0)
