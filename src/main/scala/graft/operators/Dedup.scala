@@ -487,6 +487,36 @@ object Dedup {
       .limit(20)
   }
 
+  /** Duplicated-SPAN detection — the n-gram form of exact-substring
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better": memorization tracks verbatim repeated spans, not
+    * whole-doc similarity). A span is a [[SubstrN]]-word window; a doc
+    * is flagged when any of its spans also appears verbatim in another
+    * document. Emits per doc: distinct spans, duplicated spans, the
+    * duplicated fraction, and the flag — the anti-join input for a
+    * cleaning pass (or the mask for span-level excision).
+    *
+    * Scale: spans shuffle as fixed-width md5 digests, never gram text;
+    * the document frequency is a WINDOW count over the one (doc, span)
+    * table — one corpus pass, no self-join, no AQE double-scan. Hot
+    * boilerplate spans concentrate in single buckets by design (they ARE
+    * the signal); a DF cap like [[MaxBigramDf]]'s bounds any one bucket
+    * if a pathological corpus needs it. */
+  val SubstrN = 8
+  def duplicatedSpans(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    TextAnalysis.gramsOf(docs, SubstrN)
+      .select(col("doc_id"), md5(col("g")).as("gh")).distinct()
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("gh")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        coalesce(sum(when(col("df") >= 2, 1L)), lit(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_spans"), 4).as("dup_frac"),
+        (col("n_dup") > 0).cast("long").as("flagged"))
+      .orderBy("doc_id")
+  }
+
   /** Same simhash via the native codegen'd expression
     * [[graft.functions.SimHash32]] — map-only, no 32× bit-row blowup.
     * Letterless docs are filtered out (the declarative pipeline and its
@@ -519,6 +549,7 @@ object Dedup {
         graft.sources.Fixtures.dirFor("minhash_index", d, "documents"))
     },
     "dedup_editdist"       -> ((s, d) => editDistancePairs(Tables.documents(s, d))),
+    "dedup_substring"      -> ((s, d) => duplicatedSpans(Tables.documents(s, d))),
     "dedup_increclust"     -> { (s, d) =>
       val docs = Tables.documents(s, d)
       incrementalClusters(
@@ -642,6 +673,17 @@ object Dedup {
     "dedup_combined" -> (closureSqlFor("documents",
       s"${bandPairsSql("documents")} UNION ${Similarity.embedPairsSql}") +
       " ORDER BY doc_id"),
+    "dedup_substring" ->
+      s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |           FROM documents),
+         |g AS (SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+${SubstrN - 1}], ' ')) AS gh
+         |      FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - ${SubstrN - 1})) AS i) s),
+         |d AS (SELECT doc_id, count(*) OVER (PARTITION BY gh) AS df FROM g)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(sum((df >= 2)::INT), 0) AS BIGINT) AS n_dup,
+         |  round(coalesce(sum((df >= 2)::INT), 0)::DOUBLE / count(*), 4) AS dup_frac,
+         |  (coalesce(sum((df >= 2)::INT), 0) > 0)::BIGINT AS flagged
+         |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_simhash" -> simhashSql,
     // the native expression implements the identical algorithm, so it
     // shares the declarative pipeline's oracle

@@ -175,8 +175,49 @@ object Events {
       .orderBy("day")
   }
 
+  /** Gaps-and-islands: maximal runs of CONSECUTIVE active days per user
+    * (the classic streak query — activity streaks, uptime islands).
+    * Technique: over the distinct (user, day) table, `epoch_day −
+    * row_number()` is constant exactly within a consecutive run, so one
+    * window + one aggregation finds every island without a self-join.
+    * Emits per user: active days, number of streaks, longest streak —
+    * all-integer arithmetic, engine-exact.
+    *
+    * Scale: one distinct + one window + two aggregations, ALL keyed by
+    * user_id — a single hash shuffle reused across every stage (the
+    * day-level distinct pre-combines map-side). */
+  def gaps(ev: DataFrame): DataFrame = {
+    val days = ev.select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long").as("d"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("d")
+    days.withColumn("grp", col("d") - row_number().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_streaks"), sum("len").as("n_days"),
+        max("len").as("max_streak"))
+      .orderBy("user_id")
+  }
+
+  /** Semi-structured extraction: parse the JSON `props` column with an
+    * EXPLICIT schema (`from_json` — no inference scan, fully codegen'd;
+    * schema-on-read is how a 100 TB event lake keeps raw payloads) and
+    * aggregate the extracted field per event type. Malformed or missing
+    * keys become NULL and are counted, not dropped — the
+    * PERMISSIVE-mode contract. */
+  def jsonExtract(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+        expr("from_json(props, 'k BIGINT').k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k").isNull.cast("long")).as("n_null_k"),
+        sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
+    "ev_gaps"       -> ((s, d) => gaps(Tables.events(s, d))),
+    "ev_json"       -> ((s, d) => jsonExtract(Tables.events(s, d))),
     "ev_tumbling"   -> ((s, d) => tumbling(Tables.events(s, d))),
     "ev_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
     "ev_sessions_sw"-> ((s, d) => sessionizeSW(Tables.events(s, d))),
@@ -208,6 +249,28 @@ object Events {
        |    FROM events) g) n""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ev_gaps" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events),
+        |g AS (SELECT user_id, d,
+        |        d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        |      FROM days),
+        |s AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_streaks,
+        |  CAST(sum(len) AS BIGINT) AS n_days,
+        |  CAST(max(len) AS BIGINT) AS max_streak
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ev_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(count(*) - count(k) AS BIGINT) AS n_null_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ev_tumbling" ->
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
          |  count(*) AS n, ${osum("value")} AS total

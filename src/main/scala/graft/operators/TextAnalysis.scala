@@ -267,8 +267,8 @@ object TextAnalysis {
   /** (doc_id, g) word n-grams, exploded; docs shorter than `n` words
     * yield no rows. Derived from the projected array attribute (an
     * inline expression here would be re-split per element by the
-    * lambda). */
-  private def gramsOf(docs: DataFrame, n: Int): DataFrame =
+    * lambda). Shared with [[Dedup.duplicatedSpans]]. */
+  private[operators] def gramsOf(docs: DataFrame, n: Int): DataFrame =
     wsOf(docs).select(col("doc_id"),
       explode(when(size(col("ws")) >= n,
           transform(sequence(lit(0), size(col("ws")) - n),
@@ -374,6 +374,39 @@ object TextAnalysis {
       .orderBy("lang", "doc_id")
   }
 
+  /** Sliding-window CHUNKING with overlap — the context-window prep step
+    * that turns long documents into model-sized pieces (the counterpart
+    * of [[packing]]'s concatenate-and-cut: packing joins short docs,
+    * chunking splits long ones). Windows of [[ChunkLen]] tokens advance
+    * by [[ChunkStride]] (16-token overlap preserves cross-boundary
+    * context); the final window is allowed to be short. Emits one row
+    * per chunk with its token range and the md5 of the chunk text, so
+    * the gate compares every chunk's exact content without shipping it.
+    *
+    * Scale: map-only — chunk counts and offsets are integer arithmetic
+    * on the token array, the explode fans out rows within the scan
+    * partition, and nothing shuffles but the final deterministic sort.
+    * Fan-out is bounded: ≤ n_tokens/[[ChunkStride]] + 1 chunks per doc. */
+  val ChunkLen = 64
+  val ChunkStride = 48
+  def chunk(docs: DataFrame): DataFrame = {
+    wsOf(docs).where(size(col("ws")) > 0)
+      .withColumn("n_tokens", size(col("ws")).cast("long"))
+      // integer ceil (`div`, not `/` — Column `/` is double division):
+      // 1 + ceil(max(n-len,0) / stride) chunks
+      .withColumn("n_chunks", expr(
+        s"1 + (greatest(n_tokens - $ChunkLen, 0L) + ${ChunkStride - 1}) div $ChunkStride"))
+      .select(col("doc_id"), col("ws"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("tok_start", col("chunk_idx") * ChunkStride)
+      .withColumn("tok_len", least(lit(ChunkLen.toLong), col("n_tokens") - col("tok_start")))
+      .select(col("doc_id"), col("chunk_idx"), col("tok_start"), col("tok_len"),
+        md5(concat_ws(" ",
+          slice(col("ws"), (col("tok_start") + 1).cast("int"), col("tok_len").cast("int"))))
+          .as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "text_normalize"   -> ((s, d) => normalize(Tables.documents(s, d))),
@@ -388,6 +421,7 @@ object TextAnalysis {
     "text_gopher"      -> ((s, d) => gopherRules(Tables.documents(s, d))),
     "text_decontam"    -> ((s, d) => decontaminate(Tables.documents(s, d))),
     "text_pack"        -> ((s, d) => packing(Tables.documents(s, d))),
+    "text_chunks"      -> ((s, d) => chunk(Tables.documents(s, d))),
   )
 
   // words-array SQL fragment shared by the oracles
@@ -434,6 +468,22 @@ object TextAnalysis {
     s"len(list_filter($W, w -> w IN ${inList(items)}))::BIGINT"
 
   val oracle: Map[String, String] = Map(
+    "text_chunks" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |    1 + (greatest(CAST(len(ws) AS BIGINT) - $ChunkLen, 0) + ${ChunkStride - 1}) // $ChunkStride AS n_chunks
+         |  FROM w WHERE len(ws) > 0)
+         |SELECT doc_id, i AS chunk_idx,
+         |  i * $ChunkStride AS tok_start,
+         |  least($ChunkLen, n_tokens - i * $ChunkStride) AS tok_len,
+         |  md5(array_to_string(
+         |    ws[i * $ChunkStride + 1 : i * $ChunkStride + least($ChunkLen, n_tokens - i * $ChunkStride)],
+         |    ' ')) AS chunk_hash
+         |FROM c, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) s
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "text_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang,
