@@ -460,15 +460,56 @@ object Relational {
 
   /** NTILE + per-tile aggregate: customers quartiled by account balance
     * (global ordered tiles), then per-tile stats — the
-    * histogram-by-rank shape. The ntile window is a single ordered
-    * partition, but over (custkey, acctbal) PAIRS only — at 100 TB the
-    * right form is percentile-bucketing via approx quantiles
-    * (Sketches); this is the exact small-dimension form, and the
-    * per-tile aggregate after it is partial-aggregated as usual. */
+    * histogram-by-rank shape, computed as a DISTRIBUTED two-pass rank
+    * (no global single-partition window anywhere in the plan):
+    *
+    *  1. one order-independent aggregate gives (min, max, count) — safe
+    *     to evaluate on both plan branches, unlike approx_percentile
+    *     whose merge order could differ between evaluations;
+    *  2. each row is bucketed by equi-width value range, a monotone
+    *     coarsening of the (acctbal DESC, custkey ASC) global order, so
+    *     every window below is PARTITIONED by bucket — [[NtileBuckets]]
+    *     parallel tasks, each over ~1/B of the rows;
+    *  3. exclusive bucket offsets come from a triangular broadcast join
+    *     over the B-row bucket-count frame (B², B = 32 — trivial);
+    *  4. global rank = offset + local row_number, and the exact NTILE
+    *     tile index is pure integer arithmetic on (rank, count).
+    *
+    * This is the plan that survives 100×: the only per-row shuffle is
+    * the bucket hash (2 scalar columns), the serial zones are O(B) and
+    * O(1) frames. Equi-width splits assume the order key isn't wildly
+    * value-skewed; for skewed keys swap step 2's boundaries for
+    * persisted approx-quantile splits (Sketches) — same steps 3-4. */
+  val NtileBuckets = 32
   def q31Ntile: Q = (s, d) => {
-    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-    Tables.customer(s, d)
-      .select(col("c_custkey"), col("c_acctbal"), ntile(4).over(w).as("tile"))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+    val stats = cust.agg(
+      min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"),
+      count(lit(1)).as("n_total"))
+    // monotone DESC bucketing: highest balances → bucket 0. Degenerate
+    // lo==hi range ⇒ everything in bucket 0 (CaseWhen keeps the ANSI
+    // divide-by-zero branch unevaluated).
+    val bucketed = cust.crossJoin(broadcast(stats))
+      .withColumn("bkt", when(col("hi") === col("lo"), lit(0)).otherwise(
+        least(floor((col("hi") - col("c_acctbal")) /
+          ((col("hi") - col("lo")) / NtileBuckets)), lit(NtileBuckets - 1L))
+          .cast("int")))
+    val wLoc = Window.partitionBy("bkt").orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val ranked = bucketed.withColumn("rn", row_number().over(wLoc).cast("long"))
+    val cnts = bucketed.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+    val offs = cnts
+      .join(broadcast(cnts.select(col("bkt").as("bkt2"), col("cnt").as("cnt2"))),
+        col("bkt2") < col("bkt"), "left")
+      .groupBy("bkt").agg(coalesce(sum(col("cnt2")), lit(0L)).as("off"))
+    ranked.join(broadcast(offs), "bkt")
+      .withColumn("r", col("off") + col("rn"))
+      // exact NTILE(4) arithmetic: first (n%4) tiles hold ceil(n/4) rows
+      .withColumn("base", expr("n_total div 4"))
+      .withColumn("rem", col("n_total") % 4)
+      .withColumn("cutoff", col("rem") * (col("base") + 1))
+      .withColumn("tile", when(col("r") <= col("cutoff"),
+          expr("(r - 1) div (base + 1) + 1"))
+        .otherwise(expr("rem + (r - 1 - cutoff) div base + 1")))
       .groupBy("tile")
       .agg(count(lit(1)).as("n_cust"),
         xsum(col("c_acctbal")).as("bal_total"),

@@ -350,21 +350,43 @@ object TextAnalysis {
     * [first_seq, last_seq] falls out of integer division by
     * [[PackSeqLen]]. All-integer arithmetic ⇒ engine-exact.
     *
-    * Scale: the window runs over (doc_id, n_tokens) pairs ONLY — the
-    * text never enters the shuffle — partitioned by language stream. At
-    * 100 TB the same contract range-partitions each stream by doc_id
-    * and seeds per-range offsets from a one-pass prefix-sum of range
-    * totals (the classic distributed scan); the per-doc arithmetic is
-    * unchanged. */
+    * Scale: the classic DISTRIBUTED SCAN (two-level prefix sum), so no
+    * language stream ever serializes through one task:
+    *
+    *  1. each doc's range is `doc_id div` [[PackRangeSpan]] — a
+    *     monotone coarsening of the per-lang doc_id order, so level-1
+    *     running sums window over (lang, rng): one task per range,
+    *     ≤ [[PackRangeSpan]] docs each, parallelism grows with data;
+    *  2. level-2 seeds each range's exclusive offset from the per-range
+    *     token totals — a window PARTITIONED BY lang over the totals
+    *     frame, which is smaller than the data by the span factor
+    *     (recurse the same step if even that frame outgrows a task);
+    *  3. offsets join back on (lang, rng) — the level-1 side is already
+    *     hash-partitioned on those keys from its window, so the join
+    *     adds no exchange on the big side (totals broadcast at any
+    *     realistic size).
+    *
+    * The window carries (doc_id, n_tokens) pairs ONLY — the text never
+    * enters a shuffle — and the per-doc arithmetic is unchanged from
+    * the single-window form (all-integer ⇒ engine-exact, same oracle). */
   val PackSeqLen = 64
+  val PackRangeSpan = 64L
   def packing(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nTok = size(filter(split(col("text"), " "), w => w =!= "")).cast("long")
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col("doc_id"), col("lang"), nTok.as("n_tokens"))
+    val base = docs.select(col("doc_id"), col("lang"), nTok.as("n_tokens"))
       .where(col("n_tokens") > 0)
-      .withColumn("start_off", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("rng", expr(s"doc_id div $PackRangeSpan"))
+    val wLoc = Window.partitionBy("lang", "rng").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base.withColumn("run", sum("n_tokens").over(wLoc))
+    val wRng = Window.partitionBy("lang").orderBy("rng")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = base.groupBy("lang", "rng").agg(sum("n_tokens").as("rng_total"))
+      .withColumn("rng_off", coalesce(sum("rng_total").over(wRng), lit(0L)))
+      .select("lang", "rng", "rng_off")
+    local.join(broadcast(offs), Seq("lang", "rng"))
+      .withColumn("start_off", col("rng_off") + col("run") - col("n_tokens"))
       // `div`: true integral division on longs (a double-divide-then-cast
       // would silently lose exactness past 2^53 offsets)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("start_off"),

@@ -168,6 +168,41 @@ class PlanShapeSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) => c.set(k, v) }
   }
 
+  test("no query in the suite plans a partition-less (single-task) window") {
+    // The scale test the r4 audit flagged: Window.orderBy without
+    // partitionBy funnels the whole input through ONE task. q31_ntile
+    // (distributed two-pass rank) and text_pack (two-level distributed
+    // scan) were rebuilt so every WindowExec in the suite is partitioned;
+    // this pins the whole surface so a global window cannot sneak back.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case r: ReusedExchangeExec    => Seq(r.child)
+        case _                        => p.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    // Allowed: global windows whose INPUT cardinality is bounded by the
+    // time axis, not the data volume — q28/q29 window over a per-DAY
+    // aggregate (≤ a few thousand rows for a decade of data at any SF),
+    // so the single task carries O(days) scalars, never O(rows).
+    val boundedCardinality = Set("q28_running", "q29_movavg")
+    val offenders = SparkEntry.queries.toSeq
+      .filterNot { case (name, _) => boundedCardinality(name) }
+      .flatMap { case (name, fn) =>
+        nodes(fn(spark, sf).queryExecution.executedPlan).collect {
+          case w: WindowExec if w.partitionSpec.isEmpty           => s"$name: $w"
+          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => s"$name: $w"
+        }
+      }
+    assert(offenders.isEmpty, s"partition-less windows in:\n${offenders.mkString("\n")}")
+  }
+
   test("iterative operators leave no storage behind after releaseAll") {
     // the caller-must-clear contract's other half: after a composed
     // pipeline run, one releaseAll returns the session to zero cached
