@@ -113,6 +113,15 @@ object Bench {
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val prev = previousBench(".")
+    // the fallback scrape (front-truncated round files → deltas block)
+    // recovers only queries present in BOTH rounds; surface a shrunken
+    // baseline instead of letting it silently narrow regression tracking
+    prev.foreach { case (pn, pm) =>
+      val expected = SparkEntry.queries.size
+      if (pm.size < expected)
+        System.err.println(
+          s"[bench] WARNING: baseline $pn recovered ${pm.size}/$expected query timings — deltas are partial")
+    }
     val ds = prev match {
       case None => "{}"
       case Some((_, pm)) =>

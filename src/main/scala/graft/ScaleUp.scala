@@ -51,7 +51,11 @@ object ScaleUp {
       val salted =
         if (i == 0) df.withColumn("text", col("text"))
         else df.withColumn("text",
-          array_join(transform(split(col("text"), " "), w => concat(w, lit(s"x$i"))), " "))
+          // drop empty tokens (consecutive/leading/trailing spaces) so a
+          // salted copy never materializes bare "x$i" words — keeps the
+          // within-copy token counts and n-grams IDENTICAL to copy 0
+          array_join(transform(filter(split(col("text"), " "), w => w =!= ""),
+            w => concat(w, lit(s"x$i"))), " "))
       salted
         .withColumn("doc_id", col("doc_id") + lit(i * IdOffset))
         .withColumn("n_chars", length(col("text")).cast("long"))

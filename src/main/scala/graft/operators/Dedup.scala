@@ -169,6 +169,10 @@ object Dedup {
     val crossPairs = broadcast(nb.select(col("doc_id").as("new_id"), col("band"), col("band_hash")))
       .join(index.select(col("doc_id").as("old_id"), col("band"), col("band_hash")),
         Seq("band", "band_hash"))
+      // a doc present on BOTH sides would meet itself in every band:
+      // drop degenerate self-pairs so the contract really does accept
+      // any (existing, fresh) pair of frames, overlapping or not
+      .where(col("new_id") =!= col("old_id"))
       .select(least(col("new_id"), col("old_id")).as("doc_a"),
         greatest(col("new_id"), col("old_id")).as("doc_b"))
     val l = nb.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))

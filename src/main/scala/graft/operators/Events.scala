@@ -204,7 +204,16 @@ object Events {
     * schema-on-read is how a 100 TB event lake keeps raw payloads) and
     * aggregate the extracted field per event type. Malformed or missing
     * keys become NULL and are counted, not dropped — the
-    * PERMISSIVE-mode contract. */
+    * PERMISSIVE-mode contract.
+    *
+    * Oracle-equivalence contract: `props.k` is integer-valued where
+    * present (the fixture generator writes `{"k": <int>}`). On that
+    * domain `from_json('k BIGINT')` and DuckDB's
+    * `CAST(json_extract_string(..) AS BIGINT)` agree exactly; they
+    * diverge on NON-integer payloads (a quoted "12" nulls here but
+    * coerces there, a fractional 1.5 nulls here but errors there), so a
+    * lake with mixed-typed `k` needs a string-extract + typeof guard on
+    * both sides instead. */
   def jsonExtract(ev: DataFrame): DataFrame =
     ev.select(col("event_type"),
         expr("from_json(props, 'k BIGINT').k").as("k"))

@@ -70,6 +70,32 @@ class DedupSpec extends SparkSpec {
     assert(dup.exceptAll(found).isEmpty)
   }
 
+  test("editDistancePairs: pairs straddling a length-bucket boundary surface via the adjacent band") {
+    // r4 ADVICE: the gate exercises mostly same-bucket exact duplicates;
+    // an off-by-one in the bkt+1 candidate band would go undetected.
+    // Synthetic docs with every length diff 1..MaxLenDiff and nonzero
+    // edit distance, placed so consecutive lengths cross bucket edges
+    // (bkt = len div 4 ⇒ 7|8, 11|12 … straddle).
+    val s = spark
+    import s.implicits._
+    val lens = Seq(7L, 8L, 11L, 12L, 15L) // bkts 1,2,2,3,3
+    val rows = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, "en", "synt", "a" * (n.toInt - 1) + "z", n) // shared prefix, distinct tail
+    }
+    val df = rows.toDF("doc_id", "lang", "source", "text", "n_chars")
+    val p = Dedup.editDistancePairs(df).select("doc_a", "doc_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // every pair within MaxLenDiff must surface (edit dist = len diff + 1
+    // tail fix ≤ MaxEditDist), including the cross-bucket ones
+    for {
+      i <- lens.indices; j <- lens.indices if i < j
+      if lens(j) - lens(i) <= Dedup.MaxLenDiff
+    } assert(p.exists(t => t._1 == i && t._2 == j),
+        s"pair of lengths ${lens(i)}/${lens(j)} (buckets ${lens(i) / 4}/${lens(j) / 4}) missing: $p")
+    // and nothing outside the length cap sneaks in (7 vs 15 = diff 8)
+    assert(!p.exists(t => t._1 == 0 && t._2 == 4), s"over-cap pair surfaced: $p")
+  }
+
   test("exact: keep_id is a fixed point and never exceeds doc_id") {
     val e = Dedup.exact(docs)
     assert(e.where(col("keep_id") > col("doc_id")).count() == 0)
