@@ -372,9 +372,24 @@ object TextAnalysis {
   val PackSeqLen = 64
   val PackRangeSpan = 64L
   def packing(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val nTok = size(filter(split(col("text"), " "), w => w =!= "")).cast("long")
-    val base = docs.select(col("doc_id"), col("lang"), nTok.as("n_tokens"))
+    packingOf(docs.select(col("doc_id"), col("lang"), nTok.as("n_tokens")))
+  }
+
+  /** [[packing]] with the REAL training-data unit: per-doc subword
+    * counts from [[bpeTokens]] instead of the whitespace proxy — the
+    * offsets/sequence windows are then counted in actual model tokens.
+    * Same distributed-scan topology (the packing input is already a
+    * (doc_id, lang, n_tokens) frame either way). */
+  def bpePacking(docs: DataFrame): DataFrame =
+    packingOf(bpeTokens(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_subwords").as("n_tokens")))
+
+  /** Core packing over a precomputed (doc_id, lang, n_tokens) frame. */
+  def packingOf(tokens: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = tokens
       .where(col("n_tokens") > 0)
       .withColumn("rng", expr(s"doc_id div $PackRangeSpan"))
     val wLoc = Window.partitionBy("lang", "rng").orderBy("doc_id")
@@ -394,6 +409,48 @@ object TextAnalysis {
         expr(s"(start_off + n_tokens - 1) div $PackSeqLen").as("last_seq"))
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
       .orderBy("lang", "doc_id")
+  }
+
+  /** REAL subword tokenization — greedy longest-match against the fixed
+    * [[graft.functions.BpeImpl.Vocab]] (the BPE/WordPiece *inference*
+    * step), replacing the whitespace/regex proxies as the
+    * training-data unit. Per doc: whitespace word count, subword count,
+    * UNK count, and a position-weighted id checksum (Σ position×id over
+    * every word's id sequence, multiplicity-weighted) — the checksum
+    * pins the exact id sequence of every occurrence, so the gate
+    * verifies the full tokenization, not just counts.
+    *
+    * Scale (the Zipf trick): the per-word encode loop runs once per
+    * DISTINCT word — the corpus vocabulary, orders of magnitude smaller
+    * than the corpus — via the codegen'd `graft_bpe_ids` expression;
+    * occurrences then hash-join their word's precomputed stats and
+    * aggregate per doc. Three shuffles total (distinct words, stats
+    * join, doc aggregate), none carrying document text.
+    *
+    * All-integer arithmetic ⇒ engine-exact; the DuckDB oracle runs the
+    * same greedy loop as a recursive CTE over the same vocab VALUES
+    * list (single source of truth: [[graft.functions.BpeImpl.vocabValuesSql]]). */
+  def bpeTokens(docs: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val words = docs.select(col("doc_id"),
+      explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+    val wordStats = words.select("w").distinct()
+      .withColumn("ids", expr("graft_bpe_ids(w)"))
+      .select(col("w"),
+        size(col("ids")).cast("long").as("n_sub"),
+        size(filter(col("ids"), x => x === graft.functions.BpeImpl.UnkId))
+          .cast("long").as("n_unk_w"),
+        aggregate(
+          zip_with(col("ids"), sequence(lit(1), size(col("ids"))),
+            (id, i) => id.cast("long") * i),
+          lit(0L), (acc, x) => acc + x).as("cks"))
+    words.join(wordStats, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_sub").as("n_subwords"),
+        sum("n_unk_w").as("n_unk"),
+        sum("cks").as("checksum"))
+      .orderBy("doc_id")
   }
 
   /** Sliding-window CHUNKING with overlap — the context-window prep step
@@ -444,6 +501,8 @@ object TextAnalysis {
     "text_decontam"    -> ((s, d) => decontaminate(Tables.documents(s, d))),
     "text_pack"        -> ((s, d) => packing(Tables.documents(s, d))),
     "text_chunks"      -> ((s, d) => chunk(Tables.documents(s, d))),
+    "text_bpe"         -> ((s, d) => bpeTokens(Tables.documents(s, d))),
+    "text_pack_bpe"    -> ((s, d) => bpePacking(Tables.documents(s, d))),
   )
 
   // words-array SQL fragment shared by the oracles
@@ -489,7 +548,65 @@ object TextAnalysis {
   private def nMarker(items: Seq[String]) =
     s"len(list_filter($W, w -> w IN ${inList(items)}))::BIGINT"
 
+  // the same greedy longest-match loop as graft_bpe_ids, as a recursive
+  // CTE: one step per emitted token per DISTINCT word; piece-length
+  // guards keep each slot honest when fewer code points remain than the
+  // slot width. Vocab VALUES generated from the one BpeImpl.Vocab
+  // definition. Shared WITH-prefix for the bpe and bpe-packing oracles.
+  private val BpeEncCtes: String =
+    s"""WITH RECURSIVE vocab(piece, id) AS (VALUES ${graft.functions.BpeImpl.vocabValuesSql}),
+       |wd AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |  FROM documents),
+       |dw AS (SELECT DISTINCT w FROM wd),
+       |enc AS (
+       |  SELECT w, 1 AS pos, CAST(0 AS BIGINT) AS n_sub,
+       |    CAST(0 AS BIGINT) AS n_unk, CAST(0 AS BIGINT) AS cks
+       |  FROM dw
+       |  UNION ALL
+       |  SELECT w, pos + adv, n_sub + 1,
+       |    n_unk + CASE WHEN id0 = 0 THEN 1 ELSE 0 END,
+       |    cks + (n_sub + 1) * id0
+       |  FROM (
+       |    SELECT w, pos, n_sub, n_unk, cks,
+       |      coalesce(v4.id, v3.id, v2.id, v1.id, 0) AS id0,
+       |      CASE WHEN v4.id IS NOT NULL THEN 4
+       |           WHEN v3.id IS NOT NULL THEN 3
+       |           WHEN v2.id IS NOT NULL THEN 2
+       |           ELSE 1 END AS adv
+       |    FROM enc
+       |    LEFT JOIN vocab v4 ON length(v4.piece) = 4 AND v4.piece = substr(w, pos, 4)
+       |    LEFT JOIN vocab v3 ON length(v3.piece) = 3 AND v3.piece = substr(w, pos, 3)
+       |    LEFT JOIN vocab v2 ON length(v2.piece) = 2 AND v2.piece = substr(w, pos, 2)
+       |    LEFT JOIN vocab v1 ON length(v1.piece) = 1 AND v1.piece = substr(w, pos, 1)
+       |    WHERE pos <= length(w)) s),
+       |fin AS (SELECT w, n_sub, n_unk, cks FROM enc WHERE pos > length(w))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "text_bpe" ->
+      s"""$BpeEncCtes
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+         |  CAST(sum(n_unk) AS BIGINT) AS n_unk,
+         |  CAST(sum(cks) AS BIGINT) AS checksum
+         |FROM wd JOIN fin USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_pack_bpe" ->
+      s"""$BpeEncCtes,
+         |t AS (
+         |  SELECT doc_id, d.lang, CAST(sum(n_sub) AS BIGINT) AS n_tokens
+         |  FROM wd JOIN fin USING (w) JOIN documents d USING (doc_id)
+         |  GROUP BY doc_id, d.lang),
+         |o AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |           ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
+         |  FROM t WHERE n_tokens > 0)
+         |SELECT doc_id, lang, n_tokens, start_off,
+         |  start_off // $PackSeqLen AS first_seq,
+         |  (start_off + n_tokens - 1) // $PackSeqLen AS last_seq,
+         |  (start_off + n_tokens - 1) // $PackSeqLen - start_off // $PackSeqLen + 1 AS n_seqs
+         |FROM o ORDER BY lang, doc_id""".stripMargin,
     "text_chunks" ->
       s"""WITH w AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
