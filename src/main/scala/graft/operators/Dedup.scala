@@ -88,7 +88,7 @@ object Dedup {
     * (< 3 words) emit nothing, same as the exploded pipeline.
     * No sort here: this is the reusable building block; query-boundary
     * sorts live in [[minhashBands]]/[[minhashPairs]]. */
-  private def minhashBanded(docs: DataFrame): DataFrame = {
+  private[graft] def minhashBanded(docs: DataFrame): DataFrame = {
     // materialize words once; filter on the CHEAP equivalent condition
     // (≥3 words ⟺ ≥1 shingle) so predicate pushdown never duplicates
     // the gram construction
