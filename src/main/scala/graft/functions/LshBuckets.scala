@@ -20,15 +20,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   */
 object LshImpl {
   val Dim = 64       // embedding model dimension (fixed per deployment)
-  val Bits = 8       // bits per hash table → 2^8 buckets
+  val Bits = 8       // default bits per hash table → 2^8 buckets
+  val MaxBits = 16   // planes materialized for the corpus-density dial
   val NumTables = 4  // OR-amplified tables
 
   private def planeSign(t: Int, j: Int, i: Int): Double =
     if (Md5Hash.prefix32(s"$t:$j:$i") % 2 == 0) 1.0 else -1.0
 
-  /** Signs(t)(j)(i) — derived once, driver- and executor-side identical. */
+  /** Signs(t)(j)(i) — derived once, driver- and executor-side identical.
+    * All [[MaxBits]] planes exist up front; a query using `bits` < MaxBits
+    * reads a PREFIX of them, so raising the dial strictly REFINES the
+    * bucket partition (bucket_b = bucket_{b+k} mod 2^b) — an index built
+    * at a higher setting remains exactly coarsenable to a lower one. */
   val Signs: Array[Array[Array[Double]]] =
-    Array.tabulate(NumTables, Bits, Dim)(planeSign)
+    Array.tabulate(NumTables, MaxBits, Dim)(planeSign)
 
   /** Bucket ids for all tables: out(t) has bit j set iff
     * dot(v, plane_tj) > 0. A NULL element anywhere in the first [[Dim]]
@@ -36,7 +41,13 @@ object LshImpl {
     * `v[i]` nulls each plane's whole sum and `sum > 0` is then false for
     * every bit (previously a null element silently read as 0.0 under
     * UnsafeArrayData, diverging from that semantics). */
-  def buckets(arr: ArrayData): ArrayData = {
+  def buckets(arr: ArrayData): ArrayData = buckets(arr, Bits)
+
+  /** `bits` is the corpus-density dial (SURVEY §5: bucket width ∝
+    * n/2^bits — raise it as the corpus grows, raise NumTables to buy
+    * recall back). 1 ≤ bits ≤ [[MaxBits]], enforced at expression
+    * construction. */
+  def buckets(arr: ArrayData, bits: Int): ArrayData = {
     val out = new Array[Long](NumTables)
     var hasNull = false
     if (arr.numElements() >= Dim) {
@@ -48,7 +59,7 @@ object LshImpl {
       while (t < NumTables) {
         var bucket = 0L
         var j = 0
-        while (j < Bits) {
+        while (j < bits) {
           val s = Signs(t)(j)
           var sum = 0.0
           var i = 0
@@ -67,15 +78,21 @@ object LshImpl {
   }
 }
 
-/** Native Catalyst expression: `graft_lsh_buckets(embedding)` →
+/** Native Catalyst expression: `graft_lsh_buckets(embedding[, bits])` →
   * ARRAY<LONG> of per-table LSH bucket ids, computed in one pass per row.
+  * The optional `bits` literal (default [[LshImpl.Bits]]) is the
+  * corpus-density dial; buckets at b bits are the low-b-bit prefix of
+  * buckets at any higher setting (same plane constants).
   *
   * Why an Expression: the declarative form is a ±element chain of
   * Dim×Bits×Tables = 2048 terms, which overflows Janino's method limit
   * and falls back to interpreted eval; `defineCodeGen` emits a single
   * static call, keeping the whole scan inside whole-stage codegen — at
   * 100 TB the index build runs map-only at scan speed. */
-case class LshBuckets(child: Expression) extends UnaryExpression {
+case class LshBuckets(child: Expression, bits: Int = LshImpl.Bits)
+    extends UnaryExpression {
+  require(bits >= 1 && bits <= LshImpl.MaxBits,
+    s"graft_lsh_buckets bits must be in [1, ${LshImpl.MaxBits}], got $bits")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
@@ -90,10 +107,10 @@ case class LshBuckets(child: Expression) extends UnaryExpression {
     }
 
   override protected def nullSafeEval(input: Any): Any =
-    LshImpl.buckets(input.asInstanceOf[ArrayData])
+    LshImpl.buckets(input.asInstanceOf[ArrayData], bits)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.LshImpl.buckets($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.LshImpl.buckets($c, $bits)")
 
   override protected def withNewChildInternal(newChild: Expression): LshBuckets =
     copy(child = newChild)

@@ -54,7 +54,16 @@ object Similarity {
 
   val TopK = 5
   val QueryStride = 50             // vec_id % stride == 0 ⇒ query vector
-  val LshBits: Int = LshImpl.Bits          // 256 buckets per table
+  /** The corpus-density DIAL (SURVEY §5: bucket width ∝ n/2^bits).
+    * Default 8 bits = 256 buckets/table — the gated configuration; a
+    * deployment raises it as the corpus grows (env `SPARK_GRAFT_LSH_BITS`,
+    * the knob the ScaleUp 100× stress turns: at 200 k vectors the 8-bit
+    * buckets hold ~780 vectors each and the candidate self-join OOMs;
+    * at 12 bits occupancy is back to ~50 and the same query completes).
+    * Raising bits narrows per-table recall ((1−θ/π)^bits) — raise
+    * NumTables alongside to buy it back (OR-amplification). */
+  def LshBits: Int =
+    sys.env.get("SPARK_GRAFT_LSH_BITS").map(_.toInt).getOrElse(LshImpl.Bits)
   val LshTables: Int = LshImpl.NumTables   // OR-amplified hash tables
   val DupCosine = 0.35             // dedup_embed near-duplicate threshold
 
@@ -96,7 +105,7 @@ object Similarity {
   private def lshIndex(em: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(em.sparkSession)
     em.select(col("vec_id"),
-        posexplode(call_function("graft_lsh_buckets", col("embedding")))
+        posexplode(call_function("graft_lsh_buckets", col("embedding"), lit(LshBits)))
           .as(Seq("tbl", "bucket")))
       .select(col("vec_id"), col("tbl").cast("long").as("tbl"), col("bucket"))
   }

@@ -27,7 +27,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => SimHash32(args.head)),
     ("graft_lsh_buckets",
       new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
-      (args: Seq[Expression]) => LshBuckets(args.head)),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => LshBuckets(c)
+        // optional literal bits — the corpus-density dial
+        case Seq(c, b) =>
+          LshBuckets(c, b.eval().asInstanceOf[Number].intValue())
+      }),
     ("graft_cosine",
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))),

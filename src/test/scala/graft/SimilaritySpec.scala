@@ -118,6 +118,27 @@ class SimilaritySpec extends SparkSpec {
     assert((0 until graft.functions.LshImpl.NumTables).exists(t => outClean.getLong(t) != 0L))
   }
 
+  test("lsh bits dial: higher-bit buckets REFINE the 8-bit partition (low bits identical)") {
+    // the corpus-density dial's safety property: planes are a fixed
+    // prefix sequence, so bucket_12 & 0xFF == bucket_8 for every vector
+    // and table — an index built at a higher setting coarsens exactly to
+    // a lower one, and the default (gated) 8-bit behavior is unchanged
+    graft.plans.GraftFunctions.register(spark)
+    val rows = Tables.embeddings(spark, sf).limit(50)
+      .selectExpr("graft_lsh_buckets(embedding) AS b8",
+        "graft_lsh_buckets(embedding, 12) AS b12")
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows; t <- 0 until graft.functions.LshImpl.NumTables) {
+      val b8 = r.getSeq[Long](0)(t)
+      val b12 = r.getSeq[Long](1)(t)
+      assert((b12 & 0xFFL) == b8, s"table $t: $b12 does not refine $b8")
+      assert(b12 < (1L << 12))
+    }
+    // and with the env dial unset, the operator surface runs at 8 bits
+    assert(graft.operators.Similarity.LshBits == graft.functions.LshImpl.Bits)
+  }
+
   test("cosine fails loudly on zero-norm vectors (NaN would rank first in every top-k)") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val z = new GenericArrayData(Array.tabulate[Any](4)(_ => 0.0))
