@@ -223,8 +223,65 @@ object Events {
         sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** SCD-2 validity intervals — the event-sourced attribute timeline
+    * (slowly-changing-dimension type 2): per user, each CHANGE in the
+    * purchase value opens a version row [valid_from, valid_to), closed
+    * by the next change, NULL valid_to = current. Consecutive
+    * same-value events are compressed away first (the SCD2 no-op-update
+    * rule, null-safe compare), then `lead` over the surviving versions
+    * closes each interval — two windows on ONE user_id shuffle (the
+    * compression filter preserves the hash partitioning, so the second
+    * window adds a sort but no exchange).
+    *
+    * Scale: version counts are bounded by change frequency, not event
+    * volume; everything is keyed by user_id end to end. */
+  def scd2(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val changes = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .where(col("prev").isNull || !(col("value") <=> col("prev")))
+    changes
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.cast("long").as("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  /** Calendar GAP-FILL (time-series resample): per-user daily purchase
+    * totals on a dense day spine from the user's first to last active
+    * day, missing days forward-filled from the last observed value
+    * (`last` ignoreNulls over an unbounded-preceding frame — the
+    * standard LOCF shape) and flagged. Spine generation is per-user
+    * `sequence(d0, d1, 1 day)` — map-side explode off the user's
+    * 2-element min/max row, so the spine costs O(days) rows, never a
+    * cross join against a global calendar.
+    *
+    * Scale: one user-keyed aggregate, one tiny per-user min/max, one
+    * user-keyed window — a single hash partitioning reused end to end;
+    * day totals are exact decimal sums (oracle discipline §4). */
+  def fillDaily(ev: DataFrame): DataFrame = {
+    val daily = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(xsum(col("value")).as("day_total"))
+    val spine = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled", last(col("day_total"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("day"), col("filled"),
+        col("day_total").isNull.cast("long").as("is_gap"))
+      .orderBy("user_id", "day")
+  }
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
+    "ev_scd2"       -> ((s, d) => scd2(Tables.events(s, d))),
+    "ev_fill"       -> ((s, d) => fillDaily(Tables.events(s, d))),
     "ev_gaps"       -> ((s, d) => gaps(Tables.events(s, d))),
     "ev_json"       -> ((s, d) => jsonExtract(Tables.events(s, d))),
     "ev_tumbling"   -> ((s, d) => tumbling(Tables.events(s, d))),
@@ -345,6 +402,35 @@ object Events {
         |           FROM events WHERE event_type = 'view' GROUP BY user_id, ts) v
         |  ON p.user_id = v.vuser AND v.vts <= p.ts
         |ORDER BY user_id, purchase_id""".stripMargin,
+    "ev_scd2" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts, event_id, value FROM (
+        |    SELECT user_id, ts, event_id, value,
+        |      lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |    FROM p) x
+        |  WHERE prev IS NULL OR value IS DISTINCT FROM prev)
+        |SELECT user_id, event_id, value,
+        |  CAST(ts AS TIMESTAMP) AS valid_from,
+        |  CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP) AS valid_to,
+        |  CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS BIGINT) AS is_current
+        |FROM c ORDER BY user_id, valid_from, event_id""".stripMargin,
+    "ev_fill" ->
+      s"""WITH daily AS (
+         |  SELECT user_id, date_trunc('day', ts) AS day, ${osum("value")} AS day_total
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         |spine AS (
+         |  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+         |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+         |        FROM daily GROUP BY user_id) b)
+         |SELECT s.user_id, CAST(s.day AS TIMESTAMP) AS day,
+         |  last_value(d.day_total IGNORE NULLS) OVER (
+         |    PARTITION BY s.user_id ORDER BY s.day ROWS UNBOUNDED PRECEDING) AS filled,
+         |  CAST(d.day IS NULL AS BIGINT) AS is_gap
+         |FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+         |ORDER BY s.user_id, s.day""".stripMargin,
     "ev_retention" ->
       """SELECT CAST(d.day AS TIMESTAMP) AS day, count(*) AS active,
         |  count(n.next_day) AS retained

