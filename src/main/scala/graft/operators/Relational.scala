@@ -557,7 +557,46 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** MERGE INTO — the lakehouse CDC upsert, expressed as the one-pass
+    * FULL OUTER join every table format ultimately plans it as: a
+    * change batch of updates / deletes / inserts (derived
+    * DETERMINISTICALLY from the snapshot here, so the oracle can mirror
+    * it; keys are mutually exclusive per op, as MERGE requires) applied
+    * in a single pass — matched-update via coalesce, matched-delete via
+    * filter, not-matched-insert via the right-only rows. Untouched rows
+    * tag 'K'.
+    *
+    * Scale: ONE co-partitioned join on the merge key — with the change
+    * batch tiny relative to the snapshot it broadcasts; at
+    * comparable sizes both sides hash on the key, and over the bucketed
+    * layout (Sinks) the snapshot side would shuffle nothing, same as
+    * q33's full-outer reconciliation. */
+  def q34Merge: Q = (s, d) => {
+    val snap = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val nullD = lit(null).cast("double")
+    val nullS = lit(null).cast("string")
+    val updates = snap
+      .where(col("c_custkey") % 7 === 0 && col("c_custkey") % 13 =!= 0)
+      .select(col("c_custkey"), lit("U").as("op"),
+        (col("c_acctbal") + 100.0).as("new_bal"),
+        concat(lit("upd_"), col("c_name")).as("new_name"))
+    val deletes = snap.where(col("c_custkey") % 13 === 0)
+      .select(col("c_custkey"), lit("D").as("op"), nullD.as("new_bal"), nullS.as("new_name"))
+    val inserts = snap.where(col("c_custkey") % 11 === 0)
+      .select((col("c_custkey") + 10000000L).as("c_custkey"), lit("I").as("op"),
+        lit(0.0).as("new_bal"), concat(lit("new_"), col("c_name")).as("new_name"))
+    snap.join(updates.unionAll(deletes).unionAll(inserts), Seq("c_custkey"), "full_outer")
+      .where(col("op").isNull || col("op") =!= "D")
+      .select(col("c_custkey"),
+        coalesce(col("new_name"), col("c_name")).as("name"),
+        coalesce(col("new_bal"), col("c_acctbal")).as("acctbal"),
+        coalesce(col("op"), lit("K")).as("op"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q34_merge"    -> q34Merge,
     "q1_agg"       -> q1Agg,
     "q2_filter"    -> q2Filter,
     "q3_join"      -> q3Join,
@@ -591,6 +630,24 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q34_merge" ->
+      """WITH snap AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |changes AS (
+        |  SELECT c_custkey, 'U' AS op, c_acctbal + 100.0 AS new_bal,
+        |    'upd_' || c_name AS new_name
+        |  FROM snap WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'D', NULL, NULL FROM snap WHERE c_custkey % 13 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, 'I', 0.0, 'new_' || c_name
+        |  FROM snap WHERE c_custkey % 11 = 0)
+        |SELECT coalesce(s.c_custkey, c.c_custkey) AS c_custkey,
+        |  coalesce(c.new_name, s.c_name) AS name,
+        |  coalesce(c.new_bal, s.c_acctbal) AS acctbal,
+        |  coalesce(c.op, 'K') AS op
+        |FROM snap s FULL OUTER JOIN changes c ON s.c_custkey = c.c_custkey
+        |WHERE c.op IS NULL OR c.op <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${osum("l_quantity")} AS sum_qty,

@@ -454,6 +454,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Domain-MIXTURE reweighting (DoReMi/data-mixing shape): each source
+    * is down-sampled to its own target rate by deterministic hash
+    * thresholding — the per-domain Bernoulli counterpart of
+    * [[hashSample]]'s global split and [[stratifiedSample]]'s exact-K.
+    * Rates derive from the source name (mirrorable arithmetic, stands
+    * in for a mixing-weights config table, which at scale would
+    * broadcast-join instead). Emits the per-source audit row a mixing
+    * run logs: total, kept, achieved rate.
+    *
+    * Scale: map-only membership (md5 per row), one source-keyed
+    * combiner-friendly aggregate. Membership depends only on
+    * (doc_id, source) — stable under repartitioning and re-runs. */
+  def domainMix(docs: DataFrame): DataFrame = {
+    // target percentage for a source: 20 + 15*(srcnum mod 5) ∈ {20..80}
+    val rate = lit(20) + lit(15) * (substring(col("source"), 4, 10).cast("int") % 5)
+    docs.select(col("source"), col("doc_id"), rate.as("rate"),
+        (Dedup.h32(lit("mix"), col("doc_id").cast("string")) % 100 < rate)
+          .cast("long").as("kept"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"),
+        first("rate").cast("long").as("rate_pct"))
+      .orderBy("source")
+  }
+
   /** Unigram LOG-PROBABILITY scoring — the KenLM-style quality proxy
     * (per-doc likelihood under the corpus's own unigram distribution):
     * word-salad and boilerplate score high, rare-token noise scores
@@ -537,6 +561,7 @@ object TextAnalysis {
     "text_bpe"         -> ((s, d) => bpeTokens(Tables.documents(s, d))),
     "text_pack_bpe"    -> ((s, d) => bpePacking(Tables.documents(s, d))),
     "text_unigram"     -> ((s, d) => unigramLogProb(Tables.documents(s, d))),
+    "text_mix"         -> ((s, d) => domainMix(Tables.documents(s, d))),
   )
 
   // words-array SQL fragment shared by the oracles
@@ -617,6 +642,12 @@ object TextAnalysis {
        |fin AS (SELECT w, n_sub, n_unk, cks FROM enc WHERE pos > length(w))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "text_mix" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CAST(('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100
+        |        < 20 + 15 * (CAST(substr(source, 4) AS INT) % 5) AS BIGINT)) AS BIGINT) AS n_kept,
+        |  CAST(20 + 15 * (CAST(substr(source, 4) AS INT) % 5) AS BIGINT) AS rate_pct
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "text_unigram" ->
       """WITH wd AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w

@@ -20,6 +20,23 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q34_merge: deletes gone, updates applied, inserts present, keys unique") {
+    import org.apache.spark.sql.functions._
+    val m = operators.Relational.q34Merge(spark, sf)
+    val snap = Tables.customer(spark, sf)
+    // no deleted key survives, and no 'D' rows are emitted
+    assert(m.where(col("op") === "D").count() == 0)
+    assert(m.where(col("c_custkey") % 13 === 0 && col("c_custkey") < 10000000L).count() == 0)
+    // every update key carries its bumped balance and tagged name
+    assert(m.where(col("op") === "U" && !col("name").startsWith("upd_")).count() == 0)
+    // inserts: one per %11 source key, offset into fresh key space
+    val nIns = snap.where(col("c_custkey") % 11 === 0).count()
+    assert(m.where(col("op") === "I").count() == nIns)
+    assert(m.where(col("op") === "I" && col("c_custkey") < 10000000L).count() == 0)
+    // merge output keys are unique (MERGE's cardinality contract)
+    assert(m.groupBy("c_custkey").count().where(col("count") > 1).count() == 0)
+  }
+
   test("q1_agg groups are the distinct (returnflag, linestatus) pairs") {
     val q1 = Relational.q1Agg(spark, sf)
     val pairs = Relational.q11Distinct(spark, sf).count()

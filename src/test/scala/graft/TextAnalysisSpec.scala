@@ -84,6 +84,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(0).getString(1) != fp(1).getString(1))  // fp_content differs
   }
 
+  test("domain mix: one audit row per source, kept within total, rates in the derived set") {
+    val m = operators.TextAnalysis.domainMix(Tables.documents(spark, sf))
+    val docs = Tables.documents(spark, sf)
+    assert(m.count() == docs.select("source").distinct().count())
+    assert(m.where(col("n_kept") > col("n_docs") || col("n_kept") < 0).count() == 0)
+    assert(m.where(!col("rate_pct").isin(20L, 35L, 50L, 65L, 80L)).count() == 0)
+    // determinism: membership depends only on (doc_id, source)
+    val again = operators.TextAnalysis.domainMix(docs.repartition(7))
+    assert(m.exceptAll(again).isEmpty && again.exceptAll(m).isEmpty)
+  }
+
   test("unigram log-prob: negative scores, avg bounded by per-word extremes, count matches tokens") {
     val docs = Tables.documents(spark, sf)
     val u = operators.TextAnalysis.unigramLogProb(docs)
