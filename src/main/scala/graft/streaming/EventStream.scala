@@ -39,6 +39,16 @@ case class FunnelFlags(user_id: Long, saw_view: Boolean, saw_click: Boolean,
   * both as (eventTimeUs, eventId). */
 private case class AsofState(views: List[(Long, Long)], pending: List[(Long, Long)])
 
+/** A CLOSED SCD-2 version: [valid_from, valid_to) with the event that
+  * opened it. The open (current) version lives only in state. */
+case class Scd2Version(user_id: Long, event_id: Long, value: Double,
+                       valid_from: Timestamp, valid_to: Timestamp)
+
+/** Per-user SCD-2 state: the open version (openTsUs, eventId, value) if
+  * any, plus buffered in-horizon change events (tsUs, eventId, value). */
+private case class Scd2State(open: Option[(Long, Long, Double)],
+                             pending: List[(Long, Long, Double)])
+
 /** Structured Streaming twins of [[graft.operators.Events]] (SURVEY §2.6).
   *
   * The batch queries define the semantics; these run the same computations
@@ -179,6 +189,55 @@ object EventStream {
                 Math.floorDiv(stillPending.map(_._1).min, 1000) + 1)
           }
           out.iterator
+      }
+  }
+
+  /** Streaming SCD-2 — the CDC face of [[graft.operators.Events.scd2]]:
+    * per-user keyed state tracks the OPEN version; each sealed change
+    * event either closes it (value differs → emit the closed version,
+    * open the new one) or compresses away (no-op update). A version
+    * [t1, t2) is final exactly when the watermark passes t2 — no event
+    * can land inside the interval anymore — so emissions are
+    * append-mode-correct under out-of-order arrival; in-horizon events
+    * buffer in state until sealed (event-time timeout wakes quiet
+    * users). The open version never emits: it is the live dimension
+    * row, still revisable (batch tags it `is_current` instead).
+    *
+    * State is O(1 + in-horizon changes) per user — the watermark bounds
+    * the buffer, the open version is a single tuple. */
+  def scd2(events: Dataset[Event]): Dataset[Scd2Version] = {
+    import events.sparkSession.implicits._
+    events
+      .where(col("event_type") === "purchase")
+      .withWatermark("ts", WatermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Version](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[Scd2State]) =>
+          val st = state.getOption.getOrElse(Scd2State(None, Nil))
+          val pending = st.pending ++
+            batch.map(e => (toMicros(e.ts), e.event_id, e.value))
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          // events with ts < wm are sealed: nothing can precede them now
+          val (ripe, still) = pending.partition(_._1 < wmUs)
+          var open = st.open
+          val out = List.newBuilder[Scd2Version]
+          for (e <- ripe.sortBy(t => (t._1, t._2))) open match {
+            case None => open = Some(e)
+            case Some(o) if o._3 == e._3 => () // no-op update, compressed
+            case Some(o) =>
+              out += Scd2Version(userId, o._2, o._3,
+                fromMicros(o._1), fromMicros(e._1))
+              open = Some(e)
+          }
+          if (open.isEmpty && still.isEmpty) state.remove()
+          else {
+            state.update(Scd2State(open, still))
+            if (still.nonEmpty) // wake when the oldest buffered event seals
+              state.setTimeoutTimestamp(
+                Math.floorDiv(still.map(_._1).min, 1000) + 1)
+          }
+          out.result().iterator
       }
   }
 

@@ -416,6 +416,40 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming scd2 replaying the whole events table converges to the batch closed versions") {
+    val s = spark
+    import s.implicits._
+    val batchDf = Tables.events(spark, sf)
+    val evs = batchDf
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq.sortBy(_.ts.getTime)
+    val input = MemoryStream[Event](s)
+    val q = EventStream.scd2(input.toDS())
+      .writeStream.format("memory").queryName("scdstream").outputMode("append").start()
+    try {
+      evs.grouped(evs.size / 3 + 1).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      // two far-future sentinels: advance the watermark past every real
+      // event, then fire the event-time timeouts that sealing left armed
+      val far = evs.map(_.ts.getTime).max
+      input.addData(Event(900001L, new Timestamp(far + 48L * 3600 * 1000), 999999L, "purchase", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(900002L, new Timestamp(far + 96L * 3600 * 1000), 999999L, "purchase", 2.0))
+      q.processAllAvailable()
+      // batch closed versions (is_current = 0) == streamed emissions,
+      // column for column (sentinel user excluded)
+      val got = s.sql(
+        """SELECT user_id, event_id, value, valid_from, valid_to
+          |FROM scdstream WHERE user_id < 999999""".stripMargin)
+      val want = graft.operators.Events.scd2(batchDf)
+        .where(col("is_current") === 0)
+        .select("user_id", "event_id", "value", "valid_from", "valid_to")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"stream/batch scd2 divergence: stream=${got.count()} batch=${want.count()}")
+    } finally q.stop()
+  }
+
   test("streaming funnel flags replaying the whole events table converge to the batch funnel") {
     val s = spark
     import s.implicits._
