@@ -102,10 +102,12 @@ object Similarity {
     * 2048 terms and overflows Janino; the expression is one static call).
     * Unsorted building block shared by `ann_lsh`, `ann_lsh_topk`,
     * `dedup_embed`. */
-  private def lshIndex(em: DataFrame): DataFrame = {
+  private def lshIndex(em: DataFrame): DataFrame = lshIndex(em, LshBits)
+
+  private def lshIndex(em: DataFrame, bits: Int): DataFrame = {
     graft.plans.GraftFunctions.register(em.sparkSession)
     em.select(col("vec_id"),
-        posexplode(call_function("graft_lsh_buckets", col("embedding"), lit(LshBits)))
+        posexplode(call_function("graft_lsh_buckets", col("embedding"), lit(bits)))
           .as(Seq("tbl", "bucket")))
       .select(col("vec_id"), col("tbl").cast("long").as("tbl"), col("bucket"))
   }
@@ -127,8 +129,13 @@ object Similarity {
 
   /** ANN via LSH: top-k among candidates sharing any bucket with the
     * query (deduplicated across tables before ranking). */
-  def lshTopK(em: DataFrame): DataFrame = {
-    val idx = lshIndex(em)
+  def lshTopK(em: DataFrame): DataFrame = lshTopK(em, LshBits)
+
+  /** [[lshTopK]] at an explicit bits setting — the dial's recall-side
+    * witness (SimilaritySpec sweeps it; fewer bits ⇒ wider buckets ⇒
+    * more candidates ⇒ recall monotonically up, cost up). */
+  def lshTopK(em: DataFrame, bits: Int): DataFrame = {
+    val idx = lshIndex(em, bits)
     val qIdx = idx.where(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
     val nIdx = idx.select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket"))

@@ -68,7 +68,13 @@ class SimilaritySpec extends SparkSpec {
     * (where true neighbors barely beat chance and bucketed recall is
     * data-limited — see the Similarity scaladoc), this is the regime real
     * embeddings live in, and where an index must PROVABLY retrieve. */
-  private def clusteredCorpus = {
+  private def clusteredCorpus: org.apache.spark.sql.DataFrame = clusteredCorpus(0.1)
+
+  /** 8 md5-derived cluster centers, 50 members each, member = center +
+    * noise·u. noise 0.1 ⇒ near-duplicate-tight clusters; larger noise
+    * loosens within-cluster cosine (≈ 1/(1+noise²)) for recall-curve
+    * measurements. */
+  private def clusteredCorpus(noise: Double) = {
     val s = spark
     import s.implicits._
     val dim = graft.functions.LshImpl.Dim
@@ -77,7 +83,7 @@ class SimilaritySpec extends SparkSpec {
     val rows = (0L until 400L).map { id =>
       val k = id % 8
       val emb = Array.tabulate(dim) { i =>
-        (u(s"cent:$k:$i") + 0.1 * u(s"noise:$id:$i")).toFloat
+        (u(s"cent:$k:$i") + noise * u(s"noise:$id:$i")).toFloat
       }
       (id, emb.toSeq, s"c$k")
     }
@@ -116,6 +122,36 @@ class SimilaritySpec extends SparkSpec {
     val clean = new GenericArrayData(Array.tabulate[Any](dim)(i => 1.0f))
     val outClean = graft.functions.LshImpl.buckets(clean)
     assert((0 until graft.functions.LshImpl.NumTables).exists(t => outClean.getLong(t) != 0L))
+  }
+
+  test("lsh bits dial recall curve: recall falls monotonically as buckets narrow, floor holds") {
+    // the recall half of the corpus-density dial's tradeoff, measured on
+    // the clustered fixture (the regime real corpora live in): fewer
+    // bits = wider buckets = more candidates = higher recall. The 100×
+    // capacity half is measured in SURVEY §5c; together they are the
+    // dial's contract.
+    def curve(noise: Double): Map[Int, Double] = {
+      val corpus = clusteredCorpus(noise)
+      val truth = topkSets(Similarity.bruteForce(corpus))
+      def recall(approx: Map[Long, Set[Long]]): Double = {
+        val per = truth.map { case (q, t) =>
+          approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+        per.sum / per.size
+      }
+      Seq(8, 12, 16).map(b => b -> recall(topkSets(Similarity.lshTopK(corpus, b)))).toMap
+    }
+    // tight clusters (the near-dup regime): the dial is essentially free
+    val tight = curve(0.1)
+    info(f"tight   recall@bits: 8=${tight(8)}%.3f 12=${tight(12)}%.3f 16=${tight(16)}%.3f")
+    assert(tight(8) >= 0.8 && tight(16) >= 0.8,
+      s"near-dup recall must survive every dial setting: $tight")
+    // loose clusters (moderate similarity): the tradeoff becomes visible
+    val loose = curve(0.4)
+    info(f"loose   recall@bits: 8=${loose(8)}%.3f 12=${loose(12)}%.3f 16=${loose(16)}%.3f")
+    assert(loose(8) >= loose(12) && loose(12) >= loose(16),
+      s"recall must fall as buckets narrow: $loose")
+    assert(loose(8) > loose(16),
+      s"loose-cluster curve should be strictly decreasing end to end: $loose")
   }
 
   test("lsh bits dial: higher-bit buckets REFINE the 8-bit partition (low bits identical)") {
