@@ -46,6 +46,24 @@ object CorpusStream {
     * folds each batch into the band index at `indexPath`. The index
     * must be seeded with the existing corpus's bands before the query
     * starts (e.g. `Dedup.minhashBanded(existing).write.parquet(...)`). */
+  /** One micro-batch's candidate pairs: broadcast probe of the stored
+    * index (new↔existing) ∪ within-batch self-join (new↔new). */
+  private def probePairs(bands: DataFrame, index: DataFrame): DataFrame = {
+    val cross = broadcast(
+      bands.select(col("doc_id").as("new_id"), col("band"), col("band_hash")))
+      .join(index.select(col("doc_id").as("old_id"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .where(col("new_id") =!= col("old_id"))
+      .select(least(col("new_id"), col("old_id")).as("doc_a"),
+        greatest(col("new_id"), col("old_id")).as("doc_b"))
+    val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
+    val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
+    val self = l.join(r, Seq("band", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    cross.unionAll(self).distinct()
+  }
+
   def incrementalDedup(freshDocs: DataFrame, indexPath: String,
                        pairsPath: String): DataStreamWriter[Row] =
     freshDocs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
@@ -53,24 +71,52 @@ object CorpusStream {
       // computed once, used three times (probe, self-join, index append)
       val bands = Dedup.minhashBanded(batch).localCheckpoint(true)
       try {
-        val index = spark.read.parquet(indexPath)
-        val cross = broadcast(
-          bands.select(col("doc_id").as("new_id"), col("band"), col("band_hash")))
-          .join(index.select(col("doc_id").as("old_id"), col("band"), col("band_hash")),
-            Seq("band", "band_hash"))
-          .where(col("new_id") =!= col("old_id"))
-          .select(least(col("new_id"), col("old_id")).as("doc_a"),
-            greatest(col("new_id"), col("old_id")).as("doc_b"))
-        val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
-        val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
-        val self = l.join(r, Seq("band", "band_hash"))
-          .where(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b")
-        cross.unionAll(self).distinct()
+        probePairs(bands, spark.read.parquet(indexPath))
           .write.mode(SaveMode.Append).parquet(pairsPath)
         // fold the batch into the corpus AFTER probing (probe-then-append
         // keeps within-batch pairs sourced from the self-join only)
         bands.write.mode(SaveMode.Append).parquet(indexPath)
       } finally bands.unpersist()
+    }
+
+  /** The FULL production corpus-refresh loop as a stream — the
+    * streaming face of [[Dedup.incrementalClusters]]: per micro-batch,
+    * probe + fold the band index (as [[incrementalDedup]]), then fold
+    * the batch's pairs into the STORED cluster labels — old components
+    * compressed to star edges (connectivity-exact), large-star/small-
+    * star re-run over stars ∪ new pairs, labels table rewritten. After
+    * any batch split of the fresh corpus, the stored labels equal the
+    * from-scratch clustering of everything seen (CorpusStreamSpec).
+    *
+    * Per-batch cost ∝ |labels| + |batch pairs| — the old corpus is
+    * never re-shingled; the label rewrite is the one corpus-sized
+    * output, which production would keep as a versioned table. Storage
+    * hygiene: every block this batch pinned (band/label checkpoints,
+    * the CC loop's converged edges) is released before the batch ends —
+    * a long-running refresh stream accumulates nothing. */
+  def incrementalClusters(freshDocs: DataFrame, indexPath: String,
+                          labelsPath: String, pairsPath: String): DataStreamWriter[Row] =
+    freshDocs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val pinned = spark.sparkContext.getPersistentRDDs.keySet
+      val bands = Dedup.minhashBanded(batch).localCheckpoint(true)
+      try {
+        val pairs = probePairs(bands, spark.read.parquet(indexPath))
+          .localCheckpoint(true)
+        pairs.write.mode(SaveMode.Append).parquet(pairsPath)
+        bands.write.mode(SaveMode.Append).parquet(indexPath)
+        val labels = spark.read.parquet(labelsPath)
+        val stars = labels.where(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+        val ids = labels.select("doc_id").unionAll(batch.select("doc_id")).distinct()
+        // checkpoint BEFORE overwriting the path the plan read from
+        val folded = Dedup.connectedComponents(
+            ids, stars.unionAll(pairs.select("doc_a", "doc_b")).distinct())
+          .localCheckpoint(true)
+        folded.write.mode(SaveMode.Overwrite).parquet(labelsPath)
+      } finally {
+        val now = spark.sparkContext.getPersistentRDDs
+        (now.keySet -- pinned).foreach(id => now.get(id).foreach(_.unpersist(false)))
+      }
     }
 }
