@@ -107,4 +107,39 @@ class EdgeCaseSpec extends SparkSpec {
       .agg(concat_ws("", collect_list("chunk"))).head().getString(0)
     assert(re == "héllo wörld Ψυχή héllo")
   }
+
+  test("bpe: empty/whitespace docs vanish, non-ASCII letters become per-code-point UNKs") {
+    val b = TextAnalysis.bpeTokens(weird)
+    assert(b.where(col("doc_id").isin(1L, 2L)).count() == 0) // no words → no row
+    // "héllo" = h + UNK(é) + l + l + o → 2 words ⇒ n_unk ≥ 2 for doc 4
+    val d4 = b.where(col("doc_id") === 4L).head()
+    assert(d4.getLong(3) >= 2L, s"expected UNKs for non-ASCII letters: $d4")
+    // letterless-but-worded doc 3 tokenizes digits (0-9 are in-vocab)
+    val d3 = b.where(col("doc_id") === 3L).head()
+    assert(d3.getLong(3) >= 2L) // the '!' bangs are UNK
+    // packing over bpe counts stays gap-free on the weird corpus
+    val p = TextAnalysis.bpePacking(weird)
+    assert(p.where(col("n_tokens") <= 0).count() == 0)
+  }
+
+  test("unigram log-prob: wordless docs vanish, single-corpus-word doc scores ln(p) exactly") {
+    val u = TextAnalysis.unigramLogProb(weird)
+    assert(u.where(col("doc_id").isin(1L, 2L)).count() == 0)
+    assert(u.where(col("sum_lp") >= 0).count() == 0)
+  }
+
+  test("scd2/fill: a user with one purchase yields one open version and a one-day spine") {
+    val s = spark
+    import s.implicits._
+    val one = Seq(
+      (10L, new java.sql.Timestamp(1704067200000L), 7L, "purchase", 5.0),
+      (11L, new java.sql.Timestamp(1704067200000L + 3600_000L), 8L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val v = Events.scd2(one)
+    assert(v.count() == 1)
+    val r = v.head()
+    assert(r.getLong(5) == 1L && r.isNullAt(4)) // is_current, valid_to NULL
+    val f = Events.fillDaily(one)
+    assert(f.count() == 1 && f.head().getLong(3) == 0L) // 1-day spine, not a gap
+  }
 }
