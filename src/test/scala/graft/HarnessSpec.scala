@@ -45,6 +45,21 @@ class HarnessSpec extends AnyFunSuite {
     assert(m == Map("q1" -> 1.2))
   }
 
+  test("SURVEY §2 documents every oracle-gated query key (no doc drift)") {
+    // the r4 audit found four green keys missing from SURVEY's
+    // inventory — the coverage contract had silently drifted behind the
+    // code. Pin it: every SparkEntry key must appear back-ticked in §2.
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val sec2 = survey.split("## §3")(0)
+    val missing = SparkEntry.queries.keySet.filterNot(k => sec2.contains(s"`$k`"))
+    assert(missing.isEmpty, s"SURVEY §2 is missing gated keys: ${missing.toSeq.sorted}")
+    // and every queries key ships an oracle (or is a documented
+    // rows-only exception — currently none)
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty, s"gated keys without oracle SQL: ${noOracle.toSeq.sorted}")
+  }
+
   test("previousBench returns None when no bench files exist") {
     assert(Bench.previousBench(tempDir("graft-bench-empty").getPath).isEmpty)
   }
