@@ -153,7 +153,16 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  val CentroidStride = 37  // vec_id % stride == 0 ⇒ IVF centroid
+  /** vec_id % stride == 0 ⇒ IVF centroid. The IVF corpus-density dial
+    * (env `SPARK_GRAFT_IVF_STRIDE`): the default 37 derives centroids
+    * as a corpus SLICE, so K grows with n and the assignment stage is
+    * n²/37 — fine at gate scales, the measured 100× bend (§5c). A
+    * deployment raises the stride with the corpus (K ≈ n/stride ≈ √n ⇒
+    * stride ≈ √n) so assignment stays n·√n; cells widen to `stride`
+    * vectors, which the probe stage absorbs linearly. The oracle
+    * interpolates the SAME value, so the gate follows the dial. */
+  def CentroidStride: Int =
+    sys.env.get("SPARK_GRAFT_IVF_STRIDE").map(_.toInt).getOrElse(37)
   val NProbe = 2           // cells probed per query
 
   /** IVF (inverted-file) ANN — the other classic scale path next to LSH:
