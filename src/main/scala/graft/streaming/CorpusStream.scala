@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.Dedup
-import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
@@ -22,7 +22,7 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *  2. candidate pairs = broadcast probe of the STORED index
   *     (new↔existing) ∪ within-batch self-join (new↔new), distinct —
   *     the same shape as [[Dedup.incrementalPairs]];
-  *  3. APPEND the batch's bands to the index, so later micro-batches
+  *  3. fold the batch's bands into the index, so later micro-batches
   *     see this batch's documents as existing.
   *
   * Step 3 makes the emitted pair-set independent of how the fresh corpus
@@ -32,20 +32,66 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * batch `incrementalPairs(existing, fresh)` (spec: replay-converged,
   * CorpusStreamSpec).
   *
+  * '''Restart idempotence (r6).''' Structured Streaming re-delivers the
+  * last uncommitted micro-batch after a failure, so a blind `Append`
+  * sink double-writes on restart. Both sinks here are instead
+  * idempotent w.r.t. re-sent batches — the reference's defining reduce
+  * contract ("cumulative and idempotent w.r.t. re-sent shares",
+  * /root/reference/core/map_reduce.go:150-215): every per-batch write
+  * lands under a `batch_id=<id>` partition via dynamic partition
+  * overwrite, so a replayed batch REPLACES its own partition with
+  * byte-identical content instead of appending a duplicate. The replay
+  * recomputation is itself stable at every crash point:
+  *
+  *  - crash before the index fold: the replay sees the same index the
+  *    first delivery saw → identical pairs, overwritten in place;
+  *  - crash after the index fold: the replay's probe also sees the
+  *    batch's OWN bands in the index, but every (new↔own-batch) pair it
+  *    yields canonicalizes onto a self-join pair and the `distinct`
+  *    collapses it — the pair set is again identical;
+  *  - the clusters sink's label rewrite is a whole-table `Overwrite`
+  *    whose fixpoint fold is idempotent under re-added edges (re-folding
+  *    the same pairs into already-folded components is a no-op).
+  *
+  * Spec: CorpusStreamSpec re-invokes each batch function with a
+  * repeated batchId and asserts the index, pair set, and labels are
+  * identical to the single-delivery run.
+  *
   * Scale: per-batch cost ∝ batch size (signature pass + banded index
-  * probe); the index is only ever appended to and the probe side
-  * broadcasts, so the stored corpus is never reshuffled — the property
-  * that makes a 100 TB corpus refresh affordable. Reference analogue:
-  * /root/reference/core/map_reduce.go keeps reducer state alive across
-  * rounds for the same reason.
+  * probe); the index is only ever appended to (one new partition per
+  * batch) and the probe side broadcasts, so the stored corpus is never
+  * reshuffled — the property that makes a 100 TB corpus refresh
+  * affordable.
   */
 object CorpusStream {
 
-  /** `foreachBatch` writer for a stream of new documents (`doc_id`,
-    * `text`, …): emits candidate pairs to `pairsPath` (append) and
-    * folds each batch into the band index at `indexPath`. The index
-    * must be seeded with the existing corpus's bands before the query
-    * starts (e.g. `Dedup.minhashBanded(existing).write.parquet(...)`). */
+  /** Seed the stored band index from the existing corpus, under the same
+    * `batch_id` partition layout the stream's micro-batches use (the
+    * seed is `batch_id=-1`) so the index path carries one consistent
+    * partitioning from its first write. Run this before starting either
+    * sink; the stream folds every micro-batch in as `batch_id=<id>`. */
+  def seedIndex(existing: DataFrame, indexPath: String): Unit =
+    Dedup.minhashBanded(existing).withColumn("batch_id", lit(-1L))
+      .write.partitionBy("batch_id").mode(SaveMode.Overwrite).parquet(indexPath)
+
+  /** Idempotent per-batch append: the rows land in (and on replay,
+    * replace) the `batch_id=<batchId>` partition only — dynamic
+    * partition overwrite leaves every other batch's partition intact. */
+  private def foldBatch(df: DataFrame, batchId: Long, path: String): Unit =
+    df.withColumn("batch_id", lit(batchId))
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite).parquet(path)
+
+  /** Release every block pinned since `before` — localCheckpoint blocks
+    * register on the RDD, not the CacheManager, so a plain
+    * `Dataset.unpersist()` is a no-op for them; the pinned-set diff is
+    * the release that actually frees storage across micro-batches. */
+  private def releaseSince(spark: SparkSession, before: scala.collection.Set[Int]): Unit = {
+    val now = spark.sparkContext.getPersistentRDDs
+    (now.keySet -- before).foreach(id => now.get(id).foreach(_.unpersist(false)))
+  }
+
   /** One micro-batch's candidate pairs: broadcast probe of the stored
     * index (new↔existing) ∪ within-batch self-join (new↔new). */
   private def probePairs(bands: DataFrame, index: DataFrame): DataFrame = {
@@ -64,20 +110,53 @@ object CorpusStream {
     cross.unionAll(self).distinct()
   }
 
+  /** The dedup sink's micro-batch body, exposed for the replay spec:
+    * running it twice with the same `batchId` leaves the pairs table and
+    * band index exactly as one delivery would. */
+  private[graft] def dedupBatch(batch: DataFrame, batchId: Long,
+                                indexPath: String, pairsPath: String): Unit = {
+    val spark = batch.sparkSession
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet
+    // computed once, used three times (probe, self-join, index fold)
+    val bands = Dedup.minhashBanded(batch).localCheckpoint(true)
+    try {
+      foldBatch(probePairs(bands, spark.read.parquet(indexPath)), batchId, pairsPath)
+      // fold the batch into the corpus AFTER probing (probe-then-fold
+      // keeps within-batch pairs sourced from the self-join only)
+      foldBatch(bands, batchId, indexPath)
+    } finally releaseSince(spark, pinned)
+  }
+
   def incrementalDedup(freshDocs: DataFrame, indexPath: String,
                        pairsPath: String): DataStreamWriter[Row] =
-    freshDocs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      val spark = batch.sparkSession
-      // computed once, used three times (probe, self-join, index append)
-      val bands = Dedup.minhashBanded(batch).localCheckpoint(true)
-      try {
-        probePairs(bands, spark.read.parquet(indexPath))
-          .write.mode(SaveMode.Append).parquet(pairsPath)
-        // fold the batch into the corpus AFTER probing (probe-then-append
-        // keeps within-batch pairs sourced from the self-join only)
-        bands.write.mode(SaveMode.Append).parquet(indexPath)
-      } finally bands.unpersist()
+    freshDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      dedupBatch(batch, batchId, indexPath, pairsPath)
     }
+
+  /** The clusters sink's micro-batch body, exposed for the replay spec
+    * (same idempotence contract as [[dedupBatch]], plus the label
+    * rewrite whose fold is a no-op on re-sent edges). */
+  private[graft] def clustersBatch(batch: DataFrame, batchId: Long, indexPath: String,
+                                   labelsPath: String, pairsPath: String): Unit = {
+    val spark = batch.sparkSession
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet
+    val bands = Dedup.minhashBanded(batch).localCheckpoint(true)
+    try {
+      val pairs = probePairs(bands, spark.read.parquet(indexPath))
+        .localCheckpoint(true)
+      foldBatch(pairs, batchId, pairsPath)
+      foldBatch(bands, batchId, indexPath)
+      val labels = spark.read.parquet(labelsPath)
+      val stars = labels.where(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+      val ids = labels.select("doc_id").unionAll(batch.select("doc_id")).distinct()
+      // checkpoint BEFORE overwriting the path the plan read from
+      val folded = Dedup.connectedComponents(
+          ids, stars.unionAll(pairs.select("doc_a", "doc_b")).distinct())
+        .localCheckpoint(true)
+      folded.write.mode(SaveMode.Overwrite).parquet(labelsPath)
+    } finally releaseSince(spark, pinned)
+  }
 
   /** The FULL production corpus-refresh loop as a stream — the
     * streaming face of [[Dedup.incrementalClusters]]: per micro-batch,
@@ -96,27 +175,7 @@ object CorpusStream {
     * a long-running refresh stream accumulates nothing. */
   def incrementalClusters(freshDocs: DataFrame, indexPath: String,
                           labelsPath: String, pairsPath: String): DataStreamWriter[Row] =
-    freshDocs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      val spark = batch.sparkSession
-      val pinned = spark.sparkContext.getPersistentRDDs.keySet
-      val bands = Dedup.minhashBanded(batch).localCheckpoint(true)
-      try {
-        val pairs = probePairs(bands, spark.read.parquet(indexPath))
-          .localCheckpoint(true)
-        pairs.write.mode(SaveMode.Append).parquet(pairsPath)
-        bands.write.mode(SaveMode.Append).parquet(indexPath)
-        val labels = spark.read.parquet(labelsPath)
-        val stars = labels.where(col("doc_id") =!= col("cluster_id"))
-          .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
-        val ids = labels.select("doc_id").unionAll(batch.select("doc_id")).distinct()
-        // checkpoint BEFORE overwriting the path the plan read from
-        val folded = Dedup.connectedComponents(
-            ids, stars.unionAll(pairs.select("doc_a", "doc_b")).distinct())
-          .localCheckpoint(true)
-        folded.write.mode(SaveMode.Overwrite).parquet(labelsPath)
-      } finally {
-        val now = spark.sparkContext.getPersistentRDDs
-        (now.keySet -- pinned).foreach(id => now.get(id).foreach(_.unpersist(false)))
-      }
+    freshDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      clustersBatch(batch, batchId, indexPath, labelsPath, pairsPath)
     }
 }

@@ -29,7 +29,7 @@ class CorpusStreamSpec extends SparkSpec {
     assert(expected.nonEmpty, "fixture too sparse: no incremental pairs to converge on")
 
     // seed the stream's index with the SAME existing-corpus bands
-    Dedup.minhashBanded(existing).write.parquet(streamIndex)
+    CorpusStream.seedIndex(existing, streamIndex)
 
     // replay the fresh set in three micro-batches
     val fresh = freshDf.select("doc_id", "text", "lang", "source", "n_chars")
@@ -45,7 +45,7 @@ class CorpusStreamSpec extends SparkSpec {
       }
     } finally q.stop()
 
-    val got = spark.read.parquet(pairsPath)
+    val got = spark.read.parquet(pairsPath).select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expected,
       s"stream/batch divergence: missing=${expected -- got} extra=${got -- expected}")
@@ -68,7 +68,7 @@ class CorpusStreamSpec extends SparkSpec {
     val labelsPath = s"$tmp/labels"
     val pairsPath = s"$tmp/pairs"
     // seed the stored state from the existing corpus, as production would
-    Dedup.minhashBanded(existing).write.parquet(indexPath)
+    CorpusStream.seedIndex(existing, indexPath)
     Dedup.minhashClustersLS(existing).write.parquet(labelsPath)
     Cleanup.releaseAll(spark) // the seeding run's caller-must-clear
 
@@ -95,5 +95,57 @@ class CorpusStreamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == want,
       s"folded labels diverge from from-scratch: missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("corpus refresh is restart-idempotent: a replayed micro-batch changes nothing") {
+    // Structured Streaming re-delivers the last uncommitted micro-batch
+    // after a failure — the reference's reduce contract is that re-sent
+    // shares fold idempotently (/root/reference/core/map_reduce.go:150-215).
+    // Invoke each sink's batch function TWICE with the same batchId and
+    // assert the stored index, pair set, and labels are byte-identical
+    // to the single-delivery run.
+    val docs = Tables.documents(spark, sf)
+    val existing = docs.where(pmod(col("doc_id"), lit(2)) =!= 0)
+    val b0 = docs.where(pmod(col("doc_id"), lit(4)) === 0)
+    val b1 = docs.where(pmod(col("doc_id"), lit(4)) === 2)
+
+    def indexRows(p: String) = spark.read.parquet(p)
+      .select(col("doc_id"), col("band"), col("band_hash"), col("batch_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap // multiset: catches duplicates
+    def pairRows(p: String) = spark.read.parquet(p)
+      .select(col("doc_a"), col("doc_b"), col("batch_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+    def labelRows(p: String) = spark.read.parquet(p)
+      .select("doc_id", "cluster_id", "is_canonical")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+
+    // --- dedup sink ---
+    val tmp = Files.createTempDirectory("graft_corpus_replay").toString
+    val (idx, prs) = (s"$tmp/index", s"$tmp/pairs")
+    CorpusStream.seedIndex(existing, idx)
+    CorpusStream.dedupBatch(b0, 0L, idx, prs)
+    CorpusStream.dedupBatch(b1, 1L, idx, prs)
+    val (idxOnce, prsOnce) = (indexRows(idx), pairRows(prs))
+    CorpusStream.dedupBatch(b1, 1L, idx, prs) // the failure-replay
+    assert(indexRows(idx) == idxOnce, "replayed batch changed the band index")
+    assert(pairRows(prs) == prsOnce, "replayed batch changed the pair set")
+    assert(prsOnce.nonEmpty && prsOnce.values.forall(_ == 1),
+      "fixture produced no pairs, or single delivery already duplicated rows")
+
+    // --- clusters sink (adds the label-table rewrite) ---
+    val (cIdx, cLbl, cPrs) = (s"$tmp/cidx", s"$tmp/clbl", s"$tmp/cprs")
+    CorpusStream.seedIndex(existing, cIdx)
+    Dedup.minhashClustersLS(existing).write.parquet(cLbl)
+    Cleanup.releaseAll(spark)
+    CorpusStream.clustersBatch(b0, 0L, cIdx, cLbl, cPrs)
+    CorpusStream.clustersBatch(b1, 1L, cIdx, cLbl, cPrs)
+    val (cIdxOnce, cPrsOnce, cLblOnce) = (indexRows(cIdx), pairRows(cPrs), labelRows(cLbl))
+    CorpusStream.clustersBatch(b1, 1L, cIdx, cLbl, cPrs) // the failure-replay
+    assert(indexRows(cIdx) == cIdxOnce, "replayed batch changed the band index")
+    assert(pairRows(cPrs) == cPrsOnce, "replayed batch changed the pair set")
+    assert(labelRows(cLbl) == cLblOnce, "replayed batch changed the stored labels")
   }
 }
