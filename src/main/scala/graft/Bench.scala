@@ -73,6 +73,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Dials.init(spark, sfDir) // corpus-derived dial defaults
 
     // warmup: flagship query (small sf) + one scan of the bench dir —
     // pays JIT/codegen/session costs outside the timed region

@@ -16,6 +16,7 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    Dials.init(spark, sfDir) // corpus-derived dial defaults
     val df = SparkEntry.queries(name)(spark, sfDir)
     println(s"==== $name @ $sfDir ====")
     df.explain("formatted")

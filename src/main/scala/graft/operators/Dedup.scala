@@ -639,7 +639,10 @@ object Dedup {
        |  GROUP BY doc_id, b) sb
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  /** `def`: the dedup_combined entry composes [[Similarity.embedPairsSql]],
+    * whose LSH bit count may be corpus-derived ([[graft.Dials]]) — build
+    * after the running main's `Dials.init`, not at class load. */
+  def oracle: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,

@@ -55,15 +55,15 @@ object Similarity {
   val TopK = 5
   val QueryStride = 50             // vec_id % stride == 0 ⇒ query vector
   /** The corpus-density DIAL (SURVEY §5: bucket width ∝ n/2^bits).
-    * Default 8 bits = 256 buckets/table — the gated configuration; a
-    * deployment raises it as the corpus grows (env `SPARK_GRAFT_LSH_BITS`,
-    * the knob the ScaleUp 100× stress turns: at 200 k vectors the 8-bit
-    * buckets hold ~780 vectors each and the candidate self-join OOMs;
-    * at 12 bits occupancy is back to ~50 and the same query completes).
-    * Raising bits narrows per-table recall ((1−θ/π)^bits) — raise
-    * NumTables alongside to buy it back (OR-amplification). */
-  def LshBits: Int =
-    sys.env.get("SPARK_GRAFT_LSH_BITS").map(_.toInt).getOrElse(LshImpl.Bits)
+    * Since r6 the default DERIVES from the corpus ([[graft.Dials]]:
+    * bits = ceil(log2(n/50)), floored at the gated 8) — at gate scales
+    * (≤2 k vectors) that is the unchanged 8 bits; at the 100× stress
+    * corpus (200 k vectors, where 8-bit buckets hold ~780 vectors and
+    * the candidate self-join OOMs) it derives the measured-good 12 with
+    * NO env var set. `SPARK_GRAFT_LSH_BITS` still overrides. Raising
+    * bits narrows per-table recall ((1−θ/π)^bits) — raise NumTables
+    * alongside to buy it back (OR-amplification). */
+  def LshBits: Int = graft.Dials.lshBits
   val LshTables: Int = LshImpl.NumTables   // OR-amplified hash tables
   val DupCosine = 0.35             // dedup_embed near-duplicate threshold
 
@@ -153,16 +153,16 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** vec_id % stride == 0 ⇒ IVF centroid. The IVF corpus-density dial
-    * (env `SPARK_GRAFT_IVF_STRIDE`): the default 37 derives centroids
-    * as a corpus SLICE, so K grows with n and the assignment stage is
-    * n²/37 — fine at gate scales, the measured 100× bend (§5c). A
-    * deployment raises the stride with the corpus (K ≈ n/stride ≈ √n ⇒
-    * stride ≈ √n) so assignment stays n·√n; cells widen to `stride`
-    * vectors, which the probe stage absorbs linearly. The oracle
-    * interpolates the SAME value, so the gate follows the dial. */
-  def CentroidStride: Int =
-    sys.env.get("SPARK_GRAFT_IVF_STRIDE").map(_.toInt).getOrElse(37)
+  /** vec_id % stride == 0 ⇒ IVF centroid. The IVF corpus-density dial:
+    * centroids are a corpus SLICE, so a FIXED stride grows K with n and
+    * makes assignment n²/stride — the measured 100× bend (§5c). Since
+    * r6 the default DERIVES from the corpus ([[graft.Dials]]: stride =
+    * floor(sqrt(n)), so K ≈ √n — the classic IVF codebook size) and
+    * assignment stays n·√n with NO env var set; cells widen to ~√n
+    * vectors, which the probe stage absorbs linearly.
+    * `SPARK_GRAFT_IVF_STRIDE` still overrides; the oracle interpolates
+    * the SAME value, so the gate follows the dial. */
+  def CentroidStride: Long = graft.Dials.ivfStride
   val NProbe = 2           // cells probed per query
 
   /** IVF (inverted-file) ANN — the other classic scale path next to LSH:
@@ -269,14 +269,19 @@ object Similarity {
       s"(CASE WHEN (${signedSumSql(LshImpl.Signs(t)(j))}) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
-  /** (vec_id, tbl, bucket) for all tables — mirrors [[lshIndex]]. */
-  private val indexSql: String =
+  /** (vec_id, tbl, bucket) for all tables — mirrors [[lshIndex]].
+    * `def`, not `val`: the bit count may be corpus-derived
+    * ([[graft.Dials]]), so the SQL must be built after the running
+    * main's `Dials.init`, not at class load. */
+  private def indexSql: String =
     (0 until LshTables).map { t =>
       s"""SELECT vec_id, $t::BIGINT AS tbl, CAST(${bucketSql(t)} AS BIGINT) AS bucket
          |FROM (SELECT vec_id, $V AS v FROM embeddings) e""".stripMargin
     }.mkString(" UNION ALL ")
 
-  val oracle: Map[String, String] = Map(
+  /** `def`: interpolates the corpus-derived dials, so it must be built
+    * after `Dials.init` (the mains' order), not at class load. */
+  def oracle: Map[String, String] = Map(
     "ann_bruteforce" ->
       s"""SELECT query_id, rank, neighbor_id FROM (
          |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
