@@ -364,17 +364,28 @@ object TextAnalysis {
     *     (recurse the same step if even that frame outgrows a task);
     *  3. offsets join back on (lang, rng) — the level-1 side is already
     *     hash-partitioned on those keys from its window, so the join
-    *     adds no exchange on the big side (totals broadcast at any
-    *     realistic size).
+    *     adds no exchange on the big side; the totals frame broadcasts
+    *     only under the [[PackBroadcastMaxDocs]] size gate (at 10⁹+
+    *     docs the O(n_docs/64) frame must shuffle, not broadcast).
     *
     * The window carries (doc_id, n_tokens) pairs ONLY — the text never
     * enters a shuffle — and the per-doc arithmetic is unchanged from
     * the single-window form (all-integer ⇒ engine-exact, same oracle). */
   val PackSeqLen = 64
   val PackRangeSpan = 64L
+
+  /** Docs-count ceiling under which the offsets frame (one row per
+    * (lang, rng) — n_docs/64 rows, ~10 MB here) may carry a broadcast
+    * hint. Above it the hint would force a hundreds-of-MB broadcast at
+    * 10⁹+ docs — the plan's would-be 100-TB failure point — so the join
+    * goes plain and reuses the big side's (lang, rng) partitioning
+    * (PlanShapeSpec pins the degraded shape). */
+  val PackBroadcastMaxDocs = 16L << 20
+
   def packing(docs: DataFrame): DataFrame = {
     val nTok = size(filter(split(col("text"), " "), w => w =!= "")).cast("long")
-    packingOf(docs.select(col("doc_id"), col("lang"), nTok.as("n_tokens")))
+    packingOf(docs.select(col("doc_id"), col("lang"), nTok.as("n_tokens")),
+      broadcastOffs = docs.count() <= PackBroadcastMaxDocs)
   }
 
   /** [[packing]] with the REAL training-data unit: per-doc subword
@@ -385,10 +396,14 @@ object TextAnalysis {
   def bpePacking(docs: DataFrame): DataFrame =
     packingOf(bpeTokens(docs)
       .join(docs.select("doc_id", "lang"), "doc_id")
-      .select(col("doc_id"), col("lang"), col("n_subwords").as("n_tokens")))
+      .select(col("doc_id"), col("lang"), col("n_subwords").as("n_tokens")),
+      broadcastOffs = docs.count() <= PackBroadcastMaxDocs)
 
-  /** Core packing over a precomputed (doc_id, lang, n_tokens) frame. */
-  def packingOf(tokens: DataFrame): DataFrame = {
+  /** Core packing over a precomputed (doc_id, lang, n_tokens) frame.
+    * `broadcastOffs` is the size gate ([[PackBroadcastMaxDocs]]): the
+    * callers decide it from a footer-count of the source table, so the
+    * offsets frame broadcasts only while it is genuinely small. */
+  def packingOf(tokens: DataFrame, broadcastOffs: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = tokens
       .where(col("n_tokens") > 0)
@@ -401,7 +416,11 @@ object TextAnalysis {
     val offs = base.groupBy("lang", "rng").agg(sum("n_tokens").as("rng_total"))
       .withColumn("rng_off", coalesce(sum("rng_total").over(wRng), lit(0L)))
       .select("lang", "rng", "rng_off")
-    local.join(broadcast(offs), Seq("lang", "rng"))
+    // Above the size gate, NO broadcast: the big side already carries
+    // hashpartitioning(lang, rng) + (lang, rng, doc_id) ordering from its
+    // window, so the plain join adds no exchange or sort on it — only
+    // the small offs side re-shuffles (PlanShapeSpec pins the shape).
+    local.join(if (broadcastOffs) broadcast(offs) else offs, Seq("lang", "rng"))
       .withColumn("start_off", col("rng_off") + col("run") - col("n_tokens"))
       // `div`: true integral division on longs (a double-divide-then-cast
       // would silently lose exactness past 2^53 offsets)

@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.TextAnalysis
 import org.apache.spark.sql.DataFrame
 
 /** Plan-shape regression guards: the scale claims in SURVEY §5, asserted
@@ -166,6 +167,58 @@ class PlanShapeSpec extends SparkSpec {
       assert(finalPlan.contains("isSkew=true") || finalPlan.contains("skew=true"),
         s"expected a runtime skew split in the final adaptive plan:\n$finalPlan")
     } finally saved.foreach { case (k, v) => c.set(k, v) }
+  }
+
+  test("text_pack's offsets join is size-gated: no broadcast when offs is big, no exchange on the big side") {
+    // The offs frame is O(n_docs/64) rows — it may broadcast only under
+    // the PackBroadcastMaxDocs count gate. Build the ABOVE-gate plan
+    // (broadcastOffs = false, threshold -1 so the planner can't re-add
+    // one by estimate) and assert the degraded plan is the one we want
+    // at 100 TB: a sort-merge join whose big side reuses the packing
+    // window's hashpartitioning(lang, rng) + ordering — exactly ONE
+    // exchange (the window's own) and NO sort above the window — while
+    // only the small offs side re-shuffles.
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.functions.{col, size => fsize, split, filter => ffilter}
+    val c = spark.conf
+    val saved = c.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = Tables.documents(spark, sf)
+      val nTok = fsize(ffilter(split(col("text"), " "), w => w =!= "")).cast("long")
+      val tokens = docs.select(col("doc_id"), col("lang"), nTok.as("n_tokens"))
+      // executedPlan (post-EnsureRequirements), unwrapped from AQE so the
+      // exchanges are visible; pre-execution this is the initial plan
+      val p = TextAnalysis.packingOf(tokens, broadcastOffs = false)
+        .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case o => o
+      }
+      assert(p.collect { case b: BroadcastExchangeExec => b }.isEmpty,
+        s"offs must not broadcast once the planner sizes it big:\n$p")
+      val smjs = p.collect { case j: SortMergeJoinExec => j }
+      assert(smjs.nonEmpty, s"expected the offsets join as SMJ:\n$p")
+      // the big (local-runs) side is the subtree whose window partitions
+      // by BOTH keys (lang, rng) — the offs side's window partitions by
+      // lang alone; it must carry no exchange above that window and no
+      // re-sort between window and join
+      def twoKeyWin(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collect { case w: WindowExec if w.partitionSpec.size == 2 => w }
+      val j = smjs.head
+      val big = if (twoKeyWin(j.left).nonEmpty) j.left else j.right
+      val win = twoKeyWin(big)
+      assert(win.nonEmpty, s"big side lost its (lang, rng) window:\n$big")
+      assert(big.collect { case e: ShuffleExchangeExec => e }.size == 1,
+        s"big side must shuffle exactly once (the window's own partitioning):\n$big")
+      def above(node: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+        if (node eq win.head) Seq.empty
+        else node +: node.children.flatMap(above)
+      assert(!above(big).exists(_.isInstanceOf[SortExec]),
+        s"join must reuse the window's (lang, rng, doc_id) ordering, not re-sort:\n$big")
+    } finally c.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
   test("no query in the suite plans a partition-less (single-task) window") {
