@@ -271,10 +271,15 @@ object Events {
         explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
     val w = Window.partitionBy("user_id").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(daily, Seq("user_id", "day"), "left")
+    // is_gap must test JOIN-KEY absence (the oracle's `d.day IS NULL`),
+    // not day_total's nullness — a daily row with a NULL total (possible
+    // if `value` were ever NULL on a purchase) is present, not a gap. A
+    // non-null marker column makes the right side's absence testable
+    // after the using-columns join merges the keys.
+    spine.join(daily.withColumn("present", lit(1)), Seq("user_id", "day"), "left")
       .withColumn("filled", last(col("day_total"), ignoreNulls = true).over(w))
       .select(col("user_id"), col("day"), col("filled"),
-        col("day_total").isNull.cast("long").as("is_gap"))
+        col("present").isNull.cast("long").as("is_gap"))
       .orderBy("user_id", "day")
   }
 

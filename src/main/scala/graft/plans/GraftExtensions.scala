@@ -29,9 +29,20 @@ object GraftFunctions {
       new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
       (args: Seq[Expression]) => args match {
         case Seq(c) => LshBuckets(c)
-        // optional literal bits — the corpus-density dial
+        // optional literal bits — the corpus-density dial; guard the
+        // eager eval so a non-foldable/NULL/odd-arity call fails as a
+        // clean analysis error, not a ClassCastException/MatchError
         case Seq(c, b) =>
-          LshBuckets(c, b.eval().asInstanceOf[Number].intValue())
+          if (!b.foldable)
+            throw new org.apache.spark.sql.AnalysisException("INTERNAL_ERROR",
+              Map("message" -> "graft_lsh_buckets: the bits argument must be a foldable integer literal"))
+          b.eval() match {
+            case n: Number => LshBuckets(c, n.intValue())
+            case other => throw new org.apache.spark.sql.AnalysisException("INTERNAL_ERROR",
+              Map("message" -> s"graft_lsh_buckets: bits must be a non-null integer literal, got $other"))
+          }
+        case other => throw new org.apache.spark.sql.AnalysisException("INTERNAL_ERROR",
+          Map("message" -> s"graft_lsh_buckets expects (vector) or (vector, bits); got ${other.length} arguments"))
       }),
     ("graft_cosine",
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),

@@ -97,4 +97,21 @@ class EventsSpec extends SparkSpec {
     assert(locf.where(col("is_gap") === 1 &&
       !(col("filled") <=> col("prev_filled"))).count() == 0)
   }
+
+  test("fillDaily: a purchase day with NULL value is present, not a gap") {
+    // is_gap must test join-key absence (the oracle's `d.day IS NULL`),
+    // not day_total's nullness — the two diverge exactly here
+    val sp = spark
+    import sp.implicits._
+    def at(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    val d = Seq(
+      (10L, at(1), "purchase", Some(5.0)),
+      (10L, at(2), "purchase", None), // present day, NULL total
+      (10L, at(4), "purchase", Some(7.0))) // day 3 is the real gap
+      .toDF("user_id", "ts", "event_type", "value")
+    val f = Events.fillDaily(d).collect()
+      .map(r => (r.getTimestamp(1).toString.substring(8, 10), r.getLong(3))).toMap
+    assert(f == Map("01" -> 0L, "02" -> 0L, "03" -> 1L, "04" -> 0L),
+      s"NULL-total day must be present, not a gap: $f")
+  }
 }

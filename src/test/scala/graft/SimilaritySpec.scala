@@ -175,6 +175,23 @@ class SimilaritySpec extends SparkSpec {
     assert(graft.operators.Similarity.LshBits == graft.functions.LshImpl.Bits)
   }
 
+  test("graft_lsh_buckets builder rejects non-literal bits, NULL bits, and wrong arity as analysis errors") {
+    // the builder evals the bits argument at plan build — unguarded that
+    // was a raw ClassCastException/NPE/MatchError instead of a clean
+    // AnalysisException
+    graft.plans.GraftFunctions.register(spark)
+    val df = Tables.embeddings(spark, sf).limit(1)
+    def fails(sel: String): Unit = {
+      val e = intercept[Exception](df.selectExpr(s"$sel AS b").collect())
+      assert(e.isInstanceOf[org.apache.spark.sql.AnalysisException],
+        s"$sel: expected AnalysisException, got ${e.getClass}: ${e.getMessage}")
+      assert(e.getMessage.contains("graft_lsh_buckets"), e.getMessage)
+    }
+    fails("graft_lsh_buckets(embedding, vec_id)") // non-foldable bits
+    fails("graft_lsh_buckets(embedding, NULL)") // null literal
+    fails("graft_lsh_buckets(embedding, 8, 9)") // arity
+  }
+
   test("cosine fails loudly on zero-norm vectors (NaN would rank first in every top-k)") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val z = new GenericArrayData(Array.tabulate[Any](4)(_ => 0.0))
