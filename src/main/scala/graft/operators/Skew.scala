@@ -28,6 +28,27 @@ object Skew {
       .drop("__salt")
   }
 
+  /** TARGETED salting — the form that scales when the dim side is
+    * fact-sized: [[saltedJoin]] replicates the WHOLE dim once per salt
+    * (8× a 15 M-row orders table is more work than the skew it cures),
+    * so production salting splits the fact on a known hot-key set and
+    * salts ONLY that slice; the dim replicates just its hot rows
+    * (|hotKeys|·salts rows) and the cold 80 % joins plain. Result
+    * identical to the plain join (SkewSpec; SkewStress measures the
+    * wall-clock side against plain and AQE at 100×). */
+  def saltedJoinHot(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+                    factSalt: Column, hotKeys: Seq[Long], salts: Int): DataFrame = {
+    val hotF = fact.where(col(factKey).isin(hotKeys: _*))
+      .withColumn("__salt", pmod(factSalt, lit(salts)))
+    val hotD = dim.where(col(dimKey).isin(hotKeys: _*))
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    val hot = hotF.join(hotD, col(factKey) === col(dimKey) && hotF("__salt") === hotD("__salt"))
+      .drop("__salt")
+    val cold = fact.where(!col(factKey).isin(hotKeys: _*))
+      .join(dim, col(factKey) === col(dimKey))
+    hot.unionByName(cold)
+  }
+
   /** Salted fact⋈dim aggregate: lineitem revenue per order priority.
     * Functionally the plain join; physically each l_orderkey spreads
     * over 8 shuffle partitions. */
