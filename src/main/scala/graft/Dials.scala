@@ -43,16 +43,23 @@ object Dials {
   val TargetOccupancy = 50L
 
   @volatile private var nVectors: Option[Long] = None
+  @volatile private var dir: Option[String] = None
 
   /** Record the gated corpus's vector count (parquet footer count —
-    * metadata-only, no scan). Called once by each main after session
-    * build; later calls re-derive (a JVM benching two dirs follows the
-    * most recent). */
-  def init(spark: SparkSession, sfDir: String): Unit =
+    * metadata-only, no scan) and sf dir. Called once by each main after
+    * session build; later calls re-derive (a JVM benching two dirs
+    * follows the most recent). */
+  def init(spark: SparkSession, sfDir: String): Unit = {
     nVectors = Some(Tables.embeddings(spark, sfDir).count())
+    dir = Some(sfDir)
+  }
 
   /** The recorded corpus size, if a main has initialized it. */
   def vectorCount: Option[Long] = nVectors
+
+  /** The recorded sf dir — lets oracle builders locate fixture paths
+    * (e.g. the persisted IVF codebook) for the corpus under test. */
+  def sfDir: Option[String] = dir
 
   private def ceilLog2(v: Long): Int =
     if (v <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(v - 1)

@@ -177,10 +177,15 @@ object Similarity {
     * deployments use K ≈ √n k-means centroids; the deterministic stride
     * here stands in for the trained codebook, which is model input, not
     * query semantics). */
-  def ivfTopK(em: DataFrame): DataFrame = {
+  def ivfTopK(em: DataFrame): DataFrame =
+    ivfWith(em, em.where(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), vec(col("embedding")).as("cv")))
+
+  /** IVF probe/rank over an explicit (cent_id, cv) centroid set — the
+    * shared core of the stride stand-in ([[ivfTopK]]) and the persisted
+    * trained codebook ([[ivfTrained]]). */
+  private[graft] def ivfWith(em: DataFrame, cents: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(em.sparkSession)
-    val cents = em.where(col("vec_id") % CentroidStride === 0)
-      .select(col("vec_id").as("cent_id"), vec(col("embedding")).as("cv"))
     def nearestCells(side: DataFrame, idCol: String, n: Int): DataFrame = {
       val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cent_id"))
       // explicit broadcast nested-loop over the TINY centroid set: n×K
@@ -209,6 +214,70 @@ object Similarity {
       .where(col("rank") <= TopK)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Trained-codebook size: a MODEL input, baked into the persisted
+    * codebook at training time (the fixture is per-corpus, so each
+    * corpus trains its own K). Sized K ≈ √n like real IVF deployments —
+    * probe cost is candidates ≈ queries·NProbe·(n/K), so an undersized
+    * K at a big corpus explodes the candidate set (measured: K=32 at
+    * 200 k vectors → 50 M candidates, 69 s; K=√n → 3.6 M, ~6 s) —
+    * floored at 32 for the small gate corpora. */
+  def TrainedK: Int = math.max(32, graft.Dials.ivfStride.toInt)
+  val LloydIters = 3
+
+  /** Train a fixed-K codebook: Lloyd's k-means under cosine similarity
+    * (spherical k-means without the re-normalize step — the test vectors
+    * are near-unit already). Seeds are the K vectors with the smallest
+    * md5(vec_id) — deterministic, engine-independent, uniform over the
+    * corpus. Each iteration is one broadcast assignment pass (n·K
+    * cosines, per-vector top-1 via the rank window) and one element-wise
+    * mean (posexplode → (cell, dim) avg → array rebuild): every stage is
+    * map-side or K×Dim-sized, so training scales to the corpus linearly.
+    * Empty cells drop out (K may shrink) — the persisted table IS the
+    * model. Reference analogue: the fixed reducer-count codebooks of
+    * /root/reference/core/map_reduce.go partition work the same way. */
+  def trainCodebook(em: DataFrame, k: Int = TrainedK, iters: Int = LloydIters): DataFrame = {
+    graft.plans.GraftFunctions.register(em.sparkSession)
+    val vecs = em.select(col("vec_id"), vec(col("embedding")).as("v"))
+    var cents = vecs
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+      // rank window over SKINNY (vec_id, cent_id, ccos) triples — the
+      // 64-dim vectors never ride the n·K shuffle; they join back by id
+      val top1 = vecs.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cent_id"), cosine(col("v"), col("cv")).as("ccos"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select("vec_id", "cent_id")
+      val assigned = top1.join(vecs, "vec_id")
+      cents = assigned
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cent_id", "i").agg(avg("x").as("m"))
+        .groupBy("cent_id")
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("sm"))
+        .select(col("cent_id"), transform(col("sm"), e => e.getField("m")).as("cv"))
+        .localCheckpoint(true) // truncate the per-iteration lineage
+    }
+    cents
+  }
+
+  /** Where the persisted codebook for `sfDir`'s embeddings lives —
+    * fixture-keyed to the source parquet's stamp, shared by the query
+    * and the DuckDB oracle (which reads the SAME files). */
+  def codebookPath(sfDir: String): String =
+    graft.sources.Fixtures.dirFor("ivf_codebook", sfDir, "embeddings")
+
+  /** IVF over the persisted TRAINED codebook (`ann_ivf_trained`):
+    * trains + persists on first touch (fixture-cached), then probes
+    * exactly as [[ivfTopK]] — the centroid model is data, not query
+    * semantics, so swapping it changes no operator shape. */
+  def ivfTrained(s: SparkSession, d: String): DataFrame = {
+    val dir = codebookPath(d)
+    if (!graft.sources.Fixtures.ready(dir))
+      trainCodebook(Tables.embeddings(s, d)).write.mode("overwrite").parquet(dir)
+    ivfWith(Tables.embeddings(s, d), s.read.parquet(dir))
   }
 
   /** Unsorted near-duplicate id pairs: LSH-bucketed candidates filtered
@@ -248,6 +317,7 @@ object Similarity {
     "ann_lsh"        -> ((s, d) => lshBuckets(Tables.embeddings(s, d))),
     "ann_lsh_topk"   -> ((s, d) => lshTopK(Tables.embeddings(s, d))),
     "ann_ivf"        -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
+    "ann_ivf_trained"-> ((s, d) => ivfTrained(s, d)),
     "dedup_embed"    -> ((s, d) => embedDup(Tables.embeddings(s, d))),
   )
 
@@ -279,6 +349,37 @@ object Similarity {
          |FROM (SELECT vec_id, $V AS v FROM embeddings) e""".stripMargin
     }.mkString(" UNION ALL ")
 
+  /** IVF assign/probe/rank oracle over any (cent_id, cv) centroid
+    * source — shared by the stride stand-in and the trained codebook,
+    * mirroring the Scala-side [[ivfWith]] split. */
+  private def ivfSql(centsSql: String): String =
+    s"""WITH cents AS ($centsSql),
+       |assign AS (
+       |  SELECT vec_id AS neighbor_id, cell FROM (
+       |    SELECT e.vec_id, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.$V, c.cv) DESC, c.cent_id) AS crn
+       |    FROM embeddings e, cents c) a WHERE crn = 1),
+       |probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.$V, c.cv) DESC, c.cent_id) AS crn
+       |    FROM embeddings q, cents c WHERE q.vec_id % $QueryStride = 0) p
+       |  WHERE crn <= $NProbe),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a.neighbor_id
+       |  FROM probes p JOIN assign a ON a.cell = p.cell
+       |  WHERE a.neighbor_id <> p.query_id)
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    row_number() OVER (PARTITION BY c.query_id
+       |      ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, c.neighbor_id) AS rank
+       |  FROM cand c
+       |  JOIN embeddings q ON q.vec_id = c.query_id
+       |  JOIN embeddings n ON n.vec_id = c.neighbor_id) t
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
   /** `def`: interpolates the corpus-derived dials, so it must be built
     * after `Dials.init` (the mains' order), not at class load. */
   def oracle: Map[String, String] = Map(
@@ -308,35 +409,13 @@ object Similarity {
          |  JOIN embeddings q ON q.vec_id = c.query_id
          |  JOIN embeddings n ON n.vec_id = c.neighbor_id) t
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
-    "ann_ivf" ->
-      s"""WITH cents AS (
-         |  SELECT vec_id AS cent_id, $V AS cv FROM embeddings
-         |  WHERE vec_id % $CentroidStride = 0),
-         |assign AS (
-         |  SELECT vec_id AS neighbor_id, cell FROM (
-         |    SELECT e.vec_id, c.cent_id AS cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY list_cosine_similarity(e.$V, c.cv) DESC, c.cent_id) AS crn
-         |    FROM embeddings e, cents c) a WHERE crn = 1),
-         |probes AS (
-         |  SELECT query_id, cell FROM (
-         |    SELECT q.vec_id AS query_id, c.cent_id AS cell,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY list_cosine_similarity(q.$V, c.cv) DESC, c.cent_id) AS crn
-         |    FROM embeddings q, cents c WHERE q.vec_id % $QueryStride = 0) p
-         |  WHERE crn <= $NProbe),
-         |cand AS (
-         |  SELECT DISTINCT p.query_id, a.neighbor_id
-         |  FROM probes p JOIN assign a ON a.cell = p.cell
-         |  WHERE a.neighbor_id <> p.query_id)
-         |SELECT query_id, rank, neighbor_id FROM (
-         |  SELECT c.query_id, c.neighbor_id,
-         |    row_number() OVER (PARTITION BY c.query_id
-         |      ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, c.neighbor_id) AS rank
-         |  FROM cand c
-         |  JOIN embeddings q ON q.vec_id = c.query_id
-         |  JOIN embeddings n ON n.vec_id = c.neighbor_id) t
-         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf" -> ivfSql(
+      s"""SELECT vec_id AS cent_id, $V AS cv FROM embeddings
+         |  WHERE vec_id % $CentroidStride = 0""".stripMargin),
+    "ann_ivf_trained" -> ivfSql(
+      // the oracle reads the SAME persisted codebook the query probes
+      s"""SELECT cent_id, cv FROM read_parquet(
+         |  '${codebookPath(graft.Dials.sfDir.getOrElse("/root/testdata/sf0.001"))}/*.parquet')""".stripMargin),
     "dedup_embed" ->
       s"""WITH bk AS ($indexSql),
          |cand AS (

@@ -48,12 +48,16 @@ class HarnessSpec extends AnyFunSuite {
   test("SURVEY §2 documents every oracle-gated query key (no doc drift)") {
     // the r4 audit found four green keys missing from SURVEY's
     // inventory — the coverage contract had silently drifted behind the
-    // code. Pin it: every SparkEntry key must appear back-ticked in §2.
+    // code. Pin it (tightened r6): every SparkEntry key must LEAD its
+    // own §2 table row (`| \`key\` |...`), not merely be mentioned in
+    // another row's notes — the r5 judge found wc_chunked passing the
+    // old mention check without a row of its own.
     val survey = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")), java.nio.charset.StandardCharsets.UTF_8)
     val sec2 = survey.split("## §3")(0)
-    val missing = SparkEntry.queries.keySet.filterNot(k => sec2.contains(s"`$k`"))
-    assert(missing.isEmpty, s"SURVEY §2 is missing gated keys: ${missing.toSeq.sorted}")
+    val rowLeading = "(?m)^\\|\\s*`(\\w+)`".r.findAllMatchIn(sec2).map(_.group(1)).toSet
+    val missing = SparkEntry.queries.keySet -- rowLeading
+    assert(missing.isEmpty, s"SURVEY §2 lacks a table row for gated keys: ${missing.toSeq.sorted}")
     // and every queries key ships an oracle (or is a documented
     // rows-only exception — currently none)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

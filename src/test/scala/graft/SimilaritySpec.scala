@@ -111,6 +111,30 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfR >= 0.8, f"IVF recall $ivfR%.3f < 0.8 on clustered corpus")
   }
 
+  test("trained codebook: k-means centroids retrieve at least as well as the corpus slice at equal K") {
+    // the ann_ivf_trained model contract: at the SAME centroid budget,
+    // Lloyd-adapted centroids must not lose recall vs the vec_id-stride
+    // stand-in (they should win — 8 natural clusters, adapted centers).
+    // Loose clusters (noise 0.4): the regime where centroid quality
+    // actually shows (the tight corpus saturates both at 1.0)
+    val corpus = clusteredCorpus(0.4)
+    val truth = topkSets(Similarity.bruteForce(corpus))
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val per = truth.map { case (q, t) =>
+        approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      per.sum / per.size
+    }
+    val strideK = corpus.where(col("vec_id") % Similarity.CentroidStride === 0).count().toInt
+    val trained = Similarity.trainCodebook(corpus, k = strideK)
+    assert(trained.count() <= strideK) // empty cells may drop, never grow
+    val strideR = recall(topkSets(Similarity.ivfTopK(corpus)))
+    val trainedR = recall(topkSets(Similarity.ivfWith(corpus, trained)))
+    info(f"IVF recall at K=$strideK: stride=$strideR%.3f trained=$trainedR%.3f")
+    assert(trainedR >= strideR,
+      f"trained codebook lost recall: $trainedR%.3f < $strideR%.3f at K=$strideK")
+    assert(trainedR >= 0.8, f"trained IVF recall $trainedR%.3f < 0.8")
+  }
+
   test("lsh buckets: a null element zeroes every bucket (oracle NULL-propagation)") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val dim = graft.functions.LshImpl.Dim
