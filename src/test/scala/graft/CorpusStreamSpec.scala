@@ -97,6 +97,51 @@ class CorpusStreamSpec extends SparkSpec {
       s"folded labels diverge from from-scratch: missing=${want -- got} extra=${got -- want}")
   }
 
+  test("corpus refresh survives a real kill-and-restart: checkpointed query resumes and converges") {
+    // End-to-end fault tolerance, not just batch-level replay: run the
+    // dedup sink as a CHECKPOINTED streaming query over a file source
+    // (replayable on recovery, unlike MemoryStream), kill the query
+    // between batches, deliver more data, restart from the checkpoint,
+    // and assert the final state equals the one-shot batch computation —
+    // the reference's crashed-worker re-execution story
+    // (/root/reference/master/master.go re-assigns dead workers' shares)
+    // carried to Structured Streaming's offset-log recovery.
+    val docs = Tables.documents(spark, sf)
+    val existing = docs.where(pmod(col("doc_id"), lit(2)) =!= 0)
+    val freshDf = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+
+    val tmp = Files.createTempDirectory("graft_corpus_restart").toString
+    val (staging, idx, prs, ckpt) = (s"$tmp/staging", s"$tmp/index", s"$tmp/pairs", s"$tmp/ckpt")
+    CorpusStream.seedIndex(existing, idx)
+    val batchCols = Seq("doc_id", "text", "lang", "source", "n_chars").map(col)
+    val b1 = freshDf.where(pmod(col("doc_id"), lit(4)) === 0).select(batchCols: _*)
+    val b2 = freshDf.where(pmod(col("doc_id"), lit(4)) === 2).select(batchCols: _*)
+
+    def stream() = CorpusStream.incrementalDedup(
+        spark.readStream.schema(b1.schema).parquet(staging), idx, prs)
+      .option("checkpointLocation", ckpt)
+
+    b1.write.mode("append").parquet(staging)
+    val q1 = stream().start()
+    try q1.processAllAvailable() finally q1.stop() // the "kill"
+    b2.write.mode("append").parquet(staging)
+    val q2 = stream().start() // recovery from the offset log
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(prs).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Dedup.incrementalPairs(existing, freshDf, s"$tmp/oneshot_idx")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty && got == expected,
+      s"restart diverged: missing=${expected -- got} extra=${got -- expected}")
+    // the folded index covers the whole corpus exactly once per doc-band
+    val idxDf = spark.read.parquet(idx)
+    assert(idxDf.groupBy("doc_id", "band").count().where(col("count") > 1).count() == 0,
+      "restart duplicated index rows")
+    assert(idxDf.select("doc_id").distinct().count() ==
+      Dedup.minhashBanded(docs).select("doc_id").distinct().count())
+  }
+
   test("corpus refresh is restart-idempotent: a replayed micro-batch changes nothing") {
     // Structured Streaming re-delivers the last uncommitted micro-batch
     // after a failure — the reference's reduce contract is that re-sent
