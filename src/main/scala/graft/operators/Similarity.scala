@@ -280,6 +280,43 @@ object Similarity {
     ivfWith(Tables.embeddings(s, d), s.read.parquet(dir))
   }
 
+  /** Semantic dedup, SemDeDup-style (Abbas et al. 2023, public): assign
+    * every vector to its trained-codebook cell, then flag vectors with a
+    * LOWER-id near-neighbor (cosine ≥ [[DupCosine]]) in the SAME cell —
+    * pairwise comparison is confined to cells, never the corpus.
+    * `dedup_semantic` output: (vec_id, cell, is_dup), integers only.
+    *
+    * Scale shape: assignment is the broadcast n·K map-only pass; the
+    * within-cell self-join shuffles on cell with width ≈ n/K ≈ √n (the
+    * trained codebook bakes K ≈ √n), so per-cell work is bounded and
+    * the whole stage is n·√n worst-case — the SemDeDup trick that makes
+    * corpus-scale semantic dedup affordable vs all-pairs n². Shares the
+    * persisted codebook fixture with [[ivfTrained]]. */
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val em = Tables.embeddings(s, d)
+    val dir = codebookPath(d)
+    if (!graft.sources.Fixtures.ready(dir))
+      trainCodebook(em).write.mode("overwrite").parquet(dir)
+    val cents = s.read.parquet(dir)
+    val corpus = em.select(col("vec_id"), vec(col("embedding")).as("v"))
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    val assign = corpus.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"), cosine(col("v"), col("cv")).as("ccos"))
+      .withColumn("crn", row_number().over(w)).where(col("crn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val withV = assign.join(corpus, "vec_id")
+    val a = withV.select(col("vec_id").as("a_id"), col("cell"), col("v").as("av"))
+    val b = withV.select(col("vec_id").as("b_id"), col("cell"), col("v").as("bv"))
+    val dups = a.join(b, Seq("cell"))
+      .where(col("a_id") < col("b_id") && cosine(col("av"), col("bv")) >= DupCosine)
+      .select(col("b_id").as("vec_id")).distinct()
+      .withColumn("dup", lit(1L))
+    assign.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), coalesce(col("dup"), lit(0L)).as("is_dup"))
+      .orderBy("vec_id")
+  }
+
   /** Unsorted near-duplicate id pairs: LSH-bucketed candidates filtered
     * to cosine ≥ [[DupCosine]] — never all-pairs. The reusable core of
     * [[embedDup]], also consumed by multi-signal dedup
@@ -318,6 +355,7 @@ object Similarity {
     "ann_lsh_topk"   -> ((s, d) => lshTopK(Tables.embeddings(s, d))),
     "ann_ivf"        -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
     "ann_ivf_trained"-> ((s, d) => ivfTrained(s, d)),
+    "dedup_semantic" -> ((s, d) => semanticDedup(s, d)),
     "dedup_embed"    -> ((s, d) => embedDup(Tables.embeddings(s, d))),
   )
 
@@ -416,6 +454,23 @@ object Similarity {
       // the oracle reads the SAME persisted codebook the query probes
       s"""SELECT cent_id, cv FROM read_parquet(
          |  '${codebookPath(graft.Dials.sfDir.getOrElse("/root/testdata/sf0.001"))}/*.parquet')""".stripMargin),
+    "dedup_semantic" ->
+      s"""WITH cents AS (
+         |  SELECT cent_id, cv FROM read_parquet(
+         |    '${codebookPath(graft.Dials.sfDir.getOrElse("/root/testdata/sf0.001"))}/*.parquet')),
+         |assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.$V, c.cv) DESC, c.cent_id) AS crn
+         |    FROM embeddings e, cents c) a WHERE crn = 1)
+         |SELECT a.vec_id, a.cell,
+         |  (EXISTS (
+         |    SELECT 1 FROM assign b JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |    WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+         |      AND list_cosine_similarity(ea.$V, eb.$V) >= $DupCosine))::BIGINT AS is_dup
+         |FROM assign a JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
     "dedup_embed" ->
       s"""WITH bk AS ($indexSql),
          |cand AS (
