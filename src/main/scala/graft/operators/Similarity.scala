@@ -292,6 +292,23 @@ object Similarity {
     * the whole stage is n·√n worst-case — the SemDeDup trick that makes
     * corpus-scale semantic dedup affordable vs all-pairs n². Shares the
     * persisted codebook fixture with [[ivfTrained]]. */
+  /** Top-1 trained-codebook cell per vector — broadcast n·K pass, rank
+    * window over skinny triples. Input: (vec_id, v); output:
+    * (vec_id, cell). Shared by [[semanticDedup]] and the streaming
+    * corpus refresh ([[graft.streaming.CorpusStream.incrementalSemantic]]). */
+  private[graft] def cellAssign(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    corpus.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"), cosine(col("v"), col("cv")).as("ccos"))
+      .withColumn("crn", row_number().over(w)).where(col("crn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+  }
+
+  /** (vec_id, v) projection shared by the cell-confined operators. */
+  private[graft] def corpusVecs(em: DataFrame): DataFrame =
+    em.select(col("vec_id"), vec(col("embedding")).as("v"))
+
   def semanticDedup(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
     val em = Tables.embeddings(s, d)
@@ -299,12 +316,8 @@ object Similarity {
     if (!graft.sources.Fixtures.ready(dir))
       trainCodebook(em).write.mode("overwrite").parquet(dir)
     val cents = s.read.parquet(dir)
-    val corpus = em.select(col("vec_id"), vec(col("embedding")).as("v"))
-    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
-    val assign = corpus.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"), cosine(col("v"), col("cv")).as("ccos"))
-      .withColumn("crn", row_number().over(w)).where(col("crn") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"))
+    val corpus = corpusVecs(em)
+    val assign = cellAssign(corpus, cents)
     val withV = assign.join(corpus, "vec_id")
     val a = withV.select(col("vec_id").as("a_id"), col("cell"), col("v").as("av"))
     val b = withV.select(col("vec_id").as("b_id"), col("cell"), col("v").as("bv"))

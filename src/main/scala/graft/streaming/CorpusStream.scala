@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
@@ -157,6 +157,69 @@ object CorpusStream {
       folded.write.mode(SaveMode.Overwrite).parquet(labelsPath)
     } finally releaseSince(spark, pinned)
   }
+
+  /** Seed the stored CELL index (the embedding signal's analogue of
+    * [[seedIndex]]): (vec_id, cell, v) per existing vector under the
+    * same `batch_id` partition layout, cells from the persisted trained
+    * codebook. */
+  def seedCellIndex(existing: DataFrame, cents: DataFrame, indexPath: String): Unit = {
+    val corpus = Similarity.corpusVecs(existing)
+    Similarity.cellAssign(corpus, cents).join(corpus, "vec_id")
+      .withColumn("batch_id", lit(-1L))
+      .write.partitionBy("batch_id").mode(SaveMode.Overwrite).parquet(indexPath)
+  }
+
+  /** One embedding micro-batch's near-duplicate pairs: same-cell probe
+    * of the stored index (new↔existing) ∪ within-batch same-cell
+    * self-join (new↔new), both cosine-thresholded, distinct. */
+  private def probeSemantic(withV: DataFrame, index: DataFrame): DataFrame = {
+    val thr = Similarity.DupCosine
+    val cos = (a: String, b: String) => Similarity.cosine(col(a), col(b))
+    val cross = broadcast(
+      withV.select(col("vec_id").as("new_id"), col("cell"), col("v").as("nv")))
+      .join(index.select(col("vec_id").as("old_id"), col("cell"), col("v").as("ov")),
+        Seq("cell"))
+      .where(col("new_id") =!= col("old_id") && cos("nv", "ov") >= thr)
+      .select(least(col("new_id"), col("old_id")).as("vec_a"),
+        greatest(col("new_id"), col("old_id")).as("vec_b"))
+    val l = withV.select(col("vec_id").as("vec_a"), col("cell"), col("v").as("av"))
+    val r = withV.select(col("vec_id").as("vec_b"), col("cell"), col("v").as("bv"))
+    val self = l.join(r, Seq("cell"))
+      .where(col("vec_a") < col("vec_b") && cos("av", "bv") >= thr)
+      .select("vec_a", "vec_b")
+    cross.unionAll(self).distinct()
+  }
+
+  /** The semantic sink's micro-batch body, exposed for the replay spec
+    * (same idempotence contract as [[dedupBatch]]). */
+  private[graft] def semanticBatch(batch: DataFrame, batchId: Long, cents: DataFrame,
+                                   indexPath: String, pairsPath: String): Unit = {
+    val spark = batch.sparkSession
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet
+    val corpus = Similarity.corpusVecs(batch)
+    val withV = Similarity.cellAssign(corpus, cents).join(corpus, "vec_id")
+      .localCheckpoint(true)
+    try {
+      foldBatch(probeSemantic(withV, spark.read.parquet(indexPath)), batchId, pairsPath)
+      foldBatch(withV, batchId, indexPath)
+    } finally releaseSince(spark, pinned)
+  }
+
+  /** Streaming SEMANTIC corpus refresh — the embedding-signal face of
+    * [[incrementalDedup]], completing the two-signal batch surface
+    * (`dedup_semantic` + MinHash) as streams: new vectors are assigned
+    * to their trained-codebook cell (broadcast K-pass, the codebook is
+    * FIXED model input — cells never drift mid-stream), probed against
+    * the stored cell index for near-duplicates (cosine-thresholded,
+    * cell-confined — never all-pairs), and folded into that index for
+    * every later arrival. Same batch-split independence (a cross-batch
+    * pair surfaces when the later vector probes) and the same
+    * batch_id-partitioned restart idempotence as the MinHash sink. */
+  def incrementalSemantic(freshVecs: DataFrame, cents: DataFrame, indexPath: String,
+                          pairsPath: String): DataStreamWriter[Row] =
+    freshVecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      semanticBatch(batch, batchId, cents, indexPath, pairsPath)
+    }
 
   /** The FULL production corpus-refresh loop as a stream — the
     * streaming face of [[Dedup.incrementalClusters]]: per micro-batch,

@@ -97,6 +97,49 @@ class CorpusStreamSpec extends SparkSpec {
       s"folded labels diverge from from-scratch: missing=${want -- got} extra=${got -- want}")
   }
 
+  test("streaming semantic refresh: batch-split independent, restart-idempotent") {
+    // the embedding-signal sink: fixed trained codebook, cell-confined
+    // probes — streamed pairs over ANY batch split must equal the
+    // one-shot same-cell threshold pairs touching a fresh vector, and a
+    // replayed micro-batch must change nothing
+    import graft.operators.Similarity
+    val em = Tables.embeddings(spark, sf)
+    val cents = Similarity.trainCodebook(em)
+    val existing = em.where(pmod(col("vec_id"), lit(2)) =!= 0)
+    val b0 = em.where(pmod(col("vec_id"), lit(4)) === 0)
+    val b1 = em.where(pmod(col("vec_id"), lit(4)) === 2)
+
+    val tmp = Files.createTempDirectory("graft_corpus_sem").toString
+    val (idx, prs) = (s"$tmp/cellidx", s"$tmp/sempairs")
+    CorpusStream.seedCellIndex(existing, cents, idx)
+    CorpusStream.semanticBatch(b0, 0L, cents, idx, prs)
+    CorpusStream.semanticBatch(b1, 1L, cents, idx, prs)
+
+    // one-shot expectation: same-cell pairs (a<b, cos >= thr) over the
+    // WHOLE corpus, restricted to pairs touching a fresh (even) vector
+    val corpus = Similarity.corpusVecs(em)
+    val withV = Similarity.cellAssign(corpus, cents).join(corpus, "vec_id")
+    val a = withV.select(col("vec_id").as("vec_a"), col("cell"), col("v").as("av"))
+    val b = withV.select(col("vec_id").as("vec_b"), col("cell"), col("v").as("bv"))
+    val expected = a.join(b, Seq("cell"))
+      .where(col("vec_a") < col("vec_b") &&
+        Similarity.cosine(col("av"), col("bv")) >= Similarity.DupCosine)
+      .where(pmod(col("vec_a"), lit(2)) === 0 || pmod(col("vec_b"), lit(2)) === 0)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture too sparse: no semantic pairs to converge on")
+    def pairs() = spark.read.parquet(prs).select(col("vec_a"), col("vec_b"), col("batch_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+    val got = pairs()
+    assert(got.keySet.map(p => (p._1, p._2)) == expected,
+      s"stream/batch divergence: missing=${expected -- got.keySet.map(p => (p._1, p._2))}")
+    assert(got.values.forall(_ == 1), "duplicate pair rows after single delivery")
+    CorpusStream.semanticBatch(b1, 1L, cents, idx, prs) // the failure-replay
+    assert(pairs() == got, "replayed batch changed the semantic pair set")
+    Cleanup.releaseAll(spark) // trainCodebook's caller-must-clear
+  }
+
   test("corpus refresh survives a real kill-and-restart: checkpointed query resumes and converges") {
     // End-to-end fault tolerance, not just batch-level replay: run the
     // dedup sink as a CHECKPOINTED streaming query over a file source
