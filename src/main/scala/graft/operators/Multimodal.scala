@@ -25,17 +25,19 @@ case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
   * `binary` columns with typed metadata, decoded and featurized in
   * partition-local batches.
   *
-  * IMAGE and AUDIO rows are REAL: ingest encodes genuine PNG bytes (JDK
-  * `javax.imageio`) and genuine RIFF/WAVE PCM bytes (JDK
-  * `javax.sound.sampled`) — no external codec needed — and the decode
-  * step reads them back with `ImageIO.read` / `AudioSystem`, so
-  * width/height/luminance and frame-count/amplitude statistics come
-  * from actual decoded pixels and samples; the driver's oracle
-  * re-derives them arithmetically because the encoded values are
-  * deterministic functions of the source document. Only VIDEO decode
-  * remains a clearly-marked stub ([[MultimodalStub]] — the JDK ships no
-  * video codec). The surrounding Spark shape is production faithful for
-  * all kinds:
+  * ALL THREE kinds decode for REAL: ingest encodes genuine PNG bytes
+  * (JDK `javax.imageio`), genuine RIFF/WAVE PCM bytes (JDK
+  * `javax.sound.sampled`), and — r6 — genuine motion-PNG video
+  * containers ([[VideoCodec]]: an MPNG header wrapping N standalone PNG
+  * frames, per-frame-decoded with the real image codec, MJPEG-style; the
+  * JDK ships no video codec, so the CONTAINER is bespoke but the decode
+  * work is real). Width/height/luminance, frame-count/amplitude, and
+  * per-frame video statistics all come from actually decoded pixels and
+  * samples; the driver's oracle re-derives them arithmetically because
+  * the encoded values are deterministic functions of the source
+  * document. The one remaining stand-in is the feature EXTRACTOR
+  * ([[MultimodalStub.pseudoFeature]]). The surrounding Spark shape is
+  * production faithful for all kinds:
   *  - schema: `content BINARY` + `meta STRUCT<…>` survive parquet
   *    round-trips and shuffles;
   *  - execution: `mapPartitions` over a typed Dataset, processing rows in
@@ -59,11 +61,12 @@ object Multimodal {
     * ([[AudioCodec.encodeWav]]): 16-bit PCM mono at [[AudioCodec.Rate]]
     * Hz, 256 + n_chars%512 sample frames, the first 16 samples encoding
     * the text digest (same injectivity argument as images), the rest a
-    * constant amplitude derived from n_chars — every decoded statistic
-    * for BOTH kinds is an arithmetic function of (n_chars, md5(text))
-    * that DuckDB re-derives without a codec. Video content stays raw
-    * text bytes for the stub decoder (the JDK ships image and audio
-    * codecs, but no video codec). */
+    * constant amplitude derived from n_chars. VIDEO rows carry REAL
+    * MPNG containers ([[VideoCodec.encodeMpng]]): 2 + n_chars%6 genuine
+    * PNG frames at the image dimensions, frame f's constant gray level
+    * (n_chars + 7f) % 256 with the digest in its first 16 pixels —
+    * every decoded statistic for ALL kinds is an arithmetic function of
+    * (n_chars, md5(text)) that DuckDB re-derives without a codec. */
   def ingest(docs: DataFrame): Dataset[MediaFile] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -83,14 +86,19 @@ object Multimodal {
               MessageDigest.getInstance("MD5").digest(bytes), (nChars % 128).toInt)
             MediaFile(id, "audio", wav, MediaMeta(0, 0, AudioCodec.Rate, "wav"))
           case _ =>
-            MediaFile(id, "video", bytes,
-              MediaMeta((nChars % 640).toInt, (nChars % 480).toInt, 0, "mp4"))
+            val w = 8 + (nChars % 24).toInt
+            val h = 8 + (nChars % 16).toInt
+            val nF = 2 + (nChars % 6).toInt
+            val dig = MessageDigest.getInstance("MD5").digest(bytes)
+            val mpng = VideoCodec.encodeMpng((0 until nF).map(f =>
+              ImageCodec.encodePng(w, h, dig, ((nChars + 7 * f) % 256).toInt)))
+            MediaFile(id, "video", mpng, MediaMeta(w, h, 0, "mpng"))
         }
       }
   }
 
-  /** Batched decode + featurize via mapPartitions — images through the
-    * REAL JDK decoder, audio/video through the stub. */
+  /** Batched decode + featurize via mapPartitions — every kind through
+    * its REAL codec. */
   def featurize(media: Dataset[MediaFile]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -109,7 +117,8 @@ object Multimodal {
     * n_frames = decoded sample-frame count, n_bytes = decoded PCM
     * payload, `lum` carries the |amplitude| sum — the signal-energy
     * statistic for audio, as luminance is for images), `video` →
-    * [[MultimodalStub]] pseudo-decode. The feature vector is a
+    * [[VideoCodec.decode]] (real per-frame PNG decodes: frame count,
+    * dimensions, summed RGB payload and luminance). The feature vector is a
     * deterministic md5-chain pseudo-embedding for all kinds (a real
     * build swaps the extractor, not the batch plumbing). */
   def decodeBatch(batch: Seq[MediaFile]): Seq[MediaFeatures] =
@@ -127,9 +136,9 @@ object Multimodal {
           MediaFeatures(m.media_id, m.kind, frames * 2L, hashHex, feature,
             n_frames = frames, width = 0, height = 0, lum = absSum)
         case _ =>
-          val frames = 1 + m.content.length / 100
-          MediaFeatures(m.media_id, m.kind, m.content.length.toLong, hashHex, feature,
-            n_frames = frames, width = 0, height = 0, lum = 0L)
+          val (nF, w, h, rgbBytes, lum) = VideoCodec.decode(m.content, m.media_id)
+          MediaFeatures(m.media_id, m.kind, rgbBytes, hashHex, feature,
+            n_frames = nF, width = w, height = h, lum = lum)
       }
     }
 
@@ -147,25 +156,31 @@ object Multimodal {
           case m if m.kind == "image" =>
             m.copy(content = ImageCodec.resize(m.content, width, height, m.media_id),
               meta = m.meta.copy(width = width, height = height))
-          case m => MultimodalStub.resize(m, width, height)
+          case m => // video: REAL per-frame decode → rescale → re-encode
+            m.copy(content = VideoCodec.encodeMpng(VideoCodec.frames(m.content, m.media_id)
+                .map(f => ImageCodec.resize(f, width, height, m.media_id))),
+              meta = m.meta.copy(width = width, height = height))
         }
       }
     }
   }
 
   /** Frame-sampling stage (video): one output row per sampled frame,
-    * every `stride`-th pseudo-frame — the generator-shaped stage (rows
-    * out > rows in) a real video pipeline runs before per-frame
-    * featurization. Non-video rows yield no frames. */
+    * every `stride`-th REAL frame extracted from the MPNG container —
+    * the generator-shaped stage (rows out > rows in) a video pipeline
+    * runs before per-frame featurization. Each emitted row carries a
+    * genuine standalone PNG, decodable by every downstream image stage.
+    * Non-video rows yield no frames. */
   def frameSample(media: Dataset[MediaFile], stride: Int): Dataset[MediaFile] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.flatMap { m =>
       if (m.kind != "video") Iterator.empty
-      else {
-        val nFrames = 1 + m.content.length / 100
-        (0 until nFrames by stride).iterator.map(f => MultimodalStub.frame(m, f))
-      }
+      else VideoCodec.frames(m.content, m.media_id).zipWithIndex.iterator
+        .collect { case (png, f) if f % stride == 0 =>
+          MediaFile(m.media_id * 100000 + f, "frame", png,
+            m.meta.copy(format = "png"))
+        }
     }
   }
 
@@ -177,7 +192,9 @@ object Multimodal {
     * paid once per test-data generation). */
   def mediaTable(s: SparkSession, d: String): Dataset[MediaFile] = {
     import s.implicits._
-    val dir = graft.sources.Fixtures.dirFor("mm_media", d, "documents")
+    // "mm_media2": layout version key — r6 replaced the raw-bytes video
+    // stub with real MPNG containers, so pre-r6 fixtures must not reuse
+    val dir = graft.sources.Fixtures.dirFor("mm_media2", d, "documents")
     if (!graft.sources.Fixtures.ready(dir))
       ingest(graft.Tables.documents(s, d)).write.mode("overwrite").parquet(dir)
     s.read.parquet(dir).as[MediaFile]
@@ -195,18 +212,19 @@ object Multimodal {
       .agg(count(lit(1)).as("n_files"),
         sum(col("n_bytes")).as("total_bytes"),
         sum(col("n_frames").cast("long")).as("total_frames"),
-        sum(col("width").cast("long") * col("height")).as("total_pixels"),
+        // pixels across every decoded frame (images: n_frames = 1)
+        sum(col("width").cast("long") * col("height") * col("n_frames")).as("total_pixels"),
         sum(col("lum")).as("total_lum"))
       .orderBy("kind")
   }
 
   /** Binary-content dedup THROUGH the media path: unique blobs per kind,
-    * counted from the `content_hash` the batched decoder emits. For
-    * video the blob IS the text bytes, so the hash equals md5(text); for
-    * images and audio the PNG/WAV embeds the full text digest in its
-    * first 16 pixels/samples, making text→blob injective on digests —
-    * distinct COUNTS match DuckDB's count(DISTINCT md5(text)) exactly
-    * even though the hash values differ. */
+    * counted from the `content_hash` the batched decoder emits. Every
+    * kind's encoding embeds the full text digest (first 16 pixels /
+    * samples / every video frame's head pixels), making text→blob
+    * injective on digests — distinct COUNTS match DuckDB's
+    * count(DISTINCT md5(text)) exactly even though the hash values
+    * differ. */
   def mediaDedup(media: Dataset[MediaFile]): DataFrame =
     featurize(media)
       .groupBy(col("kind"))
@@ -235,28 +253,38 @@ object Multimodal {
     .map(i => s"('0x'||substr(dig,${2 * i + 1},2))::BIGINT").mkString(" + ")
   private val DigestAbsSum: String = (0 until 16)
     .map(i => s"abs(('0x'||substr(dig,${2 * i + 1},2))::BIGINT - 128) * 64").mkString(" + ")
+  /** Σ over the container's frames of each frame's constant gray level
+    * ((n_chars + 7f) % 256) — unrolled over the max 7 frames, each term
+    * gated on the doc's own frame count. */
+  private val VideoGraySum: String = (0 until 7)
+    .map(f => s"(CASE WHEN vframes > $f THEN (n_chars + ${7 * f}) % 256 ELSE 0 END)")
+    .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
     "mm_summary" ->
       s"""SELECT kind, count(*) AS n_files,
          |  CAST(sum(CASE WHEN kind = 'image' THEN px * 3
          |                WHEN kind = 'audio' THEN frames * 2
-         |                ELSE n_bytes END) AS BIGINT) AS total_bytes,
-         |  CAST(sum(CASE WHEN kind = 'video' THEN 1 + n_bytes // 100
+         |                ELSE px * 3 * vframes END) AS BIGINT) AS total_bytes,
+         |  CAST(sum(CASE WHEN kind = 'video' THEN vframes
          |                WHEN kind = 'audio' THEN frames
          |                ELSE 1 END) AS BIGINT) AS total_frames,
-         |  CAST(sum(CASE WHEN kind = 'image' THEN px ELSE 0 END) AS BIGINT) AS total_pixels,
+         |  CAST(sum(CASE WHEN kind = 'image' THEN px
+         |                WHEN kind = 'video' THEN px * vframes
+         |                ELSE 0 END) AS BIGINT) AS total_pixels,
          |  CAST(sum(CASE WHEN kind = 'image'
          |           THEN $DigestByteSum + (px - 16) * (n_chars % 256)
          |                WHEN kind = 'audio'
          |           THEN $DigestAbsSum + (frames - 16) * (n_chars % 128) * 32
-         |           ELSE 0 END) AS BIGINT) AS total_lum
+         |           ELSE vframes * ($DigestByteSum) + (px - 16) * ($VideoGraySum)
+         |           END) AS BIGINT) AS total_lum
          |FROM (
          |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
          |         ELSE 'video' END AS kind,
-         |    octet_length(encode(text)) AS n_bytes, n_chars,
+         |    n_chars,
          |    (8 + n_chars % 24) * (8 + n_chars % 16) AS px,
          |    256 + n_chars % 512 AS frames,
+         |    2 + n_chars % 6 AS vframes,
          |    md5(text) AS dig
          |  FROM documents) m
          |GROUP BY kind ORDER BY kind""".stripMargin,
@@ -385,19 +413,69 @@ object AudioCodec {
   }
 }
 
-/** The clearly-marked fake codec for the ONE kind this container has no
-  * decoder for (video — the JDK ships no video codec). A production
-  * build replaces exactly this object with a real decoder (ffmpeg via
-  * JNI, or a Python worker via Arrow); signatures and batch shape stay
-  * unchanged. Images and audio do NOT go through here — see
-  * [[ImageCodec]] and [[AudioCodec]]. */
+/** REAL video container — motion-PNG ("MPNG"). The JDK ships no video
+  * CODEC, so the container format is bespoke, but everything inside it
+  * is genuinely decoded: a magic + frame-count + length-table header
+  * wraps N standalone PNG frames, and every statistic the pipeline
+  * reports for video comes from per-frame [[ImageCodec]] decodes of
+  * those bytes — the same decode path MJPEG uses with JPEG frames. A
+  * production build swaps the container parser for an ffmpeg/JNI
+  * demuxer; the per-frame decode, sampling, and resize stages keep
+  * their exact shape. */
+object VideoCodec {
+  private val Magic = Array[Byte]('M', 'P', 'N', 'G')
+
+  /** Container layout: "MPNG" | int32 n | int32 len×n | PNG payloads. */
+  def encodeMpng(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write(Magic)
+    out.writeInt(frames.size)
+    frames.foreach(f => out.writeInt(f.length))
+    frames.foreach(out.write)
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Parse the container into its standalone PNG frames. Fails loud on
+    * non-MPNG content (a silent empty would surface as an oracle
+    * mismatch far from the cause). */
+  def frames(content: Array[Byte], mediaId: Long): Seq[Array[Byte]] = {
+    require(content.length >= 8 && content.take(4).sameElements(Magic),
+      s"media $mediaId: content is not an MPNG container")
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(content))
+    in.skipBytes(4)
+    val n = in.readInt()
+    val lens = Vector.fill(n)(in.readInt())
+    lens.map { l => val b = new Array[Byte](l); in.readFully(b); b }
+  }
+
+  /** Decode → (frame count, width, height, decoded RGB payload bytes,
+    * luminance sum over every pixel of every frame) — all from REAL
+    * per-frame PNG decodes. */
+  def decode(content: Array[Byte], mediaId: Long): (Int, Int, Int, Long, Long) = {
+    val fs = frames(content, mediaId)
+    var lum = 0L; var bytes = 0L; var w = 0; var h = 0
+    fs.foreach { f =>
+      val (fw, fh, fl) = ImageCodec.decode(f, mediaId)
+      w = fw; h = fh; lum += fl; bytes += fw.toLong * fh * 3
+    }
+    (fs.size, w, h, bytes, lum)
+  }
+}
+
+/** The ONE remaining stand-in: the feature EXTRACTOR (a deterministic
+  * md5-chain pseudo-embedding for all kinds — a real build swaps in a
+  * vision/audio model here, via JNI or an Arrow-batched Python worker,
+  * without touching the batch plumbing). All three media kinds now
+  * decode for real: [[ImageCodec]] (PNG), [[AudioCodec]] (WAV),
+  * [[VideoCodec]] (MPNG per-frame PNG). */
 object MultimodalStub {
 
   private def md5(bytes: Array[Byte]): Array[Byte] =
     MessageDigest.getInstance("MD5").digest(bytes)
 
-  /** Deterministic pseudo-embedding: chained md5, 16 floats in [0,1).
-    * Stands in for a real feature extractor for ALL kinds. */
+  /** Deterministic pseudo-embedding: chained md5, 16 floats in [0,1). */
   def pseudoFeature(content: Array[Byte]): Array[Float] = {
     val feature = new Array[Float](Multimodal.FeatureDim)
     var cur = md5(content)
@@ -408,34 +486,5 @@ object MultimodalStub {
       i += 1
     }
     feature
-  }
-
-  /** STUB resize (video): deterministically truncate/extend content to
-    * the pixel-proportional size and rewrite meta. Real implementation:
-    * decode, scale, re-encode. */
-  def resize(m: MediaFile, width: Int, height: Int): MediaFile = {
-    // empty blob stays empty (indexing into zero-length content would
-    // throw); meta still reflects the requested dimensions
-    if (m.content.isEmpty)
-      return m.copy(meta = m.meta.copy(width = width, height = height))
-    val oldPixels = math.max(1, m.meta.width * m.meta.height)
-    val newLen = math.max(1,
-      (m.content.length.toLong * (width * height) / oldPixels).toInt)
-    val out = new Array[Byte](newLen)
-    var i = 0
-    while (i < newLen) { out(i) = m.content(i % m.content.length); i += 1 }
-    m.copy(content = out, meta = m.meta.copy(width = width, height = height))
-  }
-
-  /** STUB frame extraction: a deterministic slice keyed by frame index.
-    * Real implementation: seek + decode the frame. */
-  def frame(m: MediaFile, idx: Int): MediaFile = {
-    val len = math.min(100, m.content.length)
-    val start = (idx * 100) % math.max(1, m.content.length)
-    val out = new Array[Byte](len)
-    var i = 0
-    while (i < len) { out(i) = m.content((start + i) % m.content.length); i += 1 }
-    m.copy(media_id = m.media_id * 100000 + idx, kind = "frame", content = out,
-      meta = m.meta.copy(format = "frame"))
   }
 }

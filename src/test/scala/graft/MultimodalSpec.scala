@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AudioCodec, ImageCodec, Multimodal, MediaFile, MediaMeta}
+import graft.operators.{AudioCodec, ImageCodec, Multimodal, MediaFile, MediaMeta, VideoCodec}
 import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
@@ -33,22 +33,42 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.values.forall(v => v.forall(x => x >= 0f && x < 1f)))
   }
 
-  test("decode batch: frame semantics per kind, image+audio through real codecs") {
+  test("decode batch: frame semantics per kind, all three kinds through real codecs") {
     val png = ImageCodec.encodePng(10, 5, Array[Byte](1, 2, 3), 7)
     val wav = AudioCodec.encodeWav(40, Array[Byte](130.toByte, 126), 5)
+    val mpng = VideoCodec.encodeMpng(Seq(
+      ImageCodec.encodePng(6, 4, Array[Byte](9), 2),
+      ImageCodec.encodePng(6, 4, Array[Byte](9), 3),
+      ImageCodec.encodePng(6, 4, Array[Byte](9), 4)))
     val out = Multimodal.decodeBatch(Seq(
       MediaFile(1, "image", png, MediaMeta(10, 5, 0, "png")),
-      MediaFile(2, "video", Array.fill(250)(7.toByte), MediaMeta(0, 0, 0, "x")),
+      MediaFile(2, "video", mpng, MediaMeta(6, 4, 0, "mpng")),
       MediaFile(3, "audio", wav, MediaMeta(0, 0, AudioCodec.Rate, "wav"))))
     assert(out.map(_.n_frames) == Seq(1, 3, 40))
     // image: decoded dims and payload from the REAL decode
     assert(out(0).width == 10 && out(0).height == 5)
     assert(out(0).n_bytes == 10L * 5 * 3)
     assert(out(0).lum == 1 + 2 + 3 + (50 - 3) * 7)
-    assert(out(1).n_bytes == 250 && out(1).lum == 0)
+    // video: per-frame REAL decodes (3 frames of 6×4)
+    assert(out(1).width == 6 && out(1).height == 4)
+    assert(out(1).n_bytes == 3L * 6 * 4 * 3)
+    assert(out(1).lum == 3 * 9 + 23L * (2 + 3 + 4))
     // audio: decoded PCM payload and |amplitude| sum from the REAL decode
     assert(out(2).n_bytes == 40L * 2)
     assert(out(2).lum == (130 - 128).abs * 64 + (126 - 128).abs * 64 + 38L * 5 * 32)
+  }
+
+  test("video codec: MPNG encode→parse→decode round-trips exact frames") {
+    val f0 = ImageCodec.encodePng(5, 4, Array[Byte](10, 20), 9)
+    val f1 = ImageCodec.encodePng(5, 4, Array[Byte](10, 20), 11)
+    val mpng = VideoCodec.encodeMpng(Seq(f0, f1))
+    assert(mpng(0) == 'M' && mpng(1) == 'P' && mpng(2) == 'N' && mpng(3) == 'G')
+    val back = VideoCodec.frames(mpng, 0)
+    assert(back.map(_.toSeq) == Seq(f0.toSeq, f1.toSeq))
+    val (n, w, h, bytes, lum) = VideoCodec.decode(mpng, 0)
+    assert(n == 2 && w == 5 && h == 4 && bytes == 2L * 5 * 4 * 3)
+    assert(lum == 2 * (10 + 20) + 18L * (9 + 11))
+    intercept[IllegalArgumentException] { VideoCodec.frames(Array.fill(64)(7.toByte), 42) }
   }
 
   test("audio codec: WAV encode→decode round-trips exact samples") {
@@ -106,13 +126,19 @@ class MultimodalSpec extends SparkSpec {
       resized.collect().map(_.content.toSeq).toSeq)
   }
 
-  test("frameSample: one row per sampled frame, video only, count matches stride") {
+  test("frameSample: one row per sampled REAL frame, each a decodable standalone PNG") {
     val media = Multimodal.ingest(docs.limit(30))
     val frames = Multimodal.frameSample(media, stride = 2)
     assert(frames.filter(_.kind != "frame").count() == 0)
     val expected = media.filter(_.kind == "video").collect()
-      .map(m => (1 + m.content.length / 100 + 1) / 2).sum
+      .map(m => (VideoCodec.frames(m.content, m.media_id).size + 1) / 2).sum
     assert(frames.count() == expected)
+    // every sampled frame is itself a real image the downstream image
+    // stages can decode
+    for (f <- frames.collect()) {
+      val (w, h, _) = ImageCodec.decode(f.content, f.media_id)
+      assert(w == f.meta.width && h == f.meta.height)
+    }
   }
 
   test("mediaSummary groups all files by kind") {
