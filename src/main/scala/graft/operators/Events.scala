@@ -283,6 +283,42 @@ object Events {
       .orderBy("user_id", "day")
   }
 
+  val TopPaths = 20
+
+  /** Top session PATHS — each session's ordered event-type sequence,
+    * counted across all sessions (the journey-mining / n-gram shape a
+    * product-analytics pipeline runs over clickstreams). Sessions use
+    * the same gap rule as [[sessionize]]; within a session the path
+    * orders by (ts, event_id) — event_id breaks timestamp ties, so the
+    * string is deterministic across engines.
+    *
+    * Scale: the session window and the path aggregate share ONE
+    * user_id hash partitioning; only (path, count) pairs — bounded by
+    * the distinct-journey vocabulary, not the event volume — reach the
+    * final count shuffle, and the top-k is a TakeOrdered, never a
+    * global sort. */
+  def topPaths(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val us = unix_micros(col("ts"))
+    val flagged = ev.select(
+      col("user_id"), col("event_id"), col("ts"), col("event_type"),
+      when(us - lag(us, 1).over(byUser) > SessionGapUs || lag(us, 1).over(byUser).isNull, 1L)
+        .otherwise(0L).as("is_new"))
+    val sessioned = flagged.select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+      sum(col("is_new"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("session_id"))
+    sessioned.groupBy("user_id", "session_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), "->").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(TopPaths)
+  }
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "ev_scd2"       -> ((s, d) => scd2(Tables.events(s, d))),
@@ -297,6 +333,7 @@ object Events {
     "ev_attr_outer" -> ((s, d) => attributionOuter(Tables.events(s, d))),
     "ev_asof"       -> ((s, d) => asofAttribution(Tables.events(s, d))),
     "ev_retention"  -> ((s, d) => retention(Tables.events(s, d))),
+    "ev_paths"      -> ((s, d) => topPaths(Tables.events(s, d))),
   )
 
   /** Shared oracle inner query: per-event session_id via lag + running
@@ -320,6 +357,30 @@ object Events {
        |    FROM events) g) n""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ev_paths" ->
+      s"""WITH sess AS (
+         |  SELECT user_id, event_id, ts, event_type,
+         |    CAST(SUM(is_new) OVER (PARTITION BY user_id
+         |      ORDER BY CAST(ts AS TIMESTAMP), event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM (
+         |    SELECT user_id, event_id, ts, event_type,
+         |      CASE WHEN prev_us IS NULL OR us - prev_us > $SessionGapUs
+         |        THEN 1 ELSE 0 END AS is_new
+         |    FROM (
+         |      SELECT user_id, event_id, ts, event_type,
+         |        epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |        lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+         |          OVER (PARTITION BY user_id
+         |                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+         |      FROM events) g) n),
+         |paths AS (
+         |  SELECT user_id, session_id,
+         |    string_agg(event_type, '->'
+         |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS path
+         |  FROM sess GROUP BY user_id, session_id)
+         |SELECT path, count(*) AS n_sessions FROM paths
+         |GROUP BY path ORDER BY n_sessions DESC, path LIMIT $TopPaths""".stripMargin,
     "ev_gaps" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id,

@@ -127,7 +127,7 @@ object Multimodal {
         .map(b => f"$b%02x").mkString
       val feature = MultimodalStub.pseudoFeature(m.content)
       m.kind match {
-        case "image" =>
+        case "image" | "frame" => // sampled video frames are standalone PNGs
           val (w, h, lum) = ImageCodec.decode(m.content, m.media_id)
           MediaFeatures(m.media_id, m.kind, w.toLong * h * 3, hashHex, feature,
             n_frames = 1, width = w, height = h, lum = lum)
@@ -232,10 +232,22 @@ object Multimodal {
         countDistinct(col("content_hash")).as("n_unique"))
       .orderBy("kind")
 
+  /** The video frame-sampling stage under the driver gate (`mm_frames`):
+    * every 2nd REAL frame from each MPNG container, individually
+    * re-decoded through the image branch of [[decodeBatch]] — sampled
+    * count, pixel total, and luminance total are only derivable if both
+    * the container parse AND each standalone frame decode are real. */
+  def frameSummary(media: Dataset[MediaFile]): DataFrame =
+    featurize(frameSample(media, stride = 2))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("width").cast("long") * col("height")).as("total_px"),
+        sum(col("lum")).as("total_lum"))
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "mm_summary" -> ((s, d) => mediaSummary(mediaTable(s, d))),
     "mm_dedup"   -> ((s, d) => mediaDedup(mediaTable(s, d))),
+    "mm_frames"  -> ((s, d) => frameSummary(mediaTable(s, d))),
   )
 
   /** `mm_summary` runs the full binary pipeline (ingest → batched decode
@@ -257,6 +269,10 @@ object Multimodal {
     * ((n_chars + 7f) % 256) — unrolled over the max 7 frames, each term
     * gated on the doc's own frame count. */
   private val VideoGraySum: String = (0 until 7)
+    .map(f => s"(CASE WHEN vframes > $f THEN (n_chars + ${7 * f}) % 256 ELSE 0 END)")
+    .mkString(" + ")
+  /** Same sum restricted to the stride-2 SAMPLED frames (f = 0,2,4,6). */
+  private val SampledGraySum: String = Seq(0, 2, 4, 6)
     .map(f => s"(CASE WHEN vframes > $f THEN (n_chars + ${7 * f}) % 256 ELSE 0 END)")
     .mkString(" + ")
 
@@ -288,6 +304,17 @@ object Multimodal {
          |    md5(text) AS dig
          |  FROM documents) m
          |GROUP BY kind ORDER BY kind""".stripMargin,
+    "mm_frames" ->
+      s"""SELECT CAST(sum(ns) AS BIGINT) AS n_sampled,
+         |  CAST(sum(ns * px) AS BIGINT) AS total_px,
+         |  CAST(sum(ns * ($DigestByteSum) + (px - 16) * graysum) AS BIGINT) AS total_lum
+         |FROM (
+         |  SELECT (vframes + 1) // 2 AS ns, px, dig, n_chars, vframes,
+         |    $SampledGraySum AS graysum
+         |  FROM (
+         |    SELECT n_chars, (8 + n_chars % 24) * (8 + n_chars % 16) AS px,
+         |      2 + n_chars % 6 AS vframes, md5(text) AS dig
+         |    FROM documents WHERE doc_id % 3 = 2) v) t""".stripMargin,
     "mm_dedup" ->
       """SELECT kind, count(*) AS n_files,
         |  count(DISTINCT md5(text)) AS n_unique
