@@ -98,6 +98,21 @@ class EventsSpec extends SparkSpec {
       !(col("filled") <=> col("prev_filled"))).count() == 0)
   }
 
+  test("topPaths: session boundaries split paths; ties order by path") {
+    val sp = spark
+    import sp.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val d = Seq(
+      (1L, 10L, at(0), "view"), (2L, 10L, at(60), "purchase"), // one session
+      (3L, 10L, at(60 + 1801), "view"), // gap > 30min: new singleton session
+      (4L, 20L, at(0), "view"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Events.topPaths(d).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // "view" occurs in two sessions; count desc then path asc
+    assert(got == Seq(("view", 2L), ("view->purchase", 1L)), got.toString)
+  }
+
   test("fillDaily: a purchase day with NULL value is present, not a gap") {
     // is_gap must test join-key absence (the oracle's `d.day IS NULL`),
     // not day_total's nullness — the two diverge exactly here

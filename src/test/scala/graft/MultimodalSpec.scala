@@ -69,6 +69,10 @@ class MultimodalSpec extends SparkSpec {
     assert(n == 2 && w == 5 && h == 4 && bytes == 2L * 5 * 4 * 3)
     assert(lum == 2 * (10 + 20) + 18L * (9 + 11))
     intercept[IllegalArgumentException] { VideoCodec.frames(Array.fill(64)(7.toByte), 42) }
+    // zero-frame container round-trips (degenerate but well-formed)
+    val empty = VideoCodec.encodeMpng(Seq.empty)
+    assert(VideoCodec.frames(empty, 0).isEmpty)
+    assert(VideoCodec.decode(empty, 0) == ((0, 0, 0, 0L, 0L)))
   }
 
   test("audio codec: WAV encode→decode round-trips exact samples") {
