@@ -202,6 +202,13 @@ object Similarity {
     val probes = nearestCells(
       corpus.where(col("vec_id") % QueryStride === 0)
         .withColumnRenamed("vec_id", "query_id"), "query_id", NProbe)
+    ivfRank(em, probes, assign)
+  }
+
+  /** The shared IVF probe/rank tail: candidates = probed cells' members,
+    * ranked by true cosine — identical for every centroid-assignment
+    * strategy (full scan, trained codebook, IMI-pruned). */
+  private def ivfRank(em: DataFrame, probes: DataFrame, assign: DataFrame): DataFrame = {
     val cand = probes.join(assign, "cell")
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
@@ -214,6 +221,89 @@ object Similarity {
       .where(col("rank") <= TopK)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Coarse-quantizer bit width for [[ivfImi]]: sized so the expected
+    * candidate-centroid count per vector is ≈ √K (T tables × K/2^bits
+    * collisions ⇒ bits ≈ log2(T·√K)) — assignment work drops from n·K
+    * to ≈ n·√K, the IMI/inverted-multi-index trick. Derived from the
+    * CONFIGURED codebook size (both engines interpolate the same
+    * literal, independent of empty-cell drops). */
+  def ImiBits(k: Int): Int = {
+    val target = math.ceil(LshTables * math.sqrt(k.toDouble)).toLong
+    val cl2 = if (target <= 1) 1
+      else 64 - java.lang.Long.numberOfLeadingZeros(target - 1)
+    math.min(LshImpl.MaxBits, math.max(1, cl2))
+  }
+
+  /** IVF with an IMI-style coarse quantizer over the TRAINED codebook
+    * (`ann_ivf_imi`): instead of scoring every vector against all K
+    * centroids, vectors and centroids are both LSH-bucketed at
+    * [[ImiBits]] (the persisted float centroid bits make the bucket
+    * sums engine-exact), and each vector scores only the centroids
+    * sharing a coarse bucket in ANY table — ≈ √K candidates. Vectors
+    * the coarse pass misses entirely (no shared bucket) fall back to
+    * the full-K scan, so pruning never silently drops a vector.
+    * Probing and ranking are [[ivfRank]], unchanged.
+    *
+    * Scale shape: the centroid bucket index is K·T rows — broadcast —
+    * so candidate generation is a map-only pass over the corpus's own
+    * bucket index; assignment cosines drop from n·K to ≈ n·√K + the
+    * rare fallback. The oracle mirrors the pruning, the miss set, and
+    * the fallback exactly. */
+  def ivfImi(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val dir = codebookPath(d)
+    if (!graft.sources.Fixtures.ready(dir))
+      persistCodebook(Tables.embeddings(s, d), dir)
+    val em = Tables.embeddings(s, d)
+    val cents = readCodebook(s, dir)
+    val bits = ImiBits(TrainedK)
+    // coarse buckets of the centroids, from the PERSISTED float cv —
+    // K·T rows, broadcast everywhere below
+    val centIdx = s.read.parquet(dir).select(col("cent_id"),
+        posexplode(call_function("graft_lsh_buckets", col("cv"), lit(bits)))
+          .as(Seq("tbl", "bucket")))
+      .select(col("cent_id"), col("tbl").cast("long").as("tbl"), col("bucket"))
+    // candidate scoring stays MAP-SIDE end to end: each vector row
+    // explodes its own coarse buckets, broadcast-joins the centroid
+    // index and the codebook, and computes its candidate cosines in
+    // place — the corpus vectors never enter a shuffle. A (vec, cent)
+    // pair colliding in several tables scores identically each time;
+    // the max() dedup below runs over SKINNY (vec_id, cent_id, ccos)
+    // triples, the only rows that ride an exchange.
+    val scored = em.select(col("vec_id"), col("embedding"),
+        posexplode(call_function("graft_lsh_buckets", col("embedding"), lit(bits)))
+          .as(Seq("tbl", "bucket")))
+      .select(col("vec_id"), col("embedding"),
+        col("tbl").cast("long").as("tbl"), col("bucket"))
+      .join(broadcast(centIdx), Seq("tbl", "bucket"))
+      .join(broadcast(cents), "cent_id")
+      .select(col("vec_id"), col("cent_id"),
+        cosine(vec(col("embedding")), col("cv")).as("ccos"))
+      .groupBy("vec_id", "cent_id").agg(max("ccos").as("ccos"))
+    def top(side: DataFrame, idCol: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cent_id"))
+      side.withColumn("crn", row_number().over(w)).where(col("crn") <= n)
+        .select(col(idCol), col("cent_id").as("cell"))
+    }
+    // LSH-miss fallback: vectors with NO candidate centroid scan the
+    // full codebook (rare; exactness-preserving). Only ids shuffle to
+    // find the miss set; the scan itself is a broadcast map pass.
+    val missedIds = em.select(col("vec_id"))
+      .join(scored.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+    val fullScan = em.join(missedIds, "vec_id")
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        cosine(vec(col("embedding")), col("cv")).as("ccos"))
+    val assign = top(scored, "vec_id", 1)
+      .unionAll(top(fullScan, "vec_id", 1))
+      .withColumnRenamed("vec_id", "neighbor_id")
+    def queriesOnly(df: DataFrame) = df.where(col("vec_id") % QueryStride === 0)
+    val probes = top(queriesOnly(scored), "vec_id", NProbe)
+      .unionAll(top(queriesOnly(fullScan), "vec_id", NProbe))
+      .withColumnRenamed("vec_id", "query_id")
+    ivfRank(em, probes, assign)
   }
 
   /** Trained-codebook size: a MODEL input, baked into the persisted
@@ -265,9 +355,24 @@ object Similarity {
 
   /** Where the persisted codebook for `sfDir`'s embeddings lives —
     * fixture-keyed to the source parquet's stamp, shared by the query
-    * and the DuckDB oracle (which reads the SAME files). */
+    * and the DuckDB oracle (which reads the SAME files). Layout v2
+    * (r6): `cv` persists as array<float> — float→double widening is
+    * EXACT, so both engines derive bit-identical coarse-quantizer
+    * bucket sums from the same stored bits ([[ivfImi]]); training still
+    * runs in double, the final cast is the only rounding. */
   def codebookPath(sfDir: String): String =
-    graft.sources.Fixtures.dirFor("ivf_codebook", sfDir, "embeddings")
+    graft.sources.Fixtures.dirFor("ivf_codebook2", sfDir, "embeddings")
+
+  /** Write the trained codebook in the persisted layout (float cv). */
+  private def persistCodebook(em: DataFrame, dir: String): Unit =
+    trainCodebook(em)
+      .select(col("cent_id"), transform(col("cv"), x => x.cast("float")).as("cv"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** Read the persisted codebook back as (cent_id, cv double[]) — the
+    * shape every cosine stage consumes. */
+  private def readCodebook(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dir).select(col("cent_id"), vec(col("cv")).as("cv"))
 
   /** IVF over the persisted TRAINED codebook (`ann_ivf_trained`):
     * trains + persists on first touch (fixture-cached), then probes
@@ -276,8 +381,8 @@ object Similarity {
   def ivfTrained(s: SparkSession, d: String): DataFrame = {
     val dir = codebookPath(d)
     if (!graft.sources.Fixtures.ready(dir))
-      trainCodebook(Tables.embeddings(s, d)).write.mode("overwrite").parquet(dir)
-    ivfWith(Tables.embeddings(s, d), s.read.parquet(dir))
+      persistCodebook(Tables.embeddings(s, d), dir)
+    ivfWith(Tables.embeddings(s, d), readCodebook(s, dir))
   }
 
   /** Semantic dedup, SemDeDup-style (Abbas et al. 2023, public): assign
@@ -314,8 +419,8 @@ object Similarity {
     val em = Tables.embeddings(s, d)
     val dir = codebookPath(d)
     if (!graft.sources.Fixtures.ready(dir))
-      trainCodebook(em).write.mode("overwrite").parquet(dir)
-    val cents = s.read.parquet(dir)
+      persistCodebook(em, dir)
+    val cents = readCodebook(s, dir)
     val corpus = corpusVecs(em)
     val assign = cellAssign(corpus, cents)
     val withV = assign.join(corpus, "vec_id")
@@ -369,6 +474,7 @@ object Similarity {
     "ann_ivf"        -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
     "ann_ivf_trained"-> ((s, d) => ivfTrained(s, d)),
     "dedup_semantic" -> ((s, d) => semanticDedup(s, d)),
+    "ann_ivf_imi"    -> ((s, d) => ivfImi(s, d)),
     "dedup_embed"    -> ((s, d) => embedDup(Tables.embeddings(s, d))),
   )
 
@@ -385,10 +491,77 @@ object Similarity {
     if (s.startsWith("+")) s.substring(1) else s
   }
 
-  private def bucketSql(t: Int): String =
-    (0 until LshBits).map { j =>
+  private def bucketSqlAt(t: Int, bits: Int): String =
+    (0 until bits).map { j =>
       s"(CASE WHEN (${signedSumSql(LshImpl.Signs(t)(j))}) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
+
+  private def bucketSql(t: Int): String = bucketSqlAt(t, LshBits)
+
+  /** (id, tbl, bucket) coarse index over any (id, v DOUBLE[]) relation
+    * at an explicit bit width — the SQL mirror of
+    * `graft_lsh_buckets(v, bits)`, shared by the IMI oracle's centroid
+    * and vector sides. */
+  private def imiIndexSql(rel: String, idCol: String, vExpr: String, bits: Int): String =
+    (0 until LshTables).map { t =>
+      s"""SELECT $idCol, $t::BIGINT AS tbl, CAST(${bucketSqlAt(t, bits)} AS BIGINT) AS bucket
+         |FROM (SELECT $idCol, $vExpr AS v FROM $rel) e""".stripMargin
+    }.mkString(" UNION ALL ")
+
+  /** Full `ann_ivf_imi` oracle: coarse-bucket candidate centroids, the
+    * miss set's full-scan fallback, then the shared probe/rank tail. */
+  private def imiSql(codebookDir: String): String = {
+    val bits = ImiBits(TrainedK)
+    s"""WITH cents AS (
+       |  SELECT cent_id, cv::DOUBLE[] AS cv FROM read_parquet('$codebookDir/*.parquet')),
+       |cent_idx AS (${imiIndexSql("cents", "cent_id", "cv", bits)}),
+       |vec_idx AS (${imiIndexSql("embeddings", "vec_id", V, bits)}),
+       |cand AS (
+       |  SELECT DISTINCT v.vec_id, c.cent_id
+       |  FROM vec_idx v JOIN cent_idx c ON v.tbl = c.tbl AND v.bucket = c.bucket),
+       |assign AS (
+       |  SELECT vec_id AS neighbor_id, cell FROM (
+       |    SELECT ca.vec_id, ce.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY ca.vec_id
+       |        ORDER BY list_cosine_similarity(e.$V, ce.cv) DESC, ce.cent_id) AS crn
+       |    FROM cand ca JOIN embeddings e ON e.vec_id = ca.vec_id
+       |    JOIN cents ce ON ce.cent_id = ca.cent_id) a WHERE crn = 1
+       |  UNION ALL
+       |  SELECT vec_id AS neighbor_id, cell FROM (
+       |    SELECT e.vec_id, ce.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.$V, ce.cv) DESC, ce.cent_id) AS crn
+       |    FROM embeddings e, cents ce
+       |    WHERE e.vec_id NOT IN (SELECT vec_id FROM cand)) a WHERE crn = 1),
+       |probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT ca.vec_id AS query_id, ce.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY ca.vec_id
+       |        ORDER BY list_cosine_similarity(e.$V, ce.cv) DESC, ce.cent_id) AS crn
+       |    FROM cand ca JOIN embeddings e ON e.vec_id = ca.vec_id
+       |    JOIN cents ce ON ce.cent_id = ca.cent_id
+       |    WHERE ca.vec_id % $QueryStride = 0) p WHERE crn <= $NProbe
+       |  UNION ALL
+       |  SELECT query_id, cell FROM (
+       |    SELECT e.vec_id AS query_id, ce.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.$V, ce.cv) DESC, ce.cent_id) AS crn
+       |    FROM embeddings e, cents ce
+       |    WHERE e.vec_id % $QueryStride = 0
+       |      AND e.vec_id NOT IN (SELECT vec_id FROM cand)) p WHERE crn <= $NProbe),
+       |cand2 AS (
+       |  SELECT DISTINCT p.query_id, a.neighbor_id
+       |  FROM probes p JOIN assign a ON a.cell = p.cell
+       |  WHERE a.neighbor_id <> p.query_id)
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    row_number() OVER (PARTITION BY c.query_id
+       |      ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, c.neighbor_id) AS rank
+       |  FROM cand2 c
+       |  JOIN embeddings q ON q.vec_id = c.query_id
+       |  JOIN embeddings n ON n.vec_id = c.neighbor_id) t
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
 
   /** (vec_id, tbl, bucket) for all tables — mirrors [[lshIndex]].
     * `def`, not `val`: the bit count may be corpus-derived
@@ -465,11 +638,14 @@ object Similarity {
          |  WHERE vec_id % $CentroidStride = 0""".stripMargin),
     "ann_ivf_trained" -> ivfSql(
       // the oracle reads the SAME persisted codebook the query probes
-      s"""SELECT cent_id, cv FROM read_parquet(
+      // (cv stored float; ::DOUBLE[] is the exact widening both sides use)
+      s"""SELECT cent_id, cv::DOUBLE[] AS cv FROM read_parquet(
          |  '${codebookPath(graft.Dials.sfDir.getOrElse("/root/testdata/sf0.001"))}/*.parquet')""".stripMargin),
+    "ann_ivf_imi" -> imiSql(
+      codebookPath(graft.Dials.sfDir.getOrElse("/root/testdata/sf0.001"))),
     "dedup_semantic" ->
       s"""WITH cents AS (
-         |  SELECT cent_id, cv FROM read_parquet(
+         |  SELECT cent_id, cv::DOUBLE[] AS cv FROM read_parquet(
          |    '${codebookPath(graft.Dials.sfDir.getOrElse("/root/testdata/sf0.001"))}/*.parquet')),
          |assign AS (
          |  SELECT vec_id, cell FROM (
