@@ -63,6 +63,26 @@ object WordCount {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("wlen")
 
+  val TopBigrams = 100
+
+  /** Word BIGRAM counts — the n-gram LM counting workload (the classic
+    * second MapReduce job after word count): adjacent token pairs
+    * WITHIN a document (never across doc boundaries), counted
+    * corpus-wide, top [[TopBigrams]]. The pair construction is a
+    * per-row zip of the token array against its own tail — map-only —
+    * so the whole job is still ONE shuffle with map-side combine, and
+    * the top-k plans as a TakeOrdered over the aggregated pair table. */
+  def bigramCount(docs: DataFrame): DataFrame = {
+    val ws = filter(split(col("text"), TokenRe), w => w =!= "")
+    val n1 = greatest(size(ws) - 1, lit(0))
+    docs.select(explode(zip_with(
+        slice(ws, lit(1), n1), slice(ws, lit(2), n1),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(TopBigrams)
+  }
+
   /** Per-document token count — the per-chunk in-mapper combiner shape
     * (each mapper's `IntermediateTokens` size, core/map_reduce.go:546). */
   def perDocCounts(docs: DataFrame): DataFrame =
@@ -127,6 +147,7 @@ object WordCount {
     "wc_per_doc"   -> ((s, d) => perDocCounts(Tables.documents(s, d))),
     "wc_chunked"   -> ((s, d) => chunkedWordCount(Tables.documents(s, d))),
     "wc_files"     -> ((s, d) => filesWordCount(s, d)),
+    "wc_bigrams"   -> ((s, d) => bigramCount(Tables.documents(s, d))),
   )
 
   /** DuckDB words-array fragment — same `\p{L}` pattern as [[TokenRe]];
@@ -156,6 +177,12 @@ object WordCount {
     "wc_per_doc" ->
       s"""SELECT doc_id, count(*) AS n_tokens, count(DISTINCT word) AS n_distinct
          |FROM ($TokensSql) tk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "wc_bigrams" ->
+      s"""SELECT bigram, count(*) AS cnt FROM (
+         |  SELECT w[i] || ' ' || w[i + 1] AS bigram
+         |  FROM (SELECT $OracleWords AS w FROM documents) ws,
+         |    unnest(range(1, len(w))) AS u(i)) bg
+         |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT $TopBigrams""".stripMargin,
     "wc_chunked" ->
       s"""SELECT word, count(*) AS cnt FROM (
          |  SELECT unnest(regexp_split_to_array(
