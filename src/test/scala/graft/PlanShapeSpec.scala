@@ -221,6 +221,20 @@ class PlanShapeSpec extends SparkSpec {
     } finally c.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("r6 additions keep their scale shapes: one-shuffle bigrams, TakeOrdered path mining") {
+    // wc_bigrams: map-only pair construction ⇒ exactly one exchange
+    // (the count's) and a TakeOrdered top-k, never a global sort
+    val pb = plan(SparkEntry.queries("wc_bigrams")(spark, sf))
+    assert(pb.contains("TakeOrderedAndProject"), pb)
+    assert(exchanges(pb) == 1, s"wc_bigrams should shuffle exactly once:\n$pb")
+    // ev_paths: the session windows share ONE user_id partitioning;
+    // only the (path, count) aggregate adds a second exchange; top-k is
+    // a TakeOrdered
+    val pp = plan(SparkEntry.queries("ev_paths")(spark, sf))
+    assert(pp.contains("TakeOrderedAndProject"), pp)
+    assert(exchanges(pp) == 2, s"ev_paths should shuffle twice (user window + path count):\n$pp")
+  }
+
   test("no query in the suite plans a partition-less (single-task) window") {
     // The scale test the r4 audit flagged: Window.orderBy without
     // partitionBy funnels the whole input through ONE task. q31_ntile
