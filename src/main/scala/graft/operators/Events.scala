@@ -283,6 +283,73 @@ object Events {
       .orderBy("user_id", "day")
   }
 
+  /** Session-bounded Markov TRANSITION MATRIX — the journey-mining
+    * aggregate next to [[topPaths]]: for every ordered pair of event
+    * types (src → dst) that occur ADJACENTLY within a session (same gap
+    * rule as [[sessionize]]), the transition count, the total
+    * transitions leaving src, and the transition probability in ppm.
+    * A transition exists exactly where an event is NOT a session start,
+    * so no session ordinal is materialized — one lag window decides
+    * adjacency.
+    *
+    * Cross-engine determinism: counts are integers; p_ppm is
+    * floor(n·10⁶/n_src) where both factors are the SAME doubles in both
+    * engines (one multiply, one divide, identical order), so the floor
+    * is bit-identical.
+    *
+    * Scale: one user_id window shuffle (shared shape with sessionize),
+    * then a count shuffle bounded by the TYPE-PAIR vocabulary — O(T²)
+    * rows, independent of event volume; the n_src window runs over that
+    * tiny aggregate. */
+  def transitions(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val us = unix_micros(col("ts"))
+    val pairs = ev.select(
+        col("event_type").as("dst"),
+        lag(col("event_type"), 1).over(byUser).as("src"),
+        (us - lag(us, 1).over(byUser)).as("gap"))
+      .where(col("src").isNotNull && col("gap") <= SessionGapUs)
+    pairs.groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .withColumn("n_src", sum("n").over(Window.partitionBy("src")).cast("long"))
+      .select(col("src"), col("dst"), col("n"), col("n_src"),
+        floor(col("n") * lit(1000000.0) / col("n_src")).cast("long").as("p_ppm"))
+      .orderBy("src", "dst")
+  }
+
+  /** Per-user daily ANOMALY detection — z-score outliers in EXACT
+    * integer arithmetic (the data-quality / fraud-screen member of the
+    * event family): a user's day total is anomalous when it sits more
+    * than 2 population standard deviations from that user's own mean.
+    * The test is evaluated division-free and float-free:
+    * (n·x − S)² > 4·(n·Q − S²) over integer CENTS (z² > k² with μ=S/n,
+    * σ²=(nQ−S²)/n², all denominators cleared) — engine-exact at any
+    * partitioning, no NaN/zero-variance edge cases (σ=0 ⇒ rhs=0 ⇒ a
+    * constant series is never anomalous; n=1 ⇒ both sides 0).
+    *
+    * Integer headroom: cents ≤ ~10⁸/user-day and ≤ ~10³ days/user keep
+    * every product < 2⁶³; corpora beyond that switch both engines to
+    * DECIMAL(38,0) on the same cleared-denominator test.
+    *
+    * Scale: two combiner-friendly aggregations — (user, day) then
+    * (user) — and a user-keyed join back; the per-user stats frame is
+    * O(users) and co-partitioned with the daily frame, so the join
+    * reuses the second shuffle's partitioning. */
+  def anomalies(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val daily = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg((sum(col("value").cast(DecimalType(28, 10))) * 100).cast("long").as("xc"))
+    val stats = daily.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("xc").as("s"),
+        sum(col("xc") * col("xc")).as("q"))
+    val dev = daily("xc") * stats("n") - stats("s")
+    daily.join(stats, "user_id")
+      .select(col("user_id"), col("day"), col("xc").as("cents"),
+        (dev * dev > lit(4L) * (stats("n") * stats("q") - stats("s") * stats("s")))
+          .cast("long").as("is_anom"))
+      .orderBy("user_id", "day")
+  }
+
   val TopPaths = 20
 
   /** Top session PATHS — each session's ordered event-type sequence,
@@ -334,6 +401,8 @@ object Events {
     "ev_asof"       -> ((s, d) => asofAttribution(Tables.events(s, d))),
     "ev_retention"  -> ((s, d) => retention(Tables.events(s, d))),
     "ev_paths"      -> ((s, d) => topPaths(Tables.events(s, d))),
+    "ev_transitions"-> ((s, d) => transitions(Tables.events(s, d))),
+    "ev_anomaly"    -> ((s, d) => anomalies(Tables.events(s, d))),
   )
 
   /** Shared oracle inner query: per-event session_id via lag + running
@@ -497,6 +566,37 @@ object Events {
          |  CAST(d.day IS NULL AS BIGINT) AS is_gap
          |FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
          |ORDER BY s.user_id, s.day""".stripMargin,
+    "ev_transitions" ->
+      s"""WITH tr AS (
+         |  SELECT src, dst FROM (
+         |    SELECT event_type AS dst,
+         |      lag(event_type) OVER (PARTITION BY user_id
+         |        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS src,
+         |      epoch_us(CAST(ts AS TIMESTAMP))
+         |        - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id
+         |            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap
+         |    FROM events) g
+         |  WHERE src IS NOT NULL AND gap <= $SessionGapUs),
+         |c AS (SELECT src, dst, count(*) AS n FROM tr GROUP BY src, dst)
+         |SELECT src, dst, n,
+         |  CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS n_src,
+         |  CAST(floor(n * 1000000.0 / CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT))
+         |    AS BIGINT) AS p_ppm
+         |FROM c ORDER BY src, dst""".stripMargin,
+    "ev_anomaly" ->
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,10))) * 100 AS BIGINT) AS xc
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |st AS (
+        |  SELECT user_id, count(*) AS n, CAST(sum(xc) AS BIGINT) AS s,
+        |    CAST(sum(xc * xc) AS BIGINT) AS q
+        |  FROM daily GROUP BY user_id)
+        |SELECT d.user_id, CAST(d.day AS TIMESTAMP) AS day, d.xc AS cents,
+        |  CAST((d.xc * st.n - st.s) * (d.xc * st.n - st.s)
+        |       > 4 * (st.n * st.q - st.s * st.s) AS BIGINT) AS is_anom
+        |FROM daily d JOIN st USING (user_id)
+        |ORDER BY user_id, day""".stripMargin,
     "ev_retention" ->
       """SELECT CAST(d.day AS TIMESTAMP) AS day, count(*) AS active,
         |  count(n.next_day) AS retained

@@ -129,4 +129,48 @@ class EventsSpec extends SparkSpec {
     assert(f == Map("01" -> 0L, "02" -> 0L, "03" -> 1L, "04" -> 0L),
       s"NULL-total day must be present, not a gap: $f")
   }
+
+  test("transitions: session boundaries break adjacency; probabilities sum per src") {
+    val sp = spark
+    import sp.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val d = Seq(
+      (1L, 10L, at(0), "view"), (2L, 10L, at(60), "click"),
+      (3L, 10L, at(120), "view"),
+      (4L, 10L, at(120 + 1801), "purchase"), // gap > 30min: NOT a transition
+      (5L, 20L, at(0), "view"), (6L, 20L, at(30), "view"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Events.transitions(d).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // view->click, click->view, view->view; view->purchase is across the gap
+    assert(got.keySet == Set(("view", "click"), ("click", "view"), ("view", "view")),
+      got.toString)
+    assert(got(("view", "click")) == (1L, 2L, 500000L)) // 2 transitions leave "view"
+    assert(got(("view", "view")) == (1L, 2L, 500000L))
+    assert(got(("click", "view")) == (1L, 1L, 1000000L))
+  }
+
+  test("anomalies: constant series never anomalous; a genuine spike flags; n=1 safe") {
+    val sp = spark
+    import sp.implicits._
+    def at(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    val d = (
+      // user 10: nine days of 10.00 and one day of 1000.00 — the spike
+      (1 to 9).map(i => (10L, at(i), "purchase", 10.0)) :+ (10L, at(10), "purchase", 1000.0)
+    ) ++ Seq(
+      // user 20: constant — zero variance must flag nothing
+      (20L, at(1), "purchase", 5.0), (20L, at(2), "purchase", 5.0),
+      // user 30: a single day — degenerate, not anomalous
+      (30L, at(1), "purchase", 123.45))
+    val f = Events.anomalies(d.toDF("user_id", "ts", "event_type", "value"))
+      .collect().map(r => ((r.getLong(0), r.getTimestamp(1).toString.substring(8, 10)),
+        r.getLong(3))).toMap
+    assert(f((10L, "10")) == 1L, "spike day must flag")
+    assert(f.count { case ((u, _), v) => u == 10L && v == 1L } == 1,
+      "only the spike flags for user 10")
+    assert(f.forall { case ((u, _), v) => u != 20L || v == 0L }, "constant series clean")
+    assert(f((30L, "01")) == 0L, "single observation not anomalous")
+  }
 }
