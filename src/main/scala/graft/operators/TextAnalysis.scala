@@ -529,6 +529,96 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  val LmTrainPct = 80       // bigram LM: train split percentage
+  val BackoffAlpha = 0.4    // Stupid Backoff discount (Brants et al. 2007)
+
+  /** Bigram LANGUAGE-MODEL scoring with STUPID BACKOFF — the next
+    * statistical step up from [[unigramLogProb]], and the first member
+    * of the quality family with a real TRAIN/EVAL split: the LM trains
+    * on a deterministic md5 slice of the corpus ([[LmTrainPct]]%,
+    * membership depends only on doc_id) and scores the held-out rest,
+    * so eval bigrams genuinely can be UNSEEN and the backoff path is
+    * exercised, not dead code. Score per eval bigram (w1, w2):
+    * ln(n_bi/n_w1) when the bigram was seen in train, else
+    * ln(α·n_uni(w2)/N) backing off to the train unigram (OOV words get
+    * a half count) — Stupid Backoff, the LM-scoring scheme built for
+    * MapReduce-scale corpora precisely because it needs only raw counts.
+    *
+    * Float discipline as [[unigramLogProb]]: each bigram's lp rounds at
+    * 6dp first (single division / single multiply-divide chain, same
+    * order both engines), the per-doc sum runs in exact DECIMAL.
+    *
+    * Scale: train counts are two combiner-friendly count shuffles
+    * (unigram + bigram vocabulary); eval bigrams join the count tables
+    * on word keys — skinny (doc_id, w1, w2) triples ride the shuffles,
+    * text never does; the train-total is a broadcast 1-row frame. */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val ws = filter(split(col("text"), " "), w => w =!= "")
+    val isTrain = Dedup.h32(lit("lm"), col("doc_id").cast("string")) % 100 < LmTrainPct
+    val n1 = greatest(size(ws) - 1, lit(0))
+    def bigrams(df: DataFrame) = df.select(col("doc_id"),
+        explode(zip_with(slice(ws, lit(1), n1), slice(ws, lit(2), n1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val train = docs.where(isTrain)
+    val trainTok = train.select(explode(ws).as("w"))
+    val uni = trainTok.groupBy("w").agg(count(lit(1)).as("n_uni"))
+    val bi = bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("n_bi"))
+    val scored = bigrams(docs.where(!isTrain))
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("n_uni").as("n_w1")), Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("n_uni").as("n_w2")), Seq("w2"), "left")
+      .crossJoin(broadcast(trainTok.agg(count(lit(1)).as("n_tot"))))
+      .select(col("doc_id"),
+        when(col("n_bi").isNotNull, round(log(col("n_bi") / col("n_w1")), 6))
+          .otherwise(round(log(
+            lit(BackoffAlpha) * coalesce(col("n_w2"), lit(0.5)) / col("n_tot")), 6))
+          .as("lp"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp").cast(DecimalType(28, 10))).cast(DoubleType).as("sum_lp"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_lp"),
+        round(col("sum_lp") / col("n_bigrams"), 4).as("avg_lp"))
+      .orderBy("doc_id")
+  }
+
+  val ClfBuckets = 4096
+
+  /** Hashed-BAG-OF-WORDS linear classifier INFERENCE — the fastText /
+    * DCLM-style model-based quality filter (the learned member of the
+    * quality family, next to rule-based [[gopherRules]] and statistical
+    * [[unigramLogProb]]): each token hashes into one of [[ClfBuckets]]
+    * feature buckets, the model is a fixed weight per bucket, and the
+    * doc's score is the integer sum of its tokens' weights (milli-units,
+    * so the whole inference is exact integer arithmetic), with
+    * `label = score > 0` and a per-token margin.
+    *
+    * The weight table here derives deterministically from md5 (bucket b
+    * → h32("wgt", b) % 2001 − 1000 ∈ [−1000, 1000]) — standing in for a
+    * trained-model weights file, which at scale ships exactly the same
+    * way: a [[ClfBuckets]]-row broadcast frame. Swapping in real weights
+    * changes no operator shape.
+    *
+    * Scale (the Zipf trick, as [[graft.functions.Bpe]]): weights are
+    * computed once per DISTINCT word (corpus vocabulary), then
+    * occurrences hash-join the tiny (w, wt) frame and aggregate per doc
+    * — two combiner-friendly shuffles, no per-occurrence hashing. */
+  def classify(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+    val wt = words.select("w").distinct()
+      .select(col("w"),
+        (Dedup.h32(lit("wgt"), (Dedup.h32(lit("clf"), col("w")) % ClfBuckets)
+          .cast("string")) % 2001 - 1000).as("wt"))
+    words.join(wt, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("wt").as("score"))
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        (col("score") > 0).cast("long").as("label"),
+        floor(col("score") * lit(1000.0) / col("n_tokens")).cast("long").as("score_pt"))
+      .orderBy("doc_id")
+  }
+
   /** Sliding-window CHUNKING with overlap — the context-window prep step
     * that turns long documents into model-sized pieces (the counterpart
     * of [[packing]]'s concatenate-and-cut: packing joins short docs,
@@ -581,6 +671,8 @@ object TextAnalysis {
     "text_pack_bpe"    -> ((s, d) => bpePacking(Tables.documents(s, d))),
     "text_unigram"     -> ((s, d) => unigramLogProb(Tables.documents(s, d))),
     "text_mix"         -> ((s, d) => domainMix(Tables.documents(s, d))),
+    "text_classify"    -> ((s, d) => classify(Tables.documents(s, d))),
+    "text_bigram_lp"   -> ((s, d) => bigramLogProb(Tables.documents(s, d))),
   )
 
   // words-array SQL fragment shared by the oracles
@@ -667,6 +759,51 @@ object TextAnalysis {
         |        < 20 + 15 * (CAST(substr(source, 4) AS INT) % 5) AS BIGINT)) AS BIGINT) AS n_kept,
         |  CAST(20 + 15 * (CAST(substr(source, 4) AS INT) % 5) AS BIGINT) AS rate_pct
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "text_bigram_lp" ->
+      s"""WITH tr AS (SELECT doc_id, text FROM documents
+         |  WHERE ('0x' || substr(md5('lm:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 < $LmTrainPct),
+         |trw AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w FROM tr),
+         |trt AS (SELECT unnest(w) AS w FROM trw),
+         |uni AS (SELECT w, count(*) AS n_uni FROM trt GROUP BY w),
+         |tot AS (SELECT count(*) AS n_tot FROM trt),
+         |bi AS (
+         |  SELECT w1, w2, count(*) AS n_bi FROM (
+         |    SELECT w[i] AS w1, w[i + 1] AS w2
+         |    FROM trw, unnest(range(1, len(w))) AS u(i)) b
+         |  GROUP BY w1, w2),
+         |evb AS (
+         |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |        FROM documents
+         |        WHERE ('0x' || substr(md5('lm:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 >= $LmTrainPct) e,
+         |       unnest(range(1, len(w))) AS u(i)),
+         |sc AS (
+         |  SELECT doc_id,
+         |    CASE WHEN n_bi IS NOT NULL THEN round(ln(n_bi / u1.n_uni), 6)
+         |         ELSE round(ln($BackoffAlpha * coalesce(u2.n_uni, 0.5) / n_tot), 6) END AS lp
+         |  FROM evb
+         |  LEFT JOIN bi USING (w1, w2)
+         |  LEFT JOIN uni u1 ON evb.w1 = u1.w
+         |  LEFT JOIN uni u2 ON evb.w2 = u2.w, tot)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(SUM(CAST(lp AS DECIMAL(28,10))) AS DOUBLE) AS sum_lp,
+         |  round(CAST(SUM(CAST(lp AS DECIMAL(28,10))) AS DOUBLE) / count(*), 4) AS avg_lp
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_classify" ->
+      s"""WITH wd AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+         |  FROM documents),
+         |wt AS (
+         |  SELECT w,
+         |    ('0x' || substr(md5('wgt:' || CAST(
+         |        ('0x' || substr(md5('clf:' || w), 1, 8))::BIGINT % $ClfBuckets
+         |      AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000 AS wt
+         |  FROM (SELECT DISTINCT w FROM wd) d)
+         |SELECT doc_id, count(*) AS n_tokens, CAST(sum(wt) AS BIGINT) AS score,
+         |  CAST(CAST(sum(wt) AS BIGINT) > 0 AS BIGINT) AS label,
+         |  CAST(floor(CAST(sum(wt) AS BIGINT) * 1000.0 / count(*)) AS BIGINT) AS score_pt
+         |FROM wd JOIN wt USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_unigram" ->
       """WITH wd AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w

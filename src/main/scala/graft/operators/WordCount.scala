@@ -83,6 +83,47 @@ object WordCount {
       .limit(TopBigrams)
   }
 
+  val CoWindow = 2   // co-occurrence window: offsets 1..CoWindow
+  val TopCooc = 100
+
+  /** Windowed CO-OCCURRENCE counts with PMI — the word2vec/GloVe
+    * statistics job: unordered token pairs within ±[[CoWindow]]
+    * positions inside a document, counted corpus-wide; the top
+    * [[TopCooc]] pairs annotated with pointwise mutual information
+    * ln((n/N_pairs) / ((n_w1/N_tok)(n_w2/N_tok))).
+    *
+    * Scale: pair construction is a map-only zip per window offset (the
+    * [[bigramCount]] shape, [[CoWindow]]× the fan-out); the count
+    * shuffle carries the pair vocabulary with map-side combine; PMI
+    * joins unigram counts AFTER the top-k cut, so the vocabulary join
+    * touches [[TopCooc]] rows, never the pair table. PMI's value is one
+    * chained double expression evaluated in the same order by both
+    * engines, rounded at 6dp where they agree. */
+  def cooccur(docs: DataFrame): DataFrame = {
+    val ws = filter(split(col("text"), TokenRe), w => w =!= "")
+    def pairsAt(k: Int): Column = {
+      val n = greatest(size(ws) - k, lit(0))
+      zip_with(slice(ws, lit(1), n), slice(ws, lit(1 + k), n),
+        (a, b) => struct(least(a, b).as("w1"), greatest(a, b).as("w2")))
+    }
+    val pairs = docs
+      .select(explode(concat((1 to CoWindow).map(pairsAt): _*)).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val top = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1"), col("w2")).limit(TopCooc)
+    val docsTok = docs.select(explode(ws).as("word"))
+    val uni = docsTok.groupBy("word").agg(count(lit(1)).as("cnt"))
+    broadcast(top)
+      .join(uni.select(col("word").as("w1"), col("cnt").as("n_w1")), "w1")
+      .join(uni.select(col("word").as("w2"), col("cnt").as("n_w2")), "w2")
+      .crossJoin(broadcast(docsTok.agg(count(lit(1)).as("n_tok"))))
+      .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
+      .select(col("w1"), col("w2"), col("n"),
+        round(log(col("n") * lit(1.0) * col("n_tok") * col("n_tok")
+          / col("n_pairs") / col("n_w1") / col("n_w2")), 6).as("pmi"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+  }
+
   /** Per-document token count — the per-chunk in-mapper combiner shape
     * (each mapper's `IntermediateTokens` size, core/map_reduce.go:546). */
   def perDocCounts(docs: DataFrame): DataFrame =
@@ -148,6 +189,7 @@ object WordCount {
     "wc_chunked"   -> ((s, d) => chunkedWordCount(Tables.documents(s, d))),
     "wc_files"     -> ((s, d) => filesWordCount(s, d)),
     "wc_bigrams"   -> ((s, d) => bigramCount(Tables.documents(s, d))),
+    "wc_cooccur"   -> ((s, d) => cooccur(Tables.documents(s, d))),
   )
 
   /** DuckDB words-array fragment — same `\p{L}` pattern as [[TokenRe]];
@@ -183,6 +225,24 @@ object WordCount {
          |  FROM (SELECT $OracleWords AS w FROM documents) ws,
          |    unnest(range(1, len(w))) AS u(i)) bg
          |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT $TopBigrams""".stripMargin,
+    "wc_cooccur" ->
+      s"""WITH ws AS (SELECT $OracleWords AS w FROM documents),
+         |pr AS (
+         |  SELECT least(w[i], w[i + k]) AS w1, greatest(w[i], w[i + k]) AS w2
+         |  FROM ws, unnest([1, 2]) AS ko(k),
+         |       unnest(range(1, len(w) - k + 1)) AS u(i)),
+         |top AS (
+         |  SELECT w1, w2, count(*) AS n FROM pr GROUP BY w1, w2
+         |  ORDER BY n DESC, w1, w2 LIMIT $TopCooc),
+         |tk AS (SELECT unnest(w) AS word FROM ws),
+         |uni AS (SELECT word, count(*) AS cnt FROM tk GROUP BY word),
+         |tot AS (SELECT count(*) AS n_tok FROM tk),
+         |tp AS (SELECT count(*) AS n_pairs FROM pr)
+         |SELECT w1, w2, n,
+         |  round(ln(n * 1.0 * n_tok * n_tok / n_pairs / u1.cnt / u2.cnt), 6) AS pmi
+         |FROM top JOIN uni u1 ON top.w1 = u1.word
+         |         JOIN uni u2 ON top.w2 = u2.word, tot, tp
+         |ORDER BY n DESC, w1, w2""".stripMargin,
     "wc_chunked" ->
       s"""SELECT word, count(*) AS cnt FROM (
          |  SELECT unnest(regexp_split_to_array(

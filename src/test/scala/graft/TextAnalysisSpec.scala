@@ -153,4 +153,48 @@ class TextAnalysisSpec extends SparkSpec {
     val clean = docs.join(d, Seq("doc_id"), "left_anti")
     assert(clean.count() == docs.count() - d.count())
   }
+
+  test("classify: score is the exact integer sum of per-token bucket weights") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "x x y"), (2L, "y")).toDF("doc_id", "text")
+    def wt(w: String): Long = {
+      def h32(seed: String, v: String): Long =
+        java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$seed:$v".getBytes("UTF-8"))
+            .take(4).map("%02x".format(_)).mkString, 16)
+      h32("wgt", (h32("clf", w) % TextAnalysis.ClfBuckets).toString) % 2001 - 1000
+    }
+    val got = TextAnalysis.classify(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val s1 = 2 * wt("x") + wt("y")
+    assert(got(1L) == (3L, s1, if (s1 > 0) 1L else 0L), got.toString)
+    assert(got(2L) == (1L, wt("y"), if (wt("y") > 0) 1L else 0L), got.toString)
+  }
+
+  test("bigramLogProb: seen bigrams use conditional prob; unseen back off; OOV floors") {
+    val s = spark
+    import s.implicits._
+    // force the split: find doc ids landing in train (h%100<80) and eval
+    def h(id: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"lm:$id".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16) % 100
+    val trainId = (1L to 100L).find(h(_) < TextAnalysis.LmTrainPct).get
+    val evalId = (1L to 100L).find(h(_) >= TextAnalysis.LmTrainPct).get
+    // train: "a b a b" → bigrams ab, ba, ab; unigrams a:2 b:2, N=4
+    // eval:  "a b c a z" → ab (seen), bc (unseen, c OOV), ca (unseen,
+    //        a seen), az (unseen, z OOV)
+    val d = Seq((trainId, "a b a b"), (evalId, "a b c a z")).toDF("doc_id", "text")
+    val row = TextAnalysis.bigramLogProb(d).where(col("doc_id") === evalId).collect()(0)
+    assert(row.getLong(1) == 4L)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = r6(math.log(2.0 / 2.0)) +             // ab: n_bi=2, n_a=2
+      r6(math.log(0.4 * 0.5 / 4)) +                    // bc: c OOV floor
+      r6(math.log(0.4 * 2.0 / 4)) +                    // ca: a seen in train
+      r6(math.log(0.4 * 0.5 / 4))                      // az: z OOV floor
+    assert(math.abs(row.getDouble(2) - expect) < 1e-9, s"${row.getDouble(2)} vs $expect")
+  }
 }

@@ -43,4 +43,20 @@ class WordCountSpec extends SparkSpec {
     val nonEmpty = docs.where(length(trim(col("text"))) > 0).count()
     assert(pd.count() == nonEmpty)
   }
+
+  test("cooccur: window-±2 pairs, unordered canonicalization, PMI sign sanity") {
+    val s = spark
+    import s.implicits._
+    // "a b c" yields offset-1 pairs (a,b),(b,c) and offset-2 (a,c);
+    // "c a" yields (a,c) again — canonicalized despite reversed order
+    val d = Seq((1L, "a b c"), (2L, "c a")).toDF("doc_id", "text")
+    val got = WordCount.cooccur(d).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == Map(("a", "b") -> 1L, ("b", "c") -> 1L, ("a", "c") -> 2L), got.toString)
+    // PMI: (a,c) co-occurs twice out of 4 pairs with n_a=2, n_c=2 of 5
+    // tokens: pmi = ln(2*25/(4*2*2)) = ln(3.125) > 0 — check via sign
+    val pmiAC = WordCount.cooccur(d).where(col("w1") === "a" && col("w2") === "c")
+      .collect()(0).getDouble(3)
+    assert(math.abs(pmiAC - math.log(2.0 * 25 / (4 * 2 * 2))) < 1e-6, pmiAC.toString)
+  }
 }
