@@ -414,6 +414,115 @@ object Similarity {
   private[graft] def corpusVecs(em: DataFrame): DataFrame =
     em.select(col("vec_id"), vec(col("embedding")).as("v"))
 
+  // ---- Product quantization (`ann_pq`) ----
+
+  val PqM = 4     // subspaces
+  val PqSub = 16  // dims per subspace (64-dim embeddings)
+  val PqKs = 16   // centroids per sub-codebook (codes fit 4 bits each)
+
+  /** Where the persisted PQ sub-codebooks live — one parquet dir,
+    * (m, cent_id, cv float[[PqSub]]), fixture-keyed like
+    * [[codebookPath]] so the DuckDB oracle reads the SAME files. */
+  def pqCodebookPath(sfDir: String): String =
+    graft.sources.Fixtures.dirFor("pq_codebook", sfDir, "embeddings")
+
+  /** Train [[PqM]] independent sub-codebooks: each is Lloyd's k-means
+    * ([[trainCodebook]], unchanged) over the corpus's m-th
+    * [[PqSub]]-dim vector slice. Persisted float, widened exactly on
+    * read by both engines. */
+  private[graft] def trainPqCodebook(em: DataFrame): DataFrame =
+    (0 until PqM).map { m =>
+      trainCodebook(em.select(col("vec_id"),
+          slice(col("embedding"), m * PqSub + 1, PqSub).as("embedding")), PqKs)
+        .select(lit(m.toLong).as("m"), col("cent_id"),
+          transform(col("cv"), x => x.cast("float")).as("cv"))
+    }.reduce(_ unionAll _)
+
+  private def persistPqCodebook(em: DataFrame, dir: String): Unit =
+    trainPqCodebook(em).write.mode("overwrite").parquet(dir)
+
+  private def readPqCodebook(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dir).select(col("m"), col("cent_id"), vec(col("cv")).as("cv"))
+
+  /** PQ ENCODE: every vector → [[PqM]] codes, each the nearest
+    * sub-centroid of its slice (cosine, cent_id tie-break) — the
+    * 64-dim float vector compresses to 4 small ints (≈64× less memory,
+    * the reason PQ is how billion-vector indexes fit in RAM). Skinny
+    * (vec_id, m, code) triples are all that ever shuffles. */
+  private def pqEncode(em: DataFrame, cents: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(em.sparkSession)
+    val subs = em.select(col("vec_id"), posexplode(
+        array((0 until PqM).map(m =>
+          slice(vec(col("embedding")), m * PqSub + 1, PqSub)): _*)).as(Seq("m", "vm")))
+      .select(col("vec_id"), col("m").cast("long").as("m"), col("vm"))
+    val w = Window.partitionBy("vec_id", "m").orderBy(col("scos").desc, col("cent_id"))
+    subs.join(broadcast(cents), "m")
+      .select(col("vec_id"), col("m"), col("cent_id"),
+        cosine(col("vm"), col("cv")).as("scos"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cent_id").as("code"))
+  }
+
+  /** `ann_pq`: PRODUCT-QUANTIZED ANN (Jégou et al. 2011) with
+    * symmetric-distance (SDC) scoring: corpus and queries are both
+    * PQ-encoded, and a pair's similarity is the sum of [[PqM]]
+    * per-subspace LOOKUPS in a precomputed centroid-pair table — no
+    * per-pair vector arithmetic at all. Approximation is part of the
+    * gated semantics (the oracle quantizes identically); recall vs
+    * brute force is spec-measured on the clustered corpus.
+    *
+    * Cross-engine determinism: each LUT entry rounds its centroid-pair
+    * cosine at 6dp; a pair's score is the FIXED-ORDER 4-term double sum
+    * l0+l1+l2+l3 of identical operands — bit-identical in both engines,
+    * so ranking (score desc, neighbor_id) is too.
+    *
+    * Scale shape: sub-codebooks and the LUT are O(M·Ks²) — broadcast;
+    * encoding is one broadcast pass + a skinny top-1 window; the scan
+    * scores n_q·n CODE pairs (4 lookups each, vs 64 multiplies for raw
+    * cosine) over 4-int rows instead of 256-byte vectors. At 100 TB the
+    * candidate set composes with IVF cells ([[ivfWith]]) for IVFPQ —
+    * the composition changes only which (query, neighbor) pairs enter
+    * the lookup join. */
+  def pqTopK(s: SparkSession, d: String): DataFrame = {
+    val dir = pqCodebookPath(d)
+    if (!graft.sources.Fixtures.ready(dir))
+      persistPqCodebook(Tables.embeddings(s, d), dir)
+    pqWith(Tables.embeddings(s, d), readPqCodebook(s, dir))
+  }
+
+  /** SDC encode-and-rank over an explicit (m, cent_id, cv) sub-codebook
+    * frame — the shared core of [[pqTopK]] and the recall spec. */
+  private[graft] def pqWith(em: DataFrame, cents0: DataFrame): DataFrame = {
+    // exact float→double widening, whether cents come from the persisted
+    // fixture or straight from the trainer
+    val cents = cents0.select(col("m"), col("cent_id"), vec(col("cv")).as("cv"))
+    val codes = pqEncode(em, cents)
+    val wideAggs = (0 until PqM).map(m => max(when(col("m") === m, col("code"))).as(s"c$m"))
+    val wide = codes.groupBy("vec_id").agg(wideAggs.head, wideAggs.tail: _*)
+    val lut = broadcast(
+      cents.select(col("m"), col("cent_id").as("ca"), col("cv").as("cva"))
+        .join(cents.select(col("m"), col("cent_id").as("cb"), col("cv").as("cvb")), "m")
+        .select(col("m"), col("ca"), col("cb"),
+          round(cosine(col("cva"), col("cvb")), 6).as("l")))
+    val qCols = col("vec_id").as("query_id") +:
+      (0 until PqM).map(m => col(s"c$m").as(s"q$m"))
+    val q = wide.where(col("vec_id") % QueryStride === 0).select(qCols: _*)
+    var pairs = broadcast(q).join(wide.withColumnRenamed("vec_id", "neighbor_id"),
+      col("query_id") =!= col("neighbor_id"))
+    for (m <- 0 until PqM)
+      pairs = pairs.join(
+        broadcast(lut.where(col("m") === m)
+          .select(col("ca").as(s"qa$m"), col("cb").as(s"xb$m"), col("l").as(s"l$m"))),
+        col(s"q$m") === col(s"qa$m") && col(s"c$m") === col(s"xb$m"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    pairs.select(col("query_id"), col("neighbor_id"),
+        (col("l0") + col("l1") + col("l2") + col("l3")).as("score"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= TopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
   def semanticDedup(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
     val em = Tables.embeddings(s, d)
@@ -475,6 +584,7 @@ object Similarity {
     "ann_ivf_trained"-> ((s, d) => ivfTrained(s, d)),
     "dedup_semantic" -> ((s, d) => semanticDedup(s, d)),
     "ann_ivf_imi"    -> ((s, d) => ivfImi(s, d)),
+    "ann_pq"         -> ((s, d) => pqTopK(s, d)),
     "dedup_embed"    -> ((s, d) => embedDup(Tables.embeddings(s, d))),
   )
 
@@ -643,6 +753,43 @@ object Similarity {
          |  '${codebookPath(graft.Dials.sfDir.getOrElse("/root/testdata/sf0.001"))}/*.parquet')""".stripMargin),
     "ann_ivf_imi" -> imiSql(
       codebookPath(graft.Dials.sfDir.getOrElse("/root/testdata/sf0.001"))),
+    "ann_pq" -> {
+      val dir = pqCodebookPath(graft.Dials.sfDir.getOrElse("/root/testdata/sf0.001"))
+      s"""WITH cents AS (
+         |  SELECT m, cent_id, cv::DOUBLE[] AS cv FROM read_parquet('$dir/*.parquet')),
+         |sub AS (
+         |  SELECT vec_id, m, list_slice($V, m * $PqSub + 1, m * $PqSub + $PqSub) AS vm
+         |  FROM embeddings, unnest([0, 1, 2, 3]) AS mm(m)),
+         |codes AS (
+         |  SELECT vec_id, m, cent_id AS code FROM (
+         |    SELECT s.vec_id, s.m, c.cent_id,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY list_cosine_similarity(s.vm, c.cv) DESC, c.cent_id) AS rn
+         |    FROM sub s JOIN cents c ON c.m = s.m) t WHERE rn = 1),
+         |wide AS (
+         |  SELECT vec_id,
+         |    max(CASE WHEN m = 0 THEN code END) AS c0,
+         |    max(CASE WHEN m = 1 THEN code END) AS c1,
+         |    max(CASE WHEN m = 2 THEN code END) AS c2,
+         |    max(CASE WHEN m = 3 THEN code END) AS c3
+         |  FROM codes GROUP BY vec_id),
+         |lut AS (
+         |  SELECT a.m, a.cent_id AS ca, b.cent_id AS cb,
+         |    round(list_cosine_similarity(a.cv, b.cv), 6) AS l
+         |  FROM cents a JOIN cents b ON a.m = b.m)
+         |SELECT query_id, rank, neighbor_id, score FROM (
+         |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         |    l0.l + l1.l + l2.l + l3.l AS score,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY l0.l + l1.l + l2.l + l3.l DESC, x.vec_id) AS rank
+         |  FROM wide q JOIN wide x ON x.vec_id <> q.vec_id
+         |  JOIN lut l0 ON l0.m = 0 AND l0.ca = q.c0 AND l0.cb = x.c0
+         |  JOIN lut l1 ON l1.m = 1 AND l1.ca = q.c1 AND l1.cb = x.c1
+         |  JOIN lut l2 ON l2.m = 2 AND l2.ca = q.c2 AND l2.cb = x.c2
+         |  JOIN lut l3 ON l3.m = 3 AND l3.ca = q.c3 AND l3.cb = x.c3
+         |  WHERE q.vec_id % $QueryStride = 0) t
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+    },
     "dedup_semantic" ->
       s"""WITH cents AS (
          |  SELECT cent_id, cv::DOUBLE[] AS cv FROM read_parquet(

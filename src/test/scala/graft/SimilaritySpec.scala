@@ -111,6 +111,35 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfR >= 0.8, f"IVF recall $ivfR%.3f < 0.8 on clustered corpus")
   }
 
+  test("PQ: codes compress to M small ints; SDC top-k retrieves on clustered vectors") {
+    val corpus = clusteredCorpus
+    val truth = topkSets(Similarity.bruteForce(corpus))
+    val cents = Similarity.trainPqCodebook(corpus)
+    // a codebook per subspace, each at most PqKs entries
+    val perM = cents.groupBy("m").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perM.keySet == (0 until Similarity.PqM).map(_.toLong).toSet)
+    assert(perM.values.forall(_ <= Similarity.PqKs))
+    val pq = Similarity.pqWith(corpus, cents)
+    // SDC scores are quantized to code-pair granularity: every member of
+    // a tight cluster shares its codes, so exact top-5 identity is
+    // tie-broken, not cosine-ranked — the property a 16^4-cell quantizer
+    // DOES guarantee is cluster identity. Measure cluster precision:
+    // retrieved neighbors belong to the query's true cluster (chance = 1/8).
+    val labels = corpus.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pqSets = topkSets(pq)
+    val prec = pqSets.map { case (q, ns) =>
+      ns.count(n => labels(n) == labels(q)).toDouble / ns.size }.sum / pqSets.size
+    info(f"PQ (SDC) cluster precision on clustered corpus: $prec%.3f")
+    assert(prec >= 0.9, f"PQ cluster precision $prec%.3f < 0.9 (chance 0.125)")
+    assert(truth.nonEmpty && pqSets.keySet == truth.keySet)
+    // scores are bounded like similarities: each of the 4 lookups is a
+    // cosine in [-1, 1], so the SDC sum lives in [-PqM, PqM]
+    val s = pq.agg(min("score"), max("score")).collect()(0)
+    assert(s.getDouble(0) >= -Similarity.PqM && s.getDouble(1) <= Similarity.PqM)
+  }
+
   test("trained codebook: k-means centroids retrieve at least as well as the corpus slice at equal K") {
     // the ann_ivf_trained model contract: at the SAME centroid budget,
     // Lloyd-adapted centroids must not lose recall vs the vec_id-stride
