@@ -82,12 +82,20 @@ object ScaleUp {
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
     }
-    // events.ts is TIMESTAMP(NANOS), which a plain Spark read refuses
-    // (see Tables.events) — byte-copy preserves it exactly
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$src/events.parquet"),
-      java.nio.file.Paths.get(s"$dst/events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // events: copy i shifts user_id and event_id — each copy is a
+    // disjoint user population with identical per-user timelines, so
+    // user-keyed operator cost (sessions, transitions, anomalies, SCD2)
+    // scales linearly with copies, exactly like a larger event lake.
+    // Read through Tables.events (nanos→µs conversion); the scaled table
+    // stores a native µs timestamp, which Tables.events passes through.
+    val ev = Tables.events(spark, src)
+    (0 until copies).map { i =>
+      ev.withColumn("user_id", col("user_id") + lit(i * IdOffset))
+        .withColumn("event_id", col("event_id") + lit(i * IdOffset))
+    }.reduce(_ unionAll _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/events.parquet")
+    println(s"[scaleup] events: ${ev.count()} -> " +
+      spark.read.parquet(s"$dst/events.parquet").count())
     spark.stop()
   }
 }

@@ -49,6 +49,16 @@ case class Scd2Version(user_id: Long, event_id: Long, value: Double,
 private case class Scd2State(open: Option[(Long, Long, Double)],
                              pending: List[(Long, Long, Double)])
 
+/** An adjacent within-session event-type transition, sealed by the
+  * watermark (the streaming face of `ev_transitions`' pair stream). */
+case class Transition(user_id: Long, src: String, dst: String, ts: Timestamp)
+
+/** Per-user transition state: the last SEALED event (tsUs, type) if its
+  * session can still continue, plus buffered in-horizon events
+  * (tsUs, eventId, type). */
+private case class TransState(last: Option[(Long, String)],
+                              pending: List[(Long, Long, String)])
+
 /** Structured Streaming twins of [[graft.operators.Events]] (SURVEY §2.6).
   *
   * The batch queries define the semantics; these run the same computations
@@ -236,6 +246,57 @@ object EventStream {
             if (still.nonEmpty) // wake when the oldest buffered event seals
               state.setTimeoutTimestamp(
                 Math.floorDiv(still.map(_._1).min, 1000) + 1)
+          }
+          out.result().iterator
+      }
+  }
+
+  /** Streaming TRANSITION extraction — the keyed-state face of
+    * `ev_transitions`: emits one [[Transition]] per adjacent
+    * within-session event pair, sealed by the watermark so out-of-order
+    * arrival cannot mis-pair (an event emits its transition only when
+    * nothing can still land before it); downstream counting is an
+    * ordinary streaming aggregation over the emitted pairs.
+    *
+    * State is O(1 + in-horizon events) per user, and SELF-EVICTING: the
+    * last sealed event is dropped once the watermark moves a session gap
+    * past it — any future acceptable event would start a new session
+    * anyway (by then ts − last > gap), so eviction is semantics-exact,
+    * and idle users leave NO residue (the event-time timeout fires the
+    * eviction even with no further traffic). */
+  def transitions(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", WatermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[TransState]) =>
+          val st = state.getOption.getOrElse(TransState(None, Nil))
+          val pending = st.pending ++
+            batch.map(e => (toMicros(e.ts), e.event_id, e.event_type))
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          val (ripe, still) = pending.partition(_._1 < wmUs)
+          var last = st.last
+          val out = List.newBuilder[Transition]
+          for (e <- ripe.sortBy(t => (t._1, t._2))) {
+            last match {
+              case Some((lt, ls)) if e._1 - lt <= SessionGapUs =>
+                out += Transition(userId, ls, e._3, fromMicros(e._1))
+              case _ => () // session start — no incoming transition
+            }
+            last = Some((e._1, e._3))
+          }
+          // drop `last` once no acceptable future event can continue its
+          // session; keep it (with a wake-up) while it could still pair
+          val lastAlive = last.exists { case (lt, _) => wmUs - lt <= SessionGapUs }
+          if (still.isEmpty && !lastAlive) state.remove()
+          else {
+            state.update(TransState(if (lastAlive) last else None, still))
+            val wake =
+              if (still.nonEmpty) still.map(_._1).min
+              else last.get._1 + SessionGapUs
+            state.setTimeoutTimestamp(Math.floorDiv(wake, 1000) + 1)
           }
           out.result().iterator
       }

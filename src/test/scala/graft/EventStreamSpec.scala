@@ -450,6 +450,37 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transitions replaying the whole events table converge to the batch matrix") {
+    val s = spark
+    import s.implicits._
+    val batchDf = Tables.events(spark, sf)
+    val evs = batchDf
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq.sortBy(_.ts.getTime)
+    val input = MemoryStream[Event](s)
+    val q = EventStream.transitions(input.toDS())
+      .writeStream.format("memory").queryName("transtream").outputMode("append").start()
+    try {
+      evs.grouped(evs.size / 3 + 1).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      // sentinels advance the watermark past every real event and fire
+      // the armed event-time timeouts (sentinel user excluded below)
+      val far = evs.map(_.ts.getTime).max
+      input.addData(Event(900001L, new Timestamp(far + 48L * 3600 * 1000), 999999L, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(900002L, new Timestamp(far + 96L * 3600 * 1000), 999999L, "view", 0.0))
+      q.processAllAvailable()
+      // streamed pair multiset, aggregated == the batch matrix's counts
+      val got = s.sql(
+        """SELECT src, dst, count(*) AS n FROM transtream
+          |WHERE user_id < 999999 GROUP BY src, dst""".stripMargin)
+      val want = graft.operators.Events.transitions(batchDf).select("src", "dst", "n")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"stream/batch transitions divergence: stream=${got.count()} batch=${want.count()}")
+    } finally q.stop()
+  }
+
   test("streaming funnel flags replaying the whole events table converge to the batch funnel") {
     val s = spark
     import s.implicits._

@@ -74,6 +74,37 @@ class EventStreamStateBoundSpec extends SparkSpec {
     assert(long <= 41L, s"state rows $long exceed user count (+sentinel)")
   }
 
+  test("transitions state self-evicts: zero residue after the session-gap horizon passes") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[Event](s)
+    val q = EventStream.transitions(input.toDS()).toDF()
+      .writeStream.format("memory").queryName("sb_trans").outputMode("append").start()
+    try {
+      val users = 50
+      var id = 0L
+      val evs = for (u <- 1 to users; i <- 0 until 10) yield {
+        id += 1; Event(id, ts(i * 60L + u), u, if (i % 2 == 0) "view" else "click", 1.0)
+      }
+      evs.grouped(200).foreach { c => input.addData(c); q.processAllAvailable() }
+      // during the burst every user holds state (last event + pending)
+      assert(peakStateRows(q) >= users, s"peak ${peakStateRows(q)} < $users")
+      // sentinels: watermark moves hours past every event AND past each
+      // user's session-gap horizon; the second batch fires the armed
+      // eviction timeouts — state must drop to the sentinel user alone
+      input.addData(Event(id + 1, ts(3600L * 8), 999999L, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(id + 2, ts(3600L * 16), 999999L, "view", 0.0))
+      q.processAllAvailable()
+      val residual = finalStateRows(q)
+      assert(residual <= 1L, s"transitions state left $residual rows (want <=1 sentinel)")
+      // and the emitted pairs are complete: 9 transitions per user
+      val n = s.sql("SELECT count(*) FROM sb_trans WHERE user_id < 999999")
+        .collect()(0).getLong(0)
+      assert(n == users * 9L, s"emitted $n transitions, want ${users * 9}")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark state evicts once the watermark passes") {
     val s = spark
     import s.implicits._
