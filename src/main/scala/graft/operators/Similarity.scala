@@ -397,17 +397,41 @@ object Similarity {
     * the whole stage is n·√n worst-case — the SemDeDup trick that makes
     * corpus-scale semantic dedup affordable vs all-pairs n². Shares the
     * persisted codebook fixture with [[ivfTrained]]. */
-  /** Top-1 trained-codebook cell per vector — broadcast n·K pass, rank
+  /** Top-n trained-codebook cells per vector — broadcast n·K pass, rank
     * window over skinny triples. Input: (vec_id, v); output:
-    * (vec_id, cell). Shared by [[semanticDedup]] and the streaming
-    * corpus refresh ([[graft.streaming.CorpusStream.incrementalSemantic]]). */
-  private[graft] def cellAssign(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    * (vec_id, cell), up to `n` rows per vector. n=1 is cell ASSIGNMENT
+    * ([[cellAssign]]); n=[[NProbe]] is query PROBING ([[ivfCandidates]]). */
+  private[graft] def nearestCells(corpus: DataFrame, cents: DataFrame, n: Int): DataFrame = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
     val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
     corpus.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"), cosine(col("v"), col("cv")).as("ccos"))
-      .withColumn("crn", row_number().over(w)).where(col("crn") === 1)
+      .withColumn("crn", row_number().over(w)).where(col("crn") <= n)
       .select(col("vec_id"), col("cent_id").as("cell"))
+  }
+
+  /** Top-1 trained-codebook cell per vector. Shared by [[semanticDedup]],
+    * [[ivfCandidates]], and the streaming corpus refresh
+    * ([[graft.streaming.CorpusStream.incrementalSemantic]]). */
+  private[graft] def cellAssign(corpus: DataFrame, cents: DataFrame): DataFrame =
+    nearestCells(corpus, cents, 1)
+
+  /** IVF-restricted (query_id, neighbor_id) candidate pairs: each query
+    * probes its [[NProbe]] nearest cells and meets only the vectors
+    * ASSIGNED there — the inverted-file candidate source shared (in
+    * shape) with [[ivfRank]], reused by IVFPQ ([[pqCells]]) so the PQ
+    * scan stops being all-pairs. Work: two broadcast n·K passes + a
+    * join on cell of width n/K ≈ √n — never corpus×corpus. */
+  private[graft] def ivfCandidates(em: DataFrame, ivfCents: DataFrame): DataFrame = {
+    val corpus = corpusVecs(em)
+    val assign = cellAssign(corpus, ivfCents)
+      .select(col("vec_id").as("neighbor_id"), col("cell"))
+    val probes = nearestCells(
+        corpus.where(col("vec_id") % QueryStride === 0), ivfCents, NProbe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    probes.join(assign, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
   }
 
   /** (vec_id, v) projection shared by the cell-confined operators. */
@@ -463,36 +487,58 @@ object Similarity {
       .select(col("vec_id"), col("m"), col("cent_id").as("code"))
   }
 
-  /** `ann_pq`: PRODUCT-QUANTIZED ANN (Jégou et al. 2011) with
-    * symmetric-distance (SDC) scoring: corpus and queries are both
-    * PQ-encoded, and a pair's similarity is the sum of [[PqM]]
-    * per-subspace LOOKUPS in a precomputed centroid-pair table — no
-    * per-pair vector arithmetic at all. Approximation is part of the
-    * gated semantics (the oracle quantizes identically); recall vs
-    * brute force is spec-measured on the clustered corpus.
+  /** `ann_pq`: IVFPQ — PRODUCT-QUANTIZED ANN (Jégou et al. 2011) with
+    * symmetric-distance (SDC) scoring over INVERTED-FILE candidates:
+    * corpus and queries are both PQ-encoded, each query meets only the
+    * vectors assigned to its [[NProbe]] nearest trained-codebook cells
+    * ([[ivfCandidates]] — the same persisted IVF codebook as
+    * `ann_ivf_trained`/`dedup_semantic`), and a candidate pair's
+    * similarity is the sum of [[PqM]] per-subspace LOOKUPS in a
+    * precomputed centroid-pair table — no per-pair vector arithmetic.
+    * Approximation is part of the gated semantics (the oracle restricts
+    * candidates and quantizes identically); retrieval quality is
+    * spec-measured on the clustered corpus in both noise regimes.
     *
     * Cross-engine determinism: each LUT entry rounds its centroid-pair
     * cosine at 6dp; a pair's score is the FIXED-ORDER 4-term double sum
     * l0+l1+l2+l3 of identical operands — bit-identical in both engines,
-    * so ranking (score desc, neighbor_id) is too.
+    * so ranking (score desc, neighbor_id) is too. Cell assignment ranks
+    * the same persisted-float cosines `ann_ivf_trained` already gates.
     *
-    * Scale shape: sub-codebooks and the LUT are O(M·Ks²) — broadcast;
-    * encoding is one broadcast pass + a skinny top-1 window; the scan
-    * scores n_q·n CODE pairs (4 lookups each, vs 64 multiplies for raw
-    * cosine) over 4-int rows instead of 256-byte vectors. At 100 TB the
-    * candidate set composes with IVF cells ([[ivfWith]]) for IVFPQ —
-    * the composition changes only which (query, neighbor) pairs enter
-    * the lookup join. */
+    * Scale shape (the reason IVFPQ is how billion-vector indexes run):
+    * sub-codebooks and the LUT are O(M·Ks²) — broadcast; encoding is one
+    * broadcast pass + a skinny top-1 window; candidates are
+    * queries·NProbe·(n/K) ≈ n·√n/50 CODE pairs (4 lookups each) over
+    * 4-int rows — never the n²/50 all-pairs scan this replaced (r6's
+    * one flagged scale-killer). */
   def pqTopK(s: SparkSession, d: String): DataFrame = {
-    val dir = pqCodebookPath(d)
-    if (!graft.sources.Fixtures.ready(dir))
-      persistPqCodebook(Tables.embeddings(s, d), dir)
-    pqWith(Tables.embeddings(s, d), readPqCodebook(s, dir))
+    val em = Tables.embeddings(s, d)
+    val pqDir = pqCodebookPath(d)
+    if (!graft.sources.Fixtures.ready(pqDir)) persistPqCodebook(em, pqDir)
+    val ivfDir = codebookPath(d)
+    if (!graft.sources.Fixtures.ready(ivfDir)) persistCodebook(em, ivfDir)
+    pqCells(em, readCodebook(s, ivfDir), readPqCodebook(s, pqDir))
   }
 
+  /** IVFPQ over explicit codebook frames — the gated core of [[pqTopK]],
+    * spec-runnable on synthetic corpora without fixtures. */
+  private[graft] def pqCells(em: DataFrame, ivfCents: DataFrame, pqCents: DataFrame): DataFrame =
+    pqRank(em, pqCents, ivfCandidates(em, ivfCents))
+
+  /** EXHAUSTIVE SDC (every query × the whole corpus) — spec-only
+    * baseline isolating quantization error from cell-restriction error
+    * (the recall spec compares [[pqCells]] against it). Not gated, not
+    * a scale path. */
+  private[graft] def pqWith(em: DataFrame, cents0: DataFrame): DataFrame =
+    pqRank(em, cents0,
+      broadcast(em.where(col("vec_id") % QueryStride === 0)
+          .select(col("vec_id").as("query_id")))
+        .join(em.select(col("vec_id").as("neighbor_id")),
+          col("query_id") =!= col("neighbor_id")))
+
   /** SDC encode-and-rank over an explicit (m, cent_id, cv) sub-codebook
-    * frame — the shared core of [[pqTopK]] and the recall spec. */
-  private[graft] def pqWith(em: DataFrame, cents0: DataFrame): DataFrame = {
+    * frame and an explicit (query_id, neighbor_id) candidate source. */
+  private def pqRank(em: DataFrame, cents0: DataFrame, cand: DataFrame): DataFrame = {
     // exact float→double widening, whether cents come from the persisted
     // fixture or straight from the trainer
     val cents = cents0.select(col("m"), col("cent_id"), vec(col("cv")).as("cv"))
@@ -507,8 +553,10 @@ object Similarity {
     val qCols = col("vec_id").as("query_id") +:
       (0 until PqM).map(m => col(s"c$m").as(s"q$m"))
     val q = wide.where(col("vec_id") % QueryStride === 0).select(qCols: _*)
-    var pairs = broadcast(q).join(wide.withColumnRenamed("vec_id", "neighbor_id"),
-      col("query_id") =!= col("neighbor_id"))
+    // query codes broadcast; the neighbor-side join shuffles only the
+    // skinny (query_id, neighbor_id) + 4-code rows
+    var pairs = cand.join(broadcast(q), "query_id")
+      .join(wide.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
     for (m <- 0 until PqM)
       pairs = pairs.join(
         broadcast(lut.where(col("m") === m)
@@ -755,8 +803,31 @@ object Similarity {
       codebookPath(graft.Dials.sfDir.getOrElse("/root/testdata/sf0.001"))),
     "ann_pq" -> {
       val dir = pqCodebookPath(graft.Dials.sfDir.getOrElse("/root/testdata/sf0.001"))
+      val ivfDir = codebookPath(graft.Dials.sfDir.getOrElse("/root/testdata/sf0.001"))
+      // IVFPQ: the cand CTEs mirror ivfCandidates (assign top-1 / probe
+      // NProbe over the SAME persisted IVF codebook ann_ivf_trained
+      // gates); scoring mirrors the SDC lookup sum over those pairs only.
       s"""WITH cents AS (
          |  SELECT m, cent_id, cv::DOUBLE[] AS cv FROM read_parquet('$dir/*.parquet')),
+         |icents AS (
+         |  SELECT cent_id, cv::DOUBLE[] AS cv FROM read_parquet('$ivfDir/*.parquet')),
+         |assign AS (
+         |  SELECT vec_id AS neighbor_id, cell FROM (
+         |    SELECT e.vec_id, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.$V, c.cv) DESC, c.cent_id) AS crn
+         |    FROM embeddings e, icents c) a WHERE crn = 1),
+         |probes AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT q.vec_id AS query_id, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.$V, c.cv) DESC, c.cent_id) AS crn
+         |    FROM embeddings q, icents c WHERE q.vec_id % $QueryStride = 0) p
+         |  WHERE crn <= $NProbe),
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, a.neighbor_id
+         |  FROM probes p JOIN assign a ON a.cell = p.cell
+         |  WHERE a.neighbor_id <> p.query_id),
          |sub AS (
          |  SELECT vec_id, m, list_slice($V, m * $PqSub + 1, m * $PqSub + $PqSub) AS vm
          |  FROM embeddings, unnest([0, 1, 2, 3]) AS mm(m)),
@@ -778,16 +849,17 @@ object Similarity {
          |    round(list_cosine_similarity(a.cv, b.cv), 6) AS l
          |  FROM cents a JOIN cents b ON a.m = b.m)
          |SELECT query_id, rank, neighbor_id, score FROM (
-         |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         |  SELECT cd.query_id, cd.neighbor_id,
          |    l0.l + l1.l + l2.l + l3.l AS score,
-         |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY l0.l + l1.l + l2.l + l3.l DESC, x.vec_id) AS rank
-         |  FROM wide q JOIN wide x ON x.vec_id <> q.vec_id
+         |    row_number() OVER (PARTITION BY cd.query_id
+         |      ORDER BY l0.l + l1.l + l2.l + l3.l DESC, cd.neighbor_id) AS rank
+         |  FROM cand cd
+         |  JOIN wide q ON q.vec_id = cd.query_id
+         |  JOIN wide x ON x.vec_id = cd.neighbor_id
          |  JOIN lut l0 ON l0.m = 0 AND l0.ca = q.c0 AND l0.cb = x.c0
          |  JOIN lut l1 ON l1.m = 1 AND l1.ca = q.c1 AND l1.cb = x.c1
          |  JOIN lut l2 ON l2.m = 2 AND l2.ca = q.c2 AND l2.cb = x.c2
-         |  JOIN lut l3 ON l3.m = 3 AND l3.ca = q.c3 AND l3.cb = x.c3
-         |  WHERE q.vec_id % $QueryStride = 0) t
+         |  JOIN lut l3 ON l3.m = 3 AND l3.ca = q.c3 AND l3.cb = x.c3) t
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
     },
     "dedup_semantic" ->

@@ -140,6 +140,48 @@ class SimilaritySpec extends SparkSpec {
     assert(s.getDouble(0) >= -Similarity.PqM && s.getDouble(1) <= Similarity.PqM)
   }
 
+  test("IVFPQ recall curve, both regimes: cell restriction loses little vs exhaustive SDC; floors hold") {
+    // the gated ann_pq path (pqCells) vs the spec-only exhaustive SDC
+    // scan (pqWith) it replaced: same codes, same LUT — only the
+    // candidate source differs. Measured in both noise regimes so the
+    // SDC-granularity trade is a number, not a claim.
+    def measure(noise: Double): (Double, Double, Double, Double) = {
+      val corpus = clusteredCorpus(noise)
+      val truth = topkSets(Similarity.bruteForce(corpus))
+      val labels = corpus.select("vec_id", "label").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      def recall(approx: Map[Long, Set[Long]]): Double = {
+        val per = truth.map { case (q, t) =>
+          approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+        per.sum / per.size
+      }
+      def precision(approx: Map[Long, Set[Long]]): Double = {
+        val per = approx.map { case (q, ns) =>
+          ns.count(n => labels(n) == labels(q)).toDouble / ns.size }
+        per.sum / per.size
+      }
+      val pqCents = Similarity.trainPqCodebook(corpus)
+      val ivfCents = Similarity.trainCodebook(corpus)
+      val cells = topkSets(Similarity.pqCells(corpus, ivfCents, pqCents))
+      val exhaustive = topkSets(Similarity.pqWith(corpus, pqCents))
+      (recall(cells), recall(exhaustive), precision(cells), precision(exhaustive))
+    }
+    val (cellsTight, exTight, pCellsTight, pExTight) = measure(0.1)
+    info(f"tight: IVFPQ recall=$cellsTight%.3f exhaustive=$exTight%.3f " +
+      f"precision=$pCellsTight%.3f/$pExTight%.3f")
+    val (cellsLoose, exLoose, pCellsLoose, pExLoose) = measure(0.4)
+    info(f"loose: IVFPQ recall=$cellsLoose%.3f exhaustive=$exLoose%.3f " +
+      f"precision=$pCellsLoose%.3f/$pExLoose%.3f")
+    // cluster precision floor holds in BOTH regimes for the gated path
+    assert(pCellsTight >= 0.9, f"tight IVFPQ cluster precision $pCellsTight%.3f < 0.9")
+    assert(pCellsLoose >= 0.5, f"loose IVFPQ cluster precision $pCellsLoose%.3f < 0.5 (chance 0.125)")
+    // the cell restriction must not collapse recall vs the exhaustive scan
+    assert(cellsTight >= exTight - 0.1,
+      f"tight: cell restriction lost recall: $cellsTight%.3f vs exhaustive $exTight%.3f")
+    assert(cellsLoose >= exLoose - 0.1,
+      f"loose: cell restriction lost recall: $cellsLoose%.3f vs exhaustive $exLoose%.3f")
+  }
+
   test("trained codebook: k-means centroids retrieve at least as well as the corpus slice at equal K") {
     // the ann_ivf_trained model contract: at the SAME centroid budget,
     // Lloyd-adapted centroids must not lose recall vs the vec_id-stride
