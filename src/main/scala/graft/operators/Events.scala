@@ -336,9 +336,14 @@ object Events {
     * reuses the second shuffle's partitioning. */
   def anomalies(ev: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // round(…, 0) BEFORE the long cast: explicit half-away-from-zero in
+    // both engines (Spark decimal→long truncates, DuckDB's bare CAST
+    // rounds — they agreed only because purchase values are cents-exact;
+    // sub-cent data would have silently diverged the gate)
     val daily = ev.where(col("event_type") === "purchase")
       .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
-      .agg((sum(col("value").cast(DecimalType(28, 10))) * 100).cast("long").as("xc"))
+      .agg(round(sum(col("value").cast(DecimalType(28, 10))) * 100, 0)
+        .cast("long").as("xc"))
     val stats = daily.groupBy("user_id")
       .agg(count(lit(1)).as("n"), sum("xc").as("s"),
         sum(col("xc") * col("xc")).as("q"))
@@ -586,7 +591,7 @@ object Events {
     "ev_anomaly" ->
       """WITH daily AS (
         |  SELECT user_id, date_trunc('day', ts) AS day,
-        |    CAST(SUM(CAST(value AS DECIMAL(28,10))) * 100 AS BIGINT) AS xc
+        |    CAST(round(SUM(CAST(value AS DECIMAL(28,10))) * 100, 0) AS BIGINT) AS xc
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
         |st AS (
         |  SELECT user_id, count(*) AS n, CAST(sum(xc) AS BIGINT) AS s,

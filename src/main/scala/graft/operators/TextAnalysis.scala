@@ -568,7 +568,15 @@ object TextAnalysis {
       .join(bi, Seq("w1", "w2"), "left")
       .join(uni.select(col("w").as("w1"), col("n_uni").as("n_w1")), Seq("w1"), "left")
       .join(uni.select(col("w").as("w2"), col("n_uni").as("n_w2")), Seq("w2"), "left")
-      .crossJoin(broadcast(trainTok.agg(count(lit(1)).as("n_tot"))))
+      .crossJoin(broadcast(trainTok.agg(count(lit(1)).as("n_tot"))
+        // fail LOUDLY if the md5 split left the train slice empty (tiny
+        // corpus): n_tot=0 would make every backoff lp NULL here while
+        // DuckDB's double division yields -inf — a silent engine
+        // divergence instead of an error
+        .select(when(col("n_tot") > 0, col("n_tot"))
+          .otherwise(raise_error(lit(
+            "bigramLogProb: empty train split — corpus below the LmTrainPct minimum")))
+          .as("n_tot"))))
       .select(col("doc_id"),
         when(col("n_bi").isNotNull, round(log(col("n_bi") / col("n_w1")), 6))
           .otherwise(round(log(

@@ -92,13 +92,19 @@ object WordCount {
     * [[TopCooc]] pairs annotated with pointwise mutual information
     * ln((n/N_pairs) / ((n_w1/N_tok)(n_w2/N_tok))).
     *
-    * Scale: pair construction is a map-only zip per window offset (the
-    * [[bigramCount]] shape, [[CoWindow]]× the fan-out); the count
-    * shuffle carries the pair vocabulary with map-side combine; PMI
-    * joins unigram counts AFTER the top-k cut, so the vocabulary join
-    * touches [[TopCooc]] rows, never the pair table. PMI's value is one
-    * chained double expression evaluated in the same order by both
-    * engines, rounded at 6dp where they agree. */
+    * Scale: ONE tokenize pass — each doc's explode emits both its
+    * unigram witnesses (kind 0, (w, "")) and its window pairs (kind 1)
+    * — and ONE count shuffle (map-side combine over the combined
+    * vocabulary) produce a count table that is persisted so the top-k
+    * cut, the unigram joins, and BOTH corpus totals (n_tok/n_pairs are
+    * sums over the vocabulary-sized count table, never corpus
+    * re-scans) read the same single-scan result. Before r7 this was
+    * three tokenize+explode passes; the cache holds counts, not text.
+    * PMI joins unigram counts AFTER the top-k cut, so the vocabulary
+    * join touches [[TopCooc]] rows, never the pair table. PMI's value
+    * is one chained double expression evaluated in the same order by
+    * both engines, rounded at 6dp where they agree. The cache obeys
+    * the suite's caller-must-clear contract ([[graft.Cleanup]]). */
   def cooccur(docs: DataFrame): DataFrame = {
     val ws = filter(split(col("text"), TokenRe), w => w =!= "")
     def pairsAt(k: Int): Column = {
@@ -106,18 +112,24 @@ object WordCount {
       zip_with(slice(ws, lit(1), n), slice(ws, lit(1 + k), n),
         (a, b) => struct(least(a, b).as("w1"), greatest(a, b).as("w2")))
     }
-    val pairs = docs
-      .select(explode(concat((1 to CoWindow).map(pairsAt): _*)).as("p"))
+    // tokens ride the same explode as pairs, flagged by empty w2 (a
+    // real token is never "" — the filter above — so no collision)
+    val toks = transform(ws, w => struct(w.as("w1"), lit("").as("w2")))
+    val counts = docs
+      .select(explode(concat(toks +: (1 to CoWindow).map(pairsAt): _*)).as("p"))
       .select(col("p.w1"), col("p.w2"))
-    val top = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .persist()
+    val pairCounts = counts.where(col("w2") =!= "")
+    val top = pairCounts.select("w1", "w2", "n")
       .orderBy(col("n").desc, col("w1"), col("w2")).limit(TopCooc)
-    val docsTok = docs.select(explode(ws).as("word"))
-    val uni = docsTok.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val uni = counts.where(col("w2") === "")
+      .select(col("w1").as("word"), col("n").as("cnt"))
     broadcast(top)
       .join(uni.select(col("word").as("w1"), col("cnt").as("n_w1")), "w1")
       .join(uni.select(col("word").as("w2"), col("cnt").as("n_w2")), "w2")
-      .crossJoin(broadcast(docsTok.agg(count(lit(1)).as("n_tok"))))
-      .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
+      .crossJoin(broadcast(uni.agg(sum(col("cnt")).as("n_tok"))))
+      .crossJoin(broadcast(pairCounts.agg(sum(col("n")).as("n_pairs"))))
       .select(col("w1"), col("w2"), col("n"),
         round(log(col("n") * lit(1.0) * col("n_tok") * col("n_tok")
           / col("n_pairs") / col("n_w1") / col("n_w2")), 6).as("pmi"))

@@ -13,6 +13,24 @@ class EventsSpec extends SparkSpec {
     assert(ev.where(year(col("ts")) =!= 2024).count() == 0)
   }
 
+  test("Tables.events LongType branch: ns→µs is exact integer division past 2^53") {
+    // Pins the nanos conversion path independent of the driver fixture
+    // (ScaleUp-scaled dirs store native µs timestamps since r6, so a
+    // scale run alone no longer exercises this branch). ns epoch values
+    // exceed 2^53 — a float divide would corrupt the low digits.
+    val s = spark
+    import s.implicits._
+    val ns = Seq(1700000000123456789L, 1700000000123457123L, 9223372036854775000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_nanos_test").toString
+    ns.map(n => (1L, n)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Tables.events(spark, dir)
+    assert(got.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    val micros = got.select(unix_micros(col("ts"))).collect().map(_.getLong(0)).sorted
+    assert(micros.toSeq == ns.map(_ / 1000L).sorted,
+      s"expected exact ns div 1000, got ${micros.toSeq}")
+  }
+
   test("sessionize: events partition into sessions; counts sum to total") {
     val s = Events.sessionize(ev)
     val total = s.agg(sum("n_events")).collect()(0).getLong(0)

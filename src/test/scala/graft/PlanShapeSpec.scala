@@ -235,6 +235,53 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(pp) == 2, s"ev_paths should shuffle twice (user window + path count):\n$pp")
   }
 
+  test("wc_cooccur: ONE tokenize pass — every consumer reads the cached count table") {
+    // r6 shape re-exploded the corpus three times (pairs, unigrams,
+    // totals); r7 funnels everything through one persisted count table.
+    // The executed plan must read the corpus parquet at most once (the
+    // cache fill) and serve every other consumer from InMemoryTableScan.
+    // node-walk (not plan text: the printer re-prints the cached
+    // fragment under every InMemoryTableScan): zero FileSourceScans in
+    // the consumer tree — the only corpus read is the cache fill inside
+    // the InMemoryRelation
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case _                        => p.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    val df = SparkEntry.queries("wc_cooccur")(spark, sf)
+    try {
+      val ns = nodes(df.queryExecution.executedPlan)
+      val cacheReads = ns.count(_.isInstanceOf[InMemoryTableScanExec])
+      val fileScans = ns.count(_.isInstanceOf[FileSourceScanExec])
+      assert(cacheReads >= 4,
+        s"top-k, two unigram joins, and both totals should read the cache, got $cacheReads")
+      assert(fileScans == 0,
+        s"no consumer may re-scan the corpus parquet, got $fileScans file scans")
+    } finally Cleanup.releaseAll(spark)
+  }
+
+  test("q35_salted_hot: hot/cold union — one explode on the hot dim slice only, two joins") {
+    // the RECOMMENDED skew shape (vs q20's whole-dim mechanism demo):
+    // the dim replicates ONLY its hot rows (one explode, fed by the
+    // hot-key filter), the cold remainder joins plain, and the two
+    // halves union before the aggregate.
+    val p = plan(SparkEntry.queries("q35_salted_hot")(spark, sf))
+    assert(p.contains("Union"), s"expected hot/cold union:\n$p")
+    assert("Generate explode".r.findAllIn(p).length == 1,
+      s"exactly one salt explode (the hot dim slice), not whole-dim:\n$p")
+    assert("Join".r.findAllIn(p).length >= 2,
+      s"expected the salted hot join AND the plain cold join:\n$p")
+    // both fact slices carry the hot-key membership filter (IN / NOT IN)
+    assert(p.contains(" IN ") || p.contains("INSET"), s"expected hot-key filters:\n$p")
+  }
+
   test("no query in the suite plans a partition-less (single-task) window") {
     // The scale test the r4 audit flagged: Window.orderBy without
     // partitionBy funnels the whole input through ONE task. q31_ntile
