@@ -49,9 +49,13 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *    batch's OWN bands in the index, but every (new↔own-batch) pair it
   *    yields canonicalizes onto a self-join pair and the `distinct`
   *    collapses it — the pair set is again identical;
-  *  - the clusters sink's label rewrite is a whole-table `Overwrite`
-  *    whose fixpoint fold is idempotent under re-added edges (re-folding
-  *    the same pairs into already-folded components is a no-op).
+  *  - the clusters sink's label rewrite lands in a per-batch VERSION
+  *    directory ([[readLabels]]: readers take the highest `_SUCCESS`-
+  *    marked version, so a crash mid-rewrite can never lose the table —
+  *    r7; a flat whole-table `Overwrite` had a delete-to-commit window
+  *    where the labels were gone), and its fixpoint fold is idempotent
+  *    under re-added edges (re-folding the same pairs into
+  *    already-folded components is a no-op).
   *
   * Spec: CorpusStreamSpec re-invokes each batch function with a
   * repeated batchId and asserts the index, pair set, and labels are
@@ -64,6 +68,46 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * affordable.
   */
 object CorpusStream {
+
+  /** Seed the stored cluster labels from the existing corpus, as version
+    * `v_-1` of the crash-consistent label layout (see [[readLabels]]). */
+  def seedLabels(existing: DataFrame, labelsPath: String): Unit =
+    Dedup.minhashClustersLS(existing).write
+      .mode(SaveMode.Overwrite).parquet(s"$labelsPath/v_-1")
+
+  /** Latest COMMITTED label version. The labels table is rewritten whole
+    * every micro-batch (the one corpus-sized output of the refresh
+    * loop); a flat `Overwrite` of one directory would have a crash
+    * window between its delete and its commit where the table is simply
+    * GONE — state the restart cannot recover. Instead every rewrite
+    * lands in its own `v_<batchId>` subdirectory and readers take the
+    * highest version whose `_SUCCESS` marker exists: a crash mid-write
+    * leaves a partial, marker-less directory that every reader ignores,
+    * and the replayed batch overwrites it in place. */
+  def readLabels(spark: SparkSession, labelsPath: String): DataFrame =
+    spark.read.parquet(s"$labelsPath/${latestLabelVersion(labelsPath)._2}")
+
+  private def latestLabelVersion(labelsPath: String): (Long, String) = {
+    val versions = Option(new java.io.File(labelsPath).listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.startsWith("v_") &&
+        new java.io.File(d, "_SUCCESS").exists())
+      .map(d => (d.getName.stripPrefix("v_").toLong, d.getName))
+    require(versions.nonEmpty, s"no committed label version under $labelsPath")
+    versions.maxBy(_._1)
+  }
+
+  /** Keep the just-committed version plus its predecessor (the replay
+    * safety margin); delete older ones. Runs AFTER the new version's
+    * commit, so a crash here at worst leaves an extra old version. */
+  private def pruneLabels(labelsPath: String, committed: Long): Unit = {
+    val keep = latestLabelVersion(labelsPath) // committed, by construction
+    Option(new java.io.File(labelsPath).listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.startsWith("v_") &&
+        d.getName != keep._2 && d.getName.stripPrefix("v_").toLong < committed)
+      .sortBy(-_.getName.stripPrefix("v_").toLong)
+      .drop(1) // retain the newest survivor as the predecessor margin
+      .foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(d))
+  }
 
   /** Seed the stored band index from the existing corpus, under the same
     * `batch_id` partition layout the stream's micro-batches use (the
@@ -92,6 +136,19 @@ object CorpusStream {
     (now.keySet -- before).foreach(id => now.get(id).foreach(_.unpersist(false)))
   }
 
+  /** Serializes micro-batch bodies across ALL this object's sinks on one
+    * JVM. The pinned-set diff above attributes every block pinned during
+    * a batch to THAT batch — run two sinks' batches concurrently on one
+    * SparkContext (e.g. the document and embedding refresh queries of
+    * the full topology) and each release would free the OTHER query's
+    * live checkpoint blocks (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND,
+    * reproduced by CorpusStreamSpec's full-topology kill-and-restart
+    * before this lock existed). Separate Spark applications — the
+    * cluster deployment — have separate block managers and never
+    * contend; in-JVM co-residence trades batch overlap for a release
+    * discipline that can never free another query's state. */
+  private val batchLock = new Object
+
   /** One micro-batch's candidate pairs: broadcast probe of the stored
     * index (new↔existing) ∪ within-batch self-join (new↔new). */
   private def probePairs(bands: DataFrame, index: DataFrame): DataFrame = {
@@ -114,7 +171,7 @@ object CorpusStream {
     * running it twice with the same `batchId` leaves the pairs table and
     * band index exactly as one delivery would. */
   private[graft] def dedupBatch(batch: DataFrame, batchId: Long,
-                                indexPath: String, pairsPath: String): Unit = {
+                                indexPath: String, pairsPath: String): Unit = batchLock.synchronized {
     val spark = batch.sparkSession
     val pinned = spark.sparkContext.getPersistentRDDs.keySet
     // computed once, used three times (probe, self-join, index fold)
@@ -137,7 +194,7 @@ object CorpusStream {
     * (same idempotence contract as [[dedupBatch]], plus the label
     * rewrite whose fold is a no-op on re-sent edges). */
   private[graft] def clustersBatch(batch: DataFrame, batchId: Long, indexPath: String,
-                                   labelsPath: String, pairsPath: String): Unit = {
+                                   labelsPath: String, pairsPath: String): Unit = batchLock.synchronized {
     val spark = batch.sparkSession
     val pinned = spark.sparkContext.getPersistentRDDs.keySet
     val bands = Dedup.minhashBanded(batch).localCheckpoint(true)
@@ -146,15 +203,20 @@ object CorpusStream {
         .localCheckpoint(true)
       foldBatch(pairs, batchId, pairsPath)
       foldBatch(bands, batchId, indexPath)
-      val labels = spark.read.parquet(labelsPath)
+      // on replay this reads the replay's OWN committed fold — the star
+      // edges then already encode the final components, and re-adding
+      // the (identical) pairs is a no-op for connectedComponents
+      val labels = readLabels(spark, labelsPath)
       val stars = labels.where(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
       val ids = labels.select("doc_id").unionAll(batch.select("doc_id")).distinct()
-      // checkpoint BEFORE overwriting the path the plan read from
-      val folded = Dedup.connectedComponents(
+      // checkpoint BEFORE the overwrite: on replay the version read and
+      // the version written are the SAME directory (v_<batchId>)
+      Dedup.connectedComponents(
           ids, stars.unionAll(pairs.select("doc_a", "doc_b")).distinct())
         .localCheckpoint(true)
-      folded.write.mode(SaveMode.Overwrite).parquet(labelsPath)
+        .write.mode(SaveMode.Overwrite).parquet(s"$labelsPath/v_$batchId")
+      pruneLabels(labelsPath, batchId)
     } finally releaseSince(spark, pinned)
   }
 
@@ -193,7 +255,7 @@ object CorpusStream {
   /** The semantic sink's micro-batch body, exposed for the replay spec
     * (same idempotence contract as [[dedupBatch]]). */
   private[graft] def semanticBatch(batch: DataFrame, batchId: Long, cents: DataFrame,
-                                   indexPath: String, pairsPath: String): Unit = {
+                                   indexPath: String, pairsPath: String): Unit = batchLock.synchronized {
     val spark = batch.sparkSession
     val pinned = spark.sparkContext.getPersistentRDDs.keySet
     val corpus = Similarity.corpusVecs(batch)

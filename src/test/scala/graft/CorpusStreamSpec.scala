@@ -69,7 +69,7 @@ class CorpusStreamSpec extends SparkSpec {
     val pairsPath = s"$tmp/pairs"
     // seed the stored state from the existing corpus, as production would
     CorpusStream.seedIndex(existing, indexPath)
-    Dedup.minhashClustersLS(existing).write.parquet(labelsPath)
+    CorpusStream.seedLabels(existing, labelsPath)
     Cleanup.releaseAll(spark) // the seeding run's caller-must-clear
 
     val fresh = freshDf.select("doc_id", "text", "lang", "source", "n_chars")
@@ -87,7 +87,7 @@ class CorpusStreamSpec extends SparkSpec {
       "stream left checkpoint blocks resident")
 
     // stored labels now equal clustering the WHOLE corpus from scratch
-    val got = spark.read.parquet(labelsPath)
+    val got = CorpusStream.readLabels(spark, labelsPath)
       .select("doc_id", "cluster_id", "is_canonical")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val want = Dedup.minhashClustersLS(docs)
@@ -185,6 +185,104 @@ class CorpusStreamSpec extends SparkSpec {
       Dedup.minhashBanded(docs).select("doc_id").distinct().count())
   }
 
+  test("FULL corpus-refresh topology survives kill-and-restart: clusters + semantic resume from checkpoints and converge") {
+    // The whole production topology at once — bands + cluster labels
+    // (documents) and cell-confined semantic pairs (embeddings) as TWO
+    // checkpointed file-source queries — killed twice: once at a clean
+    // micro-batch boundary, once MID-STREAM (stop() issued right after
+    // start, without draining — wherever that lands, Structured
+    // Streaming replays the uncommitted batch into the idempotent
+    // sinks). After the final restart both stores must equal their
+    // one-shot batch computations: the streaming analogue of the
+    // reference's reducer-recovery path (/root/reference/master/
+    // recovery.go, re-sent shares folding idempotently).
+    import graft.operators.Similarity
+    val docs = Tables.documents(spark, sf)
+    val em = Tables.embeddings(spark, sf)
+    val exDocs = docs.where(pmod(col("doc_id"), lit(2)) =!= 0)
+    val frDocs = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val exVecs = em.where(pmod(col("vec_id"), lit(2)) =!= 0)
+
+    val tmp = Files.createTempDirectory("graft_full_restart").toString
+    val (dStage, idx, lbl, prs, dCkpt) =
+      (s"$tmp/dstage", s"$tmp/index", s"$tmp/labels", s"$tmp/pairs", s"$tmp/dckpt")
+    val (eStage, cellIdx, semPrs, eCkpt) =
+      (s"$tmp/estage", s"$tmp/cellidx", s"$tmp/sempairs", s"$tmp/eckpt")
+    CorpusStream.seedIndex(exDocs, idx)
+    CorpusStream.seedLabels(exDocs, lbl)
+    Cleanup.releaseAll(spark) // seed-phase blocks only — cents trains below
+    // train AFTER the seed-phase release: the codebook's checkpoint
+    // blocks must stay alive for every streaming run that probes it
+    val cents = Similarity.trainCodebook(em)
+    CorpusStream.seedCellIndex(exVecs, cents, cellIdx)
+
+    val docCols = Seq("doc_id", "text", "lang", "source", "n_chars").map(col)
+    val d1 = frDocs.where(pmod(col("doc_id"), lit(4)) === 0).select(docCols: _*)
+    val d2 = frDocs.where(pmod(col("doc_id"), lit(4)) === 2).select(docCols: _*)
+    val e1 = em.where(pmod(col("vec_id"), lit(4)) === 0).select("vec_id", "embedding")
+    val e2 = em.where(pmod(col("vec_id"), lit(4)) === 2).select("vec_id", "embedding")
+
+    def docQ() = CorpusStream.incrementalClusters(
+        spark.readStream.schema(d1.schema).parquet(dStage), idx, lbl, prs)
+      .option("checkpointLocation", dCkpt)
+    def embQ() = CorpusStream.incrementalSemantic(
+        spark.readStream.schema(e1.schema).parquet(eStage), cents, cellIdx, semPrs)
+      .option("checkpointLocation", eCkpt)
+
+    // run 1: first half of both streams, clean-boundary kill
+    d1.write.mode("append").parquet(dStage)
+    e1.write.mode("append").parquet(eStage)
+    val (q1d, q1e) = (docQ().start(), embQ().start())
+    try { q1d.processAllAvailable(); q1e.processAllAvailable() }
+    finally { q1d.stop(); q1e.stop() }
+
+    // run 2: second half lands, queries are killed WITHOUT draining —
+    // the batch may be unstarted, mid-flight, or committed; all three
+    // crash points must recover
+    d2.write.mode("append").parquet(dStage)
+    e2.write.mode("append").parquet(eStage)
+    val (q2d, q2e) = (docQ().start(), embQ().start())
+    q2d.stop(); q2e.stop()
+
+    // run 3: recovery from the offset logs, drain to completion
+    val (q3d, q3e) = (docQ().start(), embQ().start())
+    try { q3d.processAllAvailable(); q3e.processAllAvailable() }
+    finally { q3d.stop(); q3e.stop() }
+
+    // labels converge to from-scratch clustering of the whole corpus
+    val gotLbl = CorpusStream.readLabels(spark, lbl)
+      .select("doc_id", "cluster_id", "is_canonical")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val wantLbl = Dedup.minhashClustersLS(docs)
+      .select("doc_id", "cluster_id", "is_canonical")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotLbl == wantLbl,
+      s"labels diverged after kill-and-restart: missing=${wantLbl -- gotLbl} extra=${gotLbl -- wantLbl}")
+
+    // semantic pairs converge to the one-shot same-cell threshold pairs
+    // touching a fresh (even) vector — no duplicates despite the replay
+    val corpus = Similarity.corpusVecs(em)
+    val withV = Similarity.cellAssign(corpus, cents).join(corpus, "vec_id")
+    val a = withV.select(col("vec_id").as("vec_a"), col("cell"), col("v").as("av"))
+    val b = withV.select(col("vec_id").as("vec_b"), col("cell"), col("v").as("bv"))
+    val wantSem = a.join(b, Seq("cell"))
+      .where(col("vec_a") < col("vec_b") &&
+        Similarity.cosine(col("av"), col("bv")) >= Similarity.DupCosine)
+      .where(pmod(col("vec_a"), lit(2)) === 0 || pmod(col("vec_b"), lit(2)) === 0)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val semRows = spark.read.parquet(semPrs).select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(wantSem.nonEmpty && semRows.toSet == wantSem,
+      s"semantic pairs diverged: missing=${wantSem -- semRows.toSet} extra=${semRows.toSet -- wantSem}")
+    assert(semRows.size == semRows.distinct.size,
+      "kill-and-restart duplicated semantic pair rows")
+    // band index holds exactly one row per (doc, band) after the replays
+    assert(spark.read.parquet(idx).groupBy("doc_id", "band").count()
+      .where(col("count") > 1).count() == 0, "restart duplicated index rows")
+    Cleanup.releaseAll(spark) // trainCodebook's caller-must-clear
+  }
+
   test("corpus refresh is restart-idempotent: a replayed micro-batch changes nothing") {
     // Structured Streaming re-delivers the last uncommitted micro-batch
     // after a failure — the reference's reduce contract is that re-sent
@@ -205,7 +303,7 @@ class CorpusStreamSpec extends SparkSpec {
       .select(col("doc_a"), col("doc_b"), col("batch_id").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
         .groupBy(identity).view.mapValues(_.size).toMap
-    def labelRows(p: String) = spark.read.parquet(p)
+    def labelRows(p: String) = CorpusStream.readLabels(spark, p)
       .select("doc_id", "cluster_id", "is_canonical")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
         .groupBy(identity).view.mapValues(_.size).toMap
@@ -226,7 +324,7 @@ class CorpusStreamSpec extends SparkSpec {
     // --- clusters sink (adds the label-table rewrite) ---
     val (cIdx, cLbl, cPrs) = (s"$tmp/cidx", s"$tmp/clbl", s"$tmp/cprs")
     CorpusStream.seedIndex(existing, cIdx)
-    Dedup.minhashClustersLS(existing).write.parquet(cLbl)
+    CorpusStream.seedLabels(existing, cLbl)
     Cleanup.releaseAll(spark)
     CorpusStream.clustersBatch(b0, 0L, cIdx, cLbl, cPrs)
     CorpusStream.clustersBatch(b1, 1L, cIdx, cLbl, cPrs)
