@@ -98,15 +98,18 @@ object Multimodal {
   }
 
   /** Batched decode + featurize via mapPartitions — every kind through
-    * its REAL codec. */
-  def featurize(media: Dataset[MediaFile]): Dataset[MediaFeatures] = {
+    * its REAL codec. The feature vectors come from `extractor` (default:
+    * the md5 pseudo-embedding) — swapping in a real model touches ONLY
+    * that argument, never the batch plumbing ([[FeatureExtractor]]). */
+  def featurize(media: Dataset[MediaFile],
+                extractor: FeatureExtractor = Md5Extractor): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
       // fixed-size batches: a real codec amortizes per-batch setup
       // (model load, Arrow buffer, JNI handle) exactly here
       rows.grouped(BatchSize).flatMap { batch =>
-        decodeBatch(batch)
+        decodeBatch(batch, extractor)
       }
     }
   }
@@ -121,11 +124,16 @@ object Multimodal {
     * dimensions, summed RGB payload and luminance). The feature vector is a
     * deterministic md5-chain pseudo-embedding for all kinds (a real
     * build swaps the extractor, not the batch plumbing). */
-  def decodeBatch(batch: Seq[MediaFile]): Seq[MediaFeatures] =
-    batch.map { m =>
+  def decodeBatch(batch: Seq[MediaFile],
+                  extractor: FeatureExtractor = Md5Extractor): Seq[MediaFeatures] = {
+    val features = extractor.extractBatch(batch)
+    require(features.size == batch.size,
+      s"extractor returned ${features.size} vectors for ${batch.size} inputs")
+    batch.zip(features).map { case (m, feature) =>
+      require(feature.length == FeatureDim,
+        s"extractor vector dim ${feature.length} != FeatureDim $FeatureDim (media_id=${m.media_id})")
       val hashHex = MessageDigest.getInstance("MD5").digest(m.content)
         .map(b => f"$b%02x").mkString
-      val feature = MultimodalStub.pseudoFeature(m.content)
       m.kind match {
         case "image" | "frame" => // sampled video frames are standalone PNGs
           val (w, h, lum) = ImageCodec.decode(m.content, m.media_id)
@@ -141,6 +149,7 @@ object Multimodal {
             n_frames = nF, width = w, height = h, lum = lum)
       }
     }
+  }
 
   /** Resize stage: same batched mapPartitions contract as [[featurize]].
     * Images run a REAL decode → Graphics2D rescale → PNG re-encode
@@ -491,12 +500,45 @@ object VideoCodec {
   }
 }
 
-/** The ONE remaining stand-in: the feature EXTRACTOR (a deterministic
-  * md5-chain pseudo-embedding for all kinds — a real build swaps in a
-  * vision/audio model here, via JNI or an Arrow-batched Python worker,
-  * without touching the batch plumbing). All three media kinds now
-  * decode for real: [[ImageCodec]] (PNG), [[AudioCodec]] (WAV),
-  * [[VideoCodec]] (MPNG per-frame PNG). */
+/** The feature-extractor MOUNT POINT — the one boundary where a real
+  * vision/audio model plugs into the multimodal pipeline. The contract
+  * is deliberately the shape a production extractor needs:
+  *
+  *  - '''Serializable''': instances ship to executors inside the
+  *    `mapPartitions` closure; a real implementation holds a model
+  *    HANDLE (path, config) and materializes the heavyweight state
+  *    lazily per JVM (`@transient lazy val session = load(...)`), the
+  *    standard Spark pattern for JNI/ONNX/Arrow-worker resources.
+  *  - '''Batched''': one call per [[Multimodal.BatchSize]]-row group —
+  *    exactly where a model amortizes its per-invocation overhead
+  *    (tensor batch assembly, Arrow IPC round-trip, GPU dispatch).
+  *  - '''Positional''': returns exactly `batch.size` vectors of
+  *    [[Multimodal.FeatureDim]] floats, row i's vector at index i
+  *    ([[Multimodal.decodeBatch]] enforces both).
+  *
+  * The default instance is [[Md5Extractor]] (deterministic md5-chain
+  * pseudo-embedding — the documented stand-in that keeps the `mm_*`
+  * oracle gates engine-exact); MultimodalSpec demonstrates a swapped-in
+  * extractor flowing through `featurize` end to end. */
+trait FeatureExtractor extends Serializable {
+  /** One feature vector per input row, in input order. `MediaFile`
+    * carries the decoded-media bytes AND the typed metadata (media_id,
+    * kind) a model needs for per-modality routing. */
+  def extractBatch(batch: Seq[MediaFile]): Seq[Array[Float]]
+}
+
+/** Default [[FeatureExtractor]]: the deterministic md5-chain
+  * pseudo-embedding ([[MultimodalStub.pseudoFeature]]). */
+object Md5Extractor extends FeatureExtractor {
+  def extractBatch(batch: Seq[MediaFile]): Seq[Array[Float]] =
+    batch.map(m => MultimodalStub.pseudoFeature(m.content))
+}
+
+/** The md5-chain pseudo-embedding behind [[Md5Extractor]] — a stand-in
+  * for a real model's vectors (a real build mounts its model via
+  * [[FeatureExtractor]], without touching the batch plumbing). All
+  * three media kinds decode for real: [[ImageCodec]] (PNG),
+  * [[AudioCodec]] (WAV), [[VideoCodec]] (MPNG per-frame PNG). */
 object MultimodalStub {
 
   private def md5(bytes: Array[Byte]): Array[Byte] =

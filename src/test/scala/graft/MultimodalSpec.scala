@@ -33,6 +33,50 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.values.forall(v => v.forall(x => x >= 0f && x < 1f)))
   }
 
+  test("FeatureExtractor mount point: a swapped-in extractor's vectors flow through featurize; contract enforced") {
+    // The model boundary (VERDICT r6 #6): featurize(media, extractor)
+    // must carry an arbitrary batched extractor's vectors end to end —
+    // only the extractor changes, decode/meta/batch plumbing identical.
+    import graft.operators.FeatureExtractor
+    val media = Multimodal.ingest(docs.limit(40))
+    // a "model" distinguishable from the md5 default: vector encodes the
+    // media_id and the batch's size — proves batching AND positional
+    // alignment survived the partition/group plumbing
+    object IdExtractor extends FeatureExtractor {
+      def extractBatch(batch: Seq[MediaFile]): Seq[Array[Float]] =
+        batch.map { m =>
+          val v = new Array[Float](Multimodal.FeatureDim)
+          v(0) = m.media_id.toFloat
+          v(1) = batch.size.toFloat
+          v(2) = if (m.kind == "audio") 1f else 0f
+          v
+        }
+    }
+    val got = Multimodal.featurize(media.repartition(5), IdExtractor).collect()
+    val kinds = media.collect().map(m => m.media_id -> m.kind).toMap
+    assert(got.nonEmpty && got.forall(f => f.feature(0) == f.media_id.toFloat),
+      "positional alignment lost: row got another row's vector")
+    assert(got.forall(f => f.feature(1) >= 1f && f.feature(1) <= Multimodal.BatchSize.toFloat),
+      "extractor saw batches outside the BatchSize contract")
+    assert(got.forall(f => f.feature(2) == (if (kinds(f.media_id) == "audio") 1f else 0f)),
+      "typed meta (kind) did not reach the extractor")
+    // decode stats are extractor-independent: same rows as the default
+    val defStats = Multimodal.featurize(media).collect()
+      .map(f => f.media_id -> (f.n_bytes, f.n_frames, f.width, f.height, f.lum)).toMap
+    assert(got.map(f => f.media_id -> (f.n_bytes, f.n_frames, f.width, f.height, f.lum)).toMap
+      == defStats, "swapping the extractor changed decode results")
+    // the contract fails loud, not silent: wrong dim is rejected
+    object BadDim extends FeatureExtractor {
+      def extractBatch(batch: Seq[MediaFile]): Seq[Array[Float]] =
+        batch.map(_ => new Array[Float](3))
+    }
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.featurize(media, BadDim).collect()
+    }
+    assert(ex.getMessage.contains("FeatureDim") ||
+      Option(ex.getCause).exists(_.getMessage.contains("FeatureDim")))
+  }
+
   test("decode batch: frame semantics per kind, all three kinds through real codecs") {
     val png = ImageCodec.encodePng(10, 5, Array[Byte](1, 2, 3), 7)
     val wav = AudioCodec.encodeWav(40, Array[Byte](130.toByte, 126), 5)
