@@ -145,6 +145,38 @@ object Events {
       .orderBy("user_id", "purchase_id")
   }
 
+  /** INTERVAL (range) join — the batch twin of a stream-stream windowed
+    * join: every purchase meets the same user's clicks from the
+    * preceding 30 minutes, emitting per-purchase click count and
+    * click-value total (zero-click purchases kept by the left join).
+    *
+    * Scale shape: the EQUI key (user_id) carries the shuffle — both
+    * sides hash-partition on user, and the time-range predicate
+    * evaluates inside each matched pair, so cost is Σ_user |P_u|·|C_u|,
+    * never |P|·|C|. That is the right plan whenever per-key activity is
+    * bounded (here: user event streams); a hot user is AQE skew-split
+    * territory, same playbook as q20/q35. Time is compared in exact
+    * integer µs on both engines — no interval arithmetic to disagree
+    * over. */
+  val IntervalUs: Long = 30L * 60 * 1000 * 1000
+
+  def intervalJoin(ev: DataFrame): DataFrame = {
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("pus"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("cus"),
+        col("value"))
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("cus") >= col("pus") - IntervalUs && col("cus") < col("pus"),
+        "left")
+      .groupBy("user_id", "purchase_id")
+      .agg(count(col("cus")).as("n_clicks"),
+        coalesce(Compat.xsum(col("value")), lit(0.0)).as("click_value"))
+      .orderBy("user_id", "purchase_id")
+  }
+
   /** Funnel: users reaching each stage view → click → purchase. */
   def funnel(ev: DataFrame): DataFrame = {
     val perUser = ev.groupBy("user_id").agg(
@@ -404,6 +436,7 @@ object Events {
     "ev_attribution"-> ((s, d) => attribution(Tables.events(s, d))),
     "ev_attr_outer" -> ((s, d) => attributionOuter(Tables.events(s, d))),
     "ev_asof"       -> ((s, d) => asofAttribution(Tables.events(s, d))),
+    "ev_interval"   -> ((s, d) => intervalJoin(Tables.events(s, d))),
     "ev_retention"  -> ((s, d) => retention(Tables.events(s, d))),
     "ev_paths"      -> ((s, d) => topPaths(Tables.events(s, d))),
     "ev_transitions"-> ((s, d) => transitions(Tables.events(s, d))),
@@ -542,6 +575,20 @@ object Events {
         |           FROM events WHERE event_type = 'view' GROUP BY user_id, ts) v
         |  ON p.user_id = v.vuser AND v.vts <= p.ts
         |ORDER BY user_id, purchase_id""".stripMargin,
+    "ev_interval" ->
+      s"""SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+         |  count(c.cus) AS n_clicks,
+         |  COALESCE(${Compat.osum("c.value")}, 0.0) AS click_value
+         |FROM (SELECT user_id, event_id,
+         |        epoch_us(CAST(ts AS TIMESTAMP)) AS pus
+         |      FROM events WHERE event_type = 'purchase') p
+         |LEFT JOIN (SELECT user_id AS c_user,
+         |             epoch_us(CAST(ts AS TIMESTAMP)) AS cus, value
+         |           FROM events WHERE event_type = 'click') c
+         |  ON p.user_id = c.c_user
+         |  AND c.cus >= p.pus - $IntervalUs AND c.cus < p.pus
+         |GROUP BY p.user_id, p.event_id
+         |ORDER BY user_id, purchase_id""".stripMargin,
     "ev_scd2" ->
       """WITH p AS (
         |  SELECT user_id, ts, event_id, value FROM events

@@ -252,11 +252,35 @@ object Multimodal {
         sum(col("width").cast("long") * col("height")).as("total_px"),
         sum(col("lum")).as("total_lum"))
 
+  /** The RESIZE stage under the driver gate (`mm_resize`): every stored
+    * blob through [[resize]] — real Graphics2D rescale + PNG re-encode
+    * for images and every video frame, audio pass-through — then
+    * re-DECODED by [[featurize]] and aggregated per kind. The gated
+    * stats (file/frame counts, decoded payload bytes, pixel totals) are
+    * all arithmetic consequences of the target dimensions, so DuckDB
+    * derives them without an image library; their hash-match proves the
+    * rescaled PNGs are REAL (a broken re-encode fails the decode loudly,
+    * wrong dims shift every byte/pixel total). Luminance is excluded by
+    * design: interpolated pixel values are the codec's own, not
+    * derivable arithmetic. */
+  val ResizeW = 9
+  val ResizeH = 7
+
+  def resizeSummary(media: Dataset[MediaFile]): DataFrame =
+    featurize(resize(media, ResizeW, ResizeH))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("n_frames").cast("long")).as("total_frames"),
+        sum(col("width").cast("long") * col("height") * col("n_frames")).as("total_pixels"))
+      .orderBy("kind")
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "mm_summary" -> ((s, d) => mediaSummary(mediaTable(s, d))),
     "mm_dedup"   -> ((s, d) => mediaDedup(mediaTable(s, d))),
     "mm_frames"  -> ((s, d) => frameSummary(mediaTable(s, d))),
+    "mm_resize"  -> ((s, d) => resizeSummary(mediaTable(s, d))),
   )
 
   /** `mm_summary` runs the full binary pipeline (ingest → batched decode
@@ -313,6 +337,26 @@ object Multimodal {
          |    md5(text) AS dig
          |  FROM documents) m
          |GROUP BY kind ORDER BY kind""".stripMargin,
+    "mm_resize" -> {
+      val px = ResizeW * ResizeH
+      s"""SELECT kind, count(*) AS n_files,
+         |  CAST(sum(CASE WHEN kind = 'image' THEN $px * 3
+         |                WHEN kind = 'audio' THEN frames * 2
+         |                ELSE $px * 3 * vframes END) AS BIGINT) AS total_bytes,
+         |  CAST(sum(CASE WHEN kind = 'video' THEN vframes
+         |                WHEN kind = 'audio' THEN frames
+         |                ELSE 1 END) AS BIGINT) AS total_frames,
+         |  CAST(sum(CASE WHEN kind = 'image' THEN $px
+         |                WHEN kind = 'video' THEN $px * vframes
+         |                ELSE 0 END) AS BIGINT) AS total_pixels
+         |FROM (
+         |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         |         ELSE 'video' END AS kind,
+         |    256 + n_chars % 512 AS frames,
+         |    2 + n_chars % 6 AS vframes
+         |  FROM documents) m
+         |GROUP BY kind ORDER BY kind""".stripMargin
+    },
     "mm_frames" ->
       s"""SELECT CAST(sum(ns) AS BIGINT) AS n_sampled,
          |  CAST(sum(ns * px) AS BIGINT) AS total_px,

@@ -61,9 +61,50 @@ object RuntimeFilters {
       .orderBy("n_name")
   }
 
+  /** EXPLICIT bloom-filter semi-join (`q36_bloom`): the row-level twin of
+    * [[dppJoin]]'s partition pruning, declared in the query instead of
+    * left to `InjectRuntimeFilter`'s cost gates — the pattern for a
+    * 100 TB fact joined on a NON-partition key to a selective dim:
+    *
+    *  1. one aggregate over the filtered dim builds a bloom filter of its
+    *     join keys (Spark's own `BloomFilterAggregate`, exposed as
+    *     `graft_bloom_agg`) — a scalar subquery, so the ~KB filter binary
+    *     broadcasts to every fact task;
+    *  2. `graft_might_contain` applies it row-wise ABOVE the fact scan,
+    *     dropping non-matching rows BEFORE the join shuffle — at 0.1 %
+    *     dim selectivity that is ~99.9 % of shuffled fact bytes gone;
+    *  3. the real join removes the bloom's false positives, so the result
+    *     is EXACTLY the plain join's (the oracle) — the filter changes
+    *     bytes moved, never rows out.
+    *
+    * PlanShapeSpec pins the shape: might_contain sits in a Filter on the
+    * lineitem side below the join. Keys hash through `xxhash64` (the
+    * aggregate's LongType input contract, same as the injected filter). */
+  def bloomJoin(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    s.sql(
+      s"""SELECT l_returnflag, count(*) AS n_rows,
+         |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10)))
+         |       AS DECIMAL(28,2)) AS DOUBLE) AS revenue
+         |FROM (
+         |  SELECT l_orderkey, l_returnflag, l_extendedprice, l_discount
+         |  FROM parquet.`$d/lineitem.parquet`
+         |  WHERE graft_might_contain(
+         |    (SELECT graft_bloom_agg(xxhash64(o_orderkey))
+         |     FROM parquet.`$d/orders.parquet` WHERE o_orderpriority = '1-URGENT'),
+         |    xxhash64(l_orderkey))
+         |) l
+         |JOIN (SELECT o_orderkey FROM parquet.`$d/orders.parquet`
+         |      WHERE o_orderpriority = '1-URGENT') o
+         |  ON l.l_orderkey = o.o_orderkey
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin)
+  }
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "q25_dpp" -> ((s, d) => dppJoin(s, d)),
+    "q36_bloom" -> ((s, d) => bloomJoin(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -75,5 +116,14 @@ object RuntimeFilters {
          |JOIN region ON n_regionkey = r_regionkey
          |WHERE r_name = 'ASIA'
          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // the PLAIN join — the bloom pre-filter must be result-invisible
+    "q36_bloom" ->
+      s"""SELECT l_returnflag, count(*) AS n_rows,
+         |  ${Compat.osum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
   )
 }

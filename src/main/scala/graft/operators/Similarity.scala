@@ -539,6 +539,21 @@ object Similarity {
   /** SDC encode-and-rank over an explicit (m, cent_id, cv) sub-codebook
     * frame and an explicit (query_id, neighbor_id) candidate source. */
   private def pqRank(em: DataFrame, cents0: DataFrame, cand: DataFrame): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    pqScores(em, cents0, cand)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= TopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** SDC-scored (query_id, neighbor_id, score) pairs over an explicit
+    * sub-codebook frame and candidate source — the shared core of
+    * [[pqRank]] (top-k cut) and [[pqRerank]] (shortlist cut + exact
+    * refine). Score is the fixed-order 4-term sum of 6dp-rounded LUT
+    * entries: bit-identical in both engines, so every downstream cut
+    * ranks identically too. */
+  private def pqScores(em: DataFrame, cents0: DataFrame, cand: DataFrame): DataFrame = {
     // exact float→double widening, whether cents come from the persisted
     // fixture or straight from the trainer
     val cents = cents0.select(col("m"), col("cent_id"), vec(col("cv")).as("cv"))
@@ -562,12 +577,58 @@ object Similarity {
         broadcast(lut.where(col("m") === m)
           .select(col("ca").as(s"qa$m"), col("cb").as(s"xb$m"), col("l").as(s"l$m"))),
         col(s"q$m") === col(s"qa$m") && col(s"c$m") === col(s"xb$m"))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
     pairs.select(col("query_id"), col("neighbor_id"),
-        (col("l0") + col("l1") + col("l2") + col("l3")).as("score"))
-      .withColumn("rank", row_number().over(w)).where(col("rank") <= TopK)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("score"))
+      (col("l0") + col("l1") + col("l2") + col("l3")).as("score"))
+  }
+
+  /** `ann_pq_rerank`: IVFPQ SHORTLIST + EXACT REFINE — the production
+    * two-stage retrieval pattern (quantized first pass, exact second):
+    *
+    *  1. the IVFPQ pipeline ([[pqScores]] over [[ivfCandidates]]) ranks
+    *     each query's cell-restricted candidates by 4-lookup SDC score
+    *     and keeps the top [[ShortR]] — the cheap, compressed-domain cut;
+    *  2. ONLY those queries×[[ShortR]] survivors join back to the raw
+    *     vectors for an exact cosine, and the final [[TopK]] ranks by the
+    *     TRUE similarity — quantization error cannot reorder the final
+    *     answer list, only (rarely) exclude a true neighbor the SDC cut
+    *     missed.
+    *
+    * Scale shape: stage 2's cost is queries·ShortR exact cosines — a
+    * skinny (query_id, neighbor_id) frame joined twice against the
+    * vector table on its key; the raw corpus is never scanned per query.
+    * This is how a billion-vector index answers with near-exact quality:
+    * the PQ codes (64× smaller) do the scan, the floats only ever serve
+    * point lookups. Output omits the float score (rank is the gated
+    * surface, same discipline as `ann_bruteforce`). */
+  val ShortR = 15
+
+  def pqRerank(s: SparkSession, d: String): DataFrame = {
+    val em = Tables.embeddings(s, d)
+    val pqDir = pqCodebookPath(d)
+    if (!graft.sources.Fixtures.ready(pqDir)) persistPqCodebook(em, pqDir)
+    val ivfDir = codebookPath(d)
+    if (!graft.sources.Fixtures.ready(ivfDir)) persistCodebook(em, ivfDir)
+    pqRerankWith(em, readCodebook(s, ivfDir), readPqCodebook(s, pqDir))
+  }
+
+  /** Shortlist + refine over explicit codebook frames (spec-runnable on
+    * synthetic corpora without fixtures). */
+  private[graft] def pqRerankWith(em: DataFrame, ivfCents: DataFrame,
+                                  pqCents: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(em.sparkSession)
+    val ws = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    val short = pqScores(em, pqCents, ivfCandidates(em, ivfCents))
+      .withColumn("srn", row_number().over(ws)).where(col("srn") <= ShortR)
+      .select("query_id", "neighbor_id")
+    val wx = Window.partitionBy("query_id").orderBy(col("xcos").desc, col("neighbor_id"))
+    short
+      .join(em.select(col("vec_id").as("query_id"), vec(col("embedding")).as("qv")),
+        "query_id")
+      .join(em.select(col("vec_id").as("neighbor_id"), vec(col("embedding")).as("nv")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("nv")).as("xcos"))
+      .withColumn("rank", row_number().over(wx)).where(col("rank") <= TopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
       .orderBy("query_id", "rank")
   }
 
@@ -633,6 +694,7 @@ object Similarity {
     "dedup_semantic" -> ((s, d) => semanticDedup(s, d)),
     "ann_ivf_imi"    -> ((s, d) => ivfImi(s, d)),
     "ann_pq"         -> ((s, d) => pqTopK(s, d)),
+    "ann_pq_rerank"  -> ((s, d) => pqRerank(s, d)),
     "dedup_embed"    -> ((s, d) => embedDup(Tables.embeddings(s, d))),
   )
 
@@ -764,6 +826,70 @@ object Similarity {
 
   /** `def`: interpolates the corpus-derived dials, so it must be built
     * after `Dials.init` (the mains' order), not at class load. */
+  /** The shared IVFPQ oracle chain, ending in a `ranked` CTE of
+    * (query_id, neighbor_id, score, rank): persisted sub-codebooks + IVF
+    * codebook → cell-restricted candidates (assign top-1 / probe NProbe,
+    * mirroring [[ivfCandidates]]) → PQ codes → SDC LUT sum. `ann_pq`
+    * cuts it at [[TopK]]; `ann_pq_rerank` cuts at [[ShortR]] and refines
+    * with exact cosines over the raw vectors. */
+  private def pqRankedCtes(): String = {
+    val dir = pqCodebookPath(graft.Dials.sfDir.getOrElse("/root/testdata/sf0.001"))
+    val ivfDir = codebookPath(graft.Dials.sfDir.getOrElse("/root/testdata/sf0.001"))
+    s"""WITH cents AS (
+       |  SELECT m, cent_id, cv::DOUBLE[] AS cv FROM read_parquet('$dir/*.parquet')),
+       |icents AS (
+       |  SELECT cent_id, cv::DOUBLE[] AS cv FROM read_parquet('$ivfDir/*.parquet')),
+       |assign AS (
+       |  SELECT vec_id AS neighbor_id, cell FROM (
+       |    SELECT e.vec_id, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.$V, c.cv) DESC, c.cent_id) AS crn
+       |    FROM embeddings e, icents c) a WHERE crn = 1),
+       |probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.$V, c.cv) DESC, c.cent_id) AS crn
+       |    FROM embeddings q, icents c WHERE q.vec_id % $QueryStride = 0) p
+       |  WHERE crn <= $NProbe),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a.neighbor_id
+       |  FROM probes p JOIN assign a ON a.cell = p.cell
+       |  WHERE a.neighbor_id <> p.query_id),
+       |sub AS (
+       |  SELECT vec_id, m, list_slice($V, m * $PqSub + 1, m * $PqSub + $PqSub) AS vm
+       |  FROM embeddings, unnest([0, 1, 2, 3]) AS mm(m)),
+       |codes AS (
+       |  SELECT vec_id, m, cent_id AS code FROM (
+       |    SELECT s.vec_id, s.m, c.cent_id,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY list_cosine_similarity(s.vm, c.cv) DESC, c.cent_id) AS rn
+       |    FROM sub s JOIN cents c ON c.m = s.m) t WHERE rn = 1),
+       |wide AS (
+       |  SELECT vec_id,
+       |    max(CASE WHEN m = 0 THEN code END) AS c0,
+       |    max(CASE WHEN m = 1 THEN code END) AS c1,
+       |    max(CASE WHEN m = 2 THEN code END) AS c2,
+       |    max(CASE WHEN m = 3 THEN code END) AS c3
+       |  FROM codes GROUP BY vec_id),
+       |lut AS (
+       |  SELECT a.m, a.cent_id AS ca, b.cent_id AS cb,
+       |    round(list_cosine_similarity(a.cv, b.cv), 6) AS l
+       |  FROM cents a JOIN cents b ON a.m = b.m),
+       |ranked AS (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |    l0.l + l1.l + l2.l + l3.l AS score,
+       |    row_number() OVER (PARTITION BY cd.query_id
+       |      ORDER BY l0.l + l1.l + l2.l + l3.l DESC, cd.neighbor_id) AS rank
+       |  FROM cand cd
+       |  JOIN wide q ON q.vec_id = cd.query_id
+       |  JOIN wide x ON x.vec_id = cd.neighbor_id
+       |  JOIN lut l0 ON l0.m = 0 AND l0.ca = q.c0 AND l0.cb = x.c0
+       |  JOIN lut l1 ON l1.m = 1 AND l1.ca = q.c1 AND l1.cb = x.c1
+       |  JOIN lut l2 ON l2.m = 2 AND l2.ca = q.c2 AND l2.cb = x.c2
+       |  JOIN lut l3 ON l3.m = 3 AND l3.ca = q.c3 AND l3.cb = x.c3)""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "ann_bruteforce" ->
       s"""SELECT query_id, rank, neighbor_id FROM (
@@ -802,66 +928,27 @@ object Similarity {
     "ann_ivf_imi" -> imiSql(
       codebookPath(graft.Dials.sfDir.getOrElse("/root/testdata/sf0.001"))),
     "ann_pq" -> {
-      val dir = pqCodebookPath(graft.Dials.sfDir.getOrElse("/root/testdata/sf0.001"))
-      val ivfDir = codebookPath(graft.Dials.sfDir.getOrElse("/root/testdata/sf0.001"))
       // IVFPQ: the cand CTEs mirror ivfCandidates (assign top-1 / probe
       // NProbe over the SAME persisted IVF codebook ann_ivf_trained
       // gates); scoring mirrors the SDC lookup sum over those pairs only.
-      s"""WITH cents AS (
-         |  SELECT m, cent_id, cv::DOUBLE[] AS cv FROM read_parquet('$dir/*.parquet')),
-         |icents AS (
-         |  SELECT cent_id, cv::DOUBLE[] AS cv FROM read_parquet('$ivfDir/*.parquet')),
-         |assign AS (
-         |  SELECT vec_id AS neighbor_id, cell FROM (
-         |    SELECT e.vec_id, c.cent_id AS cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY list_cosine_similarity(e.$V, c.cv) DESC, c.cent_id) AS crn
-         |    FROM embeddings e, icents c) a WHERE crn = 1),
-         |probes AS (
-         |  SELECT query_id, cell FROM (
-         |    SELECT q.vec_id AS query_id, c.cent_id AS cell,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY list_cosine_similarity(q.$V, c.cv) DESC, c.cent_id) AS crn
-         |    FROM embeddings q, icents c WHERE q.vec_id % $QueryStride = 0) p
-         |  WHERE crn <= $NProbe),
-         |cand AS (
-         |  SELECT DISTINCT p.query_id, a.neighbor_id
-         |  FROM probes p JOIN assign a ON a.cell = p.cell
-         |  WHERE a.neighbor_id <> p.query_id),
-         |sub AS (
-         |  SELECT vec_id, m, list_slice($V, m * $PqSub + 1, m * $PqSub + $PqSub) AS vm
-         |  FROM embeddings, unnest([0, 1, 2, 3]) AS mm(m)),
-         |codes AS (
-         |  SELECT vec_id, m, cent_id AS code FROM (
-         |    SELECT s.vec_id, s.m, c.cent_id,
-         |      row_number() OVER (PARTITION BY s.vec_id, s.m
-         |        ORDER BY list_cosine_similarity(s.vm, c.cv) DESC, c.cent_id) AS rn
-         |    FROM sub s JOIN cents c ON c.m = s.m) t WHERE rn = 1),
-         |wide AS (
-         |  SELECT vec_id,
-         |    max(CASE WHEN m = 0 THEN code END) AS c0,
-         |    max(CASE WHEN m = 1 THEN code END) AS c1,
-         |    max(CASE WHEN m = 2 THEN code END) AS c2,
-         |    max(CASE WHEN m = 3 THEN code END) AS c3
-         |  FROM codes GROUP BY vec_id),
-         |lut AS (
-         |  SELECT a.m, a.cent_id AS ca, b.cent_id AS cb,
-         |    round(list_cosine_similarity(a.cv, b.cv), 6) AS l
-         |  FROM cents a JOIN cents b ON a.m = b.m)
-         |SELECT query_id, rank, neighbor_id, score FROM (
-         |  SELECT cd.query_id, cd.neighbor_id,
-         |    l0.l + l1.l + l2.l + l3.l AS score,
-         |    row_number() OVER (PARTITION BY cd.query_id
-         |      ORDER BY l0.l + l1.l + l2.l + l3.l DESC, cd.neighbor_id) AS rank
-         |  FROM cand cd
-         |  JOIN wide q ON q.vec_id = cd.query_id
-         |  JOIN wide x ON x.vec_id = cd.neighbor_id
-         |  JOIN lut l0 ON l0.m = 0 AND l0.ca = q.c0 AND l0.cb = x.c0
-         |  JOIN lut l1 ON l1.m = 1 AND l1.ca = q.c1 AND l1.cb = x.c1
-         |  JOIN lut l2 ON l2.m = 2 AND l2.ca = q.c2 AND l2.cb = x.c2
-         |  JOIN lut l3 ON l3.m = 3 AND l3.ca = q.c3 AND l3.cb = x.c3) t
+      s"""${pqRankedCtes()}
+         |SELECT query_id, rank, neighbor_id, score FROM ranked
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
     },
+    "ann_pq_rerank" ->
+      // the SAME ranked-SDC chain cut at ShortR, then the exact-cosine
+      // refine over raw vectors mirrors pqRerankWith stage 2
+      s"""${pqRankedCtes()},
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM ranked WHERE rank <= $ShortR)
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT s.query_id, s.neighbor_id,
+         |    row_number() OVER (PARTITION BY s.query_id
+         |      ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, s.neighbor_id) AS rank
+         |  FROM short s
+         |  JOIN embeddings q ON q.vec_id = s.query_id
+         |  JOIN embeddings n ON n.vec_id = s.neighbor_id) t
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
     "dedup_semantic" ->
       s"""WITH cents AS (
          |  SELECT cent_id, cv::DOUBLE[] AS cv FROM read_parquet(

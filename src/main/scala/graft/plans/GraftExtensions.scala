@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** Session extensions registering graft's native expressions, for
   * `spark.sql.extensions=graft.plans.GraftExtensions`. The same
@@ -50,6 +51,24 @@ object GraftFunctions {
     ("graft_bpe_ids",
       new ExpressionInfo(classOf[BpeIds].getName, "graft_bpe_ids"),
       (args: Seq[Expression]) => BpeIds(args.head)),
+    // Spark's OWN bloom-filter expressions (the pair InjectRuntimeFilter
+    // uses internally), exposed by name so an EXPLICIT semi-filter can be
+    // declared in a query: build the filter from a selective dim column
+    // (one aggregate, broadcast as a scalar subquery), apply it row-wise
+    // at the fact scan BEFORE the join shuffle. False positives are
+    // removed by the real join, so results are exactly the plain join's —
+    // the bloom only cuts shuffled bytes (RuntimeFilters.bloomJoin).
+    ("graft_bloom_agg",
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c)    => new BloomFilterAggregate(c)
+        case Seq(c, n) => new BloomFilterAggregate(c, n)
+        case other => throw new org.apache.spark.sql.AnalysisException("INTERNAL_ERROR",
+          Map("message" -> s"graft_bloom_agg expects (xxhash64_col) or (xxhash64_col, est_items); got ${other.length} arguments"))
+      }),
+    ("graft_might_contain",
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+      (args: Seq[Expression]) => BloomFilterMightContain(args(0), args(1))),
   )
 
   /** Imperative registration on an existing session. */

@@ -69,6 +69,32 @@ class EventsSpec extends SparkSpec {
     assert(f.getLong(0) >= f.getLong(1) && f.getLong(1) >= f.getLong(2))
   }
 
+  test("intervalJoin: window edges exact, zero-click purchases kept, equi-key carries the match") {
+    val s = spark
+    import s.implicits._
+    val base = 1700000000000000L // µs
+    val gap = Events.IntervalUs
+    // user 1: purchase at base+gap; clicks at window start (IN, >=),
+    // inside (IN), at purchase instant (OUT, <), before window (OUT).
+    // user 2's click at an in-window time must NOT match user 1.
+    // user 3: purchase with no clicks at all (left-join zero row).
+    val rows = Seq(
+      (10L, base + gap, 1L, "purchase", 9.99),
+      (11L, base, 1L, "click", 1.0),            // == pts - gap → in
+      (12L, base + gap / 2, 1L, "click", 2.0),  // inside
+      (13L, base + gap, 1L, "click", 4.0),      // == pts → out
+      (14L, base - 1, 1L, "click", 8.0),        // before window → out
+      (15L, base + gap / 2, 2L, "click", 16.0), // other user → out
+      (16L, base + gap, 3L, "purchase", 5.0))
+    val ev = rows.toDF("event_id", "us", "user_id", "event_type", "value")
+      .select(col("event_id"), expr("timestamp_micros(us)").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val got = Events.intervalJoin(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 10L, 2L, 3.0), (3L, 16L, 0L, 0.0)),
+      s"got ${got.toSeq}")
+  }
+
   test("retention: retained <= active per day") {
     val r = Events.retention(ev)
     assert(r.where(col("retained") > col("active")).count() == 0)

@@ -89,6 +89,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q36_bloom: the explicit bloom semi-filter sits on the fact scan, below the join") {
+    val p = plan(SparkEntry.queries("q36_bloom")(spark, sf))
+    // the declared graft_might_contain survives to the physical fact-side
+    // filter (scalar-subquery bloom, applied before any join exchange)
+    val iJoin = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+      .map(p.indexOf).filter(_ >= 0).minOption.getOrElse(p.length)
+    val iFilter = p.indexOf("might_contain")
+    assert(iFilter >= 0, s"expected might_contain in the physical plan, got:\n$p")
+    assert(iFilter > iJoin, // plan strings print top-down: deeper = later
+      s"bloom filter should sit BELOW the join (fact scan side), got:\n$p")
+  }
+
   test("q26_bucketed: co-located merge join — no exchange below the join, buckets used") {
     val p = plan(SparkEntry.queries("q26_bucketed")(spark, sf))
     assert(p.contains("SortMergeJoin"), p)

@@ -182,6 +182,40 @@ class SimilaritySpec extends SparkSpec {
       f"loose: cell restriction lost recall: $cellsLoose%.3f vs exhaustive $exLoose%.3f")
   }
 
+  test("PQ rerank: exact refine over the SDC shortlist matches or beats the pure-SDC ranking") {
+    // ann_pq_rerank = the same cell-restricted SDC chain, cut at ShortR,
+    // re-ranked by TRUE cosine. Quantization error can reorder an SDC
+    // top-k; it cannot reorder the refined one — so against brute-force
+    // truth the refined list must hold (small tolerance: the ShortR cut
+    // itself can drop a true neighbor SDC mis-scored below rank 15).
+    def measure(noise: Double): (Double, Double) = {
+      val corpus = clusteredCorpus(noise)
+      val truth = topkSets(Similarity.bruteForce(corpus))
+      def recall(approx: Map[Long, Set[Long]]): Double = {
+        val per = truth.map { case (q, t) =>
+          approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+        per.sum / per.size
+      }
+      val pqCents = Similarity.trainPqCodebook(corpus)
+      val ivfCents = Similarity.trainCodebook(corpus)
+      (recall(topkSets(Similarity.pqRerankWith(corpus, ivfCents, pqCents))),
+        recall(topkSets(Similarity.pqCells(corpus, ivfCents, pqCents))))
+    }
+    // SDC granularity (4 subspaces × 16 centroids) is the binding error
+    // in both regimes — the refine is exactly what buys it back. Measured
+    // +0.20 tight / +0.25 loose; require half that, not just parity.
+    // (Absolute recall stays candidate-limited — the ShortR cut and cell
+    // restriction bound it, which is the PQ trade the curve test owns.)
+    val (rrTight, sdcTight) = measure(0.1)
+    info(f"tight: rerank recall=$rrTight%.3f sdc=$sdcTight%.3f")
+    assert(rrTight >= sdcTight + 0.1,
+      f"tight: exact refine did not recover recall over pure SDC: $rrTight%.3f vs $sdcTight%.3f")
+    val (rrLoose, sdcLoose) = measure(0.4)
+    info(f"loose: rerank recall=$rrLoose%.3f sdc=$sdcLoose%.3f")
+    assert(rrLoose >= sdcLoose + 0.1,
+      f"loose: exact refine did not recover recall over pure SDC: $rrLoose%.3f vs $sdcLoose%.3f")
+  }
+
   test("trained codebook: k-means centroids retrieve at least as well as the corpus slice at equal K") {
     // the ann_ivf_trained model contract: at the SAME centroid budget,
     // Lloyd-adapted centroids must not lose recall vs the vec_id-stride
