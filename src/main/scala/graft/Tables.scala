@@ -23,16 +23,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as a timestamp. Read nanos as long (legacy conf) and convert to
-    * a µs timestamp with exact integer division — ns epoch values exceed
-    * 2^53, so float division would corrupt them. */
+  /** `events.ts` has shipped in three parquet flavors across testdata
+    * regenerations; normalize all of them to a session-TZ `TimestampType`
+    * in µs so downstream `unix_micros(ts)` always works:
+    *
+    *  - TIMESTAMP(NANOS): Spark 4 refuses to read it as a timestamp. Read
+    *    nanos as long (legacy conf) and convert with exact integer
+    *    division — ns epoch values exceed 2^53, so float division would
+    *    corrupt them.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) → `TIMESTAMP_NTZ`: cast
+    *    to `TimestampType`. The session TZ is UTC, so the cast is an
+    *    exact relabel and matches the DuckDB oracle's
+    *    `epoch_us(CAST(ts AS TIMESTAMP))`.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=true) → already `TimestampType`,
+    *    pass through. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = apply(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -31,6 +31,37 @@ class EventsSpec extends SparkSpec {
       s"expected exact ns div 1000, got ${micros.toSeq}")
   }
 
+  test("Tables.events normalizes all three parquet timestamp flavors to TimestampType µs") {
+    // The driver has regenerated /root/testdata with different parquet
+    // timestamp encodings across rounds: TIMESTAMP(NANOS) (r1-r6), then
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false) = TIMESTAMP_NTZ (r7 — which
+    // crashed every unix_micros(ts) query). Pin that whichever flavor
+    // ships next, Tables.events yields a session-TZ TimestampType with
+    // identical µs values, so unix_micros(ts) always works.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val micros = Seq(1700000000123456L, 1711111111999999L)
+    def check(dir: String): Unit = {
+      val got = Tables.events(spark, dir)
+      assert(got.schema("ts").dataType == TimestampType, s"$dir: ${got.schema("ts").dataType}")
+      val vals = got.select(unix_micros(col("ts"))).collect().map(_.getLong(0)).sorted
+      assert(vals.toSeq == micros.sorted, s"$dir: got ${vals.toSeq}")
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_ts_flavors").toString
+    // flavor 1: µs NTZ (isAdjustedToUTC=false) — the r7 regeneration
+    micros.map(m => (1L, m)).toDF("event_id", "us")
+      .select(col("event_id"), timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+      .write.mode("overwrite").parquet(s"$base/ntz/events.parquet")
+    check(s"$base/ntz")
+    // flavor 2: µs UTC-adjusted (instant) — plain TimestampType pass-through
+    micros.map(m => (1L, m)).toDF("event_id", "us")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"))
+      .write.mode("overwrite").parquet(s"$base/utc/events.parquet")
+    check(s"$base/utc")
+    // flavor 3 (NANOS-as-long) is pinned by the dedicated test above.
+  }
+
   test("sessionize: events partition into sessions; counts sum to total") {
     val s = Events.sessionize(ev)
     val total = s.agg(sum("n_events")).collect()(0).getLong(0)
