@@ -85,3 +85,68 @@ object SkewStress {
     spark.stop()
   }
 }
+
+/** Dev tool: the hot-USER interval-join claim measured for real.
+  * [[graft.operators.Events.intervalJoin]]'s scaladoc says per-user
+  * fan-out (Σ_user |P_u|·|C_u|) makes a hot user "AQE skew-split
+  * territory" — this harness builds that user and times the claim.
+  *
+  * Fixture: the sf dir's events with ~`hotFrac` of ALL rows remapped to
+  * ONE existing user (deterministic hash choice) — the hot user's
+  * pair-evaluation product grows quadratically in hotFrac while total
+  * rows stay fixed, exactly the workload an organic hot account (a bot,
+  * a load tester) creates in an event lake. Both variants compute the
+  * identical interval join; the (row count, Σclicks, Σvalue) summary is
+  * asserted identical across variants (AQE must never change results).
+  *
+  * Usage: runMain graft.IntervalSkew <sfDir> [hotFrac=0.01]
+  * Prints one JSON line per variant: {"variant":...,"sec":...}.
+  */
+object IntervalSkew {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val hotFrac = if (args.length > 1) args(1).toDouble else 0.01
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val c = spark.conf
+
+    val ev0 = Tables.events(spark, sfDir)
+    val hotUser = ev0.agg(min("user_id")).collect()(0).getLong(0)
+    val mod = math.max(1L, math.round(1.0 / hotFrac))
+    val skewDir = s"${System.getProperty("java.io.tmpdir")}/graft_evskew_fixture"
+    ev0.withColumn("user_id",
+        when(pmod(hash(col("event_id")), lit(mod)) === 0, lit(hotUser))
+          .otherwise(col("user_id")))
+      .write.mode(SaveMode.Overwrite).parquet(skewDir)
+    val ev = spark.read.parquet(skewDir)
+    val nHot = ev.where(col("user_id") === hotUser).count()
+    System.err.println(f"[evskew] hot user $hotUser carries $nHot of ${ev.count()} events")
+
+    def summarize(df: DataFrame): Seq[String] = {
+      import graft.operators.Compat._
+      df.agg(count(lit(1)), xsum(col("n_clicks")), xsum(col("click_value")))
+        .collect().map(_.toString).toSeq
+    }
+    var expect: Option[Seq[String]] = None
+    val lines = Seq("plain_noaqe", "aqe_only").map { name =>
+      c.set("spark.sql.adaptive.enabled", (name != "plain_noaqe").toString)
+      Cleanup.releaseAll(spark)
+      val t0 = System.nanoTime()
+      val rows = summarize(graft.operators.Events.intervalJoin(ev))
+      val sec = (System.nanoTime() - t0) / 1e9
+      expect match {
+        case None => expect = Some(rows)
+        case Some(e) => require(rows == e, s"$name diverged from plain result")
+      }
+      f"""{"variant":"$name","sec":$sec%.2f,"hotFrac":$hotFrac}"""
+    }
+    lines.foreach(println)
+    spark.stop()
+  }
+}

@@ -148,16 +148,30 @@ object Events {
   /** INTERVAL (range) join — the batch twin of a stream-stream windowed
     * join: every purchase meets the same user's clicks from the
     * preceding 30 minutes, emitting per-purchase click count and
-    * click-value total (zero-click purchases kept by the left join).
+    * click-value total (zero-click purchases kept).
     *
-    * Scale shape: the EQUI key (user_id) carries the shuffle — both
-    * sides hash-partition on user, and the time-range predicate
-    * evaluates inside each matched pair, so cost is Σ_user |P_u|·|C_u|,
-    * never |P|·|C|. That is the right plan whenever per-key activity is
-    * bounded (here: user event streams); a hot user is AQE skew-split
-    * territory, same playbook as q20/q35. Time is compared in exact
-    * integer µs on both engines — no interval arithmetic to disagree
-    * over. */
+    * Scale shape — BINNED range join (r8): the naive plan shuffles on
+    * user_id alone and evaluates the time predicate inside each matched
+    * pair, Σ_user |P_u|·|C_u| — and a hot user makes that quadratic in
+    * ONE task. Measured at 100× ([[graft.IntervalSkew]], one user
+    * carrying 5% of 10 M events): 116 s plain, and AQE does NOT rescue
+    * it (117.6 s) — AQE's skew split triggers on partition BYTES, and
+    * the hot partition is a few MB of input exploding quadratically in
+    * CPU, invisible to the byte heuristic. So the time dimension joins
+    * the equi-key instead: clicks bucket at `cus div Interval`,
+    * purchases replicate into their bucket and its predecessor (a
+    * click in [pus−I, pus) lies in bucket `pus div I` or the one
+    * before — two-replica cover, each pair matching exactly one
+    * replica), and the exact µs predicate evaluates inside the
+    * (user, bucket) groups. The hot user's one key becomes its ~1440
+    * per-month buckets: same 9 s with or without the hot user, no AQE
+    * needed (measured, same harness). Residual skew = one user hot
+    * within one 30-min bucket — genuinely irreducible pair work, click
+    * salting territory. Zero-click purchases rejoin via a left join of
+    * the purchase-sized aggregate, and the decimal [[Compat.xsum]] is
+    * order-independent, so the rewrite is result-identical to the
+    * oracle's plain left join. Time is compared in exact integer µs on
+    * both engines — no interval arithmetic to disagree over. */
   val IntervalUs: Long = 30L * 60 * 1000 * 1000
 
   def intervalJoin(ev: DataFrame): DataFrame = {
@@ -167,13 +181,20 @@ object Events {
     val clicks = ev.where(col("event_type") === "click")
       .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("cus"),
         col("value"))
-    purchases.join(clicks,
-        col("user_id") === col("c_user") &&
-          col("cus") >= col("pus") - IntervalUs && col("cus") < col("pus"),
-        "left")
+    val pB = purchases.withColumn("pbkt",
+      explode(array(expr(s"pus div $IntervalUs"), expr(s"pus div $IntervalUs - 1"))))
+    val cB = clicks.withColumn("cbkt", expr(s"cus div $IntervalUs"))
+    val matched = pB.join(cB,
+        col("user_id") === col("c_user") && col("pbkt") === col("cbkt") &&
+          col("cus") >= col("pus") - IntervalUs && col("cus") < col("pus"))
       .groupBy("user_id", "purchase_id")
       .agg(count(col("cus")).as("n_clicks"),
-        coalesce(Compat.xsum(col("value")), lit(0.0)).as("click_value"))
+        Compat.xsum(col("value")).as("click_value"))
+    purchases.select("user_id", "purchase_id")
+      .join(matched, Seq("user_id", "purchase_id"), "left")
+      .select(col("user_id"), col("purchase_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("click_value"), lit(0.0)).as("click_value"))
       .orderBy("user_id", "purchase_id")
   }
 

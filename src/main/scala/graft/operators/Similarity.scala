@@ -258,20 +258,49 @@ object Similarity {
       persistCodebook(Tables.embeddings(s, d), dir)
     val em = Tables.embeddings(s, d)
     val cents = readCodebook(s, dir)
-    val bits = ImiBits(TrainedK)
-    // coarse buckets of the centroids, from the PERSISTED float cv —
-    // K·T rows, broadcast everywhere below
-    val centIdx = s.read.parquet(dir).select(col("cent_id"),
-        posexplode(call_function("graft_lsh_buckets", col("cv"), lit(bits)))
+    val (scored, fullScan) = imiScored(em, cents, ImiBits(TrainedK))
+    def queriesOnly(df: DataFrame) = df.where(col("vec_id") % QueryStride === 0)
+    val assign = topCells(scored, 1)
+      .unionAll(topCells(fullScan, 1))
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val probes = topCells(queriesOnly(scored), NProbe)
+      .unionAll(topCells(queriesOnly(fullScan), NProbe))
+      .withColumnRenamed("vec_id", "query_id")
+    ivfRank(em, probes, assign)
+  }
+
+  /** The IMI coarse-pruned centroid-scoring pass ([[ivfImi]]'s core,
+    * since r8 also the assignment pass of the whole PQ chain —
+    * [[ivfCandidates]]): centroids and vectors are both LSH-bucketed at
+    * `bits`, and each vector cosine-scores only the centroids sharing a
+    * coarse bucket in ANY table — ≈ √K candidates instead of all K.
+    * `cents` arrives double-widened; the float cast here exactly
+    * reverses the read-side widening (float→double→float is identity),
+    * so the bucket sums match both the persisted fixture bits and the
+    * oracle's `cv::DOUBLE[]` unrolled sums.
+    *
+    * Candidate scoring stays MAP-SIDE end to end: each vector row
+    * explodes its own coarse buckets, broadcast-joins the centroid
+    * index (K·T rows) and the codebook, and computes its candidate
+    * cosines in place — the corpus vectors never enter a shuffle. A
+    * (vec, cent) pair colliding in several tables scores identically
+    * each time; the max() dedup runs over SKINNY (vec_id, cent_id,
+    * ccos) triples, the only rows that ride an exchange.
+    *
+    * Returns (scored, fullScan): the bucket-matched triples, plus the
+    * full-codebook triples for vectors the coarse pass missed entirely
+    * (no shared bucket) — pruning never silently drops a vector. Only
+    * ids shuffle to find the miss set; the fallback scan itself is a
+    * broadcast map pass. Callers cut top-1 (assignment) or
+    * top-[[NProbe]] (probing) via [[topCells]]. */
+  private[graft] def imiScored(em: DataFrame, cents: DataFrame,
+                               bits: Int): (DataFrame, DataFrame) = {
+    graft.plans.GraftFunctions.register(em.sparkSession)
+    val centIdx = cents.select(col("cent_id"),
+        posexplode(call_function("graft_lsh_buckets",
+            transform(col("cv"), x => x.cast("float")), lit(bits)))
           .as(Seq("tbl", "bucket")))
       .select(col("cent_id"), col("tbl").cast("long").as("tbl"), col("bucket"))
-    // candidate scoring stays MAP-SIDE end to end: each vector row
-    // explodes its own coarse buckets, broadcast-joins the centroid
-    // index and the codebook, and computes its candidate cosines in
-    // place — the corpus vectors never enter a shuffle. A (vec, cent)
-    // pair colliding in several tables scores identically each time;
-    // the max() dedup below runs over SKINNY (vec_id, cent_id, ccos)
-    // triples, the only rows that ride an exchange.
     val scored = em.select(col("vec_id"), col("embedding"),
         posexplode(call_function("graft_lsh_buckets", col("embedding"), lit(bits)))
           .as(Seq("tbl", "bucket")))
@@ -282,28 +311,21 @@ object Similarity {
       .select(col("vec_id"), col("cent_id"),
         cosine(vec(col("embedding")), col("cv")).as("ccos"))
       .groupBy("vec_id", "cent_id").agg(max("ccos").as("ccos"))
-    def top(side: DataFrame, idCol: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cent_id"))
-      side.withColumn("crn", row_number().over(w)).where(col("crn") <= n)
-        .select(col(idCol), col("cent_id").as("cell"))
-    }
-    // LSH-miss fallback: vectors with NO candidate centroid scan the
-    // full codebook (rare; exactness-preserving). Only ids shuffle to
-    // find the miss set; the scan itself is a broadcast map pass.
     val missedIds = em.select(col("vec_id"))
       .join(scored.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
     val fullScan = em.join(missedIds, "vec_id")
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
         cosine(vec(col("embedding")), col("cv")).as("ccos"))
-    val assign = top(scored, "vec_id", 1)
-      .unionAll(top(fullScan, "vec_id", 1))
-      .withColumnRenamed("vec_id", "neighbor_id")
-    def queriesOnly(df: DataFrame) = df.where(col("vec_id") % QueryStride === 0)
-    val probes = top(queriesOnly(scored), "vec_id", NProbe)
-      .unionAll(top(queriesOnly(fullScan), "vec_id", NProbe))
-      .withColumnRenamed("vec_id", "query_id")
-    ivfRank(em, probes, assign)
+    (scored, fullScan)
+  }
+
+  /** Top-n (vec_id, cell) cut over a (vec_id, cent_id, ccos) frame —
+    * rank window over skinny triples, (ccos desc, cent_id) tie-break. */
+  private def topCells(side: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    side.withColumn("crn", row_number().over(w)).where(col("crn") <= n)
+      .select(col("vec_id"), col("cent_id").as("cell"))
   }
 
   /** Trained-codebook size: a MODEL input, baked into the persisted
@@ -420,14 +442,26 @@ object Similarity {
     * probes its [[NProbe]] nearest cells and meets only the vectors
     * ASSIGNED there — the inverted-file candidate source shared (in
     * shape) with [[ivfRank]], reused by IVFPQ ([[pqCells]]) so the PQ
-    * scan stops being all-pairs. Work: two broadcast n·K passes + a
-    * join on cell of width n/K ≈ √n — never corpus×corpus. */
+    * scan stops being all-pairs.
+    *
+    * Since r8 the assignment/probe passes compose the IMI coarse
+    * quantizer ([[imiScored]], `ann_ivf_imi`'s machinery): instead of
+    * the broadcast n·K scan, each vector scores only the ≈ √K trained
+    * centroids sharing a coarse LSH bucket, with the full-codebook
+    * fallback for coarse misses — the n·K cosine pass the PQ chain
+    * shared with `ann_ivf_trained` (89 M cosines at 100×, SURVEY
+    * §5c-r7) drops to ≈ n·√K. The oracle mirrors the prune, the miss
+    * set, and the fallback exactly ([[imiAssignProbesSql]]). Work: one
+    * coarse-bucket map pass + √K-candidate scoring + a join on cell of
+    * width n/K ≈ √n — never corpus×corpus. */
   private[graft] def ivfCandidates(em: DataFrame, ivfCents: DataFrame): DataFrame = {
-    val corpus = corpusVecs(em)
-    val assign = cellAssign(corpus, ivfCents)
+    val (scored, fullScan) = imiScored(em, ivfCents, ImiBits(TrainedK))
+    def queriesOnly(df: DataFrame) = df.where(col("vec_id") % QueryStride === 0)
+    val assign = topCells(scored, 1)
+      .unionAll(topCells(fullScan, 1))
       .select(col("vec_id").as("neighbor_id"), col("cell"))
-    val probes = nearestCells(
-        corpus.where(col("vec_id") % QueryStride === 0), ivfCents, NProbe)
+    val probes = topCells(queriesOnly(scored), NProbe)
+      .unionAll(topCells(queriesOnly(fullScan), NProbe))
       .select(col("vec_id").as("query_id"), col("cell"))
     probes.join(assign, "cell")
       .where(col("query_id") =!= col("neighbor_id"))
@@ -728,47 +762,60 @@ object Similarity {
          |FROM (SELECT $idCol, $vExpr AS v FROM $rel) e""".stripMargin
     }.mkString(" UNION ALL ")
 
-  /** Full `ann_ivf_imi` oracle: coarse-bucket candidate centroids, the
-    * miss set's full-scan fallback, then the shared probe/rank tail. */
-  private def imiSql(codebookDir: String): String = {
+  /** IMI-pruned assignment/probing CTE block over a centroid CTE named
+    * `centsRel` — the SQL mirror of [[imiScored]] plus the
+    * top-1/top-[[NProbe]] cuts: coarse-bucket the centroids and the
+    * corpus, score only bucket-sharing (vec, cent) pairs, full-codebook
+    * fallback for the miss set. Emits `<p>cent_idx`, `<p>vec_idx`,
+    * `<p>cand` (= `candRel`), `assign`, and `probes`. Shared verbatim
+    * by the `ann_ivf_imi` oracle and the IVFPQ chain's candidate CTEs
+    * ([[pqRankedCtes]]) — one text, so the two oracles cannot drift. */
+  private def imiAssignProbesSql(centsRel: String, candRel: String,
+                                 idxP: String): String = {
     val bits = ImiBits(TrainedK)
-    s"""WITH cents AS (
-       |  SELECT cent_id, cv::DOUBLE[] AS cv FROM read_parquet('$codebookDir/*.parquet')),
-       |cent_idx AS (${imiIndexSql("cents", "cent_id", "cv", bits)}),
-       |vec_idx AS (${imiIndexSql("embeddings", "vec_id", V, bits)}),
-       |cand AS (
+    s"""${idxP}cent_idx AS (${imiIndexSql(centsRel, "cent_id", "cv", bits)}),
+       |${idxP}vec_idx AS (${imiIndexSql("embeddings", "vec_id", V, bits)}),
+       |$candRel AS (
        |  SELECT DISTINCT v.vec_id, c.cent_id
-       |  FROM vec_idx v JOIN cent_idx c ON v.tbl = c.tbl AND v.bucket = c.bucket),
+       |  FROM ${idxP}vec_idx v JOIN ${idxP}cent_idx c ON v.tbl = c.tbl AND v.bucket = c.bucket),
        |assign AS (
        |  SELECT vec_id AS neighbor_id, cell FROM (
        |    SELECT ca.vec_id, ce.cent_id AS cell,
        |      row_number() OVER (PARTITION BY ca.vec_id
        |        ORDER BY list_cosine_similarity(e.$V, ce.cv) DESC, ce.cent_id) AS crn
-       |    FROM cand ca JOIN embeddings e ON e.vec_id = ca.vec_id
-       |    JOIN cents ce ON ce.cent_id = ca.cent_id) a WHERE crn = 1
+       |    FROM $candRel ca JOIN embeddings e ON e.vec_id = ca.vec_id
+       |    JOIN $centsRel ce ON ce.cent_id = ca.cent_id) a WHERE crn = 1
        |  UNION ALL
        |  SELECT vec_id AS neighbor_id, cell FROM (
        |    SELECT e.vec_id, ce.cent_id AS cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY list_cosine_similarity(e.$V, ce.cv) DESC, ce.cent_id) AS crn
-       |    FROM embeddings e, cents ce
-       |    WHERE e.vec_id NOT IN (SELECT vec_id FROM cand)) a WHERE crn = 1),
+       |    FROM embeddings e, $centsRel ce
+       |    WHERE e.vec_id NOT IN (SELECT vec_id FROM $candRel)) a WHERE crn = 1),
        |probes AS (
        |  SELECT query_id, cell FROM (
        |    SELECT ca.vec_id AS query_id, ce.cent_id AS cell,
        |      row_number() OVER (PARTITION BY ca.vec_id
        |        ORDER BY list_cosine_similarity(e.$V, ce.cv) DESC, ce.cent_id) AS crn
-       |    FROM cand ca JOIN embeddings e ON e.vec_id = ca.vec_id
-       |    JOIN cents ce ON ce.cent_id = ca.cent_id
+       |    FROM $candRel ca JOIN embeddings e ON e.vec_id = ca.vec_id
+       |    JOIN $centsRel ce ON ce.cent_id = ca.cent_id
        |    WHERE ca.vec_id % $QueryStride = 0) p WHERE crn <= $NProbe
        |  UNION ALL
        |  SELECT query_id, cell FROM (
        |    SELECT e.vec_id AS query_id, ce.cent_id AS cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY list_cosine_similarity(e.$V, ce.cv) DESC, ce.cent_id) AS crn
-       |    FROM embeddings e, cents ce
+       |    FROM embeddings e, $centsRel ce
        |    WHERE e.vec_id % $QueryStride = 0
-       |      AND e.vec_id NOT IN (SELECT vec_id FROM cand)) p WHERE crn <= $NProbe),
+       |      AND e.vec_id NOT IN (SELECT vec_id FROM $candRel)) p WHERE crn <= $NProbe)""".stripMargin
+  }
+
+  /** Full `ann_ivf_imi` oracle: coarse-bucket candidate centroids, the
+    * miss set's full-scan fallback, then the shared probe/rank tail. */
+  private def imiSql(codebookDir: String): String = {
+    s"""WITH cents AS (
+       |  SELECT cent_id, cv::DOUBLE[] AS cv FROM read_parquet('$codebookDir/*.parquet')),
+       |${imiAssignProbesSql("cents", "cand", "")},
        |cand2 AS (
        |  SELECT DISTINCT p.query_id, a.neighbor_id
        |  FROM probes p JOIN assign a ON a.cell = p.cell
@@ -839,19 +886,7 @@ object Similarity {
        |  SELECT m, cent_id, cv::DOUBLE[] AS cv FROM read_parquet('$dir/*.parquet')),
        |icents AS (
        |  SELECT cent_id, cv::DOUBLE[] AS cv FROM read_parquet('$ivfDir/*.parquet')),
-       |assign AS (
-       |  SELECT vec_id AS neighbor_id, cell FROM (
-       |    SELECT e.vec_id, c.cent_id AS cell,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY list_cosine_similarity(e.$V, c.cv) DESC, c.cent_id) AS crn
-       |    FROM embeddings e, icents c) a WHERE crn = 1),
-       |probes AS (
-       |  SELECT query_id, cell FROM (
-       |    SELECT q.vec_id AS query_id, c.cent_id AS cell,
-       |      row_number() OVER (PARTITION BY q.vec_id
-       |        ORDER BY list_cosine_similarity(q.$V, c.cv) DESC, c.cent_id) AS crn
-       |    FROM embeddings q, icents c WHERE q.vec_id % $QueryStride = 0) p
-       |  WHERE crn <= $NProbe),
+       |${imiAssignProbesSql("icents", "icand", "i")},
        |cand AS (
        |  SELECT DISTINCT p.query_id, a.neighbor_id
        |  FROM probes p JOIN assign a ON a.cell = p.cell
