@@ -162,6 +162,19 @@ object WordCount {
     wordCount(graft.sources.Sources.chunked(docs, ChunkChars)
       .withColumnRenamed("chunk", "text"))
 
+  /** The reference's CROSS-FILE chunkized count (`wc_concat`, r8): the
+    * full `core/utils.go:330-343` semantic — every document concatenated
+    * into one stream in doc_id order (no separator), fixed-size slices,
+    * each slice tokenized independently. Completes [[chunkedWordCount]]:
+    * that key keeps per-document boundaries (the recommended shape);
+    * this one reproduces the reference's cross-file token MERGES (last
+    * word of doc i + first word of doc i+1) and global-offset SPLITS
+    * exactly, via [[graft.sources.Sources.concatChunked]]'s distributed
+    * prefix-sum — the concatenated stream is never materialized. */
+  def concatWordCount(docs: DataFrame): DataFrame =
+    wordCount(graft.sources.Sources.concatChunked(docs, ChunkChars)
+      .withColumnRenamed("chunk", "text"))
+
   /** The reference's ACTUAL input path, driver-gated end to end: raw text
     * files on disk → splittable line scan → schema extraction → per-doc
     * chunkization → tokenize → count (`core/utils.go:320-343` →
@@ -199,6 +212,7 @@ object WordCount {
     "wc_lengths"   -> ((s, d) => lengthHistogram(Tables.documents(s, d))),
     "wc_per_doc"   -> ((s, d) => perDocCounts(Tables.documents(s, d))),
     "wc_chunked"   -> ((s, d) => chunkedWordCount(Tables.documents(s, d))),
+    "wc_concat"    -> ((s, d) => concatWordCount(Tables.documents(s, d))),
     "wc_files"     -> ((s, d) => filesWordCount(s, d)),
     "wc_bigrams"   -> ((s, d) => bigramCount(Tables.documents(s, d))),
     "wc_cooccur"   -> ((s, d) => cooccur(Tables.documents(s, d))),
@@ -262,6 +276,32 @@ object WordCount {
          |  FROM documents,
          |    unnest(range(0, CAST(ceil(length(text) / $ChunkChars.0) AS BIGINT))) AS u(i)
          |) t WHERE word <> ''
+         |GROUP BY word ORDER BY cnt DESC, word""".stripMargin,
+    // cross-file concatenation: global exclusive prefix offsets in
+    // doc_id order, per-doc overlapped pieces, chunks reassembled in
+    // offset order — strings.Join(filesData, "") + fixed slices, exactly
+    "wc_concat" ->
+      s"""WITH offs AS (
+         |  SELECT doc_id, text, length(text)::BIGINT AS len,
+         |    COALESCE(SUM(length(text)::BIGINT) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |  FROM documents),
+         |pieces AS (
+         |  SELECT k AS chunk_no, off,
+         |    substr(text,
+         |      CAST(GREATEST(k * $ChunkChars, off) - off + 1 AS BIGINT),
+         |      CAST(LEAST((k + 1) * $ChunkChars, off + len)
+         |           - GREATEST(k * $ChunkChars, off) AS BIGINT)) AS piece
+         |  FROM offs, unnest(range(CAST(off // $ChunkChars AS BIGINT),
+         |                          CAST((off + len - 1) // $ChunkChars + 1 AS BIGINT))) AS u(k)
+         |  WHERE len > 0),
+         |chunks AS (
+         |  SELECT chunk_no, string_agg(piece, '' ORDER BY off) AS text
+         |  FROM pieces GROUP BY chunk_no)
+         |SELECT word, count(*) AS cnt FROM (
+         |  SELECT unnest(regexp_split_to_array(text, '$TokenRe')) AS word
+         |  FROM chunks) t
+         |WHERE word <> ''
          |GROUP BY word ORDER BY cnt DESC, word""".stripMargin,
   )
 

@@ -16,14 +16,14 @@ import org.apache.spark.sql.types.StructType
   *    FileSourceScan already does the reference's chunk-placement job
   *    (splits, locality, replication) via the storage layer;
   *  - [[chunked]] reproduces the reference's fixed-size-chunk DATA MODEL
-  *    (including its split-token boundary artifact) per document. Note
-  *    one deliberate divergence: the reference concatenates ALL input
-  *    files into a single string before slicing (`core/utils.go`
-  *    `strings.Join(filesData, "")`), so its chunk boundaries can also
-  *    merge/split tokens ACROSS file boundaries, and depend on file
-  *    enumeration order; per-document chunking keeps the intra-document
-  *    boundary-split semantics while staying deterministic and
-  *    embarrassingly parallel.
+  *    (including its split-token boundary artifact) per document —
+  *    deterministic and embarrassingly parallel, the recommended shape;
+  *  - [[concatChunked]] (r8) reproduces the reference's FULL semantic:
+  *    all inputs concatenated into ONE stream before slicing
+  *    (`core/utils.go:330-343` `strings.Join(filesData, "")`), so chunk
+  *    boundaries also merge the last token of doc i with the first of
+  *    doc i+1 and split tokens at global offsets — implemented as a
+  *    distributed prefix-sum, never a driver-side concatenation.
   */
 object Sources {
 
@@ -142,5 +142,66 @@ object Sources {
           i => col("text").substr(i * chunkSize + 1, lit(chunkSize))))
           .as(Seq("chunk_no", "chunk")))
       .where(col("chunk") =!= "")
+  }
+
+  /** The reference's CROSS-FILE concatenation chunkization, exact
+    * (`core/utils.go:330-343`: `allStr = strings.Join(filesData, "")`
+    * then fixed-size slices of the single stream): documents concatenate
+    * in doc_id order with NO separator, so a chunk boundary can both
+    * MERGE the last token of doc i with the first token of doc i+1 and
+    * SPLIT a token at a global offset — the two boundary artifacts that
+    * are part of the reference's semantics. (The reference slices Go
+    * string BYTES; this slices CHARACTERS — identical on the ASCII gate
+    * corpus, and the char definition is the one both engines share.)
+    *
+    * Scale shape — the global concatenation is never materialized; the
+    * stream exists only as COORDINATES (a distributed prefix-sum):
+    *
+    *  1. range-partition by doc_id, so each partition holds a
+    *     contiguous run of the enumeration order;
+    *  2. within-partition exclusive running length (partition-local
+    *     window — parallel);
+    *  3. per-partition totals → a PARTITION-COUNT-sized frame whose own
+    *     prefix scan is one tiny single-task window, broadcast back
+    *     (the classic two-phase scan: the only global sequential step
+    *     is O(#partitions), not O(rows));
+    *  4. each doc emits its overlapped piece per covered chunk
+    *     (fan-out ceil(len/chunkSize)+1, map-only), and chunks
+    *     reassemble with one groupBy(chunk_no) shuffle whose groups are
+    *     chunk-sized by construction.
+    *
+    * Output: (chunk_no, chunk), the reference's CHUNK array. */
+  def concatChunked(docs: DataFrame, chunkSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cs = chunkSize.toLong
+    val sized = docs.select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("len"))
+      .repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBases = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = sized.groupBy("pid").agg(sum("len").as("plen"))
+      .withColumn("base", coalesce(sum("plen").over(wBases), lit(0L)))
+      .select("pid", "base")
+    val offd = sized
+      .withColumn("loff", coalesce(sum("len").over(wLocal), lit(0L)))
+      .join(broadcast(bases), "pid")
+      .select(col("doc_id"), col("text"), col("len"),
+        (col("base") + col("loff")).as("off"))
+    offd.where(col("len") > 0)
+      .select(col("off"), col("text"),
+        explode(sequence(expr(s"off div $cs"), expr(s"(off + len - 1) div $cs")))
+          .as("chunk_no"))
+      .select(col("chunk_no"), col("off"),
+        col("text").substr(
+          (greatest(col("chunk_no") * cs, col("off")) - col("off") + 1).cast("int"),
+          (least((col("chunk_no") + 1) * cs, col("off") + length(col("text")))
+            - greatest(col("chunk_no") * cs, col("off"))).cast("int")).as("piece"))
+      .groupBy("chunk_no")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("off"), col("piece")))),
+        e => e.getField("piece")), "").as("chunk"))
   }
 }

@@ -26,6 +26,28 @@ class WordCountSpec extends SparkSpec {
     assert(t == Seq("Hello", "hello", "WORLD", "x", "y"))
   }
 
+  test("concatChunked: cross-doc token merge and global-offset split, exact reassembly") {
+    val s = spark
+    import s.implicits._
+    // stream = "abc" + "defg" + "hi j" = "abcdefghi j" (11 chars); CS=4
+    // chunks: "abcd" | "efgh" | "i j" — "abc"+"d" MERGED across docs,
+    // "defg" SPLIT at a global offset, trailing chunk short
+    val d = Seq((1L, "abc"), (2L, "defg"), (3L, "hi j")).toDF("doc_id", "text")
+    val ch = graft.sources.Sources.concatChunked(d, 4)
+      .orderBy("chunk_no").as[(Long, String)].collect().toSeq
+    assert(ch == Seq((0L, "abcd"), (1L, "efgh"), (2L, "i j")))
+    // tokens of the chunkized stream: reference boundary artifacts exact
+    val words = WordCount.wordCount(
+        graft.sources.Sources.concatChunked(d, 4).withColumnRenamed("chunk", "text"))
+      .as[(String, Long)].collect().toMap
+    assert(words == Map("abcd" -> 1L, "efgh" -> 1L, "i" -> 1L, "j" -> 1L))
+    // an empty doc shifts nothing and emits nothing
+    val d2 = Seq((1L, "abc"), (2L, ""), (3L, "defg")).toDF("doc_id", "text")
+    val ch2 = graft.sources.Sources.concatChunked(d2, 4)
+      .orderBy("chunk_no").as[(Long, String)].collect().toSeq
+    assert(ch2 == Seq((0L, "abcd"), (1L, "efg")))
+  }
+
   test("topK is the head of the full ranking") {
     val full = WordCount.wordCount(docs).collect()
     val top = WordCount.topK(docs, 5).collect()
