@@ -157,7 +157,18 @@ object Bench {
         // 6.7 s standalone before this)
         Cleanup.releaseAll(spark)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        // toRdd.count(), NOT count(): df.count() plans an Aggregate on
+        // top of the query, and Catalyst then prunes every unreferenced
+        // column and eliminates the final sort — a MAP-ONLY query (e.g.
+        // text_pii, text_normalize) collapses to a footer-count scan and
+        // "benches" in 0.2 s at any scale (discovered r8: text_pii read
+        // the same 0.22 s at sf0.1 and 100×). toRdd executes the plan
+        // exactly as the operator declared it — every projection, every
+        // sort — which is what the number claims to measure.
+        try {
+          fn(spark, sfDir).queryExecution.toRdd.count()
+          Some((System.nanoTime() - t0) / 1e9)
+        }
         catch {
           case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)

@@ -212,6 +212,69 @@ object TextAnalysis {
   // the tokenizer class reused as a replacement pattern
   private val TokenRe0 = WordCount.TokenRe
 
+  // ---- PII redaction (`text_pii`) ----
+
+  /** PII patterns, applied in THIS order (most specific first, each
+    * stage counting on the PREVIOUS stage's output, so one entity can
+    * never half-match a later pattern). The literal strings are shared
+    * with the oracle: every construct used (char classes, {m,n}
+    * bounds, non-capturing groups, \b) parses identically in Java
+    * regex (Spark codegen) and RE2 (DuckDB). */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn",   "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",                "<SSN>"),
+    ("phone", "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b",                "<PHONE>"),
+    ("ip",    "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b",            "<IP>"))
+
+  /** Deterministic synthetic-PII layer: the gate corpus is generated
+    * word salad carrying no organic PII, so the query APPENDS entities
+    * derived purely from `doc_id` (email, phone, IP, SSN; every 5th doc
+    * stays clean so zero-count rows gate too). The construction is
+    * mirrored literally by the oracle — the OPERATOR under test is the
+    * redaction chain, the injection is shared test scaffolding, exactly
+    * the mm_* pattern (fixtures derived from the corpus, stats gated). */
+  private def piiInjected: Column = {
+    val id = col("doc_id")
+    concat(col("text"),
+      when(pmod(id, lit(5)) === 0, lit("")).otherwise(concat(
+        lit(" contact u"), id,
+        lit("@mail"), pmod(id, lit(7)), lit(".example or "),
+        lpad(pmod(id * 7919, lit(1000)).cast("string"), 3, "0"), lit("-"),
+        lpad(pmod(id * 104729, lit(1000)).cast("string"), 3, "0"), lit("-"),
+        lpad(pmod(id * 1299709, lit(10000)).cast("string"), 4, "0"),
+        lit(" from 10."), pmod(id, lit(256)), lit(".0."), pmod(id * 31, lit(256)),
+        lit(" id 123-45-"), lpad(pmod(id, lit(10000)).cast("string"), 4, "0"))))
+  }
+
+  /** PII REDACTION (`text_pii`) — the scrubbing pass a production
+    * training corpus runs before anything ships to a trainer: emails,
+    * SSNs, phone numbers, and IPv4 addresses replaced with typed mask
+    * tokens. Pure codegen'd per-row regexp chain — map-only, zero
+    * shuffles before the final order, the 100 TB shape by construction.
+    *
+    * Gate contract per doc: the per-type redaction counts (each counted
+    * on the previous stage's output, in [[PiiPatterns]] order), the
+    * RESIDUAL match count after all stages (must be 0 — the gate checks
+    * the redactor's own completeness), and md5+length of the cleaned
+    * text (a single surviving digit anywhere breaks the hash). */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val staged = PiiPatterns.zipWithIndex.foldLeft(
+        docs.select(col("doc_id"), piiInjected.as("s0"))) {
+      case (df, ((name, pat, mask), i)) =>
+        df.withColumn(s"n_$name", regexp_count(col(s"s$i"), lit(pat)).cast("long"))
+          .withColumn(s"s${i + 1}", regexp_replace(col(s"s$i"), pat, mask))
+    }
+    val cleaned = col(s"s${PiiPatterns.size}")
+    val residual = PiiPatterns.map { case (_, pat, _) =>
+      regexp_count(cleaned, lit(pat)).cast("long") }.reduce(_ + _)
+    staged.select(
+        col("doc_id") +: PiiPatterns.map { case (name, _, _) => col(s"n_$name") } :+
+        residual.as("n_residual") :+
+        md5(cleaned).as("clean_hash") :+
+        length(cleaned).cast("long").as("clean_len"): _*)
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF top terms per document: term frequency from the reference
     * tokenizer, document frequency across the corpus, top-[[TfidfTopK]]
     * terms ranked by the ALL-INTEGER key (tf desc, df asc, word asc) so
@@ -592,6 +655,78 @@ object TextAnalysis {
 
   val ClfBuckets = 4096
 
+  /** Quality-filter threshold — canonical here (TrainingPipeline
+    * re-exports it) so [[trainClassifier]]'s oracle can reference it
+    * without a TextAnalysis↔TrainingPipeline object-init cycle. */
+  val QualityMin = 0.55
+
+  /** DISTRIBUTED CLASSIFIER TRAINING (`text_train`) — the stage
+    * [[classify]]'s scaladoc leaves open ("standing in for a trained
+    * model"): DISTILL the rule-based quality filter into a hashed
+    * linear model, the fastText/DCLM pipeline pattern (train a cheap
+    * model on seed labels, deploy it where the rules are too slow or
+    * too brittle). Labels are the corpus's own quality rule
+    * (y = ±1 at [[QualityMin]] — the exact arithmetic the pipeline
+    * stages already gate); features are [[ClfBuckets]]-hashed
+    * bag-of-words counts (the same h32 bucketing [[classify]] serves).
+    *
+    * Training is BATCH PERCEPTRON, [[TrainIters]] fixed epochs, lr=1:
+    * w ← w + Σ_misclassified y·x. Chosen over logistic regression
+    * deliberately: every quantity (counts, scores, updates) is exact
+    * INTEGER arithmetic — no sigmoid, no learning-rate floats — so the
+    * final weight table is bit-identical in both engines and the gate
+    * hash-checks THE ENTIRE TRAINING TRAJECTORY (any divergence in any
+    * epoch's misclassified set changes some weight).
+    *
+    * Scale shape: per epoch, ONE broadcast of the ≤[[ClfBuckets]]-row
+    * weight table + a doc-keyed score aggregation + a bucket-keyed
+    * update aggregation — both combiner-friendly; the corpus is scanned
+    * once into the persisted (doc, bucket, cnt) feature frame and never
+    * re-tokenized. Epochs compose lazily (T is fixed and small);
+    * persisted intermediates release via [[graft.Cleanup.releaseAll]]
+    * (the Verify/Bench between-query contract). This is the map-reduce
+    * ML-training pattern (parameter broadcast + gradient aggregation)
+    * the reference's fixed-reducer topology cannot express. */
+  val TrainIters = 3
+
+  def trainClassifier(docs: DataFrame): DataFrame = {
+    val labels = docs.select(col("doc_id"),
+      when(qualityScoreCol >= QualityMin, lit(1L)).otherwise(lit(-1L)).as("y"))
+    trainPerceptron(docs, labels)
+  }
+
+  /** The perceptron loop over explicit (doc_id, y=±1) labels —
+    * spec-runnable on synthetic separable corpora. */
+  private[graft] def trainPerceptron(docs: DataFrame, labels0: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+    val wb = words.select("w").distinct()
+      .select(col("w"), (Dedup.h32(lit("clf"), col("w")) % ClfBuckets).as("bucket"))
+    val feats = words.join(wb, "w")
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt")).persist()
+    val labels = labels0.persist()
+    // epoch 1 from w=0: every doc is misclassified (y·0 ≤ 0), so the
+    // first update is the full label-weighted feature sum — and every
+    // bucket present in feats enters the weight table here (later
+    // epochs' deltas are subsets, so the left join below never drops)
+    var w = feats.join(labels, "doc_id")
+      .groupBy("bucket").agg(sum(col("y") * col("cnt")).as("wt"))
+    for (_ <- 2 to TrainIters) {
+      val scores = feats.join(broadcast(w), "bucket")
+        .groupBy("doc_id").agg(sum(col("cnt") * col("wt")).as("score"))
+      val mis = labels.join(scores, Seq("doc_id"), "left")
+        .where(col("y") * coalesce(col("score"), lit(0L)) <= 0)
+        .select("doc_id", "y")
+      val delta = feats.join(mis, "doc_id")
+        .groupBy("bucket").agg(sum(col("y") * col("cnt")).as("dw"))
+      w = w.join(delta, Seq("bucket"), "left")
+        .select(col("bucket"), (col("wt") + coalesce(col("dw"), lit(0L))).as("wt"))
+    }
+    w.where(col("wt") =!= 0)
+      .select(col("bucket"), col("wt").as("weight"))
+      .orderBy("bucket")
+  }
+
   /** Hashed-BAG-OF-WORDS linear classifier INFERENCE — the fastText /
     * DCLM-style model-based quality filter (the learned member of the
     * quality family, next to rule-based [[gopherRules]] and statistical
@@ -663,6 +798,8 @@ object TextAnalysis {
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "text_normalize"   -> ((s, d) => normalize(Tables.documents(s, d))),
+    "text_pii"         -> ((s, d) => piiRedact(Tables.documents(s, d))),
+    "text_train"       -> ((s, d) => trainClassifier(Tables.documents(s, d))),
     "text_langid"      -> ((s, d) => langId(Tables.documents(s, d))),
     "text_quality"     -> ((s, d) => quality(Tables.documents(s, d))),
     "text_tokencount"  -> ((s, d) => tokenCount(Tables.documents(s, d))),
@@ -685,6 +822,27 @@ object TextAnalysis {
 
   // words-array SQL fragment shared by the oracles
   private val W = WordCount.OracleWords
+
+  /** text_quality's oracle, a val so [[oracle]]'s `text_train` entry can
+    * reuse it as its label CTE (one SQL, both gates). */
+  private lazy val QualitySql: String =
+    s"""SELECT doc_id, n_chars, n_tokens, n_distinct, mean_wlen, stop_ratio,
+       |  distinct_ratio,
+       |  distinct_ratio * 0.5 + (1.0 - stop_ratio) * 0.3 +
+       |    least(mean_wlen / 10.0, 1.0) * 0.2 AS quality
+       |FROM (
+       |  SELECT doc_id, n_chars, n_tokens, n_distinct,
+       |    sum_wlen::DOUBLE / nullif(n_tokens, 0) AS mean_wlen,
+       |    n_stop::DOUBLE / nullif(n_tokens, 0) AS stop_ratio,
+       |    n_distinct::DOUBLE / nullif(n_tokens, 0) AS distinct_ratio
+       |  FROM (
+       |    SELECT doc_id, length(text)::BIGINT AS n_chars,
+       |      len($W)::BIGINT AS n_tokens,
+       |      len(list_distinct($W))::BIGINT AS n_distinct,
+       |      coalesce(list_sum(list_transform($W, w -> length(w)::BIGINT)), 0)::BIGINT AS sum_wlen,
+       |      ${nMarker(Seq("the", "a", "of", "and", "to", "in"))} AS n_stop
+       |    FROM documents) b) t
+       |ORDER BY doc_id""".stripMargin
   private def inList(items: Seq[String]) = items.map(s => s"'$s'").mkString("(", ",", ")")
 
   /** doc_ids of `tbl` passing the Gopher rules — the composable subquery
@@ -942,6 +1100,33 @@ object TextAnalysis {
          |  length(trim(regexp_replace(lower(text), '${WordCount.TokenRe}', ' ', 'g')))::BIGINT AS n_norm_chars,
          |  length(text)::BIGINT AS n_raw_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // the staged CTE chain mirrors piiRedact exactly: each stage counts
+    // on the previous stage's string, then redacts; patterns/masks are
+    // interpolated from the SAME PiiPatterns the operator folds over
+    "text_pii" -> {
+      val inj = "text || CASE WHEN doc_id % 5 = 0 THEN '' ELSE" +
+        " ' contact u' || doc_id || '@mail' || (doc_id % 7) || '.example or '" +
+        " || lpad(CAST((doc_id * 7919) % 1000 AS VARCHAR), 3, '0') || '-'" +
+        " || lpad(CAST((doc_id * 104729) % 1000 AS VARCHAR), 3, '0') || '-'" +
+        " || lpad(CAST((doc_id * 1299709) % 10000 AS VARCHAR), 4, '0')" +
+        " || ' from 10.' || (doc_id % 256) || '.0.' || ((doc_id * 31) % 256)" +
+        " || ' id 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END"
+      val stages = PiiPatterns.zipWithIndex.map { case ((name, pat, mask), i) =>
+        s"""st${i + 1} AS (
+           |  SELECT * EXCLUDE (s),
+           |    len(regexp_extract_all(s, '$pat'))::BIGINT AS n_$name,
+           |    regexp_replace(s, '$pat', '$mask', 'g') AS s
+           |  FROM st$i)""".stripMargin
+      }.mkString(",\n")
+      val residual = PiiPatterns.map { case (_, pat, _) =>
+        s"len(regexp_extract_all(s, '$pat'))" }.mkString(" + ")
+      s"""WITH st0 AS (SELECT doc_id, $inj AS s FROM documents),
+         |$stages
+         |SELECT doc_id, ${PiiPatterns.map("n_" + _._1).mkString(", ")},
+         |  ($residual)::BIGINT AS n_residual,
+         |  md5(s) AS clean_hash, length(s)::BIGINT AS clean_len
+         |FROM st${PiiPatterns.size} ORDER BY doc_id""".stripMargin
+    },
     "text_langid" -> {
       val counts = Markers.map { case (l, m) => s"${nMarker(m)} AS n_$l" }.mkString(", ")
       val best = "greatest(" + Markers.map(m => s"n_${m._1}").mkString(", ") + ")"
@@ -954,24 +1139,40 @@ object TextAnalysis {
          |        FROM (SELECT doc_id, lang, $counts FROM documents) c) b) t
          |ORDER BY doc_id""".stripMargin
     },
-    "text_quality" ->
-      s"""SELECT doc_id, n_chars, n_tokens, n_distinct, mean_wlen, stop_ratio,
-         |  distinct_ratio,
-         |  distinct_ratio * 0.5 + (1.0 - stop_ratio) * 0.3 +
-         |    least(mean_wlen / 10.0, 1.0) * 0.2 AS quality
-         |FROM (
-         |  SELECT doc_id, n_chars, n_tokens, n_distinct,
-         |    sum_wlen::DOUBLE / nullif(n_tokens, 0) AS mean_wlen,
-         |    n_stop::DOUBLE / nullif(n_tokens, 0) AS stop_ratio,
-         |    n_distinct::DOUBLE / nullif(n_tokens, 0) AS distinct_ratio
-         |  FROM (
-         |    SELECT doc_id, length(text)::BIGINT AS n_chars,
-         |      len($W)::BIGINT AS n_tokens,
-         |      len(list_distinct($W))::BIGINT AS n_distinct,
-         |      coalesce(list_sum(list_transform($W, w -> length(w)::BIGINT)), 0)::BIGINT AS sum_wlen,
-         |      ${nMarker(Seq("the", "a", "of", "and", "to", "in"))} AS n_stop
-         |    FROM documents) b) t
-         |ORDER BY doc_id""".stripMargin,
+    "text_quality" -> QualitySql,
+    // perceptron epochs unrolled: ql = ±1 labels from the SAME quality
+    // SQL the rules gate; w1 is the full label-weighted feature sum
+    // (epoch 1 from w=0 misclassifies everything); later epochs score →
+    // misclassify → update. All integer — zero rounding discipline.
+    "text_train" -> {
+      val epoch = (t: Int) =>
+        s"""s$t AS (SELECT doc_id, CAST(sum(cnt * wt) AS BIGINT) AS score
+           |  FROM feats JOIN w${t - 1} USING (bucket) GROUP BY doc_id),
+           |m$t AS (SELECT ql.doc_id, y FROM ql LEFT JOIN s$t USING (doc_id)
+           |  WHERE y * coalesce(score, 0) <= 0),
+           |d$t AS (SELECT bucket, CAST(sum(y * cnt) AS BIGINT) AS dw
+           |  FROM feats JOIN m$t USING (doc_id) GROUP BY bucket),
+           |w$t AS (SELECT bucket, wt + coalesce(dw, 0) AS wt
+           |  FROM w${t - 1} LEFT JOIN d$t USING (bucket))""".stripMargin
+      s"""WITH ql AS (
+         |  SELECT doc_id, CAST(CASE WHEN quality >= $QualityMin THEN 1 ELSE -1 END AS BIGINT) AS y
+         |  FROM ($QualitySql) q),
+         |wd AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+         |  FROM documents),
+         |wb AS (
+         |  SELECT w, ('0x' || substr(md5('clf:' || w), 1, 8))::BIGINT % $ClfBuckets AS bucket
+         |  FROM (SELECT DISTINCT w FROM wd) d),
+         |feats AS (
+         |  SELECT doc_id, bucket, count(*)::BIGINT AS cnt
+         |  FROM wd JOIN wb USING (w) GROUP BY doc_id, bucket),
+         |w1 AS (
+         |  SELECT bucket, CAST(sum(y * cnt) AS BIGINT) AS wt
+         |  FROM feats JOIN ql USING (doc_id) GROUP BY bucket),
+         |${(2 to TrainIters).map(epoch).mkString(",\n")}
+         |SELECT bucket, wt AS weight FROM w$TrainIters
+         |WHERE wt <> 0 ORDER BY bucket""".stripMargin
+    },
     "text_tokencount" ->
       s"""SELECT doc_id,
          |  len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS ws_tokens,

@@ -31,7 +31,9 @@ import org.apache.spark.sql.functions._
   */
 object TrainingPipeline {
 
-  val QualityMin = 0.55
+  /** Re-export — canonical in [[TextAnalysis.QualityMin]] (init-order:
+    * this object already depends on TextAnalysis, never the reverse). */
+  val QualityMin: Double = TextAnalysis.QualityMin
 
   /** Labelled stage outputs, in pipeline order. Intermediate stages are
     * persisted: every later stage AND the per-stage counts re-read them,

@@ -314,10 +314,14 @@ class PlanShapeSpec extends SparkSpec {
       p +: kids.flatMap(nodes)
     }
     // Allowed: global windows whose INPUT cardinality is bounded by the
-    // time axis, not the data volume — q28/q29 window over a per-DAY
-    // aggregate (≤ a few thousand rows for a decade of data at any SF),
-    // so the single task carries O(days) scalars, never O(rows).
-    val boundedCardinality = Set("q28_running", "q29_movavg")
+    // time axis or the cluster topology, not the data volume — q28/q29
+    // window over a per-DAY aggregate (≤ a few thousand rows for a
+    // decade of data at any SF), so the single task carries O(days)
+    // scalars, never O(rows); wc_concat's prefix-sum windows over the
+    // PER-PARTITION length sums (one row per partition — O(P) scalars,
+    // the canonical distributed prefix-sum shape, sources/Sources.scala
+    // concatChunked), never the documents themselves.
+    val boundedCardinality = Set("q28_running", "q29_movavg", "wc_concat")
     val offenders = SparkEntry.queries.toSeq
       .filterNot { case (name, _) => boundedCardinality(name) }
       .flatMap { case (name, fn) =>

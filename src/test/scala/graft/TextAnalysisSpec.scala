@@ -5,6 +5,62 @@ import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("piiRedact: real-world formats scrub, look-alikes survive, residual is zero") {
+    val s = spark
+    import s.implicits._
+    // doc_ids chosen ≡ 0 (mod 5) so the injection layer adds NOTHING —
+    // the assertions are purely about the handcrafted payloads
+    val d = Seq(
+      (5L,  "reach me at jane.doe+spam@sub.example.co.uk today"),
+      (10L, "ssn 078-05-1120 phone 212-555-0187 host 192.168.001.1"),
+      (15L, "v1.2.3 released; call 555-0187 re 12-34-5678"),  // look-alikes: short phone, 2-4 ver, 2-2-4
+      (20L, "10.0.0.1 10.0.0.2 a@b.io c@d.io")).toDF("doc_id", "text")
+    val r = operators.TextAnalysis.piiRedact(d)
+      .as[(Long, Long, Long, Long, Long, Long, String, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    // (doc_id, n_email, n_ssn, n_phone, n_ip, n_residual, hash, len)
+    assert(r(5L)._2 == 1 && r(5L)._5 == 0)              // full RFC-ish email caught
+    assert(r(10L)._3 == 1 && r(10L)._4 == 1 && r(10L)._5 == 1)
+    assert(r(15L)._2 == 0 && r(15L)._3 == 0 && r(15L)._4 == 0 && r(15L)._5 == 0)
+    assert(r(20L)._5 == 2 && r(20L)._2 == 2)            // multiple entities per doc
+    assert(r.values.forall(_._6 == 0), "residual matches after redaction")
+    // the cleaned text really carries the masks
+    val cleaned = operators.TextAnalysis.piiRedact(d)
+    val masked = d.select(col("doc_id"),
+        operators.TextAnalysis.PiiPatterns.foldLeft(col("text")) {
+          case (c, (_, pat, mask)) => regexp_replace(c, pat, mask) }.as("m"))
+      .as[(Long, String)].collect().toMap
+    assert(masked(10L) == "ssn <SSN> phone <PHONE> host <IP>")
+  }
+
+  test("trainPerceptron: learns a separable signal; final model classifies the train set") {
+    val s = spark
+    import s.implicits._
+    // label +1 docs contain 'shiny', -1 docs contain 'rusty'; filler shared
+    val docs = (1L to 40L).map { i =>
+      val marker = if (i % 2 == 0) "shiny" else "rusty"
+      (i, s"filler common words $marker here")
+    }.toDF("doc_id", "text")
+    val labels = docs.select(col("doc_id"),
+      (when(pmod(col("doc_id"), lit(2)) === 0, 1L).otherwise(-1L)).as("y"))
+    val w = operators.TextAnalysis.trainPerceptron(docs, labels)
+      .as[(Long, Long)].collect().toMap
+    def bucket(word: String): Long =
+      spark.range(1).select(
+          (operators.Dedup.h32(lit("clf"), lit(word))
+            % operators.TextAnalysis.ClfBuckets).as("b"))
+        .collect()(0).getLong(0)
+    // the discriminative words carry opposite-sign weights
+    assert(w(bucket("shiny")) > 0, s"shiny weight: ${w.get(bucket("shiny"))}")
+    assert(w(bucket("rusty")) < 0, s"rusty weight: ${w.get(bucket("rusty"))}")
+    // and the learned model separates the training set perfectly: the
+    // shared filler weights cancel in the score difference
+    val score = (marker: String) =>
+      Seq("filler", "common", "words", marker, "here")
+        .map(t => w.getOrElse(bucket(t), 0L)).sum
+    assert(score("shiny") > 0 && score("rusty") <= 0)
+  }
+
   test("inline flag columns agree exactly with the staged langId/quality frames") {
     val docs = Tables.documents(spark, sf)
     val inline = docs.select(col("doc_id"),
