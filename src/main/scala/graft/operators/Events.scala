@@ -198,6 +198,46 @@ object Events {
       .orderBy("user_id", "purchase_id")
   }
 
+  /** OHLC bar width in µs (5 minutes). */
+  val BarUs: Long = 5L * 60 * 1000 * 1000
+
+  /** TIME-SERIES DOWNSAMPLING (`ev_ohlc`) — the resample operator every
+    * metrics/trading pipeline runs: the raw event stream reduced to
+    * per-(series, 5-min bar) OHLC rows — open/high/low/close of `value`,
+    * event count, and exact-decimal volume. Series key = event_type.
+    *
+    * Scale shape: ONE partial-aggregatable shuffle. open/close are
+    * `min_by`/`max_by` over the (µs, event_id) struct — selection
+    * aggregates with combiner support, so each map task contributes one
+    * candidate per (series, bar) and the reduce side merges candidates,
+    * never re-sorting rows (the window-function formulation would sort
+    * every event inside its bar; this never materializes an ordering).
+    * 100 TB reading: output cardinality is series × time, INDEPENDENT of
+    * input rows — the canonical raw→rollup compaction. Ties on ts break
+    * by event_id via the struct's lexicographic order; the oracle
+    * mirrors it with an order-equivalent zero-padded string key
+    * (DuckDB's arg_min/arg_max take no struct ordering key — lpad'ed
+    * fixed-width digits compare identically to the (us, event_id)
+    * tuple for the non-negative domain both columns live in). */
+  def ohlc(ev: DataFrame): DataFrame = {
+    val us = unix_micros(col("ts"))
+    ev.select(col("event_type"), expr(s"unix_micros(ts) div $BarUs").as("bkt"), us.as("us"),
+        col("event_id"), col("value"))
+      .groupBy("event_type", "bkt")
+      .agg(
+        count(lit(1)).as("n"),
+        min_by(col("value"), struct(col("us"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("us"), col("event_id"))).as("close"),
+        Compat.xsum(col("value")).as("volume"))
+      .select(col("event_type"),
+        timestamp_micros(col("bkt") * BarUs).as("bar_start"),
+        col("n"), col("open"), col("high"), col("low"), col("close"),
+        col("volume"))
+      .orderBy("event_type", "bar_start")
+  }
+
   /** Funnel: users reaching each stage view → click → purchase. */
   def funnel(ev: DataFrame): DataFrame = {
     val perUser = ev.groupBy("user_id").agg(
@@ -458,6 +498,7 @@ object Events {
     "ev_attr_outer" -> ((s, d) => attributionOuter(Tables.events(s, d))),
     "ev_asof"       -> ((s, d) => asofAttribution(Tables.events(s, d))),
     "ev_interval"   -> ((s, d) => intervalJoin(Tables.events(s, d))),
+    "ev_ohlc"       -> ((s, d) => ohlc(Tables.events(s, d))),
     "ev_retention"  -> ((s, d) => retention(Tables.events(s, d))),
     "ev_paths"      -> ((s, d) => topPaths(Tables.events(s, d))),
     "ev_transitions"-> ((s, d) => transitions(Tables.events(s, d))),
@@ -485,6 +526,23 @@ object Events {
        |    FROM events) g) n""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // open/close tie-break: lpad'ed (us, event_id) string key is
+    // order-equivalent to the Spark struct (both columns non-negative,
+    // fixed width dominates lexicographic compare)
+    "ev_ohlc" ->
+      s"""SELECT event_type, make_timestamp(bkt * $BarUs) AS bar_start,
+         |  count(*)::BIGINT AS n,
+         |  arg_min(value, lpad(us::VARCHAR, 17, '0') || lpad(event_id::VARCHAR, 12, '0')) AS open,
+         |  max(value) AS high, min(value) AS low,
+         |  arg_max(value, lpad(us::VARCHAR, 17, '0') || lpad(event_id::VARCHAR, 12, '0')) AS close,
+         |  ${Compat.osum("value")} AS volume
+         |FROM (
+         |  SELECT event_type, event_id, value,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) // $BarUs AS bkt
+         |  FROM events) b
+         |GROUP BY event_type, bkt
+         |ORDER BY event_type, bar_start""".stripMargin,
     "ev_paths" ->
       s"""WITH sess AS (
          |  SELECT user_id, event_id, ts, event_type,

@@ -592,6 +592,94 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** PERPLEXITY BUCKETING (`text_ppl_bucket`) — the CCNet corpus-curation
+    * move (Wenzek et al. 2020): score every document with a language
+    * model, split each language into head/middle/tail terciles by score,
+    * train preferentially on the head. Scores are [[unigramLogProb]]'s
+    * per-doc `avg_lp` (already engine-exact at 4dp); buckets cut at
+    * SCORE granularity — every doc sharing a (lang, avg_lp) lands in the
+    * same tercile, boundary = floor(3·docs_with_better_score / n_lang).
+    *
+    * Scale shape: the only window runs over the DISTINCT (lang, avg_lp)
+    * table — bounded by score resolution (4dp log-probs), not corpus
+    * size — and doc-level work is a hash join against that small frame.
+    * The ntile-per-lang formulation would sort EVERY doc of a language
+    * inside one window task (languages are few and huge at 100 TB — the
+    * worst possible partition key); score-granular cuts need no per-doc
+    * ordering at all, and ties need no doc_id tie-break because equal
+    * scores share a bucket by construction. */
+  def pplBuckets(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = unigramLogProb(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val dist = perDoc.groupBy("lang", "avg_lp").agg(count(lit(1)).as("n_s"))
+    val w = Window.partitionBy("lang").orderBy(col("avg_lp").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cut = dist
+      .withColumn("cum_before", coalesce(sum(col("n_s")).over(w), lit(0L)))
+      .join(perDoc.groupBy("lang").agg(count(lit(1)).as("n_lang")), "lang")
+      .select(col("lang"), col("avg_lp"),
+        (expr("(3 * cum_before) div n_lang") + 1).as("bucket"))
+    perDoc.join(cut, Seq("lang", "avg_lp"))
+      .select(col("doc_id"), col("lang"), col("avg_lp"), col("bucket"),
+        when(col("bucket") === 1, "head").when(col("bucket") === 2, "middle")
+          .otherwise("tail").as("label"))
+      .orderBy("doc_id")
+  }
+
+  val PrIters = 3           // TextRank: fixed PageRank epochs
+
+  /** TEXTRANK (`text_textrank`) — PageRank over the word co-occurrence
+    * graph (Mihalcea & Tarau 2004), the graph-analytics member of the
+    * text family: nodes = words, directed edges = adjacent-word bigrams
+    * weighted by count, rank r ← 0.15 + 0.85·Σ_in r(u)·w(u→v)/out(u),
+    * [[PrIters]] fixed epochs from the uniform start. High-rank words
+    * are the corpus's structural keywords.
+    *
+    * Float discipline (the [[bigramLogProb]] rules, extended to an
+    * ITERATIVE fixpoint): every per-edge contribution rounds at 10dp
+    * (one multiply-divide chain — identical IEEE754 ops both engines),
+    * per-node in-sums run in exact DECIMAL(28,10), each epoch's rank
+    * re-rounds at 10dp — so the oracle's unrolled-epoch SQL reproduces
+    * the ENTIRE trajectory bit-exactly; dangling-node mass is dropped
+    * (simplified PageRank), identically on both sides.
+    *
+    * Scale shape: the classic iterative join-agg graph pattern
+    * ([[Dedup.connectedComponents]]'s family) — per epoch ONE hash join
+    * of the edge list against the (word, rank) frame + one
+    * combiner-friendly in-sum shuffle; edges/nodes persist across
+    * epochs (released via the [[graft.Cleanup.releaseAll]] contract);
+    * epochs are fixed and small, lineage stays bounded. Vocabulary is
+    * the node set — Zipf-bounded, orders of magnitude below corpus
+    * size. */
+  def textRank(docs: DataFrame): DataFrame = {
+    val ws = filter(split(col("text"), " "), w => w =!= "")
+    val n1 = greatest(size(ws) - 1, lit(0))
+    val pairs = docs.select(
+        explode(zip_with(slice(ws, lit(1), n1), slice(ws, lit(2), n1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val edges = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("wgt")).persist()
+    val out = edges.groupBy("w1").agg(sum("wgt").as("out_w"))
+    val nodes = edges.select(col("w1").as("word"))
+      .union(edges.select(col("w2").as("word"))).distinct().persist()
+    var rank = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("n_nodes"))))
+      .select(col("word"), round(lit(1.0) / col("n_nodes"), 10).as("rank"))
+    for (_ <- 1 to PrIters) {
+      val contrib = edges.join(out, "w1")
+        .join(rank.withColumnRenamed("word", "w1"), "w1")
+        .select(col("w2").as("word"),
+          round(col("rank") * col("wgt") / col("out_w"), 10).as("c"))
+      val inSum = contrib.groupBy("word")
+        .agg(sum(col("c").cast(DecimalType(28, 10))).cast(DoubleType).as("in_sum"))
+      rank = nodes.join(inSum, Seq("word"), "left")
+        .select(col("word"),
+          round(lit(0.15) + lit(0.85) * coalesce(col("in_sum"), lit(0.0)), 10)
+            .as("rank"))
+    }
+    rank.orderBy("word")
+  }
+
   val LmTrainPct = 80       // bigram LM: train split percentage
   val BackoffAlpha = 0.4    // Stupid Backoff discount (Brants et al. 2007)
 
@@ -815,6 +903,8 @@ object TextAnalysis {
     "text_bpe"         -> ((s, d) => bpeTokens(Tables.documents(s, d))),
     "text_pack_bpe"    -> ((s, d) => bpePacking(Tables.documents(s, d))),
     "text_unigram"     -> ((s, d) => unigramLogProb(Tables.documents(s, d))),
+    "text_ppl_bucket"  -> ((s, d) => pplBuckets(Tables.documents(s, d))),
+    "text_textrank"    -> ((s, d) => textRank(Tables.documents(s, d))),
     "text_mix"         -> ((s, d) => domainMix(Tables.documents(s, d))),
     "text_classify"    -> ((s, d) => classify(Tables.documents(s, d))),
     "text_bigram_lp"   -> ((s, d) => bigramLogProb(Tables.documents(s, d))),
@@ -822,6 +912,22 @@ object TextAnalysis {
 
   // words-array SQL fragment shared by the oracles
   private val W = WordCount.OracleWords
+
+  /** Unigram-LM CTE chain (wd → lp → per-doc d), shared by the
+    * text_unigram and text_ppl_bucket oracles — the LM arithmetic lives
+    * in one SQL text. */
+  private val UnigramCtes: String =
+    """wd AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |  FROM documents),
+      |lp AS (
+      |  SELECT w, round(ln(cnt / n_total), 6) AS lp
+      |  FROM (SELECT w, count(*) AS cnt FROM wd GROUP BY w) f,
+      |       (SELECT count(*) AS n_total FROM wd) t),
+      |d AS (
+      |  SELECT doc_id, count(*) AS n_words,
+      |    CAST(SUM(CAST(lp AS DECIMAL(28,10))) AS DOUBLE) AS sum_lp
+      |  FROM wd JOIN lp USING (w) GROUP BY doc_id)""".stripMargin
 
   /** text_quality's oracle, a val so [[oracle]]'s `text_train` entry can
     * reuse it as its label CTE (one SQL, both gates). */
@@ -925,6 +1031,39 @@ object TextAnalysis {
         |        < 20 + 15 * (CAST(substr(source, 4) AS INT) % 5) AS BIGINT)) AS BIGINT) AS n_kept,
         |  CAST(20 + 15 * (CAST(substr(source, 4) AS INT) % 5) AS BIGINT) AS rate_pct
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // PageRank epochs unrolled (the text_train pattern): 10dp-rounded
+    // per-edge contributions, DECIMAL in-sums, re-rounded ranks — the
+    // exact trajectory of textRank's loop; ::DOUBLE casts keep DuckDB's
+    // decimal literals out of the float arithmetic
+    "text_textrank" -> {
+      val epoch = (t: Int) =>
+        s"""c$t AS (
+           |  SELECT e.w2 AS word, round(r.rank * e.wgt / o.out_w, 10) AS c
+           |  FROM edges e JOIN outw o USING (w1) JOIN r${t - 1} r ON r.word = e.w1),
+           |s$t AS (
+           |  SELECT word, CAST(SUM(CAST(c AS DECIMAL(28,10))) AS DOUBLE) AS in_sum
+           |  FROM c$t GROUP BY word),
+           |r$t AS (
+           |  SELECT n.word,
+           |    round(0.15::DOUBLE + 0.85::DOUBLE * coalesce(in_sum, 0.0), 10) AS rank
+           |  FROM nodes n LEFT JOIN s$t USING (word))""".stripMargin
+      s"""WITH dw AS (
+         |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |edges AS (
+         |  SELECT w1, w2, count(*)::BIGINT AS wgt FROM (
+         |    SELECT w[i] AS w1, w[i + 1] AS w2
+         |    FROM dw, unnest(range(1, len(w))) AS u(i)) b
+         |  GROUP BY w1, w2),
+         |outw AS (SELECT w1, sum(wgt)::BIGINT AS out_w FROM edges GROUP BY w1),
+         |nodes AS (SELECT DISTINCT word FROM
+         |  (SELECT w1 AS word FROM edges UNION ALL SELECT w2 FROM edges) u),
+         |r0 AS (
+         |  SELECT word, round(1.0::DOUBLE / n_nodes, 10) AS rank
+         |  FROM nodes, (SELECT count(*) AS n_nodes FROM nodes) nn),
+         |${(1 to PrIters).map(epoch).mkString(",\n")}
+         |SELECT word, rank FROM r$PrIters ORDER BY word""".stripMargin
+    },
     "text_bigram_lp" ->
       s"""WITH tr AS (SELECT doc_id, text FROM documents
          |  WHERE ('0x' || substr(md5('lm:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 < $LmTrainPct),
@@ -971,19 +1110,30 @@ object TextAnalysis {
          |FROM wd JOIN wt USING (w)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_unigram" ->
-      """WITH wd AS (
-        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
-        |  FROM documents),
-        |lp AS (
-        |  SELECT w, round(ln(cnt / n_total), 6) AS lp
-        |  FROM (SELECT w, count(*) AS cnt FROM wd GROUP BY w) f,
-        |       (SELECT count(*) AS n_total FROM wd) t),
-        |d AS (
-        |  SELECT doc_id, count(*) AS n_words,
-        |    CAST(SUM(CAST(lp AS DECIMAL(28,10))) AS DOUBLE) AS sum_lp
-        |  FROM wd JOIN lp USING (w) GROUP BY doc_id)
-        |SELECT doc_id, n_words, sum_lp, round(sum_lp / n_words, 4) AS avg_lp
-        |FROM d ORDER BY doc_id""".stripMargin,
+      s"""WITH $UnigramCtes
+         |SELECT doc_id, n_words, sum_lp, round(sum_lp / n_words, 4) AS avg_lp
+         |FROM d ORDER BY doc_id""".stripMargin,
+    // score-granular terciles: the window runs over DISTINCT (lang,
+    // avg_lp) only — mirrors pplBuckets' cut construction exactly
+    "text_ppl_bucket" ->
+      s"""WITH $UnigramCtes,
+         |pd AS (
+         |  SELECT d.doc_id, round(sum_lp / n_words, 4) AS avg_lp, lang
+         |  FROM d JOIN documents ON d.doc_id = documents.doc_id),
+         |dist AS (SELECT lang, avg_lp, count(*) AS n_s FROM pd GROUP BY lang, avg_lp),
+         |cum AS (
+         |  SELECT lang, avg_lp, coalesce(SUM(n_s) OVER (
+         |    PARTITION BY lang ORDER BY avg_lp DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM dist),
+         |tot AS (SELECT lang, count(*) AS n_lang FROM pd GROUP BY lang),
+         |cut AS (
+         |  SELECT lang, avg_lp, CAST((3 * cum_before) // n_lang + 1 AS BIGINT) AS bucket
+         |  FROM cum JOIN tot USING (lang))
+         |SELECT doc_id, lang, avg_lp, bucket,
+         |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 2 THEN 'middle'
+         |       ELSE 'tail' END AS label
+         |FROM pd JOIN cut USING (lang, avg_lp) ORDER BY doc_id""".stripMargin,
     "text_bpe" ->
       s"""$BpeEncCtes
          |SELECT doc_id, count(*) AS n_words,

@@ -344,6 +344,55 @@ object EventStream {
       .select(col("user_id"), col("purchase_id"), col("view_id"),
         col("purchase_ts"), col("view_ts"))
 
+  /** CHAINED STATEFUL PIPELINE — a stream-stream LEFT-OUTER interval
+    * join feeding a downstream event-time-windowed aggregation in ONE
+    * query, the streaming twin of [[graft.operators.Events.intervalJoin]]
+    * (`ev_interval`): every purchase × the same user's clicks from the
+    * preceding 30 min, aggregated to per-purchase click count +
+    * click-value total, zero-click purchases emitting (0, 0.0) once the
+    * watermark proves no qualifying click can still arrive.
+    *
+    * Two stateful operators compose (Spark's multiple-stateful-operator
+    * support): the join's buffered-row state evicts by the time-range
+    * bound the analyzer derives from the predicate, and the aggregation
+    * — keyed by (window(purchase_ts), user, purchase) so it seals on
+    * the SAME event-time axis the join watermarks — emits append-mode
+    * finals when the propagated watermark passes the window end. A
+    * purchase has exactly ONE ts, so the window key adds no semantics;
+    * it is the event-time handle a chained aggregation needs to be
+    * sealable (a bare groupBy(purchase_id) can never close in append
+    * mode). At cluster scale this is the canonical "enrich then
+    * aggregate" streaming topology with both states watermark-bounded.
+    *
+    * The time predicate lives DIRECTLY on the watermarked timestamp
+    * columns, interval literal derived from the batch constant —
+    * the form the analyzer recognizes to bound join state; Timestamp
+    * comparison is exact µs, the same arithmetic as the batch
+    * operator's integer-µs predicate, so replay converges bit-exactly
+    * (spec: EventStreamSpec). */
+  def intervalCounts(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    purchases
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", WatermarkDelay)
+      .join(
+        clicks
+          .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+            col("value"))
+          .withWatermark("click_ts", WatermarkDelay),
+        expr(s"""user_id = c_user AND click_ts < purchase_ts
+                |AND click_ts >= purchase_ts
+                |  - INTERVAL ${graft.operators.Events.IntervalUs} MICROSECOND"""
+          .stripMargin),
+        "leftOuter")
+      .groupBy(window(col("purchase_ts"), "30 minutes"),
+        col("user_id"), col("purchase_id"))
+      .agg(count(col("click_ts")).as("n_clicks"),
+        graft.operators.Compat.xsum(coalesce(col("value"), lit(0.0)))
+          .as("click_value"))
+      .select(col("user_id"), col("purchase_id"), col("n_clicks"),
+        col("click_value"))
+
   private val DayMs = 24L * 3600 * 1000
 
   /** Streaming day-over-day retention MARKS — the stateful half of the

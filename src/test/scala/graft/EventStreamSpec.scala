@@ -184,6 +184,44 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chained stateful pipeline: interval join → windowed agg replay converges to batch ev_interval") {
+    val s = spark
+    import s.implicits._
+    val batchDf = Tables.events(spark, sf)
+    val evs = batchDf
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val maxTs = evs.map(_.ts.getTime).max
+    val clicks = MemoryStream[Event](s)
+    val purchases = MemoryStream[Event](s)
+    val q = EventStream.intervalCounts(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ivc").outputMode("append").start()
+    try {
+      clicks.addData(evs.filter(_.event_type == "click"))
+      purchases.addData(evs.filter(_.event_type == "purchase"))
+      q.processAllAvailable()
+      // sentinels advance BOTH watermarks: first flush evicts join state
+      // (null rows for zero-click purchases), second seals every
+      // aggregation window behind the propagated watermark
+      for (off <- Seq(10L, 20L, 30L)) {
+        clicks.addData(Event(-off, new Timestamp(maxTs + off * 3600 * 1000), -1, "click", 0.0))
+        purchases.addData(Event(-off - 100, new Timestamp(maxTs + off * 3600 * 1000), -2, "purchase", 0.0))
+        q.processAllAvailable()
+      }
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val streamed = s.sql(
+        "SELECT user_id, purchase_id, n_clicks, click_value FROM ivc WHERE user_id >= 0")
+        .collect().map(key).toSet
+      val batch = graft.operators.Events.intervalJoin(batchDf).collect().map(key).toSet
+      val onlyStream = streamed -- batch
+      val onlyBatch = batch -- streamed
+      assert(streamed == batch,
+        s"\nonly-stream(${onlyStream.size}): ${onlyStream.take(5)}" +
+          s"\nonly-batch(${onlyBatch.size}): ${onlyBatch.take(5)}")
+    } finally q.stop()
+  }
+
   test("session_window expression runs under streaming and converges to batch") {
     val s = spark
     import s.implicits._

@@ -248,4 +248,26 @@ class EventsSpec extends SparkSpec {
     assert(f.forall { case ((u, _), v) => u != 20L || v == 0L }, "constant series clean")
     assert(f((30L, "01")) == 0L, "single observation not anomalous")
   }
+
+  test("ohlc: bar boundaries, same-ts tie-break by event_id, exact volume") {
+    val s = spark
+    import s.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(1704067200000L + sec * 1000)
+    val d = Seq(
+      // series x, bar 0: open=5 (t=0), high=9, low=1, close=1 (t=299)
+      (1L, t(0), 1L, "x", 5.0), (2L, t(60), 1L, "x", 9.0), (3L, t(299), 1L, "x", 1.0),
+      // series x, bar 1 (t=300 starts a new 5-min bar)
+      (4L, t(300), 1L, "x", 4.0),
+      // series y: two events at the SAME ts — event_id orders open/close
+      (5L, t(10), 2L, "y", 7.0), (6L, t(10), 2L, "y", 3.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.ohlc(d)
+      .select("event_type", "n", "open", "high", "low", "close", "volume")
+      .as[(String, Long, Double, Double, Double, Double, Double)]
+      .collect()
+    assert(r.length == 3)
+    assert(r(0) == ("x", 3L, 5.0, 9.0, 1.0, 1.0, 15.0), s"bar0: ${r(0)}")
+    assert(r(1) == ("x", 1L, 4.0, 4.0, 4.0, 4.0, 4.0), s"bar1: ${r(1)}")
+    assert(r(2) == ("y", 2L, 7.0, 7.0, 3.0, 3.0, 10.0), s"tie bar: ${r(2)}")
+  }
 }

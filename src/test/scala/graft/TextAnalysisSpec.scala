@@ -61,6 +61,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(score("shiny") > 0 && score("rusty") <= 0)
   }
 
+  test("pplBuckets: per-lang tercile order holds; equal scores share a bucket") {
+    val docs = Tables.documents(spark, sf)
+    val r = operators.TextAnalysis.pplBuckets(docs)
+      .select("doc_id", "lang", "avg_lp", "bucket")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getDouble(2), x.getLong(3)))
+    assert(r.nonEmpty && r.forall(t => t._4 >= 1 && t._4 <= 3))
+    // within a language: higher score (less perplexity) → same-or-better
+    // bucket, and every doc sharing a score shares a bucket
+    for ((_, byLang) <- r.groupBy(_._2)) {
+      val sorted = byLang.sortBy(-_._3)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 <= b._4 || a._3 == b._3
+        case _           => true
+      }, "bucket must be monotone in score")
+      for ((_, grp) <- byLang.groupBy(_._3))
+        assert(grp.map(_._4).distinct.length == 1, "score-granular cut violated")
+    }
+    // every lang with ≥3 distinct scores populates all three buckets
+    for ((lang, byLang) <- r.groupBy(_._2) if byLang.map(_._3).distinct.length >= 3)
+      assert(byLang.map(_._4).distinct.sorted.sameElements(Seq(1L, 2L, 3L)),
+        s"lang $lang missing a tercile")
+  }
+
+  test("textRank: hand-computed 3-node fixpoint; in-degree drives rank") {
+    val s = spark
+    import s.implicits._
+    // edges: a→b (×2), c→b (×1); out(a)=2, out(c)=1; N=3, r0=1/3
+    // epoch1: b ← 0.15+0.85·(r0·2/2 + r0·1/1) ; a,c ← 0.15 (no in-edges)
+    // epoch2+: b ← 0.15+0.85·(0.15+0.15) = 0.405 — fixpoint
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "c b"))
+      .toDF("doc_id", "text")
+    val r = operators.TextAnalysis.textRank(docs)
+      .as[(String, Double)].collect().toMap
+    assert(r.keySet == Set("a", "b", "c"))
+    assert(r("a") == 0.15 && r("c") == 0.15, s"no-inbound ranks: $r")
+    assert(r("b") == 0.405, s"hub rank after ${operators.TextAnalysis.PrIters} epochs: $r")
+  }
+
   test("inline flag columns agree exactly with the staged langId/quality frames") {
     val docs = Tables.documents(spark, sf)
     val inline = docs.select(col("doc_id"),
