@@ -5,6 +5,7 @@ import graft.functions.LshImpl
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Similarity search over the `embeddings` table (SURVEY §2.4) plus
   * embedding-level near-duplicate detection (SURVEY §2.3 `dedup_embed`):
@@ -718,6 +719,87 @@ object Similarity {
        |JOIN embeddings b ON b.vec_id = c.vec_b
        |WHERE list_cosine_similarity(a.$V, b.$V) >= $DupCosine""".stripMargin
 
+  // ---- hybrid lexical+vector retrieval (`ann_hybrid`) ----
+
+  val QTerms = 3       // lexical query: top-QTerms corpus words
+  val ListK = 100      // per-modality retrieved-list depth
+  val HybK = 20        // fused results returned
+  val RrfC = 60        // RRF constant (Cormack et al. 2009)
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** HYBRID RETRIEVAL (`ann_hybrid`) — BM25 lexical search fused with
+    * embedding-cosine semantic search by RECIPROCAL RANK FUSION, the
+    * production RAG/retrieval pattern (each modality retrieves its
+    * top-[[ListK]]; a document absent from a list contributes nothing —
+    * truncated-list RRF, the form real systems run because no engine
+    * ranks the full corpus). Lexical query = the top-[[QTerms]] corpus
+    * words (corpus-derived — the vocabulary differs per sf dir);
+    * semantic query = vec_id 0's embedding; doc i's embedding is vec i
+    * (the aligned-id modeling contract of the synthetic tables).
+    *
+    * Float discipline: avgdl and idf round at 6dp, each per-term BM25
+    * contribution rounds at 6dp (one identical multiply-divide chain
+    * per engine), per-doc sums run in DECIMAL; each RRF reciprocal
+    * rounds at 10dp before the two-term sum. The OUTPUT carries ranks
+    * only — no float column ever reaches the gate hash.
+    *
+    * Scale shape: query-term tf table is a broadcast semi-join of the
+    * token stream against a [[QTerms]]-row frame; both per-modality
+    * top-[[ListK]] cuts are TakeOrdered (distributed partial top-k,
+    * never a global sort); the only windows assign ranks WITHIN the
+    * ≤[[ListK]]-row retrieved lists (bounded cardinality — the
+    * PlanShapeSpec whitelist class); fusion joins two 100-row frames.
+    * Corpus-sized work: one tokenize, one cosine map pass. */
+  def hybridSearch(docs: DataFrame, em: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(em.sparkSession)
+    val words = docs.select(col("doc_id"),
+      explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+    val qterms = broadcast(words.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(QTerms).select("w"))
+    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = broadcast(dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        round(col("sum_dl").cast("double") / col("n_docs"), 6).as("avgdl")))
+    val tf = words.join(qterms, "w")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val contrib = tf.join(broadcast(df), "w").join(dl, "doc_id").crossJoin(stats)
+      .select(col("doc_id"),
+        round(
+          round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1), 6) *
+            (col("tf") * lit(Bm25K1 + 1)) /
+            (col("tf") + lit(Bm25K1) *
+              (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))),
+          6).as("c"))
+    val lexTop = contrib.groupBy("doc_id")
+      .agg(sum(col("c").cast(DecimalType(28, 6))).cast(DoubleType).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(ListK)
+    val wLex = Window.orderBy(col("score").desc, col("doc_id"))
+    val lex = lexTop.withColumn("rank_lex", row_number().over(wLex).cast("long"))
+      .select("doc_id", "rank_lex")
+    val qv = broadcast(em.where(col("vec_id") === 0)
+      .select(vec(col("embedding")).as("qv")))
+    val semTop = em.join(docs.select(col("doc_id")), col("vec_id") === col("doc_id"))
+      .crossJoin(qv)
+      .select(col("doc_id"), cosine(vec(col("embedding")), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(ListK)
+    val wSem = Window.orderBy(col("cos").desc, col("doc_id"))
+    val sem = semTop.withColumn("rank_sem", row_number().over(wSem).cast("long"))
+      .select("doc_id", "rank_sem")
+    val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_lex"), col("rank_sem"),
+        (coalesce(round(lit(1.0) / (col("rank_lex") + RrfC), 10), lit(0.0)) +
+          coalesce(round(lit(1.0) / (col("rank_sem") + RrfC), 10), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(HybK)
+    val wF = Window.orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(wF).cast("long"))
+      .select(col("rank"), col("doc_id"), col("rank_lex"), col("rank_sem"))
+      .orderBy("rank")
+  }
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "ann_bruteforce" -> ((s, d) => bruteForce(Tables.embeddings(s, d))),
@@ -730,6 +812,8 @@ object Similarity {
     "ann_pq"         -> ((s, d) => pqTopK(s, d)),
     "ann_pq_rerank"  -> ((s, d) => pqRerank(s, d)),
     "dedup_embed"    -> ((s, d) => embedDup(Tables.embeddings(s, d))),
+    "ann_hybrid"     -> ((s, d) =>
+      hybridSearch(Tables.documents(s, d), Tables.embeddings(s, d))),
   )
 
   // ---- DuckDB oracles ----
@@ -926,6 +1010,55 @@ object Similarity {
   }
 
   def oracle: Map[String, String] = Map(
+    // BM25 arithmetic mirrored stage for stage (6dp idf/contribution
+    // rounds, DECIMAL doc sums, 10dp RRF reciprocals); ranks only reach
+    // the output. ::DOUBLE casts keep DuckDB decimal literals out of
+    // the float chains.
+    "ann_hybrid" ->
+      s"""WITH wd AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+         |  FROM documents),
+         |qt AS (
+         |  SELECT w FROM (SELECT w, count(*) AS cnt FROM wd GROUP BY w) c
+         |  ORDER BY cnt DESC, w LIMIT $QTerms),
+         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM wd GROUP BY doc_id),
+         |st AS (
+         |  SELECT count(*)::BIGINT AS n_docs,
+         |    round(sum(dl)::DOUBLE / count(*), 6) AS avgdl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, w, count(*)::BIGINT AS tf
+         |  FROM wd JOIN qt USING (w) GROUP BY doc_id, w),
+         |idf AS (SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY w),
+         |contrib AS (
+         |  SELECT doc_id,
+         |    round(round(ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1), 6)
+         |      * (tf * (${Bm25K1}::DOUBLE + 1))
+         |      / (tf + ${Bm25K1}::DOUBLE
+         |           * (1 - ${Bm25B}::DOUBLE + ${Bm25B}::DOUBLE * dl / avgdl)), 6) AS c
+         |  FROM tf JOIN idf USING (w) JOIN dl USING (doc_id), st),
+         |lex AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_lex
+         |  FROM (
+         |    SELECT doc_id, CAST(SUM(CAST(c AS DECIMAL(28,6))) AS DOUBLE) AS score
+         |    FROM contrib GROUP BY doc_id
+         |    ORDER BY score DESC, doc_id LIMIT $ListK) t),
+         |sem AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_sem
+         |  FROM (
+         |    SELECT d.doc_id,
+         |      list_cosine_similarity(e.$V, q.$V) AS cos
+         |    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id,
+         |         (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |    ORDER BY cos DESC, d.doc_id LIMIT $ListK) t),
+         |fused AS (
+         |  SELECT doc_id, rank_lex, rank_sem,
+         |    coalesce(round(1.0::DOUBLE / (rank_lex + $RrfC), 10), 0)
+         |      + coalesce(round(1.0::DOUBLE / (rank_sem + $RrfC), 10), 0) AS rrf
+         |  FROM lex FULL OUTER JOIN sem USING (doc_id)
+         |  ORDER BY rrf DESC, doc_id LIMIT $HybK)
+         |SELECT row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank,
+         |  doc_id, rank_lex, rank_sem
+         |FROM fused ORDER BY rank""".stripMargin,
     "ann_bruteforce" ->
       s"""SELECT query_id, rank, neighbor_id FROM (
          |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,

@@ -114,9 +114,71 @@ object Sinks {
       .orderBy("o_orderpriority")
   }
 
+  /** Morton Z-VALUE of two non-negative int keys: bit-interleave the low
+    * [[ZBits]] bits of each (a's bit i → position 2i, b's → 2i+1). Pure
+    * codegen'd shift/and/or chain — no UDF. 16 bits cover keys < 65,536
+    * (every sf here; a production layout widens to 21 bits/dim, the
+    * Delta OPTIMIZE ZORDER default, without changing shape). */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until ZBits).map { i =>
+      shiftleft(shiftrightunsigned(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftrightunsigned(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  val ZBits = 16
+  val ZFiles = 16
+
+  /** lineitem re-laid out along the (l_partkey, l_suppkey) Z-CURVE —
+    * multi-dimensional clustering for data skipping, the layout move
+    * (Delta/Iceberg `OPTIMIZE ZORDER`) for the 100 TB fact table that
+    * serves range predicates on MORE THAN ONE column: a single-column
+    * sort gives tight parquet min/max zones on that column only; sorting
+    * by the interleaved-bit Morton value makes every file/row-group a
+    * small RECTANGLE in (partkey, suppkey) space, so min/max stats are
+    * tight on BOTH columns and a 2-D box predicate prunes most row
+    * groups at scan time. The z column itself is dropped before the
+    * write — the locality lives in the row ORDER, not in a stored key.
+    * `repartitionByRange` on the z-value gives non-overlapping file
+    * extents (each write task owns a contiguous z-range). */
+  def lineitemZordered(s: SparkSession, d: String): DataFrame = {
+    val path = graft.sources.Fixtures.dirFor(s"zorder${ZBits}_lineitem_ps", d, "lineitem")
+    if (!graft.sources.Fixtures.ready(path)) {
+      Tables.lineitem(s, d)
+        .withColumn("__zv", zValue(col("l_partkey"), col("l_suppkey")))
+        .repartitionByRange(ZFiles, col("__zv"))
+        .sortWithinPartitions("__zv")
+        .drop("__zv")
+        .write.mode(SaveMode.Overwrite).parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  // 2-D box, absolute keys so the same SQL text holds at every sf:
+  // ~40%×60% of the key space at sf0.001, ~4%×6% at sf0.01
+  val ZBoxP = (100, 180)
+  val ZBoxS = (2, 7)
+
+  /** Z-ORDER DATA-SKIPPING gate (`q37_zorder`, driver-gated): a 2-D box
+    * aggregate served from the z-ordered layout. Result-invisible by
+    * construction — the oracle runs the same query over the plain
+    * table; the layout only changes WHICH row groups the scan reads
+    * (SourcesSinksSpec asserts the skipping via scan metrics: the
+    * z-layout scan materializes a fraction of the rows the linear
+    * layout reads for the same predicate). */
+  def zorderBoxAgg(s: SparkSession, d: String): DataFrame =
+    lineitemZordered(s, d)
+      .where(col("l_partkey").between(ZBoxP._1, ZBoxP._2) &&
+        col("l_suppkey").between(ZBoxS._1, ZBoxS._2))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        graft.operators.Compat.xsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "q26_bucketed" -> ((s, d) => bucketedJoin(s, d)),
+    "q37_zorder"   -> ((s, d) => zorderBoxAgg(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -125,5 +187,14 @@ object Sinks {
          |  ${graft.operators.Compat.osum("l_extendedprice")} AS total_price
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the layout is result-invisible: the oracle is the SAME box
+    // aggregate over the plain table
+    "q37_zorder" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${graft.operators.Compat.osum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |WHERE l_partkey BETWEEN ${ZBoxP._1} AND ${ZBoxP._2}
+         |  AND l_suppkey BETWEEN ${ZBoxS._1} AND ${ZBoxS._2}
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

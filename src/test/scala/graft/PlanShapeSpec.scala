@@ -321,7 +321,10 @@ class PlanShapeSpec extends SparkSpec {
     // PER-PARTITION length sums (one row per partition — O(P) scalars,
     // the canonical distributed prefix-sum shape, sources/Sources.scala
     // concatChunked), never the documents themselves.
-    val boundedCardinality = Set("q28_running", "q29_movavg", "wc_concat")
+    // ann_hybrid's three global windows assign ranks WITHIN frames a
+    // LIMIT (TakeOrdered, ≤ListK=100 rows) has already cut — O(k)
+    // scalars per window, never corpus rows.
+    val boundedCardinality = Set("q28_running", "q29_movavg", "wc_concat", "ann_hybrid")
     val offenders = SparkEntry.queries.toSeq
       .filterNot { case (name, _) => boundedCardinality(name) }
       .flatMap { case (name, fn) =>

@@ -328,4 +328,27 @@ class SimilaritySpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](graft.functions.CosineImpl.cosine(z, v))
     assert(e.getMessage.contains("zero-norm"))
   }
+
+  test("hybridSearch: RRF favors both-list docs; ranks are dense and lists truncate") {
+    val docs = Tables.documents(spark, sf)
+    val em = Tables.embeddings(spark, sf)
+    val r = operators.Similarity.hybridSearch(docs, em)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        Option(x.get(2)).map(_.asInstanceOf[Long]),
+        Option(x.get(3)).map(_.asInstanceOf[Long])))
+    assert(r.length == operators.Similarity.HybK)
+    assert(r.map(_._1).toSeq == (1L to operators.Similarity.HybK).toSeq, "dense fused ranks")
+    // every emitted doc was retrieved by at least one modality, within depth
+    assert(r.forall(t => t._3.isDefined || t._4.isDefined))
+    assert(r.flatMap(_._3).forall(_ <= operators.Similarity.ListK))
+    assert(r.flatMap(_._4).forall(_ <= operators.Similarity.ListK))
+    // RRF property: a doc near the top of BOTH lists must outrank a doc
+    // retrieved by only one list at middling depth — check the extremes:
+    // the fused #1 has a better (smaller) best-rank-sum than the fused last
+    def rrf(t: (Long, Long, Option[Long], Option[Long])): Double =
+      t._3.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        t._4.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+    assert(rrf(r.head) >= rrf(r.last), "fused order must follow RRF score")
+  }
 }

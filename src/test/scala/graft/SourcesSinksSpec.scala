@@ -93,4 +93,47 @@ class SourcesSinksSpec extends SparkSpec {
     assert(planStr.contains("PartitionFilters: [isnotnull(lang"),
       s"expected partition filter in:\n$planStr")
   }
+
+  test("zValue: bit interleave is monotone-rectangular (hand-checked Morton codes)") {
+    val s = spark
+    import s.implicits._
+    val r = Seq((0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (0, 2), (3, 3), (5, 9))
+      .toDF("a", "b")
+      .select(Sinks.zValue(col("a"), col("b")).as("z"))
+      .as[Long].collect()
+    // z(a,b): a bits at even positions, b at odd — 0,1,2,3; 4,8,15; z(5,9)=
+    // a=0101 evens→1+16, b=1001 odds→2+128 = 147
+    assert(r.toSeq == Seq(0L, 1L, 2L, 3L, 4L, 8L, 15L, 147L), r.toSeq.toString)
+  }
+
+  test("q37_zorder: z-layout scan materializes fewer rows than the linear layout for the same box") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case r: ReusedExchangeExec    => Seq(r.child)
+        case _                        => p.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      nodes(df.queryExecution.executedPlan)
+        .collect { case f: FileSourceScanExec => f.metrics("numOutputRows").value }
+        .sum
+    }
+    val box = col("l_partkey").between(Sinks.ZBoxP._1, Sinks.ZBoxP._2) &&
+      col("l_suppkey").between(Sinks.ZBoxS._1, Sinks.ZBoxS._2)
+    val zRows = scanRows(Sinks.lineitemZordered(spark, sf).where(box))
+    val linRows = scanRows(Tables.lineitem(spark, sf).where(box))
+    val total = Tables.lineitem(spark, sf).count()
+    // the result itself is oracle-gated (q37_zorder); here we assert the
+    // layout actually SKIPS: the z-scan must materialize well under the
+    // linear scan's rows AND well under the full table
+    assert(zRows < linRows, s"z=$zRows vs linear=$linRows (total=$total)")
+    assert(zRows <= total * 3 / 4, s"z-layout skipped too little: $zRows of $total")
+  }
 }
