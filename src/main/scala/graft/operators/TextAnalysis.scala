@@ -145,6 +145,70 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  val CdcW = 4        // CDC rolling window width (words)
+  val CdcMask = 16L   // boundary when h % CdcMask == 0 → ~16-word chunks
+
+  /** CONTENT-DEFINED CHUNKING (`text_cdc`) — the LBFS/rsync/backup-dedup
+    * technique, applied to corpus text: chunk boundaries fall where a
+    * [[CdcW]]-word Karp–Rabin rolling hash hits `h % CdcMask == 0`, so
+    * boundaries are determined by LOCAL CONTENT, not offsets — an
+    * insertion shifts every fixed-size chunk after it ([[graft.sources
+    * .Sources.chunked]]'s failure mode for dedup) but leaves all CDC
+    * chunks outside the edit window intact. Cross-corpus duplicate
+    * chunks (same hash in >1 distinct doc) are then the shared
+    * boilerplate a storage layer would store once and a training
+    * pipeline would strip. Emits per doc: chunk count, duplicated-chunk
+    * count, largest chunk.
+    *
+    * Scale shape: the sessionize pattern — posexplode, ONE doc-keyed
+    * window partitioning (lag×3 + exclusive running sum ride the same
+    * sort), a (doc, chunk) aggregation, and a chunk-hash aggregation
+    * whose key space is content-bounded; only (doc_id, hash) pairs
+    * reach the dup shuffle. Windowed hash arithmetic is the
+    * [[RollBase]]/[[RollP]] integer fold — missing leading lags
+    * coalesce to 0, and fold(0⊕…) ≡ fold over the present suffix, so
+    * positions < W hash their true prefix window. */
+  /** The (doc_id, chunk_id, n_words, chunk_hash) CDC chunk table —
+    * [[cdcChunks]]'s core, exposed for the insertion-stability spec. */
+  private[graft] def cdcChunkTable(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs.select(col("doc_id"), posexplode(wordsCol).as(Seq("i", "w")))
+      .select(col("doc_id"), col("i"), col("w"),
+        conv(substring(md5(concat(lit("cdc:"), col("w"))), 1, 8), 16, 10)
+          .cast("long").as("v"))
+    val wOrd = Window.partitionBy("doc_id").orderBy("i")
+    val hFull = (Seq(3, 2, 1).foldLeft(lit(0L)) { (acc, k) =>
+      (acc * RollBase + coalesce(lag(col("v"), k).over(wOrd), lit(0L))) % RollP
+    } * RollBase + col("v")) % RollP
+    val cid = pos
+      .withColumn("b", when(hFull % CdcMask === 0, 1L).otherwise(0L))
+      .withColumn("chunk_id", coalesce(
+        sum(col("b")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    cid.groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_words"),
+        md5(array_join(sort_array(collect_list(struct(col("i"), col("w"))))
+          .getField("w"), " ")).as("chunk_hash"))
+  }
+
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    val chunks = cdcChunkTable(docs)
+    val dup = chunks.groupBy("chunk_hash")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") > 1)
+      .select(col("chunk_hash"), lit(1L).as("is_dup"))
+    val perDoc = chunks.join(dup, Seq("chunk_hash"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_chunks"),
+        max(col("n_words")).as("max_chunk_words"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        coalesce(col("max_chunk_words"), lit(0L)).as("max_chunk_words"))
+      .orderBy("doc_id")
+  }
+
   /** Exact per-language length percentiles by RANK SELECTION: the value
     * at row ceil(q·n) of the in-group sort — all-integer arithmetic, so
     * both engines agree bit-for-bit (interpolating quantile functions
@@ -892,6 +956,7 @@ object TextAnalysis {
     "text_quality"     -> ((s, d) => quality(Tables.documents(s, d))),
     "text_tokencount"  -> ((s, d) => tokenCount(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d))),
+    "text_cdc"         -> ((s, d) => cdcChunks(Tables.documents(s, d))),
     "text_percentiles" -> ((s, d) => lengthPercentiles(Tables.documents(s, d))),
     "text_sample"      -> ((s, d) => hashSample(Tables.documents(s, d))),
     "text_tfidf"       -> ((s, d) => tfidf(Tables.documents(s, d))),
@@ -1340,6 +1405,43 @@ object TextAnalysis {
          |      w -> ('0x' || substr(md5('rl:' || w), 1, 8))::BIGINT)),
          |    (acc, x) -> (acc * $RollBase + x) % $RollP) AS fp_rolling
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // windowed Karp–Rabin mirrored term for term (lag×3 coalesced to 0,
+    // same fold order/mods); chunk_id = exclusive running boundary count
+    "text_cdc" ->
+      s"""WITH pos AS (
+         |  SELECT doc_id, i, w[i] AS w,
+         |    ('0x' || substr(md5('cdc:' || w[i]), 1, 8))::BIGINT AS v
+         |  FROM (SELECT doc_id, $W AS w FROM documents) e,
+         |       unnest(range(1, len(w) + 1)) AS u(i)),
+         |h AS (
+         |  SELECT doc_id, i, w,
+         |    (((((coalesce(lag(v, 3) OVER win, 0) * $RollBase
+         |          + coalesce(lag(v, 2) OVER win, 0)) % $RollP) * $RollBase
+         |          + coalesce(lag(v, 1) OVER win, 0)) % $RollP) * $RollBase + v)
+         |      % $RollP AS h4
+         |  FROM pos WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+         |cid AS (
+         |  SELECT doc_id, i, w, coalesce(SUM(CASE WHEN h4 % $CdcMask = 0 THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY i
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+         |  FROM h),
+         |ch AS (
+         |  SELECT doc_id, chunk_id, count(*)::BIGINT AS n_words,
+         |    md5(string_agg(w, ' ' ORDER BY i)) AS chunk_hash
+         |  FROM cid GROUP BY doc_id, chunk_id),
+         |dup AS (
+         |  SELECT chunk_hash FROM ch GROUP BY chunk_hash
+         |  HAVING count(DISTINCT doc_id) > 1),
+         |pd AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_chunks,
+         |    CAST(sum(CASE WHEN chunk_hash IN (SELECT chunk_hash FROM dup)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         |    max(n_words)::BIGINT AS max_chunk_words
+         |  FROM ch GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_chunks, 0) AS n_chunks,
+         |  coalesce(n_dup_chunks, 0) AS n_dup_chunks,
+         |  coalesce(max_chunk_words, 0) AS max_chunk_words
+         |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
     "text_percentiles" ->
       """WITH r AS (
         |  SELECT lang, n_chars,

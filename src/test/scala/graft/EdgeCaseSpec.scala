@@ -128,6 +128,38 @@ class EdgeCaseSpec extends SparkSpec {
     assert(u.where(col("sum_lp") >= 0).count() == 0)
   }
 
+  test("r8 text ops survive degenerate docs: cdc zeroes, ppl buckets skip wordless, pii residual 0") {
+    // cdc: empty/whitespace/letterless docs emit (0, 0, 0) rows, never vanish
+    val cdc = TextAnalysis.cdcChunks(weird).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(cdc.keySet == (1L to 7L).toSet)
+    assert(cdc(1L) == ((0L, 0L, 0L)) && cdc(2L) == ((0L, 0L, 0L)) && cdc(3L) == ((0L, 0L, 0L)))
+    assert(cdc(7L)._1 >= 1L)
+    // ppl buckets: wordless docs (empty/whitespace — the LM splits on
+    // spaces) are unscored and absent; scored docs bucket 1..3
+    val ppl = TextAnalysis.pplBuckets(weird).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(ppl.map(_._1).toSet == Set(3L, 4L, 5L, 6L, 7L), ppl.toSeq.toString)
+    assert(ppl.forall(t => t._2 >= 1 && t._2 <= 3))
+    // textrank: single-word docs contribute no edges; the repeated-word
+    // doc yields the self-loop graph and still converges
+    val tr = TextAnalysis.textRank(weird).collect().map(_.getString(0))
+    assert(tr.contains("the") && !tr.contains("one"),
+      s"nodes must come from bigram edges only: ${tr.toSeq}")
+    // pii: degenerate docs redact nothing and leave residual 0
+    val pii = TextAnalysis.piiRedact(weird).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(pii.values.forall(_ == 0L))
+  }
+
+  test("ohlc on an empty frame yields zero bars, not a crash") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Events.ohlc(empty).collect().isEmpty)
+  }
+
   test("scd2/fill: a user with one purchase yields one open version and a one-day spine") {
     val s = spark
     import s.implicits._

@@ -99,6 +99,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r("b") == 0.405, s"hub rank after ${operators.TextAnalysis.PrIters} epochs: $r")
   }
 
+  test("cdc chunking: an insertion only disturbs chunks near the edit; fixed chunking shifts everything") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val base = Vector.fill(400)(vocab(rng.nextInt(vocab.length)))
+    val edited = (base.take(200) ++ Vector("INSERTED", "WORDS", "HERE") ++ base.drop(200))
+    val docs = Seq((1L, base.mkString(" ")), (2L, edited.mkString(" ")))
+      .toDF("doc_id", "text")
+    val ch = operators.TextAnalysis.cdcChunkTable(docs)
+      .select("doc_id", "chunk_hash").as[(Long, String)].collect()
+    val h1 = ch.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = ch.filter(_._1 == 2L).map(_._2).toSet
+    val shared = (h1 intersect h2).size
+    // chunks away from the edit keep their boundaries AND hashes: the
+    // overwhelming majority must survive the insertion
+    assert(shared >= h1.size - 4,
+      s"only $shared of ${h1.size} chunks survived a 3-word insertion")
+    // contrast: fixed-size chunking shares almost nothing after the shift
+    val fixed1 = base.grouped(16).map(_.mkString(" ")).toSet
+    val fixed2 = edited.grouped(16).map(_.mkString(" ")).toSet
+    assert((fixed1 intersect fixed2).size <= shared / 2,
+      "fixed chunking should lose most chunks to the offset shift")
+    // and the gate query itself flags the cross-doc duplicate chunks
+    val gate = operators.TextAnalysis.cdcChunks(docs)
+      .select("doc_id", "n_dup_chunks").as[(Long, Long)].collect().toMap
+    assert(gate(1L) >= (h1.size - 4).toLong)
+  }
+
   test("inline flag columns agree exactly with the staged langId/quality frames") {
     val docs = Tables.documents(spark, sf)
     val inline = docs.select(col("doc_id"),
