@@ -238,6 +238,54 @@ object Events {
       .orderBy("event_type", "bar_start")
   }
 
+  /** windowFunnel window: every step within 1 h of the FIRST step. */
+  val FunnelWindowUs: Long = 3600L * 1000 * 1000
+
+  /** TIME-CONSTRAINED FUNNEL (`ev_winfunnel`) — the ClickHouse
+    * `windowFunnel` semantic: a user reaches level k when an ordered
+    * chain view ≤ click ≤ purchase exists with EVERY step inside
+    * [[FunnelWindowUs]] of the chain's first event ([[funnel]] is the
+    * unconstrained lifetime variant). Emitted per user: the maximum
+    * level (0–3).
+    *
+    * The chain search is NOT a self-join (per-user event × event blows
+    * up on hot users — the ev_interval lesson): level-3 existence
+    * reduces to nested RUNNING MAXES on one (user, time)-ordered sort.
+    * For a click c, the best chain head is the latest view in
+    * [c−W, c]: `chv(c) = max view-ts ≤ c` (qualifying iff ≥ c−W); for
+    * a purchase p, a full chain exists iff `max chv over clicks ≤ p`
+    * is ≥ p−W (maximizing the head timestamp is optimal — any valid
+    * chain's head can be replaced by a later qualifying one). Both
+    * maxes ride the SAME window sort; ties order (ts, stage, event_id)
+    * identically in both engines, so equal-timestamp chains resolve
+    * deterministically. One user-keyed shuffle, zero fan-out. */
+  def windowFunnel(ev: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("us"), col("stage"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val staged = ev
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        when(col("event_type") === "view", 0)
+          .when(col("event_type") === "click", 1)
+          .otherwise(2).as("stage"))
+    val chained = staged
+      .withColumn("vmax", max(when(col("stage") === 0, col("us"))).over(w))
+      .withColumn("chv", when(col("stage") === 1 &&
+        col("vmax") >= col("us") - FunnelWindowUs, col("vmax")))
+      .withColumn("cmax", max(col("chv")).over(w))
+    chained.groupBy("user_id").agg(
+        max(when(col("stage") === 0, 1).otherwise(0)).as("l1"),
+        max(when(col("chv").isNotNull, 1).otherwise(0)).as("l2"),
+        max(when(col("stage") === 2 &&
+          col("cmax") >= col("us") - FunnelWindowUs, 1).otherwise(0)).as("l3"))
+      // flags are monotone by construction (chv needs a view, cmax needs
+      // a chv), so the level is their plain sum
+      .select(col("user_id"), (col("l1") + col("l2") + col("l3")).cast("long").as("level"))
+      .orderBy("user_id")
+  }
+
   /** Funnel: users reaching each stage view → click → purchase. */
   def funnel(ev: DataFrame): DataFrame = {
     val perUser = ev.groupBy("user_id").agg(
@@ -499,6 +547,7 @@ object Events {
     "ev_asof"       -> ((s, d) => asofAttribution(Tables.events(s, d))),
     "ev_interval"   -> ((s, d) => intervalJoin(Tables.events(s, d))),
     "ev_ohlc"       -> ((s, d) => ohlc(Tables.events(s, d))),
+    "ev_winfunnel"  -> ((s, d) => windowFunnel(Tables.events(s, d))),
     "ev_retention"  -> ((s, d) => retention(Tables.events(s, d))),
     "ev_paths"      -> ((s, d) => topPaths(Tables.events(s, d))),
     "ev_transitions"-> ((s, d) => transitions(Tables.events(s, d))),
@@ -526,6 +575,35 @@ object Events {
        |    FROM events) g) n""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same nested running maxes on the same (ts, stage, event_id) order
+    "ev_winfunnel" ->
+      s"""WITH st AS (
+         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |    CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 ELSE 2 END AS stage
+         |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+         |ch AS (
+         |  SELECT user_id, event_id, us, stage,
+         |    max(CASE WHEN stage = 0 THEN us END) OVER win AS vmax
+         |  FROM st WINDOW win AS (PARTITION BY user_id
+         |    ORDER BY us, stage, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |ch2 AS (
+         |  SELECT user_id, event_id, us, stage,
+         |    CASE WHEN stage = 1 AND vmax >= us - $FunnelWindowUs
+         |      THEN vmax END AS chv
+         |  FROM ch),
+         |ch3 AS (
+         |  SELECT user_id, us, stage, chv,
+         |    max(chv) OVER win AS cmax
+         |  FROM ch2 WINDOW win AS (PARTITION BY user_id
+         |    ORDER BY us, stage, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT user_id,
+         |  CAST(max(CASE WHEN stage = 0 THEN 1 ELSE 0 END)
+         |    + max(CASE WHEN chv IS NOT NULL THEN 1 ELSE 0 END)
+         |    + max(CASE WHEN stage = 2 AND cmax >= us - $FunnelWindowUs
+         |        THEN 1 ELSE 0 END) AS BIGINT) AS level
+         |FROM ch3 GROUP BY user_id ORDER BY user_id""".stripMargin,
     // open/close tie-break: lpad'ed (us, event_id) string key is
     // order-equivalent to the Spark struct (both columns non-negative,
     // fixed width dominates lexicographic compare)

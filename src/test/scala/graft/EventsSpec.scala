@@ -249,6 +249,32 @@ class EventsSpec extends SparkSpec {
     assert(f((30L, "01")) == 0L, "single observation not anomalous")
   }
 
+  test("windowFunnel: chain must fit 1h of its head; later heads rescue chains (greedy trap)") {
+    val s = spark
+    import s.implicits._
+    def t(min: Long) = new java.sql.Timestamp(1704067200000L + min * 60000)
+    def e(id: Long, m: Long, u: Long, ty: String) = (id, t(m), u, ty, 1.0)
+    val d = Seq(
+      // u1: v@0, c@30, p@50 — all within 1h of v → level 3
+      e(1, 0, 1, "view"), e(2, 30, 1, "click"), e(3, 50, 1, "purchase"),
+      // u2: p@70 falls outside the head window → level 2
+      e(4, 0, 2, "view"), e(5, 30, 2, "click"), e(6, 70, 2, "purchase"),
+      // u3: click 90min after the only view → level 1
+      e(7, 0, 3, "view"), e(8, 90, 3, "click"),
+      // u4: click with no view → level 0
+      e(9, 10, 4, "click"),
+      // u5 greedy trap: head A@0 cannot cover p@75, but head B@20 can —
+      // an earliest-head algorithm reports 2; the max-head rule gets 3
+      e(10, 0, 5, "view"), e(11, 20, 5, "view"), e(12, 55, 5, "click"),
+      e(13, 75, 5, "purchase"),
+      // u6: a purchase BEFORE any chain doesn't count; the later one does
+      e(14, 5, 6, "purchase"), e(15, 10, 6, "view"), e(16, 20, 6, "click"),
+      e(17, 40, 6, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.windowFunnel(d).as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 0L, 5L -> 3L, 6L -> 3L), r.toString)
+  }
+
   test("ohlc: bar boundaries, same-ts tie-break by event_id, exact volume") {
     val s = spark
     import s.implicits._
