@@ -595,8 +595,76 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** HLL register count m = 2^[[HllP]]; standard error 1.04/√m ≈ 6.5%. */
+  val HllP = 8
+  val HllM = 1 << HllP                         // 256 registers
+  private val HllW    = 60 - HllP              // 52-bit rho field
+  private val HllPow  = 1L << (HllW + 1)       // 2^53, the exact register scale
+  /** α_m·m²·2^53 — evaluated by the oracle as the same literal expression
+    * text, so both engines produce the identical IEEE double constant. */
+  private val HllC =
+    0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 9007199254740992.0
+
+  /** Approximate COUNT DISTINCT via HyperLogLog — the bounded-state
+    * alternative to the distinct shuffle, estimate and exact side by
+    * side so the output shows the sketch's error (~1.04/√m ≈ 6.5%).
+    *
+    * One md5 per row (a strong mix is non-negotiable: feeding
+    * sequential keys to a cheap linear-hash family leaves lattice
+    * structure — three-distance theorem — that biased a K-minimum-
+    * values prototype of this query +43%; and K linear hashes of a
+    * SHARED set have correlated minima that bias the harmonic
+    * estimator +20% even on ideal uniform input — both measured before
+    * settling on HLL). The 60-bit hash splits into an 8-bit register
+    * index (`h & 255`) and a 52-bit field whose leading-zero rank
+    * ρ = 53 − bitlength (via `bin()`+`length()`, identical in both
+    * engines) feeds max-registers. The register sum is EXACT scaled
+    * integer — Σ 2^(53−ρ_max) as BIGINT (≤ 2^61, no rounding, so the
+    * result is independent of partitioning/order where a double Σ2^−ρ
+    * would round order-dependently) — with absent registers folded in
+    * as (m − present)·2^53; the final α·m²·2^53/Z division is the one
+    * IEEE double op, mirrored verbatim. No small/large-range
+    * corrections (documented: below ~2.5m distincts the raw HLL
+    * estimate reads high; the gated sf has n/m ≈ 43, squarely in HLL's
+    * flat zone).
+    *
+    * Scale: THE way to count distincts at 100 TB. The plan is two tiny
+    * grouped aggregations with map-side combine over O(m) state per
+    * group — the shuffle carries groups×256 registers instead of the n
+    * distinct keys a COUNT(DISTINCT) exchange moves; registers are
+    * mergeable across partitions, days, and streams (max is
+    * associative), which COUNT(DISTINCT) results are not. The exact
+    * count computed alongside is the demo's error gauge — a production
+    * query would drop it and with it the only expensive exchange here. */
+  def q38Hll: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val h = conv(substring(md5(concat(lit("hll:"), col("l_orderkey"))), 1, 15), 16, 10)
+      .cast("long")
+    val rem = shiftright(h, HllP)
+    val rho = when(rem === 0L, lit(HllW + 1).cast("long"))
+      .otherwise(lit(HllW + 1).cast("long") - length(bin(rem)).cast("long"))
+    val regs = li
+      .select(col("l_returnflag"), h.bitwiseAND(HllM - 1).as("bucket"), rho.as("rho"))
+      .groupBy("l_returnflag", "bucket").agg(max(col("rho")).as("mx"))
+    // exact scaled-integer register sum: 2^(53 - mx) per present register
+    val term = expr(s"shiftleft(CAST(1 AS BIGINT), ${HllW + 1} - CAST(mx AS INT))")
+    val sk2 = regs.groupBy("l_returnflag")
+      .agg(sum(term).as("sp"), count(lit(1)).as("nb"))
+      .withColumn("z", col("sp") + (lit(HllM.toLong) - col("nb")) * lit(HllPow))
+      .select(col("l_returnflag"),
+        (lit(HllC) / col("z").cast("double")).as("approx_distinct"))
+    val ex = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+    sk2.join(ex, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("approx_distinct"), col("exact_distinct"),
+        ((col("approx_distinct") - col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double")).as("rel_err"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
     "q34_merge"    -> q34Merge,
+    "q38_hll"      -> q38Hll,
     "q1_agg"       -> q1Agg,
     "q2_filter"    -> q2Filter,
     "q3_join"      -> q3Join,
@@ -630,6 +698,33 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q38_hll" ->
+      s"""WITH hs AS (
+         |  SELECT l_returnflag,
+         |    ('0x' || substr(md5('hll:' || l_orderkey::VARCHAR), 1, 15))::BIGINT AS h
+         |  FROM lineitem),
+         |regs AS (
+         |  SELECT l_returnflag, h & ${HllM - 1} AS bucket,
+         |    max(CASE WHEN (h >> $HllP) = 0 THEN ${HllW + 1}
+         |             ELSE ${HllW + 1} - length(bin(h >> $HllP)) END) AS mx
+         |  FROM hs GROUP BY 1, 2),
+         |sk AS (
+         |  SELECT l_returnflag,
+         |    sum((1::BIGINT << (${HllW + 1} - mx))::BIGINT) AS sp,
+         |    count(*) AS nb
+         |  FROM regs GROUP BY 1),
+         |est AS (
+         |  SELECT l_returnflag,
+         |    (0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 9007199254740992.0)
+         |      / CAST(sp + ($HllM - nb) * $HllPow AS DOUBLE) AS approx_distinct
+         |  FROM sk),
+         |ex AS (SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_distinct
+         |       FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag, approx_distinct, exact_distinct,
+         |  (approx_distinct - CAST(exact_distinct AS DOUBLE))
+         |    / CAST(exact_distinct AS DOUBLE) AS rel_err
+         |FROM est JOIN ex USING (l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin,
     "q34_merge" ->
       """WITH snap AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
         |changes AS (

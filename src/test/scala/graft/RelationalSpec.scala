@@ -54,6 +54,20 @@ class RelationalSpec extends SparkSpec {
     assert(Relational.queries.keySet == Relational.oracle.keySet)
   }
 
+  test("q38_hll estimates distinct orderkeys within sketch error at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val r = Relational.q38Hll(spark, sf).collect()
+    assert(r.nonEmpty)
+    for (row <- r) {
+      val exact = row.getAs[Long]("exact_distinct")
+      val err = row.getAs[Double]("rel_err")
+      assert(exact > 0)
+      // n/m ≈ 6 at sf0.001 sits below HLL's flat zone (no small-range
+      // correction by design) — allow 3× the asymptotic 6.5% stderr
+      assert(math.abs(err) < 0.35, s"rel_err $err too large (exact=$exact)")
+    }
+  }
+
   test("q33_fullouter covers every customer from either side exactly once") {
     import org.apache.spark.sql.functions._
     val r = Relational.q33FullOuter(spark, sf)
