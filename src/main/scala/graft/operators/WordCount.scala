@@ -136,6 +136,53 @@ object WordCount {
       .orderBy(col("n").desc, col("w1"), col("w2"))
   }
 
+  val CmsDepth = 4      // CountMin rows (failure prob ~ e^-depth)
+  val CmsWidth = 1024   // CountMin columns (overcount bound ~ N·e/width)
+  val CmsTopK  = 20
+
+  /** Oracle-gated COUNT-MIN SKETCH — frequency estimation in d×w = 4096
+    * bounded counters, estimate and exact side by side so the output
+    * shows the sketch's one-sided error (CMS never under-counts;
+    * overcount ≤ N·e/w per row with prob 1−e^−d). Complements
+    * [[Sketches.heavyHitters]] (Spark's built-in CountMinSketch, spec-
+    * bound): the hash family here is md5-derived, so the ENTIRE sketch —
+    * cell counts included — is reproduced bit-for-bit by the DuckDB
+    * oracle and driver-gated, the cross-engine-deterministic sketch
+    * discipline q38_hll uses for cardinality applied to frequency.
+    *
+    * Plan: one tokenize pass emits each token's d (row, cell) pairs via
+    * posexplode — map-only ×d fan-out — and ONE grouped count with
+    * map-side combine collapses them to ≤4096 cells, so the shuffle
+    * carries the sketch, never tokens. Candidates (the exact top-k,
+    * the demo's error gauge) probe the sketch via a broadcast-sized
+    * join on (row, cell), min across rows.
+    *
+    * Scale: the sketch size is scale-INVARIANT — at 100 TB the same
+    * 4096 counters absorb the stream (counts grow, cells don't), the
+    * per-partition partial aggregates stay 4096 rows each, and sketches
+    * merge by cell-wise + across days/shards/streams exactly like
+    * q38_hll's registers. A production heavy-hitter query would feed
+    * candidates from a stream summary (e.g. per-partition local top-k),
+    * not the exact count used here to measure error. */
+  def cmsHeavyHitters(docs: DataFrame): DataFrame = {
+    def cell(r: Int, w: Column): Column =
+      conv(substring(md5(concat(lit(s"cms$r:"), w)), 1, 8), 16, 10)
+        .cast("long") % CmsWidth
+    def cells(w: Column): Column =
+      posexplode(array((0 until CmsDepth).map(r => cell(r, w)): _*))
+    val sketch = tokens(docs)
+      .select(cells(col("word")).as(Seq("r", "c")))
+      .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+    val cand = wordCount(docs).limit(CmsTopK)
+      .select(col("word"), col("cnt").as("exact_cnt"),
+        cells(col("word")).as(Seq("r", "c")))
+    broadcast(cand).join(sketch, Seq("r", "c"))
+      .groupBy("word", "exact_cnt").agg(min(col("cnt")).as("est_cnt"))
+      .select(col("word"), col("exact_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("exact_cnt")).as("overcount"))
+      .orderBy(col("exact_cnt").desc, col("word"))
+  }
+
   /** Per-document token count — the per-chunk in-mapper combiner shape
     * (each mapper's `IntermediateTokens` size, core/map_reduce.go:546). */
   def perDocCounts(docs: DataFrame): DataFrame =
@@ -216,6 +263,7 @@ object WordCount {
     "wc_files"     -> ((s, d) => filesWordCount(s, d)),
     "wc_bigrams"   -> ((s, d) => bigramCount(Tables.documents(s, d))),
     "wc_cooccur"   -> ((s, d) => cooccur(Tables.documents(s, d))),
+    "wc_cms"       -> ((s, d) => cmsHeavyHitters(Tables.documents(s, d))),
   )
 
   /** DuckDB words-array fragment — same `\p{L}` pattern as [[TokenRe]];
@@ -303,6 +351,27 @@ object WordCount {
          |  FROM chunks) t
          |WHERE word <> ''
          |GROUP BY word ORDER BY cnt DESC, word""".stripMargin,
+    "wc_cms" ->
+      s"""WITH tk AS (SELECT word FROM ($TokensSql) t),
+         |cells AS (
+         |  SELECT r,
+         |    ('0x' || substr(md5('cms' || r::VARCHAR || ':' || word), 1, 8))::BIGINT
+         |      % $CmsWidth AS c,
+         |    count(*) AS cnt
+         |  FROM tk, range($CmsDepth) rr(r) GROUP BY 1, 2),
+         |top AS (
+         |  SELECT word, count(*) AS exact_cnt FROM tk GROUP BY word
+         |  ORDER BY exact_cnt DESC, word LIMIT $CmsTopK),
+         |cand AS (
+         |  SELECT word, exact_cnt, r,
+         |    ('0x' || substr(md5('cms' || r::VARCHAR || ':' || word), 1, 8))::BIGINT
+         |      % $CmsWidth AS c
+         |  FROM top, range($CmsDepth) rr(r)),
+         |est AS (
+         |  SELECT word, exact_cnt, min(cnt) AS est_cnt
+         |  FROM cand JOIN cells USING (r, c) GROUP BY 1, 2)
+         |SELECT word, exact_cnt, est_cnt, est_cnt - exact_cnt AS overcount
+         |FROM est ORDER BY exact_cnt DESC, word""".stripMargin,
   )
 
   /** `wc_files` shares the chunked-count oracle: the file round-trip is

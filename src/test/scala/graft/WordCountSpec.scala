@@ -66,6 +66,28 @@ class WordCountSpec extends SparkSpec {
     assert(pd.count() == nonEmpty)
   }
 
+  test("wc_cms: one-sided error — estimates never undercount, bound holds") {
+    val docs = Tables.documents(spark, sf)
+    val r = WordCount.cmsHeavyHitters(docs).collect()
+    assert(r.nonEmpty)
+    val total = WordCount.tokens(docs).count()
+    // CMS guarantee: est >= exact always; overcount <= N*e/w whp
+    for (row <- r) {
+      val over = row.getAs[Long]("overcount")
+      assert(over >= 0, s"CMS undercounted ${row.getAs[String]("word")}")
+      assert(over <= math.ceil(total * math.E / WordCount.CmsWidth).toLong * 4,
+        s"overcount $over way past the eps*N bound")
+    }
+    // a colliding hand corpus: two words forced into shared cells still
+    // never read below their exact counts
+    val s2 = spark
+    import s2.implicits._
+    val tiny = Seq((1L, ("x " * 50) + ("y " * 30))).toDF("doc_id", "text")
+    val est = WordCount.cmsHeavyHitters(tiny).collect()
+      .map(r2 => r2.getAs[String]("word") -> r2.getAs[Long]("est_cnt")).toMap
+    assert(est("x") >= 50 && est("y") >= 30)
+  }
+
   test("cooccur: window-±2 pairs, unordered canonicalization, PMI sign sanity") {
     val s = spark
     import s.implicits._
