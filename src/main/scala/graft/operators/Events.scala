@@ -532,6 +532,106 @@ object Events {
       .limit(TopPaths)
   }
 
+  /** Hopping-window width / slide in µs (10 min sliding by 5). */
+  val HopWidthUs: Long = 10L * 60 * 1000 * 1000
+  val HopSlideUs: Long = 5L * 60 * 1000 * 1000
+
+  /** HOPPING (sliding) window aggregates (`ev_hopping`) — the
+    * overlapping-window counterpart of [[tumbling]], Spark's built-in
+    * `window(ts, width, slide)`: per (window, event_type) count and
+    * exact-decimal total, each event contributing to width/slide = 2
+    * overlapping windows. The batch mirror of the Structured Streaming
+    * sliding-window aggregation (same expression works under
+    * `readStream` + watermark unchanged).
+    *
+    * Scale: the built-in plans the window membership as a map-side
+    * explode with fan-out exactly width/slide (bounded, 2 here) feeding
+    * ONE partial-aggregatable shuffle — output cardinality is
+    * series × time like [[ohlc]], independent of input rows. The oracle
+    * mirrors the alignment arithmetic in exact integer µs (windows
+    * align to slide boundaries from the epoch, Spark's documented
+    * origin), so bucket membership is engine-exact. */
+  def hopping(ev: DataFrame): DataFrame =
+    ev.groupBy(
+        window(col("ts"), s"${HopWidthUs / 1000000L} seconds",
+          s"${HopSlideUs / 1000000L} seconds").as("win"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), xsum(col("value")).as("total"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n"), col("total"))
+      .orderBy("win_start", "event_type")
+
+  /** COHORT RETENTION (`ev_cohort`) — the signup-cohort triangle every
+    * growth dashboard runs: users grouped by FIRST active ISO week
+    * (their cohort), each later week's activity counted as
+    * (cohort_week, week_offset, n_active) with the cohort's size and
+    * retention in ppm. [[retention]] is the day-over-day special case;
+    * this is the full matrix.
+    *
+    * Scale: one distinct on (user, week) — map-side combined, the only
+    * event-volume-sized shuffle; the first-week aggregate and the
+    * cohort join are both keyed by user_id (the distinct's partitioning
+    * reused); the matrix aggregate is cohort-week × offset — calendar²
+    * cardinality, independent of users. retention_ppm =
+    * floor(n·10⁶/size) over identical doubles in both engines (the
+    * [[transitions]] discipline). */
+  def cohort(ev: DataFrame): DataFrame = {
+    val weeks = ev.select(col("user_id"), date_trunc("week", col("ts")).as("week")).distinct()
+    val firsts = weeks.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val cells = weeks.join(firsts, "user_id")
+      .select(col("cohort_week"),
+        expr("datediff(week, cohort_week) div 7").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cells.where(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_active").as("cohort_size"))
+    cells.join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"), col("cohort_size"),
+        floor(col("n_active") * lit(1000000.0) / col("cohort_size")).cast("long")
+          .as("retention_ppm"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Trailing window for [[rollingActive]], in days. */
+  val RollingDays = 7
+
+  /** ROLLING DISTINCT USERS (`ev_rolling`) — trailing-7-day active
+    * users per calendar day (the WAU-by-day metric): for every day in
+    * the data's range, how many distinct users were active in
+    * [day−6, day].
+    *
+    * The naive formulation is a range join (day spine × user-activity,
+    * `BETWEEN` predicate) — per-day re-scans of the activity table that
+    * explode on a 100 TB stream. Here the window rides a BOUNDED
+    * map-side explode instead: each distinct (user, day) emits the ≤7
+    * target days it covers (`sequence(d, d+6)` — fan-out = window
+    * length, never data-sized), one distinct collapses multi-active
+    * users per target day, one count per day. The day spine (dense
+    * calendar between global min/max, zero-coverage days kept as 0)
+    * explodes off a 1-row min/max aggregate — O(calendar) rows in one
+    * task, then a broadcast-sized left join.
+    *
+    * Scale: shuffles carry (user, day) pairs — users × days × 7 at
+    * worst, never event volume; the per-day counts frame is
+    * calendar-sized. The sketch-merging variant of the same rolling
+    * window (per-day HLL registers max-merged across the trailing 7 —
+    * no second distinct at all) is `ev_rolling_hll`. */
+  def rollingActive(ev: DataFrame): DataFrame = {
+    val ud = ev.select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long").as("d"))
+      .distinct()
+    val counts = ud.select(col("user_id"),
+        explode(sequence(col("d"), col("d") + (RollingDays - 1))).as("t"))
+      .distinct()
+      .groupBy("t").agg(count(lit(1)).as("active_7d"))
+    val spine = ud.agg(min("d").as("d0"), max("d").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("t"))
+    spine.join(counts, Seq("t"), "left")
+      .select(timestamp_micros(col("t") * lit(86400000000L)).as("day"),
+        coalesce(col("active_7d"), lit(0L)).as("active_7d"))
+      .orderBy("day")
+  }
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "ev_scd2"       -> ((s, d) => scd2(Tables.events(s, d))),
@@ -552,6 +652,9 @@ object Events {
     "ev_paths"      -> ((s, d) => topPaths(Tables.events(s, d))),
     "ev_transitions"-> ((s, d) => transitions(Tables.events(s, d))),
     "ev_anomaly"    -> ((s, d) => anomalies(Tables.events(s, d))),
+    "ev_hopping"    -> ((s, d) => hopping(Tables.events(s, d))),
+    "ev_cohort"     -> ((s, d) => cohort(Tables.events(s, d))),
+    "ev_rolling"    -> ((s, d) => rollingActive(Tables.events(s, d))),
   )
 
   /** Shared oracle inner query: per-event session_id via lag + running
@@ -814,5 +917,39 @@ object Events {
         |     (SELECT DISTINCT user_id, date_trunc('day', ts) AS next_day FROM events) n
         |  ON d.user_id = n.user_id AND n.next_day = d.day + INTERVAL 1 DAY
         |GROUP BY d.day ORDER BY day""".stripMargin,
+    // window alignment mirrored in exact integer µs: starts aligned to
+    // the slide from the epoch, one row per covering window (k = 0, 1)
+    "ev_hopping" ->
+      s"""SELECT make_timestamp(start_us) AS win_start, event_type,
+         |  count(*) AS n, ${osum("value")} AS total
+         |FROM (
+         |  SELECT event_type, value,
+         |    (epoch_us(CAST(ts AS TIMESTAMP)) // $HopSlideUs) * $HopSlideUs
+         |      - k.k * $HopSlideUs AS start_us
+         |  FROM events, (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) k(k)) t
+         |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "ev_cohort" ->
+      """WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1),
+        |j AS (SELECT f.cohort_week,
+        |        date_diff('day', f.cohort_week, uw.week) // 7 AS week_offset
+        |      FROM uw JOIN f ON uw.user_id = f.user_id),
+        |c AS (SELECT cohort_week, week_offset, count(*) AS n_active FROM j GROUP BY 1, 2),
+        |s AS (SELECT cohort_week, n_active AS cohort_size FROM c WHERE week_offset = 0)
+        |SELECT CAST(c.cohort_week AS TIMESTAMP) AS cohort_week, c.week_offset,
+        |  c.n_active, s.cohort_size,
+        |  CAST(floor(c.n_active * 1000000.0 / s.cohort_size) AS BIGINT) AS retention_ppm
+        |FROM c JOIN s USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "ev_rolling" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |        date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        |      FROM events),
+        |mm AS (SELECT min(d) AS d0, max(d) AS d1 FROM ud),
+        |spine AS (SELECT unnest(generate_series(d0, d1)) AS t FROM mm)
+        |SELECT make_timestamp(s.t * 86400000000) AS day,
+        |  count(DISTINCT u.user_id) AS active_7d
+        |FROM spine s LEFT JOIN ud u ON u.d BETWEEN s.t - 6 AND s.t
+        |GROUP BY s.t ORDER BY day""".stripMargin,
   )
 }

@@ -296,4 +296,56 @@ class EventsSpec extends SparkSpec {
     assert(r(1) == ("x", 1L, 4.0, 4.0, 4.0, 4.0, 4.0), s"bar1: ${r(1)}")
     assert(r(2) == ("y", 2L, 7.0, 7.0, 3.0, 3.0, 10.0), s"tie bar: ${r(2)}")
   }
+
+  test("hopping: every event lands in exactly width/slide windows, starts slide-aligned") {
+    val r = Events.hopping(ev)
+    val fanout = (Events.HopWidthUs / Events.HopSlideUs).toInt
+    assert(r.agg(sum(col("n"))).head.getLong(0) == ev.count() * fanout)
+    assert(r.where(unix_micros(col("win_start")) % Events.HopSlideUs =!= 0).count() == 0)
+    // a window's count equals the sum of its two constituent tumbling halves
+    val s = spark
+    import s.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(1704067200000L + sec * 1000)
+    val d = Seq(
+      (1L, t(0), 1L, "x", 1.0),    // slide bucket 0 → windows starting -300, 0
+      (2L, t(301), 1L, "x", 2.0),  // slide bucket 1 → windows starting 0, 300
+      (3L, t(650), 1L, "x", 4.0))  // slide bucket 2 → windows starting 300, 600
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.hopping(d)
+      .select(unix_micros(col("win_start")) / 1000000L - 1704067200L, col("n"), col("total"))
+      .as[(Double, Long, Double)].collect().toSeq
+    assert(got == Seq((-300.0, 1L, 1.0), (0.0, 2L, 3.0), (300.0, 2L, 6.0), (600.0, 1L, 4.0)),
+      s"got $got")
+  }
+
+  test("cohort: offset-0 diagonal equals cohort size; retention bounded; offsets non-negative") {
+    val r = Events.cohort(ev).cache()
+    assert(r.count() > 0)
+    assert(r.where(col("week_offset") < 0).count() == 0)
+    assert(r.where(col("week_offset") === 0 && col("n_active") =!= col("cohort_size")).count() == 0)
+    assert(r.where(col("retention_ppm") > 1000000L).count() == 0)
+    // every cohort has its offset-0 row (the cohort's own first week)
+    val cohorts = r.select("cohort_week").distinct().count()
+    assert(r.where(col("week_offset") === 0).count() == cohorts)
+    r.unpersist()
+  }
+
+  test("rollingActive: trailing-7 coverage, zero-coverage gap days kept as 0") {
+    val s = spark
+    import s.implicits._
+    // user 1 active day 0 and day 10; user 2 active day 0 only.
+    // day 0..6 covered by day-0 activity (2 users), day 7..9 ZERO,
+    // day 10..16 → but spine stops at max active day = 10.
+    def t(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    val d = Seq(
+      (1L, t(0), 1L, "view", 1.0), (2L, t(0), 2L, "view", 1.0),
+      (3L, t(10), 1L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.rollingActive(d)
+      .select(unix_micros(col("day")) / 86400000000L, col("active_7d"))
+      .as[(Double, Long)].collect().toSeq
+    val want = (0L to 6L).map(d => (d.toDouble, 2L)) ++
+      Seq((7.0, 0L), (8.0, 0L), (9.0, 0L), (10.0, 1L))
+    assert(got == want, s"got $got")
+  }
 }
