@@ -616,19 +616,82 @@ object Events {
     * calendar-sized. The sketch-merging variant of the same rolling
     * window (per-day HLL registers max-merged across the trailing 7 —
     * no second distinct at all) is `ev_rolling_hll`. */
-  def rollingActive(ev: DataFrame): DataFrame = {
-    val ud = ev.select(col("user_id"),
+  /** Distinct (user, epoch-day) pairs — shared base of both rolling
+    * variants. */
+  private def userDays(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"),
         datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long").as("d"))
       .distinct()
+
+  /** Dense epoch-day spine between the data's min and max day — a
+    * 1-row aggregate exploded in one task, O(calendar) rows. */
+  private def daySpine(ud: DataFrame): DataFrame =
+    ud.agg(min("d").as("d0"), max("d").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("t"))
+
+  def rollingActive(ev: DataFrame): DataFrame = {
+    val ud = userDays(ev)
     val counts = ud.select(col("user_id"),
         explode(sequence(col("d"), col("d") + (RollingDays - 1))).as("t"))
       .distinct()
       .groupBy("t").agg(count(lit(1)).as("active_7d"))
-    val spine = ud.agg(min("d").as("d0"), max("d").as("d1"))
-      .select(explode(sequence(col("d0"), col("d1"))).as("t"))
-    spine.join(counts, Seq("t"), "left")
+    daySpine(ud).join(counts, Seq("t"), "left")
       .select(timestamp_micros(col("t") * lit(86400000000L)).as("day"),
         coalesce(col("active_7d"), lit(0L)).as("active_7d"))
+      .orderBy("day")
+  }
+
+  /** ROLLING DISTINCT USERS VIA MERGEABLE SKETCHES (`ev_rolling_hll`) —
+    * the production form of [[rollingActive]] at 100 TB: per-day
+    * HyperLogLog registers ([[Compat.Hll]] — the `q38_hll` discipline,
+    * cross-engine bit-exact) built ONCE from the event stream, then any
+    * trailing window answered by MAX-MERGING the daily registers —
+    * max is associative, so a day's sketch folds into 7-day, 28-day, or
+    * quarter windows without ever touching the events again (exact
+    * distinct counts cannot be merged this way; that is the whole
+    * point of sketching the window).
+    *
+    * Plan: one combiner-friendly (day, bucket) aggregation over the raw
+    * stream (duplicates collapse map-side — same user hashes to the
+    * same register, so no pre-distinct is needed), then ALL window work
+    * is calendar-sized: the ×7 explode fans out days×256 register rows,
+    * never user-days ([[rollingActive]]'s explode is user-volume-sized
+    * AND needs a second distinct). Estimate and exact side by side with
+    * rel_err, the q38_hll demo pattern — a production query drops the
+    * exact branch and with it every user-volume shuffle past the
+    * register build. Zero-coverage days emit 0.0 (raw HLL would read
+    * α·m ≈ 185 on an empty register set — the documented
+    * no-small-range-correction artifact, masked at the empty-set
+    * boundary on both engines). */
+  def rollingActiveHll(ev: DataFrame): DataFrame = {
+    import Compat.Hll
+    val ud = userDays(ev)
+    val h = Hll.hash("rhll:", col("user_id"))
+    val daily = ev.select(
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long").as("d"),
+        Hll.bucket(h).as("bucket"), Hll.rho(h).as("rho"))
+      .groupBy("d", "bucket").agg(max("rho").as("mx"))
+    val sk = daily
+      .select(explode(sequence(col("d"), col("d") + (RollingDays - 1))).as("t"),
+        col("bucket"), col("mx"))
+      .groupBy("t", "bucket").agg(max("mx").as("mx"))
+      .groupBy("t")
+      .agg(sum(expr(Hll.TermSql)).as("sp"), count(lit(1)).as("nb"))
+      .withColumn("z", col("sp") + (lit(Hll.M.toLong) - col("nb")) * lit(Hll.Pow))
+      .select(col("t"), (lit(Hll.C) / col("z").cast("double")).as("approx_7d"))
+    val exact = ud.select(col("user_id"),
+        explode(sequence(col("d"), col("d") + (RollingDays - 1))).as("t"))
+      .distinct()
+      .groupBy("t").agg(count(lit(1)).as("exact_7d"))
+    daySpine(ud)
+      .join(sk, Seq("t"), "left").join(exact, Seq("t"), "left")
+      .select(timestamp_micros(col("t") * lit(86400000000L)).as("day"),
+        coalesce(col("approx_7d"), lit(0.0)).as("approx_7d"),
+        coalesce(col("exact_7d"), lit(0L)).as("exact_7d"))
+      .withColumn("rel_err",
+        when(col("exact_7d") > 0,
+          (col("approx_7d") - col("exact_7d").cast("double")) /
+            col("exact_7d").cast("double")).otherwise(0.0))
       .orderBy("day")
   }
 
@@ -655,6 +718,7 @@ object Events {
     "ev_hopping"    -> ((s, d) => hopping(Tables.events(s, d))),
     "ev_cohort"     -> ((s, d) => cohort(Tables.events(s, d))),
     "ev_rolling"    -> ((s, d) => rollingActive(Tables.events(s, d))),
+    "ev_rolling_hll"-> ((s, d) => rollingActiveHll(Tables.events(s, d))),
   )
 
   /** Shared oracle inner query: per-event session_id via lag + running
@@ -951,5 +1015,39 @@ object Events {
         |  count(DISTINCT u.user_id) AS active_7d
         |FROM spine s LEFT JOIN ud u ON u.d BETWEEN s.t - 6 AND s.t
         |GROUP BY s.t ORDER BY day""".stripMargin,
+    // the same register construction as the q38_hll oracle (Compat.Hll
+    // twins), max-merged across the trailing 7 days
+    "ev_rolling_hll" -> {
+      import Compat.Hll
+      s"""WITH ud AS (SELECT DISTINCT user_id,
+         |        date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+         |      FROM events),
+         |mm AS (SELECT min(d) AS d0, max(d) AS d1 FROM ud),
+         |spine AS (SELECT unnest(generate_series(d0, d1)) AS t FROM mm),
+         |hs AS (SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         |         ${Hll.oHash("rhll:", "user_id")} AS h
+         |       FROM events),
+         |regs AS (SELECT d, h & ${Hll.M - 1} AS bucket, max(${Hll.oRho("h")}) AS mx
+         |         FROM hs GROUP BY 1, 2),
+         |mrg AS (SELECT r.d + k.k AS t, r.bucket, max(r.mx) AS mx
+         |        FROM regs r, (SELECT unnest(generate_series(0, ${RollingDays - 1})) AS k) k
+         |        GROUP BY 1, 2),
+         |sk AS (SELECT t, sum(${Hll.OTerm}) AS sp, count(*) AS nb FROM mrg GROUP BY 1),
+         |est AS (SELECT s.t,
+         |          CASE WHEN sk.nb IS NULL THEN 0.0
+         |               ELSE ${Hll.CSql}
+         |                 / CAST(sk.sp + (${Hll.M} - sk.nb) * ${Hll.Pow} AS DOUBLE) END
+         |            AS approx_7d
+         |        FROM spine s LEFT JOIN sk ON sk.t = s.t),
+         |ex AS (SELECT s.t, count(DISTINCT u.user_id) AS exact_7d
+         |       FROM spine s LEFT JOIN ud u ON u.d BETWEEN s.t - ${RollingDays - 1} AND s.t
+         |       GROUP BY s.t)
+         |SELECT make_timestamp(e.t * 86400000000) AS day, est.approx_7d, e.exact_7d,
+         |  CASE WHEN e.exact_7d > 0
+         |       THEN (est.approx_7d - CAST(e.exact_7d AS DOUBLE)) / CAST(e.exact_7d AS DOUBLE)
+         |       ELSE 0.0 END AS rel_err
+         |FROM ex e JOIN est ON est.t = e.t
+         |ORDER BY day""".stripMargin
+    },
   )
 }

@@ -595,15 +595,14 @@ object Relational {
       .orderBy("c_custkey")
   }
 
-  /** HLL register count m = 2^[[HllP]]; standard error 1.04/√m ≈ 6.5%. */
-  val HllP = 8
-  val HllM = 1 << HllP                         // 256 registers
-  private val HllW    = 60 - HllP              // 52-bit rho field
-  private val HllPow  = 1L << (HllW + 1)       // 2^53, the exact register scale
-  /** α_m·m²·2^53 — evaluated by the oracle as the same literal expression
-    * text, so both engines produce the identical IEEE double constant. */
-  private val HllC =
-    0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 9007199254740992.0
+  /** HLL register discipline — shared with `ev_rolling_hll` via
+    * [[Compat.Hll]] (single source of truth for both operators and both
+    * oracles); m = 2^P = 256 registers, standard error 1.04/√m ≈ 6.5%. */
+  private val HllP   = Compat.Hll.P
+  private val HllM   = Compat.Hll.M
+  private val HllW   = Compat.Hll.W
+  private val HllPow = Compat.Hll.Pow
+  private val HllC   = Compat.Hll.C
 
   /** Approximate COUNT DISTINCT via HyperLogLog — the bounded-state
     * alternative to the distinct shuffle, estimate and exact side by

@@ -348,4 +348,34 @@ class EventsSpec extends SparkSpec {
       Seq((7.0, 0L), (8.0, 0L), (9.0, 0L), (10.0, 1L))
     assert(got == want, s"got $got")
   }
+
+  test("rollingActiveHll: merged daily sketches equal the union's sketch; error bounded") {
+    val s = spark
+    import s.implicits._
+    def t(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    // overlapping cohorts: day 0 = users 1..200, day 3 = users 101..300
+    val twoDay = ((1L to 200L).map(u => (u, t(0), u, "view", 1.0)) ++
+      (101L to 300L).map(u => (u + 1000, t(3), u, "view", 1.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // day 3's trailing window covers both days → its sketch must equal
+    // the sketch of the UNION corpus placed on one day (max-merge ≡
+    // union — the property that makes per-day sketches reusable)
+    val merged = Events.rollingActiveHll(twoDay)
+      .where(unix_micros(col("day")) === 3L * 86400000000L)
+      .select("approx_7d").head.getDouble(0)
+    val unionOneDay = ((1L to 300L).map(u => (u, t(3), u, "view", 1.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val direct = Events.rollingActiveHll(unionOneDay)
+      .where(unix_micros(col("day")) === 3L * 86400000000L)
+      .select("approx_7d").head.getDouble(0)
+    assert(merged == direct, s"merged $merged != direct union sketch $direct")
+    // corpus-level sanity: deterministic, zero-coverage days 0.0, and
+    // the estimate stays within sketch tolerance of exact (m=256,
+    // raw-HLL high bias at small n — generous 50% bound)
+    val r = Events.rollingActiveHll(ev).cache()
+    assert(r.where(col("exact_7d") === 0 && col("approx_7d") =!= 0.0).count() == 0)
+    assert(r.where(col("exact_7d") >= 20 &&
+      (col("rel_err") > 0.5 || col("rel_err") < -0.5)).count() == 0)
+    r.unpersist()
+  }
 }
