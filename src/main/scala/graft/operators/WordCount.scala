@@ -252,6 +252,68 @@ object WordCount {
     chunkedWordCount(parsed)
   }
 
+  val TopTriangles = 20
+
+  /** TRIANGLE COUNTING (`wc_triangles`) — graph analytics over the
+    * word-ADJACENCY graph (nodes = words, undirected edges = distinct
+    * within-document adjacent pairs): per-word triangle participation,
+    * top [[TopTriangles]] — the clustering-coefficient numerator, the
+    * community-structure primitive next to [[cooccur]]'s PMI and
+    * TextAnalysis' TextRank.
+    *
+    * The technique is DEGREE ORIENTATION (Suri & Vassilvitskii 2011,
+    * "the curse of the last reducer" — a MapReduce-era result, apt for
+    * this engine's lineage): orient every undirected edge from its
+    * lower-(degree, word) endpoint to the higher, enumerate wedges only
+    * at each node's OUT-neighbors, close them against the oriented edge
+    * set. Every triangle {x<y<z in the orientation order} is found
+    * exactly once, as the wedge (y,z) at x. The point is the hub node:
+    * a naive wedge count at a stopword with degree d materializes d²
+    * pairs — orientation points every hub edge INTO the hub, so
+    * out-degrees are bounded by O(√m) and the total wedge volume by
+    * O(m^1.5), independent of how skewed the degree distribution is
+    * (the Zipf token distribution makes this graph's hubs extreme by
+    * construction).
+    *
+    * Scale: the edge set is DISTINCT adjacent pairs — bigram-vocabulary-
+    * bounded, never corpus-sized; degrees and orientation are two
+    * vocab-sized joins; the wedge self-join and the closure join are
+    * both equi-joins on oriented src / (b, c) keys; top-k plans as
+    * TakeOrdered. */
+  def triangles(docs: DataFrame): DataFrame = {
+    val ws = filter(split(col("text"), TokenRe), w => w =!= "")
+    val n1 = greatest(size(ws) - 1, lit(0))
+    val edges = docs.select(explode(zip_with(
+        slice(ws, lit(1), n1), slice(ws, lit(2), n1),
+        (a, b) => struct(least(a, b).as("u"), greatest(a, b).as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val deg = edges.select(explode(array(col("u"), col("v"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("dg"))
+    // u < v lexicographically already, so (deg, word)-order ties on
+    // equal degree resolve to u → src = u iff du <= dv
+    val uFirst = edges
+      .join(deg.select(col("w").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("w").as("v"), col("dg").as("dv")), "v")
+      .select(col("u"), col("v"), (col("du") <= col("dv")).as("uf"),
+        col("du"), col("dv"))
+    val oriented = uFirst.select(
+      when(col("uf"), col("u")).otherwise(col("v")).as("src"),
+      when(col("uf"), col("v")).otherwise(col("u")).as("dst"),
+      when(col("uf"), col("dv")).otherwise(col("du")).as("ddst"))
+    val o1 = oriented.select(col("src"), col("dst").as("b"), col("ddst").as("db"))
+    val o2 = oriented.select(col("src"), col("dst").as("c"), col("ddst").as("dc"))
+    val tri = o1.join(o2, "src")
+      .where(col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c")))
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+      .select(col("src").as("w1"), col("b").as("w2"), col("c").as("w3"))
+    tri.select(explode(array(col("w1"), col("w2"), col("w3"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("word"))
+      .limit(TopTriangles)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wc_wordcount" -> ((s, d) => wordCount(Tables.documents(s, d))),
     "wc_topk"      -> ((s, d) => topK(Tables.documents(s, d), 50)),
@@ -264,6 +326,7 @@ object WordCount {
     "wc_bigrams"   -> ((s, d) => bigramCount(Tables.documents(s, d))),
     "wc_cooccur"   -> ((s, d) => cooccur(Tables.documents(s, d))),
     "wc_cms"       -> ((s, d) => cmsHeavyHitters(Tables.documents(s, d))),
+    "wc_triangles" -> ((s, d) => triangles(Tables.documents(s, d))),
   )
 
   /** DuckDB words-array fragment — same `\p{L}` pattern as [[TokenRe]];
@@ -293,6 +356,29 @@ object WordCount {
     "wc_per_doc" ->
       s"""SELECT doc_id, count(*) AS n_tokens, count(DISTINCT word) AS n_distinct
          |FROM ($TokensSql) tk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same degree orientation: src = lower (degree, word) endpoint,
+    // wedge at src ordered by (ddst, dst), closed against oriented edges
+    "wc_triangles" ->
+      s"""WITH eg AS (
+         |  SELECT DISTINCT least(w[i], w[i + 1]) AS u, greatest(w[i], w[i + 1]) AS v
+         |  FROM (SELECT $OracleWords AS w FROM documents) ws,
+         |    unnest(range(1, len(w))) AS t(i)
+         |  WHERE w[i] <> w[i + 1]),
+         |deg AS (SELECT w, count(*) AS dg FROM (
+         |    SELECT u AS w FROM eg UNION ALL SELECT v FROM eg) e GROUP BY 1),
+         |ori AS (SELECT
+         |    CASE WHEN du.dg <= dv.dg THEN e.u ELSE e.v END AS src,
+         |    CASE WHEN du.dg <= dv.dg THEN e.v ELSE e.u END AS dst,
+         |    CASE WHEN du.dg <= dv.dg THEN dv.dg ELSE du.dg END AS ddst
+         |  FROM eg e JOIN deg du ON du.w = e.u JOIN deg dv ON dv.w = e.v),
+         |tri AS (SELECT o1.src AS w1, o1.dst AS w2, o2.dst AS w3
+         |  FROM ori o1 JOIN ori o2 ON o1.src = o2.src
+         |    AND (o1.ddst < o2.ddst OR (o1.ddst = o2.ddst AND o1.dst < o2.dst))
+         |  JOIN ori o3 ON o3.src = o1.dst AND o3.dst = o2.dst)
+         |SELECT word, count(*) AS n_tri FROM (
+         |  SELECT w1 AS word FROM tri UNION ALL SELECT w2 FROM tri
+         |  UNION ALL SELECT w3 FROM tri) t
+         |GROUP BY word ORDER BY n_tri DESC, word LIMIT $TopTriangles""".stripMargin,
     "wc_bigrams" ->
       s"""SELECT bigram, count(*) AS cnt FROM (
          |  SELECT w[i] || ' ' || w[i + 1] AS bigram

@@ -103,4 +103,25 @@ class WordCountSpec extends SparkSpec {
       .collect()(0).getDouble(3)
     assert(math.abs(pmiAC - math.log(2.0 * 25 / (4 * 2 * 2))) < 1e-6, pmiAC.toString)
   }
+
+  test("triangles: hand-computed K3 and K4; spectators and dangling edges excluded") {
+    val s = spark
+    import s.implicits._
+    // doc 1: cycle a-b-c-a → one triangle; doc 2: dangling edge a-d
+    val d = Seq((1L, "a b c a"), (2L, "a d")).toDF("doc_id", "text")
+    val got = WordCount.triangles(d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 1L, "b" -> 1L, "c" -> 1L), got.toString)
+    // adjacency chain covering all 6 edges of K4 → C(4,3) = 4 triangles,
+    // each word on 3 of them
+    val k4 = Seq((1L, "a b c d a c b d a")).toDF("doc_id", "text")
+    val got4 = WordCount.triangles(k4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got4 == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L), got4.toString)
+    // duplicate adjacency must not double-count (edges are DISTINCT)
+    val dup = Seq((1L, "a b c a"), (2L, "b a"), (3L, "c b")).toDF("doc_id", "text")
+    val gotDup = WordCount.triangles(dup).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotDup == Map("a" -> 1L, "b" -> 1L, "c" -> 1L), gotDup.toString)
+  }
 }
