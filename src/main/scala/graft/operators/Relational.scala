@@ -635,6 +635,59 @@ object Relational {
     * associative), which COUNT(DISTINCT) results are not. The exact
     * count computed alongside is the demo's error gauge — a production
     * query would drop it and with it the only expensive exchange here. */
+  val SkyBuckets = 32
+
+  /** SKYLINE / Pareto frontier (`q39_skyline`) — the multi-criteria
+    * optimization query (Börzsönyi et al. 2001, "The Skyline
+    * Operator"): parts not DOMINATED on (minimize p_retailprice,
+    * maximize p_size) — p dominates q iff p is ≤ on price, ≥ on size,
+    * and strictly better on at least one. The classic form is a
+    * quadratic NOT-EXISTS self-join (the oracle runs exactly that — at
+    * oracle scale); at 100 TB the trick is that 2-D dominance only
+    * needs PRICE-LEVEL MAXIMA: a row survives iff its size equals its
+    * own level's max AND strictly-cheaper levels never reach its size.
+    *
+    * Plan: one combiner-friendly aggregate to the DISTINCT price-level
+    * table (bounded by price resolution, not row count — the
+    * text_ppl_bucket discipline), running maxima over levels via the
+    * q31 two-level scan (equi-width price buckets partition the level
+    * window; cross-bucket prefixes come from the triangular broadcast
+    * join over the B-row bucket-max frame — no partition-less window
+    * anywhere), then one hash join back to rows on the already-grouped
+    * price key. Dominance never compares row pairs. */
+  def q39Skyline: Q = (s, d) => skyline(Tables.part(s, d))
+
+  /** The level-maxima skyline over any (p_partkey, p_retailprice,
+    * p_size) frame — see [[q39Skyline]]. */
+  def skyline(partIn: DataFrame): DataFrame = {
+    val part = partIn.select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    val lvls = part.groupBy("p_retailprice").agg(max(col("p_size")).as("lvl_max"))
+    val stats = lvls.agg(min("p_retailprice").as("lo"), max("p_retailprice").as("hi"))
+    val bucketed = lvls.crossJoin(broadcast(stats))
+      .withColumn("bkt", when(col("hi") === col("lo"), lit(0)).otherwise(
+        least(floor((col("p_retailprice") - col("lo")) /
+          ((col("hi") - col("lo")) / SkyBuckets)), lit(SkyBuckets - 1L)).cast("int")))
+    val wIn = Window.partitionBy("bkt").orderBy("p_retailprice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withIn = bucketed.withColumn("in_pre", max(col("lvl_max")).over(wIn))
+    val bmax = bucketed.groupBy("bkt").agg(max("lvl_max").as("bmx"))
+    val pre = bmax
+      .join(broadcast(bmax.select(col("bkt").as("bkt2"), col("bmx").as("bmx2"))),
+        col("bkt2") < col("bkt"), "left")
+      .groupBy("bkt").agg(max("bmx2").as("pre"))
+    // below = max size among strictly-cheaper levels (levels are
+    // distinct prices, so the -1 rows frame IS the strict range frame)
+    val lv = withIn.join(broadcast(pre), "bkt")
+      .select(col("p_retailprice"),
+        greatest(coalesce(col("pre"), lit(Int.MinValue)),
+          coalesce(col("in_pre"), lit(Int.MinValue))).as("below"),
+        col("lvl_max"))
+    part.join(lv, "p_retailprice")
+      .where(col("p_size") === col("lvl_max") && col("below") < col("p_size"))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .orderBy("p_retailprice", "p_partkey")
+  }
+
   def q38Hll: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
     val h = conv(substring(md5(concat(lit("hll:"), col("l_orderkey"))), 1, 15), 16, 10)
@@ -664,6 +717,7 @@ object Relational {
   val queries: Map[String, Q] = Map(
     "q34_merge"    -> q34Merge,
     "q38_hll"      -> q38Hll,
+    "q39_skyline"  -> q39Skyline,
     "q1_agg"       -> q1Agg,
     "q2_filter"    -> q2Filter,
     "q3_join"      -> q3Join,
@@ -697,6 +751,14 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // the classic quadratic dominance form — fine at oracle scale, and
+    // deliberately independent of the level-maxima construction it gates
+    "q39_skyline" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part q
+        |WHERE NOT EXISTS (SELECT 1 FROM part p
+        |  WHERE p.p_retailprice <= q.p_retailprice AND p.p_size >= q.p_size
+        |    AND (p.p_retailprice < q.p_retailprice OR p.p_size > q.p_size))
+        |ORDER BY p_retailprice, p_partkey""".stripMargin,
     "q38_hll" ->
       s"""WITH hs AS (
          |  SELECT l_returnflag,

@@ -84,4 +84,26 @@ class RelationalSpec extends SparkSpec {
     assert(r.where(col("side") === "urgent_only" && col("final_spend").isNotNull).count() == 0)
     assert(r.where(col("side") === "final_only" && col("urgent_spend").isNotNull).count() == 0)
   }
+
+  test("skyline: dominance edges — ties survive, duplicates survive, strict dominance removes") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val pts = Seq(
+      (1L, 10.0, 5),  // skyline (cheapest)
+      (2L, 10.0, 5),  // duplicate of 1 — neither dominates, both stay
+      (3L, 10.0, 3),  // same price, smaller size → dominated by 1
+      (4L, 20.0, 9),  // skyline (bigger than everything cheaper)
+      (5L, 20.0, 9),  // duplicate of 4
+      (6L, 30.0, 9),  // same size as 4, pricier → dominated
+      (7L, 25.0, 7),  // dominated by 4 (cheaper AND bigger)
+      (8L, 40.0, 12)) // skyline (max size)
+      .toDF("p_partkey", "p_retailprice", "p_size")
+    val got = Relational.skyline(pts).select("p_partkey").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 4L, 5L, 8L), s"got $got")
+    // frontier is monotone: sizes strictly increase along increasing price levels
+    val sky = Relational.skyline(pts).select("p_retailprice", "p_size")
+      .distinct().orderBy("p_retailprice").as[(Double, Int)].collect()
+    assert(sky.sliding(2).forall(w => w.length < 2 || w(1)._2 > w(0)._2))
+  }
 }
