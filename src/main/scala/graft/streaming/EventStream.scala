@@ -96,6 +96,38 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
       .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("total"))
 
+  /** Streaming OHLC bars — twin of `Events.ohlc` (same 5-min epoch-
+    * aligned bars, same (ts, event_id) tie-break through `min_by`/
+    * `max_by` selection aggregates). Selection aggregates carry one
+    * candidate struct per (series, bar) of stream state — the same
+    * combiner-shaped merge as batch, so a bar's open/close are
+    * order-insensitive across micro-batches and the replayed stream
+    * converges bit-for-bit on the selection columns. */
+  def ohlc(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", WatermarkDelay)
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min_by(col("value"), struct(unix_micros(col("ts")), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(unix_micros(col("ts")), col("event_id"))).as("close"),
+        sum(col("value")).as("volume"))
+      .select(col("w.start").as("bar_start"), col("event_type"),
+        col("n"), col("open"), col("high"), col("low"), col("close"), col("volume"))
+
+  /** Streaming HOPPING (sliding) windows — twin of `Events.hopping`:
+    * the built-in `window(ts, width, slide)` replicates each event into
+    * width/slide = 2 overlapping windows map-side, exactly as in batch;
+    * the watermark seals a window once it passes window end + delay. */
+  def hopping(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", WatermarkDelay)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("total"))
+
   /** Event-time sessionizer over a keyed stream: closes a session when the
     * gap to the next event exceeds 30 min (or on event-time timeout). */
   def sessionize(events: Dataset[Event]): Dataset[Session] = {

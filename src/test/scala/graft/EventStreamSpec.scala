@@ -55,6 +55,41 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ohlc and hopping replaying the whole events table converge to batch") {
+    val s = spark
+    import s.implicits._
+    val batchDf = Tables.events(spark, sf)
+    val evs = batchDf
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val input = MemoryStream[Event](s)
+    val qo = EventStream.ohlc(input.toDF())
+      .writeStream.format("memory").queryName("sohlc").outputMode("complete").start()
+    val qh = EventStream.hopping(input.toDF())
+      .writeStream.format("memory").queryName("shop").outputMode("complete").start()
+    try {
+      input.addData(evs)
+      qo.processAllAvailable(); qh.processAllAvailable()
+      val streamedO = s.sql(
+        """SELECT event_type, bar_start, n, open, high, low, close,
+          |  round(volume, 4) AS v FROM sohlc""".stripMargin)
+        .collect().map(_.toSeq).toSet
+      val batchO = graft.operators.Events.ohlc(batchDf)
+        .select(col("event_type"), col("bar_start"), col("n"), col("open"),
+          col("high"), col("low"), col("close"), round(col("volume"), 4).as("v"))
+        .collect().map(_.toSeq).toSet
+      assert(streamedO == batchO)
+      val streamedH = s.sql(
+        "SELECT win_start, event_type, n, round(total, 4) AS t FROM shop")
+        .collect().map(_.toSeq).toSet
+      val batchH = graft.operators.Events.hopping(batchDf)
+        .select(col("win_start"), col("event_type"), col("n"),
+          round(col("total"), 4).as("t"))
+        .collect().map(_.toSeq).toSet
+      assert(streamedH == batchH)
+    } finally { qo.stop(); qh.stop() }
+  }
+
   test("streaming tumbling replaying the whole events table converges to batch") {
     val s = spark
     import s.implicits._
