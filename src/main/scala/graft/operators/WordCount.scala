@@ -283,12 +283,17 @@ object WordCount {
   def triangles(docs: DataFrame): DataFrame = {
     val ws = filter(split(col("text"), TokenRe), w => w =!= "")
     val n1 = greatest(size(ws) - 1, lit(0))
+    // persisted: the oriented edge set feeds THREE consumers (wedge
+    // sides o1/o2 and the closure probe) — without the cache each
+    // branch re-tokenizes and re-deduplicates the whole corpus (the
+    // wc_cooccur r7 lesson); the cache holds (u, v) pairs, never text
     val edges = docs.select(explode(zip_with(
         slice(ws, lit(1), n1), slice(ws, lit(2), n1),
         (a, b) => struct(least(a, b).as("u"), greatest(a, b).as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
+      .persist()
     val deg = edges.select(explode(array(col("u"), col("v"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("dg"))
     // u < v lexicographically already, so (deg, word)-order ties on
@@ -299,9 +304,9 @@ object WordCount {
       .select(col("u"), col("v"), (col("du") <= col("dv")).as("uf"),
         col("du"), col("dv"))
     val oriented = uFirst.select(
-      when(col("uf"), col("u")).otherwise(col("v")).as("src"),
-      when(col("uf"), col("v")).otherwise(col("u")).as("dst"),
-      when(col("uf"), col("dv")).otherwise(col("du")).as("ddst"))
+        when(col("uf"), col("u")).otherwise(col("v")).as("src"),
+        when(col("uf"), col("v")).otherwise(col("u")).as("dst"),
+        when(col("uf"), col("dv")).otherwise(col("du")).as("ddst"))
     val o1 = oriented.select(col("src"), col("dst").as("b"), col("ddst").as("db"))
     val o2 = oriented.select(col("src"), col("dst").as("c"), col("ddst").as("dc"))
     val tri = o1.join(o2, "src")
