@@ -635,6 +635,70 @@ object Relational {
     * associative), which COUNT(DISTINCT) results are not. The exact
     * count computed alongside is the demo's error gauge — a production
     * query would drop it and with it the only expensive exchange here. */
+  val HqBuckets = 64
+  val HqQs = Seq(0.5, 0.95, 0.99)
+
+  /** HISTOGRAM QUANTILES (`q40_histq`) — approximate per-group
+    * percentiles from a FIXED-SIZE equi-width histogram, estimate and
+    * exact side by side with rel_err (the sketch-family completion:
+    * q38_hll answers distincts, wc_cms frequencies, this answers
+    * quantiles — all three cross-engine bit-deterministic where
+    * Spark's t-digest `percentile_approx` is engine-specific and only
+    * spec-boundable).
+    *
+    * Sketch: per (group, bucket) integer counts over [[HqBuckets]]
+    * equi-width buckets between the group's min/max — bounded state,
+    * MERGEABLE (counts sum across shards/days/streams), one
+    * combiner-friendly shuffle whose width is groups×64 cells, never
+    * rows. Estimate = linear interpolation inside the target bucket —
+    * one fixed-order double chain, mirrored verbatim by the oracle,
+    * rounded at 6dp.
+    *
+    * The exact gauge dodges the per-group global sort (few huge window
+    * partitions — the worst key shape at 100 TB): the SAME bucket
+    * offsets locate each quantile's bucket, so the exact value needs
+    * only an in-bucket level window over DISTINCT (group, bucket,
+    * value) rows — resolution-bounded per bucket — joined to the ≤
+    * groups×|qs| candidate frame. A production query drops the exact
+    * branch; the histogram side never sorts values at all. */
+  def q40HistQuantile: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+    val stats = li.groupBy("g")
+      .agg(min("x").as("lo"), max("x").as("hi"), count(lit(1)).as("n"))
+    val w = (col("hi") - col("lo")) / HqBuckets
+    val bktOf = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(floor((col("x") - col("lo")) / w), lit(HqBuckets - 1L)))
+    val bucketed = li.join(broadcast(stats), "g")
+      .withColumn("bkt", bktOf)
+    val counts = bucketed.groupBy("g", "bkt").agg(count(lit(1)).as("cnt"))
+    val wcum = Window.partitionBy("g").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = counts.withColumn("cb", coalesce(sum("cnt").over(wcum), lit(0L)))
+    val qdf = { import s.implicits._; HqQs.toDF("p") }
+    val cand = cum.join(broadcast(stats), "g").crossJoin(broadcast(qdf))
+      .withColumn("target", ceil(col("p") * col("n")).cast("long"))
+      .where(col("cb") < col("target") && col("target") <= col("cb") + col("cnt"))
+      .withColumn("est", round(
+        col("lo") + col("bkt").cast("double") * w +
+          (col("target") - col("cb")).cast("double") / col("cnt").cast("double") * w,
+        6))
+    val lvl = bucketed.groupBy("g", "bkt", "x").agg(count(lit(1)).as("lcnt"))
+    val wl = Window.partitionBy("g", "bkt").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lc = lvl.withColumn("lin", coalesce(sum("lcnt").over(wl), lit(0L)))
+    val exact = broadcast(cand.select("g", "p", "bkt", "cb", "target"))
+      .join(lc, Seq("g", "bkt"))
+      .where(col("cb") + col("lin") < col("target") &&
+        col("target") <= col("cb") + col("lin") + col("lcnt"))
+      .select(col("g"), col("p"), col("x").as("exact"))
+    cand.select(col("g"), col("p"), col("est"))
+      .join(exact, Seq("g", "p"))
+      .select(col("g").as("l_returnflag"), col("p"), col("est"), col("exact"),
+        round((col("est") - col("exact")) / col("exact"), 6).as("rel_err"))
+      .orderBy("l_returnflag", "p")
+  }
+
   val SkyBuckets = 32
 
   /** SKYLINE / Pareto frontier (`q39_skyline`) — the multi-criteria
@@ -718,6 +782,7 @@ object Relational {
     "q34_merge"    -> q34Merge,
     "q38_hll"      -> q38Hll,
     "q39_skyline"  -> q39Skyline,
+    "q40_histq"    -> q40HistQuantile,
     "q1_agg"       -> q1Agg,
     "q2_filter"    -> q2Filter,
     "q3_join"      -> q3Join,
@@ -751,6 +816,44 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // same histogram, offsets, interpolation chain, and in-bucket level
+    // windows — the whole sketch reproduces bit-for-bit
+    "q40_histq" ->
+      s"""WITH li AS (SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem),
+         |st AS (SELECT g, min(x) AS lo, max(x) AS hi, count(*) AS n FROM li GROUP BY 1),
+         |bk AS (SELECT li.g, x,
+         |    CASE WHEN hi = lo THEN 0
+         |         ELSE least(CAST(floor((x - lo) / ((hi - lo) / $HqBuckets)) AS BIGINT),
+         |                    ${HqBuckets - 1}) END AS bkt
+         |  FROM li JOIN st USING (g)),
+         |bc AS (SELECT g, bkt, count(*) AS cnt FROM bk GROUP BY 1, 2),
+         |cm AS (SELECT g, bkt, cnt,
+         |    coalesce(sum(cnt) OVER (PARTITION BY g ORDER BY bkt
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM bc),
+         |qs AS (SELECT unnest([${HqQs.map(q => s"CAST($q AS DOUBLE)").mkString(", ")}]) AS p),
+         |cand AS (SELECT cm.g, qs.p, cm.bkt, cm.cnt, cm.cb, st.lo, st.hi,
+         |    CAST(ceil(qs.p * st.n) AS BIGINT) AS target
+         |  FROM cm JOIN st USING (g) CROSS JOIN qs
+         |  WHERE cm.cb < CAST(ceil(qs.p * st.n) AS BIGINT)
+         |    AND CAST(ceil(qs.p * st.n) AS BIGINT) <= cm.cb + cm.cnt),
+         |est AS (SELECT g, p, bkt, cb, target,
+         |    round(lo + CAST(bkt AS DOUBLE) * ((hi - lo) / $HqBuckets)
+         |      + CAST(target - cb AS DOUBLE) / CAST(cnt AS DOUBLE)
+         |        * ((hi - lo) / $HqBuckets), 6) AS est
+         |  FROM cand),
+         |lv AS (SELECT g, bkt, x, count(*) AS lcnt FROM bk GROUP BY 1, 2, 3),
+         |lc AS (SELECT g, bkt, x, lcnt,
+         |    coalesce(sum(lcnt) OVER (PARTITION BY g, bkt ORDER BY x
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lin
+         |  FROM lv),
+         |ex AS (SELECT e.g, e.p, lc.x AS exact
+         |  FROM est e JOIN lc ON lc.g = e.g AND lc.bkt = e.bkt
+         |  WHERE e.cb + lc.lin < e.target AND e.target <= e.cb + lc.lin + lc.lcnt)
+         |SELECT e.g AS l_returnflag, e.p AS p, e.est, ex.exact,
+         |  round((e.est - ex.exact) / ex.exact, 6) AS rel_err
+         |FROM est e JOIN ex ON ex.g = e.g AND ex.p = e.p
+         |ORDER BY l_returnflag, e.p""".stripMargin,
     // the classic quadratic dominance form — fine at oracle scale, and
     // deliberately independent of the level-maxima construction it gates
     "q39_skyline" ->

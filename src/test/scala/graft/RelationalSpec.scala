@@ -106,4 +106,27 @@ class RelationalSpec extends SparkSpec {
       .distinct().orderBy("p_retailprice").as[(Double, Int)].collect()
     assert(sky.sliding(2).forall(w => w.length < 2 || w(1)._2 > w(0)._2))
   }
+
+  test("q40_histq: estimate within one bucket width of exact; quantiles monotone per group") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val r = Relational.q40HistQuantile(spark, sf).cache()
+    assert(r.count() == 3 * Relational.HqQs.size)
+    // histogram guarantee: estimate and exact sit in the same bucket
+    val widths = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(((max("l_extendedprice") - min("l_extendedprice")) /
+        Relational.HqBuckets).as("w"))
+    val bad = r.join(widths, "l_returnflag")
+      .where(abs(col("est") - col("exact")) > col("w") + lit(1e-9))
+    assert(bad.count() == 0, bad.collect().mkString("; "))
+    // per group, higher p never yields a smaller estimate or exact value
+    val ordered = r.orderBy("l_returnflag", "p")
+      .select("l_returnflag", "est", "exact")
+      .as[(String, Double, Double)].collect().grouped(Relational.HqQs.size)
+    assert(ordered.forall(g => g.sliding(2).forall(w =>
+      w.length < 2 || (w(1)._2 >= w(0)._2 && w(1)._3 >= w(0)._3))))
+    r.unpersist()
+  }
 }
