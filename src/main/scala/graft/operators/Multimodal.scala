@@ -275,12 +275,42 @@ object Multimodal {
         sum(col("width").cast("long") * col("height") * col("n_frames")).as("total_pixels"))
       .orderBy("kind")
 
+  /** Audio decimation stride for `mm_downsample`. */
+  val DownFactor = 2
+
+  /** The audio DOWNSAMPLE stage (`mm_downsample`): every stored WAV
+    * through a REAL decode → every-2nd-sample decimation → PCM
+    * re-encode ([[AudioCodec.decimate]]); image/video rows pass through
+    * untouched (the mirror of `mm_resize`, whose audio passes through).
+    * The whole set then re-DECODES via [[featurize]] and aggregates per
+    * kind — the audio row's frame count, payload bytes, and |amplitude|
+    * sum are arithmetic consequences of which sample indices survive
+    * (even indices keep 8 of the 16 digest samples + ceil(n/2)−8
+    * constants), so a hash-match proves the decimated WAV is real. */
+  def downsample(media: Dataset[MediaFile], factor: Int): Dataset[MediaFile] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.map {
+          case m if m.kind == "audio" =>
+            m.copy(content = AudioCodec.decimate(m.content, factor, m.media_id))
+          case m => m
+        }
+      }
+    }
+  }
+
+  def downsampleSummary(media: Dataset[MediaFile]): DataFrame =
+    mediaSummary(downsample(media, DownFactor))
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "mm_summary" -> ((s, d) => mediaSummary(mediaTable(s, d))),
     "mm_dedup"   -> ((s, d) => mediaDedup(mediaTable(s, d))),
     "mm_frames"  -> ((s, d) => frameSummary(mediaTable(s, d))),
     "mm_resize"  -> ((s, d) => resizeSummary(mediaTable(s, d))),
+    "mm_downsample" -> ((s, d) => downsampleSummary(mediaTable(s, d))),
   )
 
   /** `mm_summary` runs the full binary pipeline (ingest → batched decode
@@ -297,6 +327,10 @@ object Multimodal {
   private val DigestByteSum: String = (0 until 16)
     .map(i => s"('0x'||substr(dig,${2 * i + 1},2))::BIGINT").mkString(" + ")
   private val DigestAbsSum: String = (0 until 16)
+    .map(i => s"abs(('0x'||substr(dig,${2 * i + 1},2))::BIGINT - 128) * 64").mkString(" + ")
+  /** The digest |amplitude| terms surviving factor-2 decimation: even
+    * sample indices 0, 2, …, 14 — 8 of the 16 head samples. */
+  private val DigestAbsSumEven: String = (0 until 16 by 2)
     .map(i => s"abs(('0x'||substr(dig,${2 * i + 1},2))::BIGINT - 128) * 64").mkString(" + ")
   /** Σ over the container's frames of each frame's constant gray level
     * ((n_chars + 7f) % 256) — unrolled over the max 7 frames, each term
@@ -333,6 +367,37 @@ object Multimodal {
          |    n_chars,
          |    (8 + n_chars % 24) * (8 + n_chars % 16) AS px,
          |    256 + n_chars % 512 AS frames,
+         |    2 + n_chars % 6 AS vframes,
+         |    md5(text) AS dig
+         |  FROM documents) m
+         |GROUP BY kind ORDER BY kind""".stripMargin,
+    // mm_summary with the audio column family decimated: frames2 =
+    // ceil(frames/2) survivors (8 of the 16 digest samples — the even
+    // indices — plus frames2−8 constants)
+    "mm_downsample" ->
+      s"""SELECT kind, count(*) AS n_files,
+         |  CAST(sum(CASE WHEN kind = 'image' THEN px * 3
+         |                WHEN kind = 'audio' THEN frames2 * 2
+         |                ELSE px * 3 * vframes END) AS BIGINT) AS total_bytes,
+         |  CAST(sum(CASE WHEN kind = 'video' THEN vframes
+         |                WHEN kind = 'audio' THEN frames2
+         |                ELSE 1 END) AS BIGINT) AS total_frames,
+         |  CAST(sum(CASE WHEN kind = 'image' THEN px
+         |                WHEN kind = 'video' THEN px * vframes
+         |                ELSE 0 END) AS BIGINT) AS total_pixels,
+         |  CAST(sum(CASE WHEN kind = 'image'
+         |           THEN $DigestByteSum + (px - 16) * (n_chars % 256)
+         |                WHEN kind = 'audio'
+         |           THEN $DigestAbsSumEven + (frames2 - 8) * (n_chars % 128) * 32
+         |           ELSE vframes * ($DigestByteSum) + (px - 16) * ($VideoGraySum)
+         |           END) AS BIGINT) AS total_lum
+         |FROM (
+         |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         |         ELSE 'video' END AS kind,
+         |    n_chars,
+         |    (8 + n_chars % 24) * (8 + n_chars % 16) AS px,
+         |    256 + n_chars % 512 AS frames,
+         |    (256 + n_chars % 512 + 1) // 2 AS frames2,
          |    2 + n_chars % 6 AS vframes,
          |    md5(text) AS dig
          |  FROM documents) m
@@ -468,6 +533,35 @@ object AudioCodec {
     val bos = new java.io.ByteArrayOutputStream()
     val stream = new AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), format, n.toLong)
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL decimation: decode the WAV, keep every `factor`-th sample
+    * frame (indices 0, factor, 2·factor, …), re-encode. PCM is
+    * lossless, so the surviving samples round-trip bit-exactly — which
+    * is what lets the `mm_downsample` oracle re-derive the decimated
+    * |amplitude| sum arithmetically. The header keeps [[Rate]]
+    * (time-compression semantics); a player-facing resample would also
+    * halve the declared rate, which changes no gated statistic. */
+  def decimate(content: Array[Byte], factor: Int, mediaId: Long): Array[Byte] = {
+    val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(content))
+    val fmt = in.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+      s"media $mediaId: unexpected audio format $fmt")
+    val pcm = in.readAllBytes()
+    val n = pcm.length / 2
+    val n2 = (n + factor - 1) / factor
+    val out = new Array[Byte](n2 * 2)
+    var i = 0
+    while (i < n2) {
+      out(2 * i) = pcm(2 * i * factor)
+      out(2 * i + 1) = pcm(2 * i * factor + 1)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val stream = new AudioInputStream(
+      new java.io.ByteArrayInputStream(out), format, n2.toLong)
     AudioSystem.write(stream, AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }

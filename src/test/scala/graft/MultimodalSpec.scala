@@ -131,6 +131,36 @@ class MultimodalSpec extends SparkSpec {
     assert(absSum == expected)
   }
 
+  test("audio decimate: exactly the even-index samples survive, odd count keeps the extra frame") {
+    val head = Array.range(0, 16).map(i => (i * 17 % 256).toByte)
+    // odd frame count: ceil(101/2) = 51 survivors (8 digest + 43 constant)
+    val wav = AudioCodec.encodeWav(101, head, 11)
+    val down = AudioCodec.decimate(wav, 2, 0)
+    val (frames, absSum) = AudioCodec.decode(down, 0)
+    assert(frames == 51)
+    val expected = head.zipWithIndex.collect { case (b, i) if i % 2 == 0 =>
+      ((b & 0xff) - 128).abs.toLong * 64 }.sum + (51 - 8).toLong * 11 * 32
+    assert(absSum == expected)
+    // factor 3 for good measure: indices 0,3,6,... → ceil(101/3) = 34
+    val (f3, _) = AudioCodec.decode(AudioCodec.decimate(wav, 3, 0), 0)
+    assert(f3 == 34)
+  }
+
+  test("downsample: audio rows decimate, image/video rows byte-identical") {
+    val media = Multimodal.ingest(docs)
+    val down = Multimodal.downsample(media, 2).collect()
+    val orig = media.collect().map(m => m.media_id -> m).toMap
+    for (m <- down) {
+      if (m.kind == "audio") {
+        val (n0, _) = AudioCodec.decode(orig(m.media_id).content, m.media_id)
+        val (n1, _) = AudioCodec.decode(m.content, m.media_id)
+        assert(n1 == (n0 + 1) / 2, s"media ${m.media_id}: $n0 -> $n1")
+      } else {
+        assert(java.util.Arrays.equals(m.content, orig(m.media_id).content))
+      }
+    }
+  }
+
   test("audio codec fails loud on undecodable bytes") {
     intercept[Exception] {
       AudioCodec.decode(Array.fill(64)(7.toByte), 42)
