@@ -532,6 +532,30 @@ object Events {
       .limit(TopPaths)
   }
 
+  /** The SAME as-of attribution through the NATIVE operator
+    * (`ev_asof_native`) — graft's custom `LogicalPlan` + `SparkStrategy`
+    * + `SparkPlan` ([[graft.plans.AsOfJoinNode]]): purchases as-of-join
+    * the latest view at-or-before them, per user, as ONE streamed merge
+    * pass over co-partitioned (user, time)-sorted children — no union
+    * row inflation, no window state, and the output keeps the left
+    * side's partitioning/ordering. Shares [[asofAttribution]]'s DuckDB
+    * `ASOF JOIN` oracle, so native ≡ declarative is machine-checked
+    * every round (the `dedup_simhash_native` pattern at whole-operator
+    * granularity). Views pre-collapse to one row per (user, ts) — the
+    * determinism contract all three formulations share. */
+  def asofNative(ev: DataFrame): DataFrame = {
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+    val views = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id").as("vuser"), col("ts").as("vts"))
+      .agg(max(col("event_id")).as("view_id"))
+    graft.plans.GraftPlans.asofJoin(
+        purchases, views, key = ("user_id", "vuser"), time = ("ts", "vts"),
+        payload = Seq("view_id"))
+      .select(col("user_id"), col("purchase_id"), col("view_id"))
+      .orderBy("user_id", "purchase_id")
+  }
+
   /** Hopping-window width / slide in µs (10 min sliding by 5). */
   val HopWidthUs: Long = 10L * 60 * 1000 * 1000
   val HopSlideUs: Long = 5L * 60 * 1000 * 1000
@@ -708,6 +732,7 @@ object Events {
     "ev_attribution"-> ((s, d) => attribution(Tables.events(s, d))),
     "ev_attr_outer" -> ((s, d) => attributionOuter(Tables.events(s, d))),
     "ev_asof"       -> ((s, d) => asofAttribution(Tables.events(s, d))),
+    "ev_asof_native"-> ((s, d) => asofNative(Tables.events(s, d))),
     "ev_interval"   -> ((s, d) => intervalJoin(Tables.events(s, d))),
     "ev_ohlc"       -> ((s, d) => ohlc(Tables.events(s, d))),
     "ev_winfunnel"  -> ((s, d) => windowFunnel(Tables.events(s, d))),
@@ -740,6 +765,19 @@ object Events {
        |        OVER (PARTITION BY user_id
        |              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
        |    FROM events) g) n""".stripMargin
+
+  /** One oracle text for both as-of formulations (declarative window
+    * form and the native physical operator). */
+  private val AsofOracleSql: String =
+    """SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+      |  v.view_id AS view_id
+      |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |      WHERE event_type = 'purchase') p
+      |ASOF JOIN (SELECT user_id AS vuser, max(event_id) AS view_id,
+      |             CAST(ts AS TIMESTAMP) AS vts
+      |           FROM events WHERE event_type = 'view' GROUP BY user_id, ts) v
+      |  ON p.user_id = v.vuser AND v.vts <= p.ts
+      |ORDER BY user_id, purchase_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // same nested running maxes on the same (ts, stage, event_id) order
@@ -889,16 +927,10 @@ object Events {
         |ORDER BY user_id, purchase_id, view_id NULLS FIRST""".stripMargin,
     // DuckDB's NATIVE ASOF JOIN is the oracle for the composed
     // union-window as-of join
-    "ev_asof" ->
-      """SELECT p.user_id AS user_id, p.event_id AS purchase_id,
-        |  v.view_id AS view_id
-        |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
-        |      WHERE event_type = 'purchase') p
-        |ASOF JOIN (SELECT user_id AS vuser, max(event_id) AS view_id,
-        |             CAST(ts AS TIMESTAMP) AS vts
-        |           FROM events WHERE event_type = 'view' GROUP BY user_id, ts) v
-        |  ON p.user_id = v.vuser AND v.vts <= p.ts
-        |ORDER BY user_id, purchase_id""".stripMargin,
+    "ev_asof" -> AsofOracleSql,
+    // the native operator must be indistinguishable from the
+    // declarative form — same oracle text, machine-checked each round
+    "ev_asof_native" -> AsofOracleSql,
     "ev_interval" ->
       s"""SELECT p.user_id AS user_id, p.event_id AS purchase_id,
          |  count(c.cus) AS n_clicks,

@@ -13,10 +13,12 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
   * registrations are available imperatively via [[GraftFunctions.register]]
   * for sessions created without the config (e.g. the driver's Verify). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }
 
 object GraftFunctions {
