@@ -556,6 +556,30 @@ object Events {
       .orderBy("user_id", "purchase_id")
   }
 
+  /** DWELL TIME (`ev_dwell`) — time-on-state per event type: for every
+    * event that is NOT the last of its session (same gap rule as
+    * [[sessionize]]), the dwell is the µs until the session's next
+    * event; aggregated per event type as count, total µs, and mean µs
+    * (floor — all-integer, engine-exact). The product-analytics
+    * "time on page" metric; [[transitions]] is the same adjacency with
+    * counts instead of durations.
+    *
+    * Scale: ONE user-keyed window (lead over (ts, event_id)) — the
+    * sessionize shuffle shape — then a combiner-friendly aggregate
+    * bounded by the type vocabulary. */
+  def dwell(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val us = unix_micros(col("ts"))
+    ev.select(col("event_type"),
+        (lead(us, 1).over(byUser) - us).as("gap"))
+      .where(col("gap").isNotNull && col("gap") <= SessionGapUs)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("gap").as("total_us"))
+      .select(col("event_type"), col("n"), col("total_us"),
+        expr("total_us div n").as("mean_us"))
+      .orderBy("event_type")
+  }
+
   /** Hopping-window width / slide in µs (10 min sliding by 5). */
   val HopWidthUs: Long = 10L * 60 * 1000 * 1000
   val HopSlideUs: Long = 5L * 60 * 1000 * 1000
@@ -744,6 +768,7 @@ object Events {
     "ev_cohort"     -> ((s, d) => cohort(Tables.events(s, d))),
     "ev_rolling"    -> ((s, d) => rollingActive(Tables.events(s, d))),
     "ev_rolling_hll"-> ((s, d) => rollingActiveHll(Tables.events(s, d))),
+    "ev_dwell"      -> ((s, d) => dwell(Tables.events(s, d))),
   )
 
   /** Shared oracle inner query: per-event session_id via lag + running
@@ -1013,6 +1038,18 @@ object Events {
         |     (SELECT DISTINCT user_id, date_trunc('day', ts) AS next_day FROM events) n
         |  ON d.user_id = n.user_id AND n.next_day = d.day + INTERVAL 1 DAY
         |GROUP BY d.day ORDER BY day""".stripMargin,
+    "ev_dwell" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(gap) AS BIGINT) AS total_us,
+         |  CAST(sum(gap) AS BIGINT) // count(*) AS mean_us
+         |FROM (
+         |  SELECT event_type,
+         |    lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+         |      (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+         |      - epoch_us(CAST(ts AS TIMESTAMP)) AS gap
+         |  FROM events) g
+         |WHERE gap IS NOT NULL AND gap <= $SessionGapUs
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // window alignment mirrored in exact integer µs: starts aligned to
     // the slide from the epoch, one row per covering window (k = 0, 1)
     "ev_hopping" ->

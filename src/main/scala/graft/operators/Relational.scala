@@ -635,6 +635,45 @@ object Relational {
     * associative), which COUNT(DISTINCT) results are not. The exact
     * count computed alongside is the demo's error gauge — a production
     * query would drop it and with it the only expensive exchange here. */
+  /** INCREMENTAL AGGREGATE MAINTENANCE (`q41_mergeagg`) — the lakehouse
+    * materialized-rollup refresh: yesterday's per-customer aggregate
+    * STATE merges with today's delta batch instead of recomputing over
+    * the whole fact history. The algebra is the point: the state is
+    * (count, decimal-sum) — Spark's own partial-aggregation pair,
+    * applied ACROSS jobs — and the average derives from the MERGED
+    * state; an avg-of-avgs would be wrong the moment batch sizes differ
+    * (spec pins exactly that trap). The stand-in split
+    * (`o_orderkey % 97 == 0` = the delta batch) mirrors the
+    * text_decontam fixture pattern.
+    *
+    * Scale: the whole point at 100 TB — the rollup refresh touches
+    * |state| + |delta| rows, never the fact history; states stay
+    * mergeable across arbitrarily many batches/shards/streams because
+    * (n, Σ) is a commutative monoid. One co-keyed union + re-aggregate
+    * (both partial aggregates are combiner-friendly and share the
+    * custkey partitioning). */
+  def q41MergeAgg: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    mergeAgg(o.where(col("o_orderkey") % 97 =!= 0),
+      o.where(col("o_orderkey") % 97 === 0))
+  }
+
+  /** Merge the (count, sum) aggregate states of two order batches —
+    * see [[q41MergeAgg]]. */
+  def mergeAgg(base: DataFrame, delta: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    def state(df: DataFrame): DataFrame =
+      df.groupBy("o_custkey").agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(28, 10))).as("st"))
+    state(base).unionAll(state(delta))
+      .groupBy("o_custkey").agg(sum("n").as("n"), sum("st").as("st"))
+      .select(col("o_custkey"), col("n"),
+        col("st").cast(DecimalType(28, 2)).cast(DoubleType).as("total"))
+      .withColumn("avg_price", round(col("total") / col("n").cast(DoubleType), 6))
+      .orderBy("o_custkey")
+  }
+
   val HqBuckets = 64
   val HqQs = Seq(0.5, 0.95, 0.99)
 
@@ -783,6 +822,7 @@ object Relational {
     "q38_hll"      -> q38Hll,
     "q39_skyline"  -> q39Skyline,
     "q40_histq"    -> q40HistQuantile,
+    "q41_mergeagg" -> q41MergeAgg,
     "q1_agg"       -> q1Agg,
     "q2_filter"    -> q2Filter,
     "q3_join"      -> q3Join,
@@ -816,6 +856,15 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // the oracle RECOMPUTES from scratch — result-identity proves
+    // merged partial states equal the full aggregate
+    "q41_mergeagg" ->
+      s"""SELECT o_custkey, n, total, round(total / n, 6) AS avg_price
+         |FROM (
+         |  SELECT o_custkey, count(*) AS n,
+         |    ${Compat.osum("o_totalprice")} AS total
+         |  FROM orders GROUP BY o_custkey) t
+         |ORDER BY o_custkey""".stripMargin,
     // same histogram, offsets, interpolation chain, and in-bucket level
     // windows — the whole sketch reproduces bit-for-bit
     "q40_histq" ->

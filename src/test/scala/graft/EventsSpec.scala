@@ -349,6 +349,24 @@ class EventsSpec extends SparkSpec {
     assert(got == want, s"got $got")
   }
 
+  test("dwell: session boundary excludes the gap; last session event has no dwell") {
+    val s = spark
+    import s.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(1704067200000L + sec * 1000)
+    val gapS = Events.SessionGapUs / 1000000L
+    val d = Seq(
+      (1L, t(0), 1L, "view", 1.0),           // dwell 30 s to the click
+      (2L, t(30), 1L, "click", 1.0),         // dwell exactly the gap → INCLUDED (<=)
+      (3L, t(30 + gapS), 1L, "view", 1.0),   // next is beyond gap → session ends, no dwell
+      (4L, t(40 + 2 * gapS), 1L, "view", 1.0), // last event of user → no dwell
+      (5L, t(10), 2L, "view", 1.0))          // other user, single event → no dwell
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.dwell(d).as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("click", 1L, gapS * 1000000L, gapS * 1000000L),
+      ("view", 1L, 30L * 1000000L, 30L * 1000000L)), s"got $got")
+  }
+
   test("rollingActiveHll: merged daily sketches equal the union's sketch; error bounded") {
     val s = spark
     import s.implicits._

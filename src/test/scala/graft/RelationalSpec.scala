@@ -107,6 +107,24 @@ class RelationalSpec extends SparkSpec {
     assert(sky.sliding(2).forall(w => w.length < 2 || w(1)._2 > w(0)._2))
   }
 
+  test("mergeAgg: merged states equal full recompute where avg-of-avgs would be wrong") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // base: one order of 10; delta: three orders of 20 → true avg 17.5,
+    // but avg-of-batch-avgs = (10 + 20) / 2 = 15
+    val base = Seq((7L, 1L, 10.0)).toDF("o_custkey", "o_orderkey", "o_totalprice")
+    val delta = Seq((7L, 97L, 20.0), (7L, 194L, 20.0), (7L, 291L, 20.0))
+      .toDF("o_custkey", "o_orderkey", "o_totalprice")
+    val got = Relational.mergeAgg(base, delta)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((7L, 4L, 70.0, 17.5)), s"got $got")
+    // empty delta: state passes through unchanged
+    val none = Relational.mergeAgg(base, delta.where(lit(false)))
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(none == Seq((7L, 1L, 10.0, 10.0)), s"got $none")
+  }
+
   test("q40_histq: estimate within one bucket width of exact; quantiles monotone per group") {
     import org.apache.spark.sql.functions._
     val s = spark
