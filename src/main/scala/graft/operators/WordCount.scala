@@ -252,6 +252,53 @@ object WordCount {
     chunkedWordCount(parsed)
   }
 
+  val PostingsHead = 8
+
+  /** INVERTED INDEX (`wc_inverted`) — the search-engine index build,
+    * one of the three canonical MapReduce workloads (Dean & Ghemawat
+    * 2004, alongside word count and grep — both also gated here): per
+    * word, document frequency, collection frequency, and the head of
+    * the sorted posting list (first [[PostingsHead]] doc_ids, joined to
+    * a string so the gate hashes a scalar, not an array).
+    *
+    * Scale: ONE (word, doc) combiner-friendly count shuffle (the
+    * wordcount shape keyed one level finer); postings aggregate from
+    * the distinct (word, doc) table, so the collect is bounded by df —
+    * and the emitted head is capped, the full list would be written as
+    * the index segment itself, not collected. */
+  def invertedIndex(docs: DataFrame): DataFrame =
+    tokens(docs, col("doc_id"))
+      .groupBy("word", "doc_id").agg(count(lit(1)).as("tf"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"),
+        array_join(
+          transform(slice(array_sort(collect_list(col("doc_id"))), 1, PostingsHead),
+            _.cast("string")), ",").as("postings_head"))
+      .orderBy("word")
+
+  /** Patterns for [[grep]] — constructs that parse identically in Java
+    * regex and RE2 (the oracle-equivalence constraint `text_pii`
+    * documents). */
+  val GrepPatterns = Seq("scan", "jo.n", "str(eam|ing)")
+
+  /** DISTRIBUTED GREP (`wc_grep`) — the third Dean & Ghemawat workload:
+    * per pattern, matching-document count and total occurrence count
+    * across the corpus. Map-only over the scan (each doc evaluates
+    * every pattern — pattern count is a constant, so the fan-out is
+    * bounded) into one tiny aggregate; a selective pattern at 100 TB
+    * additionally pushes a `.contains` prefilter to the scan, which
+    * Catalyst already does for the literal pattern here. */
+  def grep(docs: DataFrame): DataFrame = {
+    val perPattern = GrepPatterns.map { p =>
+      docs.select(lit(p).as("pattern"),
+        (regexp_count(col("text"), lit(p)) > 0).cast("long").as("m"),
+        regexp_count(col("text"), lit(p)).cast("long").as("c"))
+    }.reduce(_ unionAll _)
+    perPattern.groupBy("pattern")
+      .agg(sum("m").as("n_docs"), sum("c").as("n_matches"))
+      .orderBy("pattern")
+  }
+
   val TopTriangles = 20
 
   /** TRIANGLE COUNTING (`wc_triangles`) — graph analytics over the
@@ -332,6 +379,8 @@ object WordCount {
     "wc_cooccur"   -> ((s, d) => cooccur(Tables.documents(s, d))),
     "wc_cms"       -> ((s, d) => cmsHeavyHitters(Tables.documents(s, d))),
     "wc_triangles" -> ((s, d) => triangles(Tables.documents(s, d))),
+    "wc_inverted"  -> ((s, d) => invertedIndex(Tables.documents(s, d))),
+    "wc_grep"      -> ((s, d) => grep(Tables.documents(s, d))),
   )
 
   /** DuckDB words-array fragment — same `\p{L}` pattern as [[TokenRe]];
@@ -361,6 +410,23 @@ object WordCount {
     "wc_per_doc" ->
       s"""SELECT doc_id, count(*) AS n_tokens, count(DISTINCT word) AS n_distinct
          |FROM ($TokensSql) tk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "wc_inverted" ->
+      s"""SELECT word, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+         |  array_to_string(
+         |    list_transform(list_sort(array_agg(doc_id))[1:$PostingsHead],
+         |      v -> CAST(v AS VARCHAR)), ',') AS postings_head
+         |FROM (SELECT word, doc_id, count(*) AS tf
+         |      FROM ($TokensSql) tk GROUP BY 1, 2) t
+         |GROUP BY word ORDER BY word""".stripMargin,
+    "wc_grep" ->
+      s"""SELECT pattern, CAST(sum(m) AS BIGINT) AS n_docs,
+         |  CAST(sum(c) AS BIGINT) AS n_matches
+         |FROM (
+         |  SELECT p.pattern,
+         |    CASE WHEN len(regexp_extract_all(text, p.pattern)) > 0 THEN 1 ELSE 0 END AS m,
+         |    len(regexp_extract_all(text, p.pattern)) AS c
+         |  FROM documents, (SELECT unnest([${GrepPatterns.map(p => s"'$p'").mkString(", ")}]) AS pattern) p) t
+         |GROUP BY pattern ORDER BY pattern""".stripMargin,
     // same degree orientation: src = lower (degree, word) endpoint,
     // wedge at src ordered by (ddst, dst), closed against oriented edges
     "wc_triangles" ->

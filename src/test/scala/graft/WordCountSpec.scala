@@ -104,6 +104,35 @@ class WordCountSpec extends SparkSpec {
     assert(math.abs(pmiAC - math.log(2.0 * 25 / (4 * 2 * 2))) < 1e-6, pmiAC.toString)
   }
 
+  test("invertedIndex: df/cf/postings pinned on a hand corpus; head cap respected") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((3L, "b a a"), (1L, "a c"), (2L, "a")).toDF("doc_id", "text")
+    val got = WordCount.invertedIndex(d)
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      ("a", 3L, 4L, "1,2,3"),   // postings sorted by doc_id, not arrival
+      ("b", 1L, 1L, "3"),
+      ("c", 1L, 1L, "1")), s"got $got")
+    // cap: 10 docs of "z" → df 10, head holds only the first 8
+    val many = (1L to 10L).map(i => (i, "z")).toDF("doc_id", "text")
+    val z = WordCount.invertedIndex(many).as[(String, Long, Long, String)].head()
+    assert(z == ("z", 10L, 10L, (1 to 8).mkString(",")))
+  }
+
+  test("grep: match and occurrence counts per pattern, regex alternation works") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "scan the scan"), (2L, "join"), (3L, "stream streaming string"))
+      .toDF("doc_id", "text")
+    val got = WordCount.grep(d).as[(String, Long, Long)].collect().toSeq
+    // "string" does not match str(eam|ing) at 'str'+'ing'? it does: s-t-r-i-n-g
+    assert(got == Seq(
+      ("jo.n", 1L, 1L),
+      ("scan", 1L, 2L),
+      ("str(eam|ing)", 1L, 3L)), s"got $got")
+  }
+
   test("triangles: hand-computed K3 and K4; spectators and dangling edges excluded") {
     val s = spark
     import s.implicits._
