@@ -948,8 +948,40 @@ object TextAnalysis {
   }
 
   type Q = (SparkSession, String) => DataFrame
+  /** WORD-DISTRIBUTION ENTROPY (`text_entropy`) — the information-
+    * theoretic quality signal real corpus filters run next to the
+    * rule-based (`text_quality`/`text_gopher`) and model-based
+    * (`text_unigram`/`text_classify`) members: per doc, the Shannon
+    * entropy of its word distribution H = −Σ p·ln p and the normalized
+    * H/ln(V) ∈ [0,1] — a boilerplate/keyword-stuffed doc scores low,
+    * natural prose high. Float discipline ([[unigramScore]]'s): each
+    * −p·ln p term rounds at 6dp FIRST, the per-doc sum runs in exact
+    * DECIMAL — order/partitioning-independent, engine-identical.
+    *
+    * Scale: one (doc, word) combiner count shuffle; the doc-total
+    * window partitions by doc_id over the per-doc VOCABULARY (bounded
+    * by doc length, never corpus-wide); one doc-keyed aggregate on the
+    * same partitioning. */
+  def entropy(docs: DataFrame): DataFrame = {
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val tw = docs.select(col("doc_id"), explode(wordsCol).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val p = col("tf") * lit(1.0) / col("n")
+    tw.withColumn("n", sum("tf").over(wd))
+      .groupBy("doc_id")
+      .agg(max("n").cast("long").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum(round(-p * log(p), 6).cast(DecimalType(28, 10)))
+          .cast(DoubleType).as("entropy"))
+      .withColumn("norm_entropy",
+        when(col("n_distinct") > 1,
+          round(col("entropy") / log(col("n_distinct").cast(DoubleType)), 6))
+          .otherwise(0.0))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "text_normalize"   -> ((s, d) => normalize(Tables.documents(s, d))),
+    "text_entropy"     -> ((s, d) => entropy(Tables.documents(s, d))),
     "text_pii"         -> ((s, d) => piiRedact(Tables.documents(s, d))),
     "text_train"       -> ((s, d) => trainClassifier(Tables.documents(s, d))),
     "text_langid"      -> ((s, d) => langId(Tables.documents(s, d))),
@@ -1090,6 +1122,24 @@ object TextAnalysis {
        |fin AS (SELECT w, n_sub, n_unk, cks FROM enc WHERE pos > length(w))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same per-term 6dp round + exact decimal sum (the unigram float
+    // discipline applied to −p·ln p)
+    "text_entropy" ->
+      s"""WITH tw AS (
+         |  SELECT doc_id, w, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest($W) AS w FROM documents) t
+         |  GROUP BY 1, 2),
+         |tn AS (SELECT doc_id, tf, sum(tf) OVER (PARTITION BY doc_id) AS n FROM tw),
+         |e AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+         |        count(*) AS n_distinct,
+         |        CAST(sum(CAST(round(-(tf * 1.0 / n) * ln(tf * 1.0 / n), 6)
+         |          AS DECIMAL(28,10))) AS DOUBLE) AS entropy
+         |      FROM tn GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_distinct, entropy,
+         |  CASE WHEN n_distinct > 1
+         |       THEN round(entropy / ln(CAST(n_distinct AS DOUBLE)), 6)
+         |       ELSE 0.0 END AS norm_entropy
+         |FROM e ORDER BY doc_id""".stripMargin,
     "text_mix" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(CAST(('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100

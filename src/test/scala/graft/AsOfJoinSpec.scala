@@ -60,6 +60,35 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == Seq((100L, 11L)), s"got $got")
   }
 
+  test("native as-of over co-bucketed inputs plans ZERO exchanges") {
+    // the operator's 100 TB claim: ClusteredDistribution is satisfied by
+    // a bucketed layout, so the as-of join runs with no shuffle at all —
+    // the exchanges were paid once at write time
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_bkt").toString
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+    val views = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id").as("vuser"), col("ts").as("vts"))
+      .agg(max(col("event_id")).as("view_id"))
+    graft.sinks.Sinks.writeBucketed(purchases, "asof_p_bkt", s"$dir/p", "user_id", 4)
+    graft.sinks.Sinks.writeBucketed(views, "asof_v_bkt", s"$dir/v", "vuser", 4)
+    try {
+      val joined = graft.plans.GraftPlans.asofJoin(
+        s.table("asof_p_bkt"), s.table("asof_v_bkt"),
+        key = ("user_id", "vuser"), time = ("ts", "vts"), payload = Seq("view_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin "), plan)
+      assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
+      // and it still computes the right thing
+      val expected = Events.asofNative(ev).count()
+      assert(joined.count() == expected)
+    } finally {
+      s.sql("DROP TABLE IF EXISTS asof_p_bkt")
+      s.sql("DROP TABLE IF EXISTS asof_v_bkt")
+    }
+  }
+
   test("native as-of result equals the declarative window formulation on the corpus") {
     val native = Events.asofNative(ev).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

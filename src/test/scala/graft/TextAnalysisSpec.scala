@@ -320,4 +320,23 @@ class TextAnalysisSpec extends SparkSpec {
       r6(math.log(0.4 * 0.5 / 4))                      // az: z OOV floor
     assert(math.abs(row.getDouble(2) - expect) < 1e-9, s"${row.getDouble(2)} vs $expect")
   }
+
+  test("entropy: uniform distribution maxes out, constant doc scores zero") {
+    val s = spark
+    import s.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d = Seq(
+      (1L, "a a b b"),      // uniform over 2 → H = 2·round(−0.5·ln 0.5)
+      (2L, "a a a a"),      // constant → H = 0, norm 0 (guarded div)
+      (3L, "a a a b"))      // skewed → strictly between
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.entropy(d)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    val h1 = 2 * r6(-0.5 * math.log(0.5))
+    assert(got(0) == ((1L, 4L, 2L, h1, r6(h1 / math.log(2.0)))), s"got ${got(0)}")
+    assert(got(1) == ((2L, 4L, 1L, 0.0, 0.0)), s"got ${got(1)}")
+    val h3 = r6(-0.75 * math.log(0.75)) + r6(-0.25 * math.log(0.25))
+    assert(got(2) == ((3L, 4L, 2L, h3, r6(h3 / math.log(2.0)))), s"got ${got(2)}")
+    assert(h3 > 0 && h3 < h1)
+  }
 }
