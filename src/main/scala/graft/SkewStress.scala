@@ -134,11 +134,16 @@ object IntervalSkew {
         .collect().map(_.toString).toSeq
     }
     var expect: Option[Seq[String]] = None
-    val lines = Seq("plain_noaqe", "aqe_only").map { name =>
+    val variants: Seq[(String, DataFrame => DataFrame)] = Seq(
+      ("plain_noaqe", graft.operators.Events.intervalJoin _),
+      ("aqe_only",    graft.operators.Events.intervalJoin _),
+      // the r8 native trailing-window exec: O(|L|+|R|), no pair work
+      ("native_exec", graft.operators.Events.intervalNative _))
+    val lines = variants.map { case (name, mk) =>
       c.set("spark.sql.adaptive.enabled", (name != "plain_noaqe").toString)
       Cleanup.releaseAll(spark)
       val t0 = System.nanoTime()
-      val rows = summarize(graft.operators.Events.intervalJoin(ev))
+      val rows = summarize(mk(ev))
       val sec = (System.nanoTime() - t0) / 1e9
       expect match {
         case None => expect = Some(rows)

@@ -556,6 +556,31 @@ object Events {
       .orderBy("user_id", "purchase_id")
   }
 
+  /** The SAME interval aggregation through the NATIVE trailing-window
+    * operator (`ev_interval_native`, [[graft.plans.IntervalAggNode]]):
+    * per purchase, count + exact-decimal sum of the user's clicks in
+    * the preceding 30 min, computed as a two-pointer sweep over
+    * co-partitioned (user, time)-sorted streams — O(|L|+|R|) with
+    * O(window-occupancy) state, NO pair materialization (both join
+    * formulations evaluate per-pair predicates; §5c-r8 measured the
+    * user-keyed form at 116 s under a hot user). Shares
+    * [[intervalJoin]]'s plain-join DuckDB oracle → native ≡ declarative
+    * machine-checked. */
+  def intervalNative(ev: DataFrame): DataFrame = {
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("pus"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("cus"),
+        col("value"))
+    graft.plans.IntervalAggPlans.trailingAgg(purchases, clicks,
+        key = ("user_id", "c_user"), time = ("pus", "cus"), valueCol = "value",
+        windowUs = IntervalUs, nName = "n_clicks", totalName = "click_sum")
+      .select(col("user_id"), col("purchase_id"), col("n_clicks"),
+        col("click_sum").cast("double").as("click_value"))
+      .orderBy("user_id", "purchase_id")
+  }
+
   /** DWELL TIME (`ev_dwell`) — time-on-state per event type: for every
     * event that is NOT the last of its session (same gap rule as
     * [[sessionize]]), the dwell is the µs until the session's next
@@ -758,6 +783,7 @@ object Events {
     "ev_asof"       -> ((s, d) => asofAttribution(Tables.events(s, d))),
     "ev_asof_native"-> ((s, d) => asofNative(Tables.events(s, d))),
     "ev_interval"   -> ((s, d) => intervalJoin(Tables.events(s, d))),
+    "ev_interval_native" -> ((s, d) => intervalNative(Tables.events(s, d))),
     "ev_ohlc"       -> ((s, d) => ohlc(Tables.events(s, d))),
     "ev_winfunnel"  -> ((s, d) => windowFunnel(Tables.events(s, d))),
     "ev_retention"  -> ((s, d) => retention(Tables.events(s, d))),
@@ -790,6 +816,23 @@ object Events {
        |        OVER (PARTITION BY user_id
        |              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
        |    FROM events) g) n""".stripMargin
+
+  /** One oracle text for both interval formulations (binned range join
+    * and the native trailing-window operator). */
+  private val IntervalOracleSql: String =
+    s"""SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+       |  count(c.cus) AS n_clicks,
+       |  COALESCE(${Compat.osum("c.value")}, 0.0) AS click_value
+       |FROM (SELECT user_id, event_id,
+       |        epoch_us(CAST(ts AS TIMESTAMP)) AS pus
+       |      FROM events WHERE event_type = 'purchase') p
+       |LEFT JOIN (SELECT user_id AS c_user,
+       |             epoch_us(CAST(ts AS TIMESTAMP)) AS cus, value
+       |           FROM events WHERE event_type = 'click') c
+       |  ON p.user_id = c.c_user
+       |  AND c.cus >= p.pus - $IntervalUs AND c.cus < p.pus
+       |GROUP BY p.user_id, p.event_id
+       |ORDER BY user_id, purchase_id""".stripMargin
 
   /** One oracle text for both as-of formulations (declarative window
     * form and the native physical operator). */
@@ -956,20 +999,10 @@ object Events {
     // the native operator must be indistinguishable from the
     // declarative form — same oracle text, machine-checked each round
     "ev_asof_native" -> AsofOracleSql,
-    "ev_interval" ->
-      s"""SELECT p.user_id AS user_id, p.event_id AS purchase_id,
-         |  count(c.cus) AS n_clicks,
-         |  COALESCE(${Compat.osum("c.value")}, 0.0) AS click_value
-         |FROM (SELECT user_id, event_id,
-         |        epoch_us(CAST(ts AS TIMESTAMP)) AS pus
-         |      FROM events WHERE event_type = 'purchase') p
-         |LEFT JOIN (SELECT user_id AS c_user,
-         |             epoch_us(CAST(ts AS TIMESTAMP)) AS cus, value
-         |           FROM events WHERE event_type = 'click') c
-         |  ON p.user_id = c.c_user
-         |  AND c.cus >= p.pus - $IntervalUs AND c.cus < p.pus
-         |GROUP BY p.user_id, p.event_id
-         |ORDER BY user_id, purchase_id""".stripMargin,
+    "ev_interval" -> IntervalOracleSql,
+    // the native trailing-window operator must be indistinguishable
+    // from the binned-join form — same oracle text
+    "ev_interval_native" -> IntervalOracleSql,
     "ev_scd2" ->
       """WITH p AS (
         |  SELECT user_id, ts, event_id, value FROM events
