@@ -97,6 +97,60 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  val SqDims = 64
+  val SqLevels = 255
+
+  /** SQ8 SCALAR QUANTIZATION (`ann_sq`) — the OTHER production
+    * vector-compression path next to [[pqTopK]]'s product quantization
+    * (faiss `SQ8` / DiskANN's in-memory codes): every component
+    * quantizes independently to one byte against per-DIMENSION corpus
+    * min/max, an 8× memory cut (float64 pipeline) that scans byte
+    * codes instead of floats; queries stay float and score against
+    * DEQUANTIZED candidates (asymmetric distance, the standard SQ
+    * form). Unlike PQ there is no codebook to train — the "model" is
+    * the 2×64 min/max frame, one combiner-friendly aggregate,
+    * broadcast everywhere.
+    *
+    * The oracle mirrors the quantize → dequantize → cosine arithmetic
+    * exactly (same division/multiply order, same clamp, same 0-code
+    * degenerate dimension), so the emitted (query, rank, neighbor)
+    * triples gate the whole compression loop. Scale: the scan is still
+    * n·queries like [[bruteForce]] — SQ is the BYTES-side lever (8×
+    * smaller resident index), and composes with the IVF cell
+    * restriction the same way PQ does when candidates, not bytes, are
+    * the bottleneck. Spec measures recall@5 vs exact ≥ 0.9. */
+  def sqTopK(em: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(em.sparkSession)
+    val dims = em.select(posexplode(vec(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
+    // deterministic assembly: sort the collected (pos, lo, hi) structs
+    val stats = dims
+      .agg(array_sort(collect_list(struct(col("pos"), col("lo"), col("hi")))).as("d"))
+      .select(transform(col("d"), s => s.getField("lo")).as("los"),
+        transform(col("d"), s => s.getField("hi")).as("his"))
+    val loAt = (i: Column) => element_at(col("los"), i + 1)
+    val hiAt = (i: Column) => element_at(col("his"), i + 1)
+    val encoded = em.select(col("vec_id").as("neighbor_id"), vec(col("embedding")).as("nv"))
+      .crossJoin(broadcast(stats))
+      .select(col("neighbor_id"), col("los"), col("his"),
+        transform(col("nv"), (x, i) =>
+          when(hiAt(i) === loAt(i), lit(0L)).otherwise(
+            least(greatest(
+              round((x - loAt(i)) / (hiAt(i) - loAt(i)) * SqLevels).cast("long"),
+              lit(0L)), lit(SqLevels.toLong)))).as("codes"))
+    val dequant = encoded.select(col("neighbor_id"),
+      transform(col("codes"), (c, i) =>
+        loAt(i) + c.cast("double") * lit(1.0) / SqLevels * (hiAt(i) - loAt(i))).as("dv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(queriesDf(em))
+      .join(dequant, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("dv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
   /** The LSH index: (vec_id, tbl, bucket), one row per table — a single
     * map-only scan through the native codegen'd expression
     * [[graft.functions.LshBuckets]] (the declarative ±element chain is
@@ -803,6 +857,7 @@ object Similarity {
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "ann_bruteforce" -> ((s, d) => bruteForce(Tables.embeddings(s, d))),
+    "ann_sq"         -> ((s, d) => sqTopK(Tables.embeddings(s, d))),
     "ann_lsh"        -> ((s, d) => lshBuckets(Tables.embeddings(s, d))),
     "ann_lsh_topk"   -> ((s, d) => lshTopK(Tables.embeddings(s, d))),
     "ann_ivf"        -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
@@ -1059,6 +1114,34 @@ object Similarity {
          |SELECT row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank,
          |  doc_id, rank_lex, rank_sem
          |FROM fused ORDER BY rank""".stripMargin,
+    // same quantize → dequantize → asymmetric-cosine chain: per-dim
+    // min/max, round+clamp to [0,255], lo + c/255·(hi−lo)
+    "ann_sq" ->
+      s"""WITH dim AS (
+         |  SELECT t.i AS pos, min(e.v[t.i]) AS lo, max(e.v[t.i]) AS hi
+         |  FROM (SELECT $V AS v FROM embeddings) e,
+         |       unnest(range(1, ${SqDims + 1})) AS t(i)
+         |  GROUP BY t.i),
+         |st AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his FROM dim),
+         |enc AS (
+         |  SELECT vec_id, list_transform(range(1, ${SqDims + 1}), i ->
+         |      CASE WHEN his[i] = los[i] THEN 0
+         |           ELSE least(greatest(
+         |             CAST(round((v[i] - los[i]) / (his[i] - los[i]) * $SqLevels) AS BIGINT),
+         |             0), $SqLevels) END) AS codes
+         |  FROM (SELECT vec_id, $V AS v FROM embeddings), st),
+         |dq AS (
+         |  SELECT vec_id, list_transform(range(1, ${SqDims + 1}), i ->
+         |      los[i] + codes[i] * 1.0 / $SqLevels * (his[i] - los[i])) AS dv
+         |  FROM enc, st)
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_cosine_similarity(q.v, n.dv) DESC, n.vec_id) AS rank
+         |  FROM (SELECT vec_id, $V AS v FROM embeddings
+         |        WHERE vec_id % $QueryStride = 0) q
+         |  JOIN dq n ON q.vec_id <> n.vec_id) t
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
     "ann_bruteforce" ->
       s"""SELECT query_id, rank, neighbor_id FROM (
          |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,

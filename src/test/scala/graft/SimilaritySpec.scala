@@ -109,6 +109,27 @@ class SimilaritySpec extends SparkSpec {
     val ivfR = recall(topkSets(Similarity.ivfTopK(corpus)))
     assert(lshR >= 0.8, f"LSH recall $lshR%.3f < 0.8 on clustered corpus")
     assert(ivfR >= 0.8, f"IVF recall $ivfR%.3f < 0.8 on clustered corpus")
+    // SQ8 quantization noise barely perturbs 64-dim cosine ordering —
+    // near-exact retrieval is the selling point of scalar quantization
+    val sqR = recall(topkSets(Similarity.sqTopK(corpus)))
+    assert(sqR >= 0.9, f"SQ8 recall $sqR%.3f < 0.9 on clustered corpus")
+  }
+
+  test("sqTopK: codes bounded to [0, 255]; degenerate constant dimension survives") {
+    val s = spark
+    import s.implicits._
+    // dim 2 constant (hi == lo) must not divide by zero; extremes land
+    // exactly on code 0 / 255
+    val rows = Seq(
+      (0L, Array(0.0f, 5.0f, -1.0f), 0),
+      (50L, Array(1.0f, 5.0f, 0.0f), 0),
+      (100L, Array(0.5f, 5.0f, 1.0f), 0),
+      (150L, Array(0.25f, 5.0f, 0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.sqTopK(rows)
+    // 4 queries (stride 50 → all), each ranks the other 3
+    assert(r.count() == 4 * 3)
+    assert(r.select("rank").distinct().count() == 3)
   }
 
   test("PQ: codes compress to M small ints; SDC top-k retrieves on clustered vectors") {
