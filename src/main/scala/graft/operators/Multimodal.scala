@@ -304,6 +304,27 @@ object Multimodal {
   def downsampleSummary(media: Dataset[MediaFile]): DataFrame =
     mediaSummary(downsample(media, DownFactor))
 
+  /** COMPOSED MULTIMODAL PIPELINE (`pipe_mm`) — the §2.7b counterpart
+    * for the binary side: every stored blob through BOTH transform
+    * stages chained — decimation then resize (audio decimates and
+    * passes resize; images/video resize and pass decimation) — then
+    * re-decoded and aggregated per kind. The point is COMPOSITION:
+    * each stage's output must be a fully valid input to the next —
+    * re-encoded WAV/PNG bytes re-decode — so the gated counts, bytes,
+    * frames, and pixel totals are arithmetic consequences of BOTH
+    * transforms applied in order (audio frames halve then pass
+    * through; image/video pixels land at the resize target). Stats
+    * that depend on interpolated pixel VALUES stay out, the mm_resize
+    * rule. */
+  def pipelineSummary(media: Dataset[MediaFile]): DataFrame =
+    featurize(resize(downsample(media, DownFactor), ResizeW, ResizeH))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("n_frames").cast("long")).as("total_frames"),
+        sum(col("width").cast("long") * col("height") * col("n_frames")).as("total_pixels"))
+      .orderBy("kind")
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "mm_summary" -> ((s, d) => mediaSummary(mediaTable(s, d))),
@@ -311,6 +332,7 @@ object Multimodal {
     "mm_frames"  -> ((s, d) => frameSummary(mediaTable(s, d))),
     "mm_resize"  -> ((s, d) => resizeSummary(mediaTable(s, d))),
     "mm_downsample" -> ((s, d) => downsampleSummary(mediaTable(s, d))),
+    "pipe_mm"       -> ((s, d) => pipelineSummary(mediaTable(s, d))),
   )
 
   /** `mm_summary` runs the full binary pipeline (ingest → batched decode
@@ -402,6 +424,28 @@ object Multimodal {
          |    md5(text) AS dig
          |  FROM documents) m
          |GROUP BY kind ORDER BY kind""".stripMargin,
+    // both transforms composed: audio decimates (frames2) and passes
+    // resize; image/video land at the resize target dims
+    "pipe_mm" -> {
+      val px = ResizeW * ResizeH
+      s"""SELECT kind, count(*) AS n_files,
+         |  CAST(sum(CASE WHEN kind = 'image' THEN $px * 3
+         |                WHEN kind = 'audio' THEN frames2 * 2
+         |                ELSE $px * 3 * vframes END) AS BIGINT) AS total_bytes,
+         |  CAST(sum(CASE WHEN kind = 'video' THEN vframes
+         |                WHEN kind = 'audio' THEN frames2
+         |                ELSE 1 END) AS BIGINT) AS total_frames,
+         |  CAST(sum(CASE WHEN kind = 'image' THEN $px
+         |                WHEN kind = 'video' THEN $px * vframes
+         |                ELSE 0 END) AS BIGINT) AS total_pixels
+         |FROM (
+         |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         |         ELSE 'video' END AS kind,
+         |    (256 + n_chars % 512 + 1) // 2 AS frames2,
+         |    2 + n_chars % 6 AS vframes
+         |  FROM documents) m
+         |GROUP BY kind ORDER BY kind""".stripMargin
+    },
     "mm_resize" -> {
       val px = ResizeW * ResizeH
       s"""SELECT kind, count(*) AS n_files,

@@ -219,6 +219,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pipelineSummary: composed stages agree with each stage's own gate") {
+    val media = Multimodal.ingest(docs)
+    val pipe = Multimodal.pipelineSummary(media).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // audio frames must equal the downsample stage's (resize passes audio)
+    val down = Multimodal.downsampleSummary(media).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(pipe("audio")._2 == down("audio"))
+    // image/video pixels must equal the resize stage's (downsample passes them)
+    val rs = Multimodal.resizeSummary(media).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    val pipePx = Multimodal.pipelineSummary(media).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(pipePx("image") == rs("image") && pipePx("video") == rs("video"))
+  }
+
   test("mediaSummary groups all files by kind") {
     val s = Multimodal.mediaSummary(Multimodal.ingest(docs))
     val total = s.agg(sum("n_files")).collect()(0).getLong(0)
