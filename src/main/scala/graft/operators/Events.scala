@@ -740,15 +740,26 @@ object Events {
     * α·m ≈ 185 on an empty register set — the documented
     * no-small-range-correction artifact, masked at the empty-set
     * boundary on both engines). */
-  def rollingActiveHll(ev: DataFrame): DataFrame = {
+  /** Per-day HLL registers (d, bucket, mx) from a raw event frame —
+    * the mergeable daily sketch state. Exposed for the streaming
+    * maintenance face ([[graft.streaming.RegisterStream]]): max is
+    * commutative, associative, AND idempotent, so register folds are
+    * safe under re-delivery and arbitrary batch splits. */
+  def dailyRegisters(ev: DataFrame): DataFrame = {
     import Compat.Hll
-    val ud = userDays(ev)
     val h = Hll.hash("rhll:", col("user_id"))
-    val daily = ev.select(
+    ev.select(
         datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long").as("d"),
         Hll.bucket(h).as("bucket"), Hll.rho(h).as("rho"))
       .groupBy("d", "bucket").agg(max("rho").as("mx"))
-    val sk = daily
+  }
+
+  /** Trailing-[[RollingDays]] estimates (t, approx_7d) from a daily
+    * register table — ALL calendar-sized work; any register store
+    * (batch-built or stream-folded) plugs in. */
+  def rollingApprox(daily: DataFrame): DataFrame = {
+    import Compat.Hll
+    daily
       .select(explode(sequence(col("d"), col("d") + (RollingDays - 1))).as("t"),
         col("bucket"), col("mx"))
       .groupBy("t", "bucket").agg(max("mx").as("mx"))
@@ -756,6 +767,11 @@ object Events {
       .agg(sum(expr(Hll.TermSql)).as("sp"), count(lit(1)).as("nb"))
       .withColumn("z", col("sp") + (lit(Hll.M.toLong) - col("nb")) * lit(Hll.Pow))
       .select(col("t"), (lit(Hll.C) / col("z").cast("double")).as("approx_7d"))
+  }
+
+  def rollingActiveHll(ev: DataFrame): DataFrame = {
+    val ud = userDays(ev)
+    val sk = rollingApprox(dailyRegisters(ev))
     val exact = ud.select(col("user_id"),
         explode(sequence(col("d"), col("d") + (RollingDays - 1))).as("t"))
       .distinct()
