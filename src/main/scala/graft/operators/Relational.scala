@@ -161,6 +161,28 @@ object Relational {
       .na.fill(0L, Seq("view", "click", "purchase"))
       .orderBy("day")
 
+  /** UNPIVOT / melt (`q42_unpivot`) — the inverse of [[q24Pivot]],
+    * closing the reshape pair: the per-day (view, click, purchase)
+    * count COLUMNS melt back into (day, event_type, n) ROWS via
+    * Spark's native `unpivot` (plans as an Expand — map-only ×3
+    * fan-out, no shuffle beyond the pivot's own). Composing the two
+    * gates round-tripping: unpivot(pivot(x)) must equal the plain
+    * groupBy — which is exactly what the oracle computes, so
+    * result-identity machine-checks the inverse law (zero-filled cells
+    * drop on the way back, mirroring rows that never existed). */
+  def q42Unpivot: Q = (s, d) => {
+    val wide = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", Seq("view", "click", "purchase"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("view", "click", "purchase"))
+    wide.unpivot(Array(col("day")),
+        Array(col("view"), col("click"), col("purchase")),
+        "event_type", "n")
+      .where(col("n") > 0)
+      .orderBy("day", "event_type")
+  }
+
   /** Group + HAVING. */
   def q10Having: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -823,6 +845,7 @@ object Relational {
     "q39_skyline"  -> q39Skyline,
     "q40_histq"    -> q40HistQuantile,
     "q41_mergeagg" -> q41MergeAgg,
+    "q42_unpivot"  -> q42Unpivot,
     "q1_agg"       -> q1Agg,
     "q2_filter"    -> q2Filter,
     "q3_join"      -> q3Join,
@@ -856,6 +879,14 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // the plain long-form aggregate — result-identity proves
+    // unpivot ∘ pivot = identity (modulo the zero-fill rows)
+    "q42_unpivot" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  event_type, count(*) AS n
+        |FROM events
+        |WHERE event_type IN ('view', 'click', 'purchase')
+        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     // the oracle RECOMPUTES from scratch — result-identity proves
     // merged partial states equal the full aggregate
     "q41_mergeagg" ->
