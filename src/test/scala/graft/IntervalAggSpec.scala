@@ -72,6 +72,30 @@ class IntervalAggSpec extends SparkSpec {
     assert(got.contains(10.0))
   }
 
+  test("native operators: empty sides never crash, left-outer vs inner contracts hold") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10L, 1000L)).toDF("k", "lid", "lt")
+    val right = Seq((1L, 900L, 1.0)).toDF("k2", "rt", "value")
+    val emptyL = left.where(lit(false))
+    val emptyR = right.where(lit(false))
+    // trailingAgg: empty right → zero rows for every left row (outer)
+    val zr = IntervalAggPlans.trailingAgg(left, emptyR,
+        key = ("k", "k2"), time = ("lt", "rt"), valueCol = "value",
+        windowUs = 100L, nName = "n", totalName = "total")
+      .select(col("n"), col("total").cast("double")).as[(Long, Double)].collect().toSeq
+    assert(zr == Seq((0L, 0.0)))
+    // trailingAgg: empty left → empty output
+    assert(IntervalAggPlans.trailingAgg(emptyL, right,
+      key = ("k", "k2"), time = ("lt", "rt"), valueCol = "value",
+      windowUs = 100L, nName = "n", totalName = "total").count() == 0)
+    // asofJoin: empty right → inner join drops everything; empty left → empty
+    assert(graft.plans.GraftPlans.asofJoin(left, emptyR,
+      key = ("k", "k2"), time = ("lt", "rt"), payload = Seq("value")).count() == 0)
+    assert(graft.plans.GraftPlans.asofJoin(emptyL, right,
+      key = ("k", "k2"), time = ("lt", "rt"), payload = Seq("value")).count() == 0)
+  }
+
   test("native interval result equals the binned range join on the corpus") {
     val native = Events.intervalNative(ev).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
