@@ -325,6 +325,42 @@ object Multimodal {
         sum(col("width").cast("long") * col("height") * col("n_frames")).as("total_pixels"))
       .orderBy("kind")
 
+  /** RAW-FILE multimodal ingestion (`src_binary`) — Spark's built-in
+    * `binaryFile` source, the standard way a media corpus actually
+    * arrives (one blob per object/file, identity in the path): the
+    * fixture stages every blob as its own `<kind>_<id>.bin` file, the
+    * query reads the DIRECTORY back via `format("binaryFile")`, parses
+    * kind/id from the path, runs the REAL decode, and aggregates —
+    * the same gate as `mm_summary`, so a hash-match proves the blobs
+    * survive the file round-trip byte-exactly AND the binaryFile
+    * reader config is right. At 100 TB this is the ingestion head of
+    * the §2.7 pipeline: splits come per-file, locality from the
+    * storage layer, decode stays in the scan's mapPartitions. */
+  def binaryRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = graft.sources.Fixtures.dirFor("src_binary", d, "documents")
+    if (!graft.sources.Fixtures.ready(dir)) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      ingest(graft.Tables.documents(s, d)).foreachPartition {
+        (rows: Iterator[MediaFile]) =>
+          rows.foreach { m =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, s"${m.kind}_${m.media_id}.bin"), m.content)
+          }
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_SUCCESS"), Array[Byte]())
+    }
+    val media = s.read.format("binaryFile").load(dir)
+      .where(!col("path").endsWith("_SUCCESS"))
+      .select(
+        regexp_extract(col("path"), "([a-z]+)_([0-9]+)\\.bin$", 2).cast("long").as("id"),
+        regexp_extract(col("path"), "([a-z]+)_([0-9]+)\\.bin$", 1).as("kind"),
+        col("content"))
+      .as[(Long, String, Array[Byte])]
+      .map { case (id, k, c) => MediaFile(id, k, c, MediaMeta(0, 0, 0, "bin")) }
+    mediaSummary(media)
+  }
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "mm_summary" -> ((s, d) => mediaSummary(mediaTable(s, d))),
@@ -333,6 +369,7 @@ object Multimodal {
     "mm_resize"  -> ((s, d) => resizeSummary(mediaTable(s, d))),
     "mm_downsample" -> ((s, d) => downsampleSummary(mediaTable(s, d))),
     "pipe_mm"       -> ((s, d) => pipelineSummary(mediaTable(s, d))),
+    "src_binary"    -> ((s, d) => binaryRoundtrip(s, d)),
   )
 
   /** `mm_summary` runs the full binary pipeline (ingest → batched decode
@@ -365,8 +402,8 @@ object Multimodal {
     .map(f => s"(CASE WHEN vframes > $f THEN (n_chars + ${7 * f}) % 256 ELSE 0 END)")
     .mkString(" + ")
 
-  val oracle: Map[String, String] = Map(
-    "mm_summary" ->
+  /** One oracle for the parquet-staged and file-staged decode paths. */
+  private val MmSummarySql: String =
       s"""SELECT kind, count(*) AS n_files,
          |  CAST(sum(CASE WHEN kind = 'image' THEN px * 3
          |                WHEN kind = 'audio' THEN frames * 2
@@ -392,7 +429,13 @@ object Multimodal {
          |    2 + n_chars % 6 AS vframes,
          |    md5(text) AS dig
          |  FROM documents) m
-         |GROUP BY kind ORDER BY kind""".stripMargin,
+         |GROUP BY kind ORDER BY kind""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "mm_summary" -> MmSummarySql,
+    // the file round-trip must be decode-indistinguishable from the
+    // parquet-staged path
+    "src_binary" -> MmSummarySql,
     // mm_summary with the audio column family decimated: frames2 =
     // ceil(frames/2) survivors (8 of the 16 digest samples — the even
     // indices — plus frames2−8 constants)
