@@ -88,7 +88,8 @@ object Dedup {
     * (< 3 words) emit nothing, same as the exploded pipeline.
     * No sort here: this is the reusable building block; query-boundary
     * sorts live in [[minhashBands]]/[[minhashPairs]]. */
-  private[graft] def minhashBanded(docs: DataFrame): DataFrame = {
+  /** (doc_id, s0..s15) — the 16 signature minima, map-only. */
+  private[graft] def minhashSignatures(docs: DataFrame): DataFrame = {
     // materialize words once; filter on the CHEAP equivalent condition
     // (≥3 words ⟺ ≥1 shingle) so predicate pushdown never duplicates
     // the gram construction
@@ -102,7 +103,11 @@ object Dedup {
     val sigCols = (0 until NumHashes).map { j =>
       array_min(transform(col("bh"), h => (h * HashA(j) + HashB(j)) % HashP)).as(s"s$j")
     }
-    val sig = withBase.select(col("doc_id") +: sigCols: _*)
+    withBase.select(col("doc_id") +: sigCols: _*)
+  }
+
+  private[graft] def minhashBanded(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs)
     val bandCols = (0 until Bands).map { b =>
       val sigs = (0 until RowsPerBand).map(r => col(s"s${b * RowsPerBand + r}").cast("string"))
       md5(concat_ws(",", sigs: _*)).as(s"bh$b")
@@ -138,6 +143,49 @@ object Dedup {
     * [[minhashBands]] to a bucketed table and self-join the stored
     * index). Measured at sf0.1: dedup_minhash_pairs 2.2→1.5 s,
     * dedup_combined 4.7→3.4 s. */
+  /** MINHASH AS AN ESTIMATOR (`dedup_minhash_est`) — the sketch-error
+    * honesty gate for the dedup family (what q38_hll's rel_err column
+    * is for cardinality): for every LSH candidate pair, the signature
+    * agreement count (of [[NumHashes]] = 16 components — E[matches/16]
+    * = true Jaccard, the MinHash theorem), next to the EXACT Jaccard
+    * over the 3-shingle sets, both emitted with their integer
+    * numerators so the gate hashes exact arithmetic.
+    *
+    * Scale: pairs are the band-join candidates (bounded by collisions,
+    * never all-pairs); the exact branch joins (doc, shingle-digest)
+    * frames — digests, never gram text, ride the shuffle (the
+    * dedup_substring discipline); a production dedup thresholds on
+    * est_matches and SKIPS the exact branch — it exists here to
+    * measure the estimator against truth, per-pair. */
+  def minhashEstimate(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs).localCheckpoint(true)
+    val pairs = minhashCandidates(docs)
+    val sa = sig.select(col("doc_id").as("doc_a") +:
+      (0 until NumHashes).map(j => col(s"s$j").as(s"a$j")): _*)
+    val sb = sig.select(col("doc_id").as("doc_b") +:
+      (0 until NumHashes).map(j => col(s"s$j").as(s"b$j")): _*)
+    val estM = (0 until NumHashes)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val sh = shingles(docs).select(col("doc_id"), md5(col("shingle")).as("dig"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("dig")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("dig")), Seq("doc_b", "dig"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(common, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), estM.as("est_matches"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (col("na") + col("nb") - coalesce(col("n_common"), lit(0L))).as("n_union"))
+      .withColumn("est_jaccard", round(col("est_matches") * lit(1.0) / NumHashes, 6))
+      .withColumn("jaccard", round(col("n_common") * lit(1.0) / col("n_union"), 6))
+      .orderBy("doc_a", "doc_b")
+  }
+
   private def minhashCandidates(docs: DataFrame): DataFrame = {
     val b = minhashBanded(docs).localCheckpoint(true)
     val l = b.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
@@ -537,6 +585,7 @@ object Dedup {
     "dedup_exact"          -> ((s, d) => exact(Tables.documents(s, d))),
     "dedup_minhash"        -> ((s, d) => minhashBands(Tables.documents(s, d))),
     "dedup_minhash_pairs"  -> ((s, d) => minhashPairs(Tables.documents(s, d))),
+    "dedup_minhash_est"    -> ((s, d) => minhashEstimate(Tables.documents(s, d))),
     "dedup_cluster"        -> ((s, d) => minhashClusters(Tables.documents(s, d))),
     "dedup_cluster_ls"     -> ((s, d) => minhashClustersLS(Tables.documents(s, d))),
     "dedup_best"           -> ((s, d) => bestRepresentatives(Tables.documents(s, d))),
@@ -656,6 +705,36 @@ object Dedup {
          |FROM ($bandsSql) a JOIN ($bandsSql) b
          |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // same signatures, same candidates, same shingle digests — the
+    // estimator AND the exact Jaccard reproduce bit-for-bit
+    "dedup_minhash_est" -> {
+      val matchSum = (0 until NumHashes)
+        .map(j => s"CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH pairs AS (${bandPairsSql("documents")}),
+         |sig AS (${sigSql("documents")}),
+         |sh AS (SELECT doc_id, md5(shingle) AS dig FROM (${shinglesSql("documents")}) s),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |cmn AS (SELECT p.doc_a, p.doc_b, count(*) AS n_common
+         |        FROM pairs p
+         |        JOIN sh a ON a.doc_id = p.doc_a
+         |        JOIN sh b ON b.doc_id = p.doc_b AND b.dig = a.dig
+         |        GROUP BY 1, 2),
+         |base AS (SELECT p.doc_a, p.doc_b,
+         |    CAST($matchSum AS BIGINT) AS est_matches,
+         |    COALESCE(c.n_common, 0) AS n_common,
+         |    za.n + zb.n - COALESCE(c.n_common, 0) AS n_union
+         |  FROM pairs p
+         |  JOIN sig sa ON sa.doc_id = p.doc_a
+         |  JOIN sig sb ON sb.doc_id = p.doc_b
+         |  JOIN sizes za ON za.doc_id = p.doc_a
+         |  JOIN sizes zb ON zb.doc_id = p.doc_b
+         |  LEFT JOIN cmn c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b)
+         |SELECT doc_a, doc_b, est_matches,
+         |  CAST(n_common AS BIGINT) AS n_common, CAST(n_union AS BIGINT) AS n_union,
+         |  round(est_matches * 1.0 / $NumHashes, 6) AS est_jaccard,
+         |  round(n_common * 1.0 / n_union, 6) AS jaccard
+         |FROM base ORDER BY doc_a, doc_b""".stripMargin
+    },
     // connected components as a recursive transitive closure: min reachable
     // id == the min-label fixpoint the Spark loop converges to
     "dedup_cluster" -> (clusterSqlFor("documents") + " ORDER BY doc_id"),

@@ -193,4 +193,21 @@ class DedupSpec extends SparkSpec {
       val v = r.getDouble(2); v > 0.0 && v <= 1.0
     })
   }
+
+  test("minhashEstimate: identical docs agree on all 16 components; estimator tracks truth") {
+    val s = spark
+    import s.implicits._
+    val twins = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val t = Dedup.minhashEstimate(twins)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].head()
+    assert(t == ((1L, 2L, 16L, 2L, 2L, 1.0, 1.0)), s"got $t")
+    // corpus: E[est] = J with stderr sqrt(J(1-J)/16) ≤ 0.125 — mean
+    // absolute error across candidate pairs stays well inside 0.25
+    val est = Dedup.minhashEstimate(docs)
+      .select("est_jaccard", "jaccard").as[(Double, Double)].collect()
+    assert(est.nonEmpty)
+    val mae = est.map { case (e, j) => math.abs(e - j) }.sum / est.length
+    assert(mae <= 0.25, f"mean |est−jaccard| $mae%.3f too large over ${est.length} pairs")
+  }
 }
