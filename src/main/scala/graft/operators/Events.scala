@@ -238,6 +238,42 @@ object Events {
       .orderBy("event_type", "bar_start")
   }
 
+  /** CHANGELOG COMPACTION / CDC APPLY (`ev_compact`) — the log→snapshot
+    * materialization every lakehouse CDC sink runs (Debezium topic →
+    * Delta/Iceberg table, Kafka log compaction): the event stream read
+    * as a changelog keyed by user_id — `signup` INSERTs, `view`/`click`/
+    * `purchase` UPSERT the value, `error` is a DELETE tombstone — and
+    * compacted to the final snapshot: per surviving key, the
+    * last-writer-wins row (change count, last op, last value, last
+    * change time); a key whose LAST op is a tombstone is absent.
+    *
+    * Scale: this is deliberately NOT the window formulation (rank the
+    * per-key history, keep rn=1 — a per-key sort at snapshot refresh).
+    * Last-writer-wins is a SELECTION AGGREGATE: `max_by(x, (us,
+    * event_id))` has combiner support and a commutative-associative
+    * merge, so one hash shuffle carries |keys| states, partial
+    * aggregation collapses hot keys map-side, and the identical state
+    * merges incrementally across delta batches (the `q41_mergeagg`
+    * algebra) or inside a streaming stateful operator — a snapshot
+    * refresh touches |keys| + |delta| rows, never the log history.
+    * Tie-break on equal timestamps by event_id via the struct's
+    * lexicographic order; the oracle mirrors it with the ohlc
+    * zero-padded string key. */
+  def compact(ev: DataFrame): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val ord = struct(col("us"), col("event_id"))
+    ev.select(col("user_id"), col("event_id"), us.as("us"),
+        col("event_type"), col("value"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_changes"),
+        max_by(col("event_type"), ord).as("last_type"),
+        max_by(col("value"), ord).as("last_value"),
+        max(col("us")).as("last_us"))
+      .where(col("last_type") =!= "error")
+      .orderBy("user_id")
+  }
+
   /** windowFunnel window: every step within 1 h of the FIRST step. */
   val FunnelWindowUs: Long = 3600L * 1000 * 1000
 
@@ -805,6 +841,7 @@ object Events {
     "ev_interval"   -> ((s, d) => intervalJoin(Tables.events(s, d))),
     "ev_interval_native" -> ((s, d) => intervalNative(Tables.events(s, d))),
     "ev_ohlc"       -> ((s, d) => ohlc(Tables.events(s, d))),
+    "ev_compact"    -> ((s, d) => compact(Tables.events(s, d))),
     "ev_winfunnel"  -> ((s, d) => windowFunnel(Tables.events(s, d))),
     "ev_retention"  -> ((s, d) => retention(Tables.events(s, d))),
     "ev_paths"      -> ((s, d) => topPaths(Tables.events(s, d))),
@@ -900,6 +937,21 @@ object Events {
     // open/close tie-break: lpad'ed (us, event_id) string key is
     // order-equivalent to the Spark struct (both columns non-negative,
     // fixed width dominates lexicographic compare)
+    // same last-writer-wins selection, arg_max over the ohlc string key
+    "ev_compact" ->
+      """SELECT user_id, count(*)::BIGINT AS n_changes,
+        |  arg_max(event_type, k) AS last_type,
+        |  arg_max(value, k) AS last_value,
+        |  max(us) AS last_us
+        |FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    lpad(epoch_us(CAST(ts AS TIMESTAMP))::VARCHAR, 17, '0')
+        |      || lpad(event_id::VARCHAR, 12, '0') AS k
+        |  FROM events) c
+        |GROUP BY user_id
+        |HAVING arg_max(event_type, k) != 'error'
+        |ORDER BY user_id""".stripMargin,
     "ev_ohlc" ->
       s"""SELECT event_type, make_timestamp(bkt * $BarUs) AS bar_start,
          |  count(*)::BIGINT AS n,

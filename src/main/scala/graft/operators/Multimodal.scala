@@ -13,6 +13,11 @@ case class MediaMeta(width: Int, height: Int, sampleRate: Int, format: String)
 /** A media row: opaque binary content + typed metadata (SURVEY §2.7). */
 case class MediaFile(media_id: Long, kind: String, content: Array[Byte], meta: MediaMeta)
 
+/** 64-bit perceptual signature of one image, as four 16-bit bands
+  * (`mm_phash`): bands 0-2 hold the top-3-bit quantization of the 16
+  * signature pixels, band 3 the pixel-vs-mean comparison bits. */
+case class ImageSig(media_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
+
 /** Extracted features for one media row. `width`/`height`/`lum` are READ
   * FROM THE DECODED IMAGE for image rows (zero for other kinds);
   * `n_bytes` is the decoded payload size (w·h·3 for RGB images, blob
@@ -361,6 +366,113 @@ object Multimodal {
     mediaSummary(media)
   }
 
+  /** `mm_phash` signature geometry: [[SigPixels]] pixels hashed into a
+    * 64-bit signature of four [[SigBandBits]]-bit bands; pairs within
+    * Hamming distance [[HammingT]] are near-duplicates. HammingT < 4
+    * is load-bearing: with 4 bands, ≤3 differing bits leave at least
+    * one band EXACTLY equal (pigeonhole), which is what makes the
+    * banded join complete. */
+  val SigPixels = 16
+  val SigBandBits = 16
+  val HammingT = 3
+  /** Planted perturbed-variant id offset and selection stride. */
+  val VariantOffset = 1000000000L
+  val VariantStride = 30L
+
+  /** PERCEPTUAL-HASH signature from REAL decoded pixels: the first
+    * [[SigPixels]] gray levels quantize into 64 bits — per pixel its
+    * top 3 bits (bands 0-2: small intensity changes don't move them)
+    * plus one pixel-above-mean bit (band 3: the average-hash bit,
+    * invariant to global brightness). Both bit families are standard
+    * perceptual-hash constructions (aHash mean bits; quantized
+    * intensity) computed on the fixture's signature head, where the
+    * image's entropy lives — and every bit is exact integer arithmetic
+    * on decoded pixel values, so DuckDB re-derives the signature from
+    * the digest the fixture encoded. */
+  def phash(images: Dataset[MediaFile]): Dataset[ImageSig] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap(_.map { m =>
+        val px = ImageCodec.headPixels(m.content, SigPixels, m.media_id)
+        val total = px.foldLeft(0L)(_ + _)
+        // bands 0-2: global bit i (0..47) = bit (7 - i%3) of pixel i/3
+        def band(k: Int): Long = (0 until SigBandBits).foldLeft(0L) { (acc, i) =>
+          val g = SigBandBits * k + i
+          acc | (((px(g / 3).toLong >> (7 - g % 3)) & 1L) << i)
+        }
+        // band 3: aHash bits — pixel*16 > total is exact p > mean
+        val b3 = (0 until SigPixels).foldLeft(0L) { (acc, j) =>
+          acc | ((if (px(j) * SigPixels.toLong > total) 1L else 0L) << j)
+        }
+        ImageSig(m.media_id, band(0), band(1), band(2), b3)
+      })
+    }
+  }
+
+  /** Deterministic planted near-duplicates: every [[VariantStride]]-th
+    * image re-enters with bit 5 of signature pixel 0 flipped — decode →
+    * perturb → REAL PNG re-encode (the `text_pii` fixture pattern: the
+    * synthetic corpus has no organic image near-dups, so the query
+    * plants them, mirrored exactly by the oracle). The ±32 intensity
+    * shift flips exactly one quantization bit; whether it also flips
+    * mean bits depends on each image's margins — the oracle runs the
+    * identical arithmetic, so borderline cases gate too. */
+  def perturbVariants(images: Dataset[MediaFile]): Dataset[MediaFile] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.filter(m => m.media_id % VariantStride == 0).mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap(_.map { m =>
+        val px = ImageCodec.headPixels(m.content, SigPixels + 1, m.media_id)
+        val head = px.take(SigPixels).map(_.toByte)
+        head(0) = (head(0) ^ 0x20).toByte
+        val (w, h, _) = ImageCodec.decode(m.content, m.media_id)
+        m.copy(media_id = m.media_id + VariantOffset,
+          content = ImageCodec.encodePng(w, h, head, px(SigPixels)))
+      })
+    }
+  }
+
+  /** IMAGE NEAR-DUP via perceptual hash + MULTI-INDEX HASHING
+    * (`mm_phash`) — the scalable Hamming-distance join (Norouzi et al.
+    * 2012, the production image-dedup retrieval pattern): candidates
+    * must agree EXACTLY on ≥1 of the 4 signature bands (pigeonhole,
+    * [[HammingT]] < 4), so the join is 4 hash-bucket probes per image —
+    * never an all-pairs scan — and digest-derived signature bits keep
+    * every band bucket uniformly occupied (the skewed-band failure mode
+    * of MIH is a fixture property, not a plan property). Emitted per
+    * image (originals + planted variants): the 4 band values and the
+    * count of near-duplicate neighbors at Hamming ≤ [[HammingT]].
+    *
+    * Scale: signatures persist (3 consumers — both join sides and the
+    * final rejoin — over the expensive decode); shuffles carry
+    * (band, value, id, 4 longs) = 4 rows/image; bucket join fan-out is
+    * occupancy-bounded like the MinHash LSH band join; the final
+    * neighbor count is one combiner aggregate. The oracle is the
+    * deliberately independent quadratic formulation. */
+  def phashNearDup(media: Dataset[MediaFile]): DataFrame = {
+    val images = media.filter(col("kind") === "image")
+    val sig = phash(images.union(perturbVariants(images))).toDF().persist()
+    val bands = sig.select(col("media_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band", "bv")))
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    val hamming = expr("bit_count(a.b0 ^ b.b0) + bit_count(a.b1 ^ b.b1) + " +
+      "bit_count(a.b2 ^ b.b2) + bit_count(a.b3 ^ b.b3)")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.media_id") < col("b.media_id"))
+      .where(hamming <= HammingT)
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .distinct()
+    val near = pairs.select(col("id_a").as("media_id"))
+      .union(pairs.select(col("id_b").as("media_id")))
+      .groupBy("media_id").agg(count(lit(1)).as("n_near"))
+    sig.join(near, Seq("media_id"), "left")
+      .na.fill(0L, Seq("n_near"))
+      .orderBy("media_id")
+  }
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "mm_summary" -> ((s, d) => mediaSummary(mediaTable(s, d))),
@@ -370,6 +482,7 @@ object Multimodal {
     "mm_downsample" -> ((s, d) => downsampleSummary(mediaTable(s, d))),
     "pipe_mm"       -> ((s, d) => pipelineSummary(mediaTable(s, d))),
     "src_binary"    -> ((s, d) => binaryRoundtrip(s, d)),
+    "mm_phash"      -> ((s, d) => phashNearDup(mediaTable(s, d))),
   )
 
   /** `mm_summary` runs the full binary pipeline (ingest → batched decode
@@ -431,7 +544,50 @@ object Multimodal {
          |  FROM documents) m
          |GROUP BY kind ORDER BY kind""".stripMargin
 
+  /** `mm_phash` oracle fragments: the signature-pixel expressions and
+    * band arithmetic mirrored in SQL. Pixel j of an image is digest
+    * byte j (the fixture encodes md5(text) into the head pixels), so
+    * every signature bit is integer arithmetic DuckDB reproduces. */
+  private def oPix(j: Int): String = s"('0x'||substr(dig,${2 * j + 1},2))::BIGINT"
+  private val PixCols: String = (0 until SigPixels).map(j => s"${oPix(j)} AS p$j").mkString(", ")
+  private val PixTotal: String = (0 until SigPixels).map(j => s"p$j").mkString(" + ")
+  private def oBand(k: Int): String =
+    (0 until SigBandBits).map { i =>
+      val g = SigBandBits * k + i
+      s"(((p${g / 3} >> ${7 - g % 3}) & 1) << $i)"
+    }.mkString(" + ")
+  private val oBand3: String =
+    (0 until SigPixels).map { j =>
+      s"(CASE WHEN p$j * $SigPixels > ($PixTotal) THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+    // the deliberately independent quadratic Hamming formulation —
+    // gates both the signature bits and the banded join's completeness
+    "mm_phash" ->
+      s"""WITH base AS (
+         |  SELECT doc_id AS media_id, $PixCols
+         |  FROM (SELECT doc_id, md5(text) AS dig
+         |        FROM documents WHERE doc_id % 3 = 0) d),
+         |pix AS (
+         |  SELECT media_id, ${(0 until SigPixels).map(j => s"p$j").mkString(", ")} FROM base
+         |  UNION ALL
+         |  SELECT media_id + $VariantOffset, xor(p0, 32),
+         |    ${(1 until SigPixels).map(j => s"p$j").mkString(", ")}
+         |  FROM base WHERE media_id % $VariantStride = 0),
+         |sig AS (
+         |  SELECT media_id,
+         |    CAST(${oBand(0)} AS BIGINT) AS b0,
+         |    CAST(${oBand(1)} AS BIGINT) AS b1,
+         |    CAST(${oBand(2)} AS BIGINT) AS b2,
+         |    CAST($oBand3 AS BIGINT) AS b3
+         |  FROM pix)
+         |SELECT s.media_id, s.b0, s.b1, s.b2, s.b3,
+         |  CAST((SELECT count(*) FROM sig t WHERE t.media_id <> s.media_id
+         |     AND bit_count(xor(s.b0, t.b0)) + bit_count(xor(s.b1, t.b1))
+         |       + bit_count(xor(s.b2, t.b2)) + bit_count(xor(s.b3, t.b3))
+         |       <= $HammingT) AS BIGINT) AS n_near
+         |FROM sig s ORDER BY media_id""".stripMargin,
     "mm_summary" -> MmSummarySql,
     // the file round-trip must be decode-indistinguishable from the
     // parquet-staged path
@@ -576,6 +732,17 @@ object ImageCodec {
       y += 1
     }
     (w, h, lum)
+  }
+
+  /** Decode PNG bytes → the first `n` pixels' gray levels in row-major
+    * order (the signature head `mm_phash` hashes). Fails loud on
+    * undecodable content or an image smaller than `n` pixels. */
+  def headPixels(content: Array[Byte], n: Int, mediaId: Long): Array[Int] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    require(img != null, s"media $mediaId: content is not a decodable image")
+    val w = img.getWidth
+    require(w.toLong * img.getHeight >= n, s"media $mediaId: fewer than $n pixels")
+    Array.tabulate(n)(p => img.getRGB(p % w, p / w) & 0xff)
   }
 
   /** Real resize: decode → Graphics2D rescale → PNG re-encode. */

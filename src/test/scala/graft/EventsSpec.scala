@@ -396,4 +396,33 @@ class EventsSpec extends SparkSpec {
       (col("rel_err") > 0.5 || col("rel_err") < -0.5)).count() == 0)
     r.unpersist()
   }
+
+  test("compact: last-writer-wins, tombstone drops key, re-insert revives, same-ts tie by event_id") {
+    val s = spark
+    import s.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(1704067200000L + sec * 1000)
+    val d = Seq(
+      // user 1: insert → update; survives with the update's value
+      (1L, t(0), 1L, "signup", 1.0), (2L, t(10), 1L, "click", 7.5),
+      // user 2: last op is a tombstone → absent from the snapshot
+      (3L, t(0), 2L, "signup", 1.0), (4L, t(20), 2L, "error", 0.0),
+      // user 3: tombstone then RE-INSERT → present, counts all 3 changes
+      (5L, t(0), 3L, "signup", 1.0), (6L, t(5), 3L, "error", 0.0),
+      (7L, t(9), 3L, "signup", 2.0),
+      // user 4: two changes at the SAME ts — higher event_id wins
+      (8L, t(0), 4L, "view", 1.0), (9L, t(0), 4L, "purchase", 9.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.compact(d)
+      .select("user_id", "n_changes", "last_type", "last_value")
+      .as[(Long, Long, String, Double)].collect()
+    assert(r.toSeq == Seq(
+      (1L, 2L, "click", 7.5),
+      (3L, 3L, "signup", 2.0),
+      (4L, 2L, "purchase", 9.0)), s"got ${r.toSeq}")
+    // corpus-level: exactly the users whose latest event is an error drop
+    val all = ev.count()
+    val compacted = Events.compact(ev)
+    assert(compacted.agg(sum("n_changes")).head.getLong(0) < all)
+    assert(compacted.where(col("last_type") === "error").count() == 0)
+  }
 }

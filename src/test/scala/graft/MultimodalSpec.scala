@@ -241,4 +241,56 @@ class MultimodalSpec extends SparkSpec {
     assert(total == docs.count())
     assert(s.count() == 3)
   }
+
+  /** 8×8 gray test image with a chosen 16-pixel signature head. Pixel
+    * values alternate 0x40/0xC0 so every aHash margin is huge — bit-5
+    * perturbations (±32) can never flip a mean bit, making Hamming
+    * distances exactly predictable. */
+  private def sigImage(id: Long, flips: Seq[Int]): MediaFile = {
+    val head = Array.tabulate(16)(j => if (j % 2 == 0) 0x40 else 0xC0)
+    flips.foreach(j => head(j) ^= 0x20)
+    MediaFile(id, "image", ImageCodec.encodePng(8, 8, head.map(_.toByte), 0x40),
+      MediaMeta(8, 8, 0, "png"))
+  }
+
+  test("phash: one intensity perturbation flips exactly one quantization bit, no mean bits") {
+    val s = spark
+    import s.implicits._
+    val sigs = Multimodal.phash(Seq(sigImage(1, Nil), sigImage(2, Seq(0))).toDS())
+      .collect().sortBy(_.media_id)
+    // pixel 0, bit 5 → global bit g = 3·0+2 = 2 → band 0, position 2
+    assert((sigs(0).b0 ^ sigs(1).b0) == 4L, s"b0 xor ${sigs(0).b0 ^ sigs(1).b0}")
+    assert(sigs(0).b1 == sigs(1).b1 && sigs(0).b2 == sigs(1).b2)
+    assert(sigs(0).b3 == sigs(1).b3, "aHash band must not move under a ±32 shift with 64-gray margins")
+  }
+
+  test("phash near-dup: pigeonhole finds a pair with its 3 diffs spread over 3 bands; distant pair absent") {
+    val s = spark
+    import s.implicits._
+    // B differs from A in pixels 0, 6, 11 → global bits 2, 20, 35 —
+    // one per quantization band, NO band equal among 0-2; only the
+    // untouched aHash band matches, which is exactly the pigeonhole
+    // guarantee (≤3 errors, 4 bands → ≥1 exact band)
+    val a = sigImage(101, Nil)
+    val b = sigImage(102, Seq(0, 6, 11))
+    val far = sigImage(103, (0 until 16).toList) // every pixel perturbed
+    val r = Multimodal.phashNearDup(Seq(a, b, far).toDS())
+      .select("media_id", "n_near").as[(Long, Long)].collect().toMap
+    assert(r(101L) == 1 && r(102L) == 1, s"pigeonhole pair missed: $r")
+    assert(r(103L) == 0, s"distant image matched: $r")
+  }
+
+  test("phash near-dup corpus: planted variants pair with their originals, symmetric counts") {
+    val r = Multimodal.phashNearDup(Multimodal.mediaTable(spark, sf)).cache()
+    val images = Multimodal.mediaTable(spark, sf).filter(col("kind") === "image").count()
+    val variants = r.where(col("media_id") >= Multimodal.VariantOffset).count()
+    assert(r.count() == images + variants, "one signature row per original + planted variant")
+    assert(variants > 0)
+    // every planted variant differs from its original by one quantization
+    // bit plus data-dependent mean-bit flips; with the corpus margins all
+    // 17 land within the threshold — and matches must be symmetric
+    val near = r.where(col("n_near") > 0).count()
+    assert(near >= 2 * variants, s"variants unmatched: $near matched rows for $variants variants")
+    r.unpersist()
+  }
 }
