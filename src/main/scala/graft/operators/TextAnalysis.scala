@@ -209,6 +209,81 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Winnowing geometry: [[WinK]]-word k-grams, windows of [[WinW]]
+    * consecutive k-grams. The scheme guarantees any shared word run of
+    * length ≥ WinW + WinK − 1 yields a shared fingerprint; expected
+    * density is 2/(WinW+1). Tie-break: RIGHTMOST minimal hash (robust
+    * winnowing) via the packed (hash, reversed-position) integer —
+    * valid while documents stay under 2^20 words. */
+  val WinK = 4
+  val WinW = 4
+  private val WinPosBits = 20
+
+  /** DOCUMENT FINGERPRINTING by WINNOWING (`text_winnow`) — the MOSS
+    * algorithm (Schleimer, Wilkerson & Aiken, SIGMOD 2003): hash every
+    * [[WinK]]-word k-gram (the [[RollBase]]/[[RollP]] integer fold, a
+    * distinct `wn:` salt), slide a window of [[WinW]] consecutive
+    * k-grams, and select each window's minimal hash (rightmost on
+    * ties); the distinct selected positions are the document's
+    * fingerprints. Unlike [[fingerprint]]'s whole-document hashes or
+    * [[cdcChunkTable]]'s boundary rule, winnowing GUARANTEES detection:
+    * two documents sharing any run of ≥ WinW+WinK−1 words share a
+    * fingerprint — the plagiarism/overlap-detection contract. Emits per
+    * doc: k-gram count, fingerprint count, count of fingerprint hashes
+    * ALSO selected in ≥1 other doc (the MOSS overlap signal), and the
+    * exact integer sum of selected hashes (pins the selected set
+    * itself). Docs shorter than WinW+WinK−1 words have no full window
+    * and emit zeros — the published algorithm's domain, kept exact.
+    *
+    * Scale shape: the cdc plan — posexplode, then the k-gram fold
+    * (lag×3) AND the window minimum ride ONE doc-keyed (doc, pos) sort;
+    * selected fingerprints dedup by position in the same partitioning;
+    * only (doc_id, hash) pairs reach the cross-doc shuffle, whose key
+    * space is content-bounded (≈ 2/(WinW+1) of k-grams). The packed
+    * min is plain integer arithmetic — identical in DuckDB. */
+  def winnow(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs.select(col("doc_id"), posexplode(wordsCol).as(Seq("i", "w")))
+      .select(col("doc_id"), col("i"),
+        conv(substring(md5(concat(lit("wn:"), col("w"))), 1, 8), 16, 10)
+          .cast("long").as("v"))
+    val wOrd = Window.partitionBy("doc_id").orderBy("i")
+    val h = (Seq(3, 2, 1).foldLeft(lit(0L)) { (acc, k) =>
+      (acc * RollBase + coalesce(lag(col("v"), k).over(wOrd), lit(0L))) % RollP
+    } * RollBase + col("v")) % RollP
+    // valid k-grams end at i >= WinK-1; pack (h, reversed i) so that
+    // min() = minimal hash, ties to the RIGHTMOST (largest i) position
+    val packed = pos.withColumn("h", h).where(col("i") >= WinK - 1)
+      .withColumn("m",
+        col("h") * (1L << WinPosBits) + (lit((1L << WinPosBits) - 1) - col("i")))
+    // full windows only: the WinW-th valid k-gram onward (same sort as
+    // the fold — Catalyst plans both window layers over one exchange)
+    val sel = packed
+      .withColumn("selm", min(col("m")).over(wOrd.rowsBetween(-(WinW - 1), 0)))
+      .where(col("i") >= WinK - 1 + WinW - 1)
+      .select(col("doc_id"),
+        ((lit(1L << WinPosBits) - 1) - col("selm") % (1L << WinPosBits)).as("fp_pos"),
+        expr(s"selm div ${1L << WinPosBits}").as("fp_h"))
+      .distinct()
+    val perDoc = sel.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"), sum(col("fp_h")).as("fp_sum"))
+    val docHashes = sel.select(col("doc_id"), col("fp_h")).distinct()
+    val shared = docHashes.groupBy("fp_h")
+      .agg(countDistinct(col("doc_id")).as("nd")).where(col("nd") > 1)
+      .select(col("fp_h"), lit(1L).as("is_shared"))
+    val sharedPerDoc = docHashes.join(shared, Seq("fp_h"), "left")
+      .groupBy("doc_id").agg(sum(coalesce(col("is_shared"), lit(0L))).as("n_shared"))
+    docs.select(col("doc_id"),
+        greatest(size(wordsCol) - (WinK - 1), lit(0)).cast("long").as("n_kgrams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(sharedPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_kgrams"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(col("fp_sum"), lit(0L)).as("fp_sum"))
+      .orderBy("doc_id")
+  }
+
   /** Exact per-language length percentiles by RANK SELECTION: the value
     * at row ceil(q·n) of the in-group sort — all-integer arithmetic, so
     * both engines agree bit-for-bit (interpolating quantile functions
@@ -989,6 +1064,7 @@ object TextAnalysis {
     "text_tokencount"  -> ((s, d) => tokenCount(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d))),
     "text_cdc"         -> ((s, d) => cdcChunks(Tables.documents(s, d))),
+    "text_winnow"      -> ((s, d) => winnow(Tables.documents(s, d))),
     "text_percentiles" -> ((s, d) => lengthPercentiles(Tables.documents(s, d))),
     "text_sample"      -> ((s, d) => hashSample(Tables.documents(s, d))),
     "text_tfidf"       -> ((s, d) => tfidf(Tables.documents(s, d))),
@@ -1457,6 +1533,50 @@ object TextAnalysis {
          |FROM documents ORDER BY doc_id""".stripMargin,
     // windowed Karp–Rabin mirrored term for term (lag×3 coalesced to 0,
     // same fold order/mods); chunk_id = exclusive running boundary count
+    // same fold/window arithmetic, 1-based positions (i>=4 valid k-gram,
+    // i>=7 first full window); sums cast from DuckDB's HUGEINT
+    "text_winnow" ->
+      s"""WITH pos AS (
+         |  SELECT doc_id, i, ('0x' || substr(md5('wn:' || w[i]), 1, 8))::BIGINT AS v
+         |  FROM (SELECT doc_id, $W AS w FROM documents) e,
+         |       unnest(range(1, len(w) + 1)) AS u(i)),
+         |kh AS (
+         |  SELECT doc_id, i,
+         |    (((((coalesce(lag(v, 3) OVER win, 0) * $RollBase
+         |          + coalesce(lag(v, 2) OVER win, 0)) % $RollP) * $RollBase
+         |          + coalesce(lag(v, 1) OVER win, 0)) % $RollP) * $RollBase + v)
+         |      % $RollP AS h
+         |  FROM pos WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+         |pk AS (
+         |  SELECT doc_id, i, h * 1048576 + (1048575 - i) AS m
+         |  FROM kh WHERE i >= $WinK),
+         |sel AS (
+         |  SELECT DISTINCT doc_id,
+         |    selm // 1048576 AS fp_h, 1048575 - (selm % 1048576) AS fp_pos
+         |  FROM (SELECT doc_id, i, min(m) OVER (PARTITION BY doc_id ORDER BY i
+         |          ROWS BETWEEN ${WinW - 1} PRECEDING AND CURRENT ROW) AS selm
+         |        FROM pk) s
+         |  WHERE i >= ${WinK + WinW - 1}),
+         |pd AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_fp,
+         |    CAST(sum(fp_h) AS BIGINT) AS fp_sum
+         |  FROM sel GROUP BY doc_id),
+         |dh AS (SELECT DISTINCT doc_id, fp_h FROM sel),
+         |sh AS (SELECT fp_h FROM dh GROUP BY fp_h
+         |       HAVING count(DISTINCT doc_id) > 1),
+         |sd AS (
+         |  SELECT doc_id, CAST(sum(CASE WHEN fp_h IN (SELECT fp_h FROM sh)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+         |  FROM dh GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(greatest(len($W) - ${WinK - 1}, 0) AS BIGINT) AS n_kgrams,
+         |  coalesce(pd.n_fp, 0)::BIGINT AS n_fp,
+         |  coalesce(sd.n_shared, 0)::BIGINT AS n_shared,
+         |  coalesce(pd.fp_sum, 0)::BIGINT AS fp_sum
+         |FROM documents d
+         |LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |LEFT JOIN sd ON d.doc_id = sd.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "text_cdc" ->
       s"""WITH pos AS (
          |  SELECT doc_id, i, w[i] AS w,

@@ -339,4 +339,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2) == ((3L, 4L, 2L, h3, r6(h3 / math.log(2.0)))), s"got ${got(2)}")
     assert(h3 > 0 && h3 < h1)
   }
+
+  test("winnow: short-doc domain edge, guarantee on a shared 7-word run, all-equal tie-break") {
+    val s = spark
+    import s.implicits._
+    // distinct filler words so no accidental k-gram collisions
+    def words(prefix: String, n: Int) = (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val shared = "alpha beta gamma delta epsilon zeta eta" // w+k-1 = 7 words
+    val d = Seq(
+      (1L, words("a", 6)),                                // 6 words < 7: no full window
+      (2L, words("b", 7)),                                // exactly one full window
+      (3L, s"${words("c", 9)} $shared ${words("d", 5)}"), // guarantee pair...
+      (4L, s"${words("e", 4)} $shared"),                  // ...shares the 7-word run
+      (5L, "rep rep rep rep rep rep rep rep rep rep")     // all k-grams equal
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.winnow(d)
+      .as[(Long, Long, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    // doc 1: 3 valid k-grams, no full window of 4 → zero fingerprints
+    assert(r(1L) == ((1L, 3L, 0L, 0L, 0L)), s"short doc: ${r(1L)}")
+    // doc 2: 4 k-grams = exactly one window → exactly one fingerprint
+    assert(r(2L)._2 == 4L && r(2L)._3 == 1L, s"one-window doc: ${r(2L)}")
+    // docs 3 & 4 share a run of w+k-1 = 7 words → the winnowing
+    // GUARANTEE: both must have at least one shared fingerprint hash
+    assert(r(3L)._4 >= 1L && r(4L)._4 >= 1L, s"guarantee violated: ${r(3L)} ${r(4L)}")
+    // doc 5: all 7 k-gram hashes equal → rightmost tie-break selects
+    // every position from the first full window: n_fp = windows = 4
+    assert(r(5L)._2 == 7L && r(5L)._3 == 4L, s"tie-break: ${r(5L)}")
+    // corpus: density ≈ 2/(w+1), and a selection persists ≤ w windows →
+    // n_fp bounds hold for every doc
+    val c = TextAnalysis.winnow(docs)
+      .select("n_kgrams", "n_fp").as[(Long, Long)].collect()
+    c.foreach { case (nk, nf) =>
+      val windows = math.max(nk - (TextAnalysis.WinW - 1), 0L)
+      assert(nf <= windows || windows == 0, s"more fps than windows: $nk $nf")
+      assert(nf >= (windows + TextAnalysis.WinW - 1) / TextAnalysis.WinW,
+        s"fewer fps than ceil(windows/w): $nk $nf")
+    }
+  }
 }
