@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// FaultToleranceSpec needs a SparkContext with task retries enabled —
+// local-mode maxFailures is fixed at context creation (`local[4, 3]`)
+// and every other suite shares SparkSpec's no-retry local[4] session,
+// so that one suite runs in its own forked JVM.
+Test / testGrouping := {
+  val forkOpts = ForkOptions()
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+  val (ft, rest) = (Test / definedTests).value
+    .partition(_.name == "graft.FaultToleranceSpec")
+  Seq(
+    Tests.Group("main", rest, Tests.SubProcess(forkOpts)),
+    Tests.Group("fault-tolerance", ft, Tests.SubProcess(forkOpts)),
+  ).filter(_.tests.nonEmpty)
+}
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
