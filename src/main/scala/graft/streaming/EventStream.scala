@@ -117,6 +117,29 @@ object EventStream {
       .select(col("w.start").as("bar_start"), col("event_type"),
         col("n"), col("open"), col("high"), col("low"), col("close"), col("volume"))
 
+  /** Streaming CHANGELOG COMPACTION — twin of `Events.compact`: the
+    * live upsert-state view a CDC sink maintains. State is ONE
+    * selection-aggregate row per key (the snapshot's own cardinality —
+    * deliberately no watermark eviction, because a snapshot never
+    * expires; this is the documented unbounded-state operator, like a
+    * production materialized upsert view). `max_by` over (µs, event_id)
+    * merges commutatively and associatively, so the state is identical
+    * under ANY micro-batch split of the changelog, and re-delivered
+    * changes are absorbed by selection idempotence on the last-writer
+    * columns. Tombstoned keys stay IN the state (last_type = 'error')
+    * and filter at read — which is what lets a later re-insert revive
+    * the key through the same merge instead of special-cased deletes. */
+  def compact(events: DataFrame): DataFrame = {
+    val ord = struct(col("us"), col("event_id"))
+    events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_changes"),
+        max_by(col("event_type"), ord).as("last_type"),
+        max_by(col("value"), ord).as("last_value"),
+        max(col("us")).as("last_us"))
+  }
+
   /** Streaming HOPPING (sliding) windows — twin of `Events.hopping`:
     * the built-in `window(ts, width, slide)` replicates each event into
     * width/slide = 2 overlapping windows map-side, exactly as in batch;

@@ -90,6 +90,36 @@ class EventStreamSpec extends SparkSpec {
     } finally { qo.stop(); qh.stop() }
   }
 
+  test("streaming compact under a 3-way batch split converges to the batch snapshot") {
+    val s = spark
+    import s.implicits._
+    val batchDf = Tables.events(spark, sf)
+    val evs = batchDf
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val input = MemoryStream[Event](s)
+    val q = EventStream.compact(input.toDF())
+      .writeStream.format("memory").queryName("scompact").outputMode("complete").start()
+    try {
+      // three micro-batches: the per-key last-writer state must merge
+      // across batch boundaries to the same snapshot as one-shot batch
+      evs.grouped((evs.size + 2) / 3).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      val streamed = s.sql(
+        """SELECT user_id, n_changes, last_type, last_value, last_us
+          |FROM scompact WHERE last_type != 'error'""".stripMargin)
+        .collect().map(_.toSeq).toSet
+      val batch = graft.operators.Events.compact(batchDf)
+        .select(col("user_id"), col("n_changes"), col("last_type"),
+          col("last_value"), col("last_us"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        s"stream snapshot diverged: ${streamed.size} vs ${batch.size} keys")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming tumbling replaying the whole events table converges to batch") {
     val s = spark
     import s.implicits._
