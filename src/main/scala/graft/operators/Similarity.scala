@@ -157,6 +157,52 @@ object Similarity {
     * 2048 terms and overflows Janino; the expression is one static call).
     * Unsorted building block shared by `ann_lsh`, `ann_lsh_topk`,
     * `dedup_embed`. */
+  /** MAXIMUM INNER PRODUCT SEARCH (`ann_mips`) — the recommender-
+    * retrieval metric (user·item score), where vector NORMS matter:
+    * unlike cosine, a longer vector can beat a better-aligned one, so
+    * MIPS is not nearest-neighbor under any metric and the cosine/L2
+    * index family doesn't apply directly. The standard fix is the
+    * NORM-AUGMENTATION reduction (Bachrach et al. RecSys 2014 /
+    * Neyshabur & Srebro 2015): append sqrt(M² − |x|²) to every corpus
+    * vector (M = max corpus norm) and 0 to every query — augmented
+    * corpus vectors all have norm M, so augmented-cosine ranking
+    * (q·x / (|q|·M)) is MONOTONE in the raw dot product and every
+    * cosine-space index (the LSH/IVF/PQ family above) becomes a MIPS
+    * index unchanged. This operator runs the reduction end to end and
+    * is gated against the deliberately UNREDUCED oracle — DuckDB ranks
+    * by raw `list_inner_product` — so the hash-match proves order
+    * equivalence of the transform, not just the scan.
+    *
+    * Scale: the scan is n·queries like [[bruteForce]] (its baseline
+    * class); the reduction's value at 100 TB is exactly that it makes
+    * [[ivfTrained]]/[[pqTopK]] cell restriction applicable to dot-
+    * product retrieval — compose by training the codebook on augmented
+    * vectors. The max-norm "model" is a 1-row broadcast aggregate. */
+  def mipsTopK(em: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(em.sparkSession)
+    val withNorm = em.select(col("vec_id"), vec(col("embedding")).as("v"))
+      .withColumn("nrm2", aggregate(transform(col("v"), x => x * x),
+        lit(0.0), (acc, x) => acc + x))
+    val mx = withNorm.agg(max(col("nrm2")).as("m2"))
+    val corpus = withNorm.crossJoin(broadcast(mx))
+      .select(col("vec_id").as("neighbor_id"),
+        // augmented component: sqrt(M² − |x|²); greatest() guards the
+        // max-norm row against a negative FP residue under NaN
+        concat(col("v"), array(sqrt(greatest(col("m2") - col("nrm2"), lit(0.0)))))
+          .as("nv"))
+    val qs = withNorm.where(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), concat(col("v"), array(lit(0.0))).as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(qs)
+      .join(corpus, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("nv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
   private def lshIndex(em: DataFrame): DataFrame = lshIndex(em, LshBits)
 
   private def lshIndex(em: DataFrame, bits: Int): DataFrame = {
@@ -857,6 +903,7 @@ object Similarity {
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "ann_bruteforce" -> ((s, d) => bruteForce(Tables.embeddings(s, d))),
+    "ann_mips"       -> ((s, d) => mipsTopK(Tables.embeddings(s, d))),
     "ann_sq"         -> ((s, d) => sqTopK(Tables.embeddings(s, d))),
     "ann_lsh"        -> ((s, d) => lshBuckets(Tables.embeddings(s, d))),
     "ann_lsh_topk"   -> ((s, d) => lshTopK(Tables.embeddings(s, d))),
@@ -1147,6 +1194,16 @@ object Similarity {
          |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
          |    row_number() OVER (PARTITION BY q.vec_id
          |      ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, n.vec_id) AS rank
+         |  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+         |  WHERE q.vec_id % $QueryStride = 0) t
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    // deliberately UNREDUCED: raw dot-product ranking — a match proves
+    // the norm-augmentation transform is order-equivalent to MIPS
+    "ann_mips" ->
+      s"""SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_inner_product(q.$V, n.$V) DESC, n.vec_id) AS rank
          |  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
          |  WHERE q.vec_id % $QueryStride = 0) t
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,

@@ -372,4 +372,45 @@ class SimilaritySpec extends SparkSpec {
         t._4.map(x => 1.0 / (60 + x)).getOrElse(0.0)
     assert(rrf(r.head) >= rrf(r.last), "fused order must follow RRF score")
   }
+
+  test("mips: a longer vector beats a better-aligned one — the ranking cosine cannot produce") {
+    val s = spark
+    import s.implicits._
+    // query q=(1,0): corpus a=(1,0) is PERFECTLY aligned (cos=1) but
+    // b=(3,3) has the larger dot product (3 > 1) — MIPS must rank b
+    // first, cosine ranks a first; c is a distractor dominated on both
+    val d = Seq(
+      (0L, Array(1.0f, 0.0f), 0),  // vec_id % QueryStride == 0 → query
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(3.0f, 3.0f), 0),
+      (3L, Array(0.1f, -0.5f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val mips = Similarity.mipsTopK(d)
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(mips.take(2).toSeq == Seq((1L, 2L), (2L, 1L)),
+      s"MIPS must rank by dot product (b,a,...): ${mips.toSeq}")
+    val cosTop = Similarity.bruteForce(d)
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(cosTop.head == ((1L, 1L)), s"cosine control must rank a first: ${cosTop.toSeq}")
+  }
+
+  test("mips reduction: augmented-cosine ranking equals direct dot-product ranking on the corpus") {
+    val s = spark
+    import s.implicits._
+    val reduced = Similarity.mipsTopK(em)
+      .as[(Long, Long, Long)].collect().toSeq
+    // independent direct formulation: rank by the raw dot product
+    val vecs = em.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect()
+    val qs = vecs.filter(_._1 % Similarity.QueryStride == 0)
+    val direct = qs.flatMap { case (qid, qv) =>
+      vecs.filter(_._1 != qid)
+        .map { case (nid, nv) => (nid, qv.zip(nv).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (nid, dot) => (-dot, nid) }
+        .take(Similarity.TopK).zipWithIndex
+        .map { case ((nid, _), r) => (qid, (r + 1).toLong, nid) }
+    }.toSeq.sortBy(t => (t._1, t._2))
+    assert(reduced == direct, "norm-augmentation reduction changed the MIPS ranking")
+  }
 }
