@@ -366,6 +366,65 @@ object WordCount {
       .limit(TopTriangles)
   }
 
+  /** BFS hop bound — fixed rounds keep the query deterministic and the
+    * oracle's recursive CTE finitely bounded. */
+  val BfsMaxHop = 4
+
+  /** BREADTH-FIRST SEARCH (`wc_bfs`) — level-synchronous BFS over the
+    * undirected word-adjacency graph from the corpus's most frequent
+    * word (ties lexicographic): per hop 0..[[BfsMaxHop]], the newly
+    * reached word count and min/max word; unreached vocabulary appears
+    * as hop −1 (the disconnected remainder). The frontier-expansion
+    * pattern is the Pregel/GraphX iteration shape — the third member of
+    * the graph family next to `wc_triangles`' wedge counting and
+    * `text_textrank`'s fixpoint — and the BFS min-hop invariant holds
+    * because each round's frontier anti-joins EVERYTHING already
+    * visited.
+    *
+    * Scale: the edge set is distinct-bigram-bounded and persisted
+    * (every round probes it); each round is ONE vocab-bounded equi-join
+    * + distinct + anti-join — a Zipf hub inflates one round's join
+    * fan-out but the DISTINCT collapses it to vocabulary size before
+    * the next round; rounds are fixed at 4, not data-dependent. The
+    * oracle is DuckDB's `WITH RECURSIVE` — the declarative twin of the
+    * same traversal. */
+  def bfs(docs: DataFrame): DataFrame = {
+    val ws = filter(split(col("text"), TokenRe), w => w =!= "")
+    val n1 = greatest(size(ws) - 1, lit(0))
+    val und = docs.select(explode(zip_with(
+        slice(ws, lit(1), n1), slice(ws, lit(2), n1),
+        (a, b) => struct(a.as("u"), b.as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .where(col("u") =!= col("v"))
+    val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .select(col("u").as("src"), col("v").as("dst"))
+      .persist()
+    val vocab = docs.select(explode(ws).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .persist()
+    val seed = vocab.orderBy(col("cnt").desc, col("w")).limit(1)
+      .select(col("w").as("word"), lit(0L).as("hop"))
+    var visited = seed
+    var frontier = seed
+    for (h <- 1 to BfsMaxHop) {
+      val next = edges.join(frontier.select(col("word").as("src")), "src")
+        .select(col("dst").as("word")).distinct()
+        .join(visited.select("word"), Seq("word"), "left_anti")
+        .select(col("word"), lit(h.toLong).as("hop"))
+        .persist()
+      visited = visited.union(next)
+      frontier = next
+    }
+    val unreached = vocab.select(col("w").as("word"))
+      .join(visited.select("word"), Seq("word"), "left_anti")
+      .select(col("word"), lit(-1L).as("hop"))
+    visited.union(unreached)
+      .groupBy("hop")
+      .agg(count(lit(1)).as("n_words"), min("word").as("w_min"), max("word").as("w_max"))
+      .orderBy("hop")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wc_wordcount" -> ((s, d) => wordCount(Tables.documents(s, d))),
     "wc_topk"      -> ((s, d) => topK(Tables.documents(s, d), 50)),
@@ -381,6 +440,7 @@ object WordCount {
     "wc_triangles" -> ((s, d) => triangles(Tables.documents(s, d))),
     "wc_inverted"  -> ((s, d) => invertedIndex(Tables.documents(s, d))),
     "wc_grep"      -> ((s, d) => grep(Tables.documents(s, d))),
+    "wc_bfs"       -> ((s, d) => bfs(Tables.documents(s, d))),
   )
 
   /** DuckDB words-array fragment — same `\p{L}` pattern as [[TokenRe]];
@@ -427,6 +487,36 @@ object WordCount {
          |    len(regexp_extract_all(text, p.pattern)) AS c
          |  FROM documents, (SELECT unnest([${GrepPatterns.map(p => s"'$p'").mkString(", ")}]) AS pattern) p) t
          |GROUP BY pattern ORDER BY pattern""".stripMargin,
+    // the declarative twin of the level-synchronous traversal: a
+    // recursive CTE bounded at BfsMaxHop, min-hop per word, unreached
+    // vocabulary as hop -1
+    "wc_bfs" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT w[i] AS u, w[i + 1] AS v
+         |  FROM (SELECT $OracleWords AS w FROM documents) ws,
+         |    unnest(range(1, len(w))) AS t(i)
+         |  WHERE w[i] <> w[i + 1]),
+         |edges AS (
+         |  SELECT DISTINCT u AS src, v AS dst FROM (
+         |    SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs) b),
+         |tk AS (SELECT word FROM ($TokensSql) q),
+         |seed AS (
+         |  SELECT word FROM (SELECT word, count(*) AS cnt FROM tk GROUP BY word) c
+         |  ORDER BY cnt DESC, word LIMIT 1),
+         |bfs AS (
+         |  SELECT word, 0 AS hop FROM seed
+         |  UNION
+         |  SELECT e.dst, b.hop + 1 FROM bfs b JOIN edges e ON e.src = b.word
+         |  WHERE b.hop < $BfsMaxHop),
+         |mh AS (SELECT word, min(hop) AS hop FROM bfs GROUP BY word),
+         |allw AS (
+         |  SELECT word, hop FROM mh
+         |  UNION ALL
+         |  SELECT word, -1 AS hop FROM (SELECT DISTINCT word FROM tk) v
+         |  WHERE word NOT IN (SELECT word FROM mh))
+         |SELECT hop::BIGINT AS hop, count(*)::BIGINT AS n_words,
+         |  min(word) AS w_min, max(word) AS w_max
+         |FROM allw GROUP BY hop ORDER BY hop""".stripMargin,
     // same degree orientation: src = lower (degree, word) endpoint,
     // wedge at src ordered by (ddst, dst), closed against oriented edges
     "wc_triangles" ->

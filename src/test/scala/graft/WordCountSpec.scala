@@ -153,4 +153,30 @@ class WordCountSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(gotDup == Map("a" -> 1L, "b" -> 1L, "c" -> 1L), gotDup.toString)
   }
+
+  test("bfs: levels on a path graph, hop bound cuts the tail, disconnected words land at -1") {
+    val s = spark
+    import s.implicits._
+    // "s" is the most frequent word (count 3) → seed; the path
+    // s-a-b-c-d-e puts e at distance 5 > BfsMaxHop; x-y is disconnected
+    val d = Seq(
+      (1L, "s s s"), (2L, "s a"), (3L, "a b"), (4L, "b c"),
+      (5L, "c d"), (6L, "d e"), (7L, "x y")
+    ).toDF("doc_id", "text")
+    val r = WordCount.bfs(d)
+      .as[(Long, Long, String, String)].collect().map(t => t._1 -> t).toMap
+    assert(r(-1L) == ((-1L, 3L, "e", "y")), s"unreached: ${r.get(-1L)}") // e, x, y
+    assert(r(0L) == ((0L, 1L, "s", "s")))
+    assert(r(1L) == ((1L, 1L, "a", "a")))
+    assert(r(2L) == ((2L, 1L, "b", "b")))
+    assert(r(3L) == ((3L, 1L, "c", "c")))
+    assert(r(4L) == ((4L, 1L, "d", "d")))
+    // corpus: levels partition the vocabulary — counts sum to vocab size
+    val corpus = docs
+    val vocab = corpus.select(explode(filter(split(col("text"), WordCount.TokenRe),
+      w => w =!= "")).as("w")).distinct().count()
+    val levels = WordCount.bfs(corpus).as[(Long, Long, String, String)].collect()
+    assert(levels.map(_._2).sum == vocab, "BFS levels must partition the vocabulary")
+    assert(levels.find(_._1 == 0L).get._2 == 1L, "exactly one seed")
+  }
 }
