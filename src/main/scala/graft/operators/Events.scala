@@ -824,6 +824,106 @@ object Events {
       .orderBy("day")
   }
 
+  /** Two-step MARKOV transition matrix (`ev_markov2`) — P² of the
+    * session-local event-type chain: for each (src, dst) type pair, the
+    * probability of sitting at dst exactly TWO within-session steps
+    * after src, p2(src,dst) = Σ_mid p(src,mid)·p(mid,dst), plus the
+    * exact 2-step path count. Squaring the transition matrix is the
+    * classic "where will the user be in k steps" product-analytics
+    * question and the first iterate of the chain's power method — the
+    * matrix-multiply-as-join-aggregate pattern at its smallest.
+    *
+    * Cross-engine determinism: path counts are exact integer products;
+    * each probability term evaluates the pinned chain
+    * `(10⁶·(n₁·n₂ as double)) / (d₁·d₂ as double)` rounded at 4dp into
+    * DECIMAL FIRST, the mid-sum runs in exact decimal (the textrank
+    * per-term-round-then-decimal-sum discipline), floor to ppm.
+    * Integer headroom: counts here are event-bounded, so n₁·n₂ stays
+    * well under 2⁵³; a corpus past that switches both engines to the
+    * DECIMAL product (the `ev_anomaly` note).
+    *
+    * Scale: the 1-step matrix is TYPE-PAIR bounded (O(T²) rows,
+    * independent of event volume — one user-keyed window shuffle + one
+    * combiner count shuffle build it, shared shape with
+    * [[transitions]]); the squaring self-join and the mid-sum run over
+    * that tiny frame, so P² costs nothing more at 100 TB than at sf0.001. */
+  def markov2(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val us = unix_micros(col("ts"))
+    val m = ev.select(
+        col("event_type").as("dst"),
+        lag(col("event_type"), 1).over(byUser).as("src"),
+        (us - lag(us, 1).over(byUser)).as("gap"))
+      .where(col("src").isNotNull && col("gap") <= SessionGapUs)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .withColumn("d", sum("n").over(Window.partitionBy("src")).cast("long"))
+    val a = m.select(col("src"), col("dst").as("mid"),
+      col("n").as("n1"), col("d").as("d1"))
+    val b = m.select(col("src").as("mid"), col("dst"),
+      col("n").as("n2"), col("d").as("d2"))
+    val term = round(
+      (lit(1000000.0) * (col("n1") * col("n2")).cast("double")) /
+        (col("d1") * col("d2")).cast("double"), 4).cast(DecimalType(20, 4))
+    a.join(b, "mid")
+      .groupBy("src", "dst")
+      .agg(sum(col("n1") * col("n2")).cast("long").as("n_paths"),
+        floor(sum(term)).cast("long").as("p2_ppm"))
+      .orderBy("src", "dst")
+  }
+
+  /** Session-sequence PATTERN MATCHING (`ev_seqmatch`) — the CEP /
+    * `MATCH_RECOGNIZE` member of the event family (Flink CEP, Oracle/
+    * Snowflake MATCH_RECOGNIZE, ClickHouse sequenceCount): each session's
+    * event types encode as a string of initials (v/c/p/s/e — distinct by
+    * construction) in (ts, event_id) order, and fixed regex patterns
+    * count non-overlapping occurrences per session; per pattern, the
+    * number of matching sessions and total match count. Patterns use
+    * only constructs that parse identically in Java regex and RE2
+    * (literals, character classes, `*`/`?`/`+` — the wc_grep argument),
+    * and both engines share perl-style leftmost greedy semantics for
+    * this class.
+    *
+    * Determinism: the session string is built from
+    * `array_sort(collect_list(struct(us, event_id, ini)))` — sorted on
+    * the same (us, event_id) total order the oracle's
+    * `string_agg(... ORDER BY us, event_id)` uses, so collect_list's
+    * arrival nondeterminism never reaches the output.
+    *
+    * Scale: ONE user-keyed shuffle (the sessionize shape); the groupBy
+    * on (user_id, session_id) reuses the window's hash partitioning
+    * (subset-key clustering, no second exchange); session strings are
+    * session-length-bounded, the pattern fan-out is a constant ×4
+    * map-side explode over the SESSIONS frame (already aggregated,
+    * smaller than events), and the final aggregate is pattern-bounded.
+    * A hot user costs its own row count — no pairwise shape anywhere. */
+  val SeqPatterns: Seq[String] = Seq("e+", "pp", "se?v", "v[ce]*p")
+
+  def seqMatch(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val marked = ev
+      .select(col("user_id"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ini"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("is_new",
+        when(col("us") - lag(col("us"), 1).over(byUser) > SessionGapUs ||
+          lag(col("us"), 1).over(byUser).isNull, 1L).otherwise(0L))
+      .withColumn("session_id", sum("is_new").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val seqs = marked.groupBy("user_id", "session_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("us"), col("event_id"), col("ini")))),
+        x => x.getField("ini")), "").as("seq"))
+    val counted = seqs.select(explode(array(SeqPatterns.map(p =>
+      struct(lit(p).as("pattern"),
+        regexp_count(col("seq"), lit(p)).as("matches"))): _*)).as("e"))
+      .select(col("e.pattern").as("pattern"), col("e.matches").as("matches"))
+    counted.groupBy("pattern")
+      .agg(count(when(col("matches") > 0, 1)).as("sessions_matched"),
+        sum("matches").cast("long").as("total_matches"))
+      .orderBy("pattern")
+  }
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "ev_scd2"       -> ((s, d) => scd2(Tables.events(s, d))),
@@ -846,6 +946,8 @@ object Events {
     "ev_retention"  -> ((s, d) => retention(Tables.events(s, d))),
     "ev_paths"      -> ((s, d) => topPaths(Tables.events(s, d))),
     "ev_transitions"-> ((s, d) => transitions(Tables.events(s, d))),
+    "ev_markov2"    -> ((s, d) => markov2(Tables.events(s, d))),
+    "ev_seqmatch"   -> ((s, d) => seqMatch(Tables.events(s, d))),
     "ev_anomaly"    -> ((s, d) => anomalies(Tables.events(s, d))),
     "ev_hopping"    -> ((s, d) => hopping(Tables.events(s, d))),
     "ev_cohort"     -> ((s, d) => cohort(Tables.events(s, d))),
@@ -1223,5 +1325,56 @@ object Events {
          |FROM ex e JOIN est ON est.t = e.t
          |ORDER BY day""".stripMargin
     },
+    // P²: same tr CTE as ev_transitions, matrix self-join on mid; the
+    // probability term evaluates the identical pinned double chain
+    // rounded at 4dp into DECIMAL before the mid-sum
+    "ev_markov2" ->
+      s"""WITH tr AS (
+         |  SELECT src, dst FROM (
+         |    SELECT event_type AS dst,
+         |      lag(event_type) OVER (PARTITION BY user_id
+         |        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS src,
+         |      epoch_us(CAST(ts AS TIMESTAMP))
+         |        - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id
+         |            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap
+         |    FROM events) g
+         |  WHERE src IS NOT NULL AND gap <= $SessionGapUs),
+         |m AS (SELECT src, dst, n, CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS d
+         |      FROM (SELECT src, dst, count(*) AS n FROM tr GROUP BY 1, 2) c)
+         |SELECT a.src AS src, b.dst AS dst,
+         |  CAST(SUM(a.n * b.n) AS BIGINT) AS n_paths,
+         |  CAST(floor(SUM(CAST(round((1000000.0 * CAST(a.n * b.n AS DOUBLE))
+         |    / CAST(a.d * b.d AS DOUBLE), 4) AS DECIMAL(20,4)))) AS BIGINT) AS p2_ppm
+         |FROM m a JOIN m b ON a.dst = b.src
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // session strings via string_agg ORDER BY (us, event_id) — the same
+    // total order the Spark side pins with array_sort; RE2's
+    // regexp_extract_all counts the same non-overlapping leftmost
+    // greedy matches as Java's find() loop for this construct class
+    "ev_seqmatch" ->
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, substr(event_type, 1, 1) AS ini,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev_us
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, ini, us, event_id,
+         |    CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > $SessionGapUs
+         |        THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY us, event_id
+         |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         |  FROM g),
+         |sq AS (SELECT user_id, session_id,
+         |         string_agg(ini, '' ORDER BY us, event_id) AS seq
+         |       FROM s GROUP BY 1, 2),
+         |m AS (SELECT p.pattern AS pattern,
+         |        len(regexp_extract_all(seq, p.pattern)) AS matches
+         |      FROM sq, (SELECT unnest([${SeqPatterns.map(p => s"'$p'").mkString(", ")}])
+         |                  AS pattern) p)
+         |SELECT pattern,
+         |  CAST(count(*) FILTER (WHERE matches > 0) AS BIGINT) AS sessions_matched,
+         |  CAST(sum(matches) AS BIGINT) AS total_matches
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

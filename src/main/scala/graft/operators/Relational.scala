@@ -183,6 +183,49 @@ object Relational {
       .orderBy("day", "event_type")
   }
 
+  /** EAGER AGGREGATION / aggregate pushdown (`q43_eageragg`) — the
+    * classic "push the aggregate below the join" rewrite (Yan & Larson,
+    * VLDB 1995; the groupjoin literature): revenue per nation computed
+    * by collapsing lineitem to per-ORDER partial sums FIRST, re-rolling
+    * to per-customer after the orders join, to per-nation after the
+    * customer join — each join's probe side is the already-aggregated
+    * frame, never the raw fact. Catalyst does not apply this rewrite
+    * itself (it only splits aggregates into partial/final around one
+    * shuffle), so at 100 TB the hand-eager form is the difference
+    * between joining |lineitem| rows into orders and joining |orders|
+    * pre-collapsed rows — a 4:1 row cut before any join exchange, and
+    * the l_orderkey pre-aggregation's hash partitioning is REUSED by
+    * the orders equi-join (co-partitioned, no second lineitem-sized
+    * exchange).
+    *
+    * Cross-engine determinism: partial sums stay UNROUNDED exact
+    * DECIMAL(28,10) through every regrouping level (decimal addition is
+    * associative/commutative — regrouping cannot change the total);
+    * only the final per-nation value rounds to 2dp and casts to double,
+    * which is exactly [[Compat.xsum]]'s contract, so the three-level
+    * eager tree is result-identical to the oracle's one flat join-agg
+    * (the gate machine-checks the rewrite's correctness, not a mirrored
+    * construction). */
+  def q43EagerAgg: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val perOrder = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sum((col("l_extendedprice") * (ONE - col("l_discount")))
+        .cast(DecimalType(28, 10))).as("ord_rev"))
+    val perCust = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      .join(perOrder, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_custkey").agg(sum("ord_rev").as("cust_rev"))
+    val perNation = perCust
+      .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey").agg(sum("cust_rev").as("nat_rev"))
+    perNation
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        col("nat_rev").cast(DecimalType(28, 2)).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** Group + HAVING. */
   def q10Having: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -846,6 +889,7 @@ object Relational {
     "q40_histq"    -> q40HistQuantile,
     "q41_mergeagg" -> q41MergeAgg,
     "q42_unpivot"  -> q42Unpivot,
+    "q43_eageragg" -> q43EagerAgg,
     "q1_agg"       -> q1Agg,
     "q2_filter"    -> q2Filter,
     "q3_join"      -> q3Join,
@@ -881,6 +925,19 @@ object Relational {
   val oracle: Map[String, String] = Map(
     // the plain long-form aggregate — result-identity proves
     // unpivot ∘ pivot = identity (modulo the zero-fill rows)
+    // deliberately the FLAT join-then-aggregate — independent of the
+    // eager three-level construction it gates; exact-decimal partial
+    // sums make regrouping invisible, so result identity machine-checks
+    // the rewrite
+    "q43_eageragg" ->
+      """SELECT n_name,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
     "q42_unpivot" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
         |  event_type, count(*) AS n

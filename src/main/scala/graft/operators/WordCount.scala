@@ -425,6 +425,72 @@ object WordCount {
       .orderBy("hop")
   }
 
+  /** LPA round count — fixed so the plan depth is static and the
+    * oracle's unrolled CTE chain stays finite. */
+  val LpaRounds = 3
+
+  /** LABEL PROPAGATION community detection (`wc_lpa`) — synchronous LPA
+    * (Raghavan, Albert & Kumara 2007) over the undirected word-adjacency
+    * graph: every word starts as its own label; each round every node
+    * adopts the most frequent label among its NEIGHBORS
+    * (tie → lexicographically greatest label — a total order, so every
+    * round is deterministic); after [[LpaRounds]] rounds, communities
+    * aggregate to (label, size, min/max member), top-50 by (size desc,
+    * label). The fourth graph-family member: `wc_triangles` counts
+    * local structure, `wc_bfs` traverses it, `text_textrank` scores
+    * nodes, LPA PARTITIONS the graph.
+    *
+    * Per round: ONE vocab-keyed equi-join of the persisted edge set
+    * against the current label frame + two combiner-friendly aggregates
+    * (label counts, per-node max) + one argmax join — every frame is
+    * VOCABULARY-bounded (Zipf: ≪ corpus), and the edge set
+    * (distinct-bigram-bounded) is persisted once for all rounds, the
+    * `wc_triangles` cache-boundary rule. A stopword hub inflates one
+    * round's neighbor-label fan-out linearly in its degree — never
+    * quadratically (labels aggregate before the argmax). Isolated words
+    * keep their label via the left join. Rounds are fixed, not
+    * data-dependent: plan depth is static, no driver-side convergence
+    * loop. The oracle unrolls the identical three rounds as CTEs —
+    * argmax expressed as the same two-stage max-count-then-max-label,
+    * so neither engine leans on an unspecified arg_max tie-break. */
+  def lpa(docs: DataFrame): DataFrame = {
+    val ws = filter(split(col("text"), TokenRe), w => w =!= "")
+    val n1 = greatest(size(ws) - 1, lit(0))
+    val und = docs.select(explode(zip_with(
+        slice(ws, lit(1), n1), slice(ws, lit(2), n1),
+        (a, b) => struct(a.as("u"), b.as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .where(col("u") =!= col("v"))
+    val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .select(col("u").as("src"), col("v").as("dst"))
+      .persist()
+    val nodes = docs.select(explode(ws).as("node")).distinct()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to LpaRounds) {
+      val c = edges
+        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val m = c.groupBy("node").agg(max("cnt").as("mc"))
+      val pick = c.join(m, "node").where(col("cnt") === col("mc"))
+        .groupBy("node").agg(max("label").as("nl"))
+      val prev = labels
+      // persist each round's frame: without it round k's lineage
+      // re-executes rounds 1..k−1 (the connectedComponents lesson);
+      // release the superseded frame so only one label table is live
+      labels = prev.join(pick, Seq("node"), "left")
+        .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
+        .persist()
+      labels.count()
+      prev.unpersist()
+    }
+    labels.groupBy("label")
+      .agg(count(lit(1)).as("n_words"), min("node").as("w_min"), max("node").as("w_max"))
+      .orderBy(col("n_words").desc, col("label"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wc_wordcount" -> ((s, d) => wordCount(Tables.documents(s, d))),
     "wc_topk"      -> ((s, d) => topK(Tables.documents(s, d), 50)),
@@ -441,6 +507,7 @@ object WordCount {
     "wc_inverted"  -> ((s, d) => invertedIndex(Tables.documents(s, d))),
     "wc_grep"      -> ((s, d) => grep(Tables.documents(s, d))),
     "wc_bfs"       -> ((s, d) => bfs(Tables.documents(s, d))),
+    "wc_lpa"       -> ((s, d) => lpa(Tables.documents(s, d))),
   )
 
   /** DuckDB words-array fragment — same `\p{L}` pattern as [[TokenRe]];
@@ -487,6 +554,34 @@ object WordCount {
          |    len(regexp_extract_all(text, p.pattern)) AS c
          |  FROM documents, (SELECT unnest([${GrepPatterns.map(p => s"'$p'").mkString(", ")}]) AS pattern) p) t
          |GROUP BY pattern ORDER BY pattern""".stripMargin,
+    // the identical three synchronous rounds unrolled as CTEs; argmax
+    // as the same two-stage max-count-then-max-label in both engines
+    "wc_lpa" -> {
+      val rounds = (1 to LpaRounds).map { i =>
+        val prev = s"l${i - 1}"
+        s"""c$i AS (SELECT e.src AS node, l.label, count(*) AS cnt
+           |  FROM edges e JOIN $prev l ON l.node = e.dst GROUP BY 1, 2),
+           |m$i AS (SELECT node, max(cnt) AS mc FROM c$i GROUP BY 1),
+           |p$i AS (SELECT c.node, max(c.label) AS nl
+           |  FROM c$i c JOIN m$i m ON m.node = c.node AND c.cnt = m.mc GROUP BY 1),
+           |l$i AS (SELECT l.node, COALESCE(p.nl, l.label) AS label
+           |  FROM $prev l LEFT JOIN p$i p ON p.node = l.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT w[i] AS u, w[i + 1] AS v
+         |  FROM (SELECT $OracleWords AS w FROM documents) ws,
+         |    unnest(range(1, len(w))) AS t(i)
+         |  WHERE w[i] <> w[i + 1]),
+         |edges AS (
+         |  SELECT DISTINCT u AS src, v AS dst FROM (
+         |    SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs) b),
+         |l0 AS (SELECT DISTINCT word AS node, word AS label FROM ($TokensSql) tk),
+         |$rounds
+         |SELECT label, count(*)::BIGINT AS n_words,
+         |  min(node) AS w_min, max(node) AS w_max
+         |FROM l$LpaRounds GROUP BY 1
+         |ORDER BY n_words DESC, label LIMIT 50""".stripMargin
+    },
     // the declarative twin of the level-synchronous traversal: a
     // recursive CTE bounded at BfsMaxHop, min-hop per word, unreached
     // vocabulary as hop -1

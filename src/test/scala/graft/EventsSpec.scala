@@ -425,4 +425,49 @@ class EventsSpec extends SparkSpec {
     assert(compacted.agg(sum("n_changes")).head.getLong(0) < all)
     assert(compacted.where(col("last_type") === "error").count() == 0)
   }
+
+  test("markov2: P² composes 1-step edges through mid, exact paths + floored ppm") {
+    val s = spark
+    import s.implicits._
+    def t(min: Long) = new java.sql.Timestamp(1704067200000L + min * 60000)
+    val d = Seq(
+      // u1: v→c→p; u2: v→c; u3: v→p
+      // 1-step: v→c n=2, v→p n=1 (d_v=3); c→p n=1 (d_c=1)
+      (1L, t(0), 1L, "view", 0.0), (2L, t(10), 1L, "click", 0.0),
+      (3L, t(20), 1L, "purchase", 0.0),
+      (4L, t(0), 2L, "view", 0.0), (5L, t(10), 2L, "click", 0.0),
+      (6L, t(0), 3L, "view", 0.0), (7L, t(10), 3L, "purchase", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.markov2(d).as[(String, String, Long, Long)].collect().toSeq
+    // only v→(c)→p composes: p2 = (2/3)·(1/1) = 0.666666…,
+    // term = round(1e6·2/3, 4) = 666666.6667 → floor 666666; paths 2·1
+    assert(r == Seq(("view", "purchase", 2L, 666666L)), r.toString)
+  }
+
+  test("seqMatch: sessions encode in (ts, event_id) order; regex counts match by hand") {
+    val s = spark
+    import s.implicits._
+    def t(min: Long) = new java.sql.Timestamp(1704067200000L + min * 60000)
+    val d = Seq(
+      // u1 session 1: "vcp"; u1 session 2 (80-min gap): "sev"
+      (1L, t(0), 1L, "view", 0.0), (2L, t(10), 1L, "click", 0.0),
+      (3L, t(20), 1L, "purchase", 0.0),
+      (10L, t(100), 1L, "signup", 0.0), (11L, t(101), 1L, "error", 0.0),
+      (12L, t(102), 1L, "view", 0.0),
+      // u2: "svpp"
+      (4L, t(0), 2L, "signup", 0.0), (5L, t(5), 2L, "view", 0.0),
+      (6L, t(10), 2L, "purchase", 0.0), (7L, t(15), 2L, "purchase", 0.0),
+      // u3: "eee" — e+ is ONE greedy match, not three
+      (8L, t(0), 3L, "error", 0.0), (9L, t(1), 3L, "error", 0.0),
+      (13L, t(2), 3L, "error", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.seqMatch(d).as[(String, Long, Long)].collect()
+      .map(x => x._1 -> (x._2, x._3)).toMap
+    assert(r == Map(
+      "e+" -> (2L, 2L),        // "eee" once (greedy), "sev" once
+      "pp" -> (1L, 1L),        // "svpp"
+      "se?v" -> (2L, 2L),      // "sv" in "svpp", "sev" in "sev"
+      "v[ce]*p" -> (2L, 2L)    // "vcp", and "vp" inside "svpp"
+    ), r.toString)
+  }
 }

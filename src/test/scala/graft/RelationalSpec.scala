@@ -147,4 +147,29 @@ class RelationalSpec extends SparkSpec {
       w.length < 2 || (w(1)._2 >= w(0)._2 && w(1)._3 >= w(0)._3))))
     r.unpersist()
   }
+
+  test("q43_eageragg: three-level eager tree is result-identical to the flat join-agg") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val s = spark
+    import s.implicits._
+    val eager = Relational.q43EagerAgg(spark, sf)
+      .as[(String, Double)].collect().toSeq
+    // the flat form the oracle runs, built independently in Spark
+    val flat = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, sf), col("c_custkey") === col("o_custkey"))
+      .join(Tables.nation(spark, sf), col("n_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(28, 10))).cast(DecimalType(28, 2)).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+      .as[(String, Double)].collect().toSeq
+    assert(eager.nonEmpty && eager == flat,
+      s"eager=${eager.take(3)} flat=${flat.take(3)}")
+    // the rewrite's point: lineitem collapses before any join — the plan
+    // aggregates on l_orderkey below the orders join
+    val plan = Relational.q43EagerAgg(spark, sf).queryExecution.optimizedPlan.toString
+    assert(plan.contains("l_orderkey"), plan.take(500))
+  }
 }

@@ -179,4 +179,25 @@ class WordCountSpec extends SparkSpec {
     assert(levels.map(_._2).sum == vocab, "BFS levels must partition the vocabulary")
     assert(levels.find(_._1 == 0L).get._2 == 1L, "exactly one seed")
   }
+
+  test("lpa: hand-traced 3 rounds on a star + pair, ties to max label, isolated keep labels") {
+    val s = spark
+    import s.implicits._
+    // graph: a-b, a-c (star at a), d-e (pair), z isolated (self-pair drops)
+    val d = Seq((1L, "a b"), (2L, "a c"), (3L, "d e"), (4L, "z z"))
+      .toDF("doc_id", "text")
+    // r1: a←max(b,c)="c", b←"a", c←"a", d←"e", e←"d"
+    // r2: a←"a" (b,c both carry "a"), b←"c", c←"c", d←"d", e←"e"
+    // r3: a←"c", b←"a", c←"a", d←"e", e←"d"; z never moves
+    val r = WordCount.lpa(d).as[(String, Long, String, String)].collect().toSeq
+    assert(r == Seq(
+      ("a", 2L, "b", "c"),
+      ("c", 1L, "a", "a"), ("d", 1L, "e", "e"), ("e", 1L, "d", "d"),
+      ("z", 1L, "z", "z")), r.toString)
+    // corpus: labels partition the vocabulary (top-50 cut ≤ vocab)
+    val sizes = WordCount.lpa(docs).as[(String, Long, String, String)].collect()
+    assert(sizes.nonEmpty && sizes.map(_._2).sum > 0)
+    assert(sizes.map(_._2).toSeq == sizes.map(_._2).toSeq.sorted.reverse,
+      "communities ordered by size desc")
+  }
 }
