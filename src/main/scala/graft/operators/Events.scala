@@ -924,6 +924,47 @@ object Events {
       .orderBy("pattern")
   }
 
+  /** PER-EVENT FEATURE ENGINEERING (`ev_features`) — the feature-store
+    * backfill every ML training pipeline runs over behavioral logs
+    * (lag / rolling / lifetime features, point-in-time correct): for
+    * each purchase, the user's previous purchase value, µs since it
+    * (−1 at the first), prior-purchase count, lifetime running spend,
+    * and the trailing-3 purchase mean. Every feature uses ONLY rows
+    * strictly BEFORE the event — the frames end at `1 PRECEDING`, which
+    * is exactly the point-in-time-correctness rule (no target leakage)
+    * a feature store enforces.
+    *
+    * Cross-engine determinism: gaps in exact integer µs; running spend
+    * through the xsum decimal contract; the rolling mean is one pinned
+    * chain (decimal sum → double ÷ double count, round 4dp).
+    *
+    * Scale: ONE user-keyed window shuffle carries ALL five features on
+    * the same sort (the sessionize shape) — a feature-per-query
+    * formulation would re-shuffle the log five times; bounded frames
+    * (ROWS, not RANGE) keep per-row state O(frame). */
+  def features(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    val w3 = w.rowsBetween(-3, -1)
+    val us = unix_micros(col("ts"))
+    ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("prev_value", lag("value", 1).over(w))
+      .withColumn("gap_us", coalesce(us - lag(us, 1).over(w), lit(-1L)))
+      .withColumn("n_prior", (row_number().over(w) - 1).cast("long"))
+      .withColumn("run_sum",
+        coalesce(sum(col("value").cast(DecimalType(28, 10))).over(prior)
+          .cast(DecimalType(28, 2)).cast("double"), lit(0.0)))
+      .withColumn("avg3",
+        when(count(lit(1)).over(w3) > 0,
+          round(sum(col("value").cast(DecimalType(28, 10))).over(w3).cast("double")
+            / count(lit(1)).over(w3).cast("double"), 4))
+          .otherwise(0.0))
+      .select("event_id", "user_id", "prev_value", "gap_us", "n_prior", "run_sum", "avg3")
+      .orderBy("user_id", "event_id")
+  }
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "ev_scd2"       -> ((s, d) => scd2(Tables.events(s, d))),
@@ -948,6 +989,7 @@ object Events {
     "ev_transitions"-> ((s, d) => transitions(Tables.events(s, d))),
     "ev_markov2"    -> ((s, d) => markov2(Tables.events(s, d))),
     "ev_seqmatch"   -> ((s, d) => seqMatch(Tables.events(s, d))),
+    "ev_features"   -> ((s, d) => features(Tables.events(s, d))),
     "ev_anomaly"    -> ((s, d) => anomalies(Tables.events(s, d))),
     "ev_hopping"    -> ((s, d) => hopping(Tables.events(s, d))),
     "ev_cohort"     -> ((s, d) => cohort(Tables.events(s, d))),
@@ -1325,6 +1367,32 @@ object Events {
          |FROM ex e JOIN est ON est.t = e.t
          |ORDER BY day""".stripMargin
     },
+    // the same strictly-preceding frames — point-in-time correctness is
+    // IN the frame bounds, so the oracle can't accidentally leak either
+    "ev_features" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT event_id, user_id,
+        |  lag(value) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_value,
+        |  COALESCE(us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id),
+        |    -1) AS gap_us,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) - 1
+        |    AS BIGINT) AS n_prior,
+        |  COALESCE(CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 2) AS DOUBLE),
+        |    0.0) AS run_sum,
+        |  CASE WHEN count(*) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) > 0
+        |    THEN round(CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER (
+        |        PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS DOUBLE)
+        |      / CAST(count(*) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS DOUBLE), 4)
+        |    ELSE 0.0 END AS avg3
+        |FROM p ORDER BY user_id, event_id""".stripMargin,
     // P²: same tr CTE as ev_transitions, matrix self-join on mid; the
     // probability term evaluates the identical pinned double chain
     // rounded at 4dp into DECIMAL before the mid-sum

@@ -474,7 +474,43 @@ object Multimodal {
   }
 
   type Q = (SparkSession, String) => DataFrame
+  /** Silence threshold in raw 16-bit amplitude units: head samples are
+    * (digest_byte−128)·64, so the threshold sits at |byte−128| < 32;
+    * tail samples are (n_chars%128)·32, silent iff n_chars%128 < 64 —
+    * both branches exercised across the corpus. */
+  val SilenceT = 2048
+
+  /** SILENCE / ACTIVITY SEGMENTATION (`mm_silence`) — the
+    * voice-activity-detection preprocessing every audio training
+    * pipeline runs before transcription or segment extraction: per
+    * audio file, decoded-PCM samples below [[SilenceT]] classify as
+    * silent, and maximal silent RUNS are counted and measured
+    * (gaps-and-islands on signal — `ev_gaps`' pattern at sample
+    * granularity, run imperatively inside the decode batch). All
+    * statistics come from the REAL decoded PCM; the oracle re-derives
+    * them from the fixture arithmetic (16 digest-head samples + a
+    * constant tail) as 17 per-file SEGMENTS and runs the identical
+    * island construction in SQL — sample-level and segment-level runs
+    * provably agree because consecutive equal flags merge identically.
+    *
+    * Scale: map-only per-file codec work (the `mm_resize` cost shape —
+    * scales with file count, not bytes shuffled); output is one row per
+    * audio file. */
+  def silenceSummary(media: Dataset[MediaFile]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .mapPartitions(_.map { m =>
+        val (n, nSil, nRuns, longest) =
+          AudioCodec.silenceRuns(m.content, SilenceT, m.media_id)
+        (m.media_id, n.toLong, nSil, nRuns, longest)
+      })
+      .toDF("media_id", "n_frames", "n_silent", "n_runs", "longest")
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm_silence" -> ((s, d) => silenceSummary(mediaTable(s, d))),
     "mm_summary" -> ((s, d) => mediaSummary(mediaTable(s, d))),
     "mm_dedup"   -> ((s, d) => mediaDedup(mediaTable(s, d))),
     "mm_frames"  -> ((s, d) => frameSummary(mediaTable(s, d))),
@@ -589,6 +625,40 @@ object Multimodal {
          |       <= $HammingT) AS BIGINT) AS n_near
          |FROM sig s ORDER BY media_id""".stripMargin,
     "mm_summary" -> MmSummarySql,
+    // the fixture's 17 segments (16 digest-head samples + constant
+    // tail) through the identical island construction: g = running
+    // count of non-silent segments, consecutive silent segments share g
+    "mm_silence" ->
+      s"""WITH au AS (
+         |  SELECT doc_id AS media_id, n_chars, md5(text) AS dig,
+         |    256 + n_chars % 512 AS n
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |seg AS (
+         |  SELECT media_id, i AS pos,
+         |    CASE WHEN i < 16
+         |      THEN CASE WHEN abs(('0x'||substr(dig, 2*i+1, 2))::BIGINT - 128) < ${SilenceT / 64}
+         |           THEN 1 ELSE 0 END
+         |      ELSE CASE WHEN n_chars % 128 < ${SilenceT / 32} THEN 1 ELSE 0 END END AS s,
+         |    CASE WHEN i < 16 THEN 1 ELSE n - 16 END AS len
+         |  FROM au, unnest(range(0, 17)) AS t(i)),
+         |isl AS (
+         |  SELECT media_id, s, len,
+         |    SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY media_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+         |  FROM seg),
+         |runs AS (
+         |  SELECT media_id, g, CAST(sum(len) AS BIGINT) AS runlen
+         |  FROM isl WHERE s = 1 GROUP BY media_id, g),
+         |agg AS (
+         |  SELECT media_id, CAST(sum(runlen) AS BIGINT) AS n_silent,
+         |    count(*) AS n_runs, CAST(max(runlen) AS BIGINT) AS longest
+         |  FROM runs GROUP BY media_id)
+         |SELECT a.media_id, CAST(a.n AS BIGINT) AS n_frames,
+         |  COALESCE(g.n_silent, 0) AS n_silent,
+         |  COALESCE(g.n_runs, 0) AS n_runs,
+         |  COALESCE(g.longest, 0) AS longest
+         |FROM au a LEFT JOIN agg g USING (media_id)
+         |ORDER BY media_id""".stripMargin,
     // the file round-trip must be decode-indistinguishable from the
     // parquet-staged path
     "src_binary" -> MmSummarySql,
@@ -838,6 +908,37 @@ object AudioCodec {
       i += 1
     }
     (n, absSum)
+  }
+
+  /** One decode pass computing SILENCE run-length statistics: a sample
+    * is silent when |amplitude| < `threshold`; returns (frame count,
+    * silent-sample count, number of maximal silent runs, longest silent
+    * run). Imperative single pass over the real decoded PCM — the
+    * per-sample mirror of the gaps-and-islands window pattern the event
+    * operators run (`Events.sessionize`), applied to signal. */
+  def silenceRuns(content: Array[Byte], threshold: Int, mediaId: Long): (Int, Long, Long, Long) = {
+    val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(content))
+    val fmt = in.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+      s"media $mediaId: unexpected audio format $fmt")
+    val pcm = in.readAllBytes()
+    val n = pcm.length / 2
+    var nSilent = 0L
+    var nRuns = 0L
+    var longest = 0L
+    var cur = 0L
+    var i = 0
+    while (i < n) {
+      val v = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+      if (math.abs(v) < threshold) {
+        if (cur == 0L) nRuns += 1
+        cur += 1
+        nSilent += 1
+        if (cur > longest) longest = cur
+      } else cur = 0L
+      i += 1
+    }
+    (n, nSilent, nRuns, longest)
   }
 }
 

@@ -226,6 +226,24 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  val GroupTopK = 3
+
+  /** GROUPED TOP-K through the native two-phase plan
+    * ([[graft.plans.TopKPerKeyNode]]) — per customer, the
+    * [[GroupTopK]] most expensive orders ranked 1..k. The declarative
+    * window form sorts every customer partition in full and shuffles
+    * every order row; the native plan's PARTIAL exec keeps a bounded
+    * heap per (map-partition, customer) so the exchange carries at most
+    * partitions·customers·k candidate rows — the partial-aggregation
+    * shape applied to ranking. Gated by the SAME oracle a window
+    * formulation would use: native ≡ declarative, machine-checked. */
+  def q44GroupTopK: Q = (s, d) =>
+    graft.plans.TopKPlans.topKPerKey(
+      Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+      "o_custkey", "o_totalprice", "o_orderkey", GroupTopK, "rank")
+      .select(col("o_custkey"), col("rank"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rank")
+
   /** Group + HAVING. */
   def q10Having: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -890,6 +908,7 @@ object Relational {
     "q41_mergeagg" -> q41MergeAgg,
     "q42_unpivot"  -> q42Unpivot,
     "q43_eageragg" -> q43EagerAgg,
+    "q44_grouptopk"-> q44GroupTopK,
     "q1_agg"       -> q1Agg,
     "q2_filter"    -> q2Filter,
     "q3_join"      -> q3Join,
@@ -925,6 +944,15 @@ object Relational {
   val oracle: Map[String, String] = Map(
     // the plain long-form aggregate — result-identity proves
     // unpivot ∘ pivot = identity (modulo the zero-fill rows)
+    // the window formulation the native plan replaces — native ≡
+    // declarative is the whole gate
+    "q44_grouptopk" ->
+      s"""SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+         |  SELECT o_custkey, o_orderkey, o_totalprice,
+         |    row_number() OVER (PARTITION BY o_custkey
+         |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+         |  FROM orders) t
+         |WHERE rank <= $GroupTopK ORDER BY o_custkey, rank""".stripMargin,
     // deliberately the FLAT join-then-aggregate — independent of the
     // eager three-level construction it gates; exact-decimal partial
     // sums make regrouping invisible, so result identity machine-checks

@@ -900,8 +900,47 @@ object Similarity {
       .orderBy("rank")
   }
 
+  /** The filtered-search predicate language (documents.lang). */
+  val FilterLang = "en"
+
+  /** FILTERED vector search (`ann_filtered`) — top-k cosine neighbors
+    * restricted to vectors whose DOCUMENT metadata passes a predicate
+    * (lang = '[[FilterLang]]'), the retrieval pattern every production
+    * vector store exposes (Qdrant/Weaviate/pgvector filtered search,
+    * faiss IDSelector): "nearest English documents", not "nearest
+    * documents that happen to be English".
+    *
+    * The implementation is deliberately PRE-filtering: the predicate
+    * lands as a semi-join on the corpus side BEFORE any scoring, so
+    * every query still receives exactly k results and the scan cost
+    * drops to |filter| — where POST-filtering (rank the full corpus,
+    * discard non-matching) both underfills k for selective predicates
+    * and wastes the full scan. At 100 TB the metadata frame joins on
+    * the storage key (vec_id = doc_id, co-partitionable/bucketable), the
+    * filtered corpus broadcasts the same way the unfiltered one does,
+    * and the predicate composes with the IVF cell restriction
+    * (filter ∧ cell) exactly as in faiss's selector-aware search —
+    * pre-filtering is WHY that composition is possible. */
+  def filteredTopK(em: DataFrame, docs: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(em.sparkSession)
+    val allowed = docs.where(col("lang") === FilterLang).select(col("doc_id"))
+    val corpus = em.join(allowed, col("vec_id") === col("doc_id"))
+      .select(col("vec_id").as("neighbor_id"), vec(col("embedding")).as("nv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(queriesDf(em))
+      .join(corpus, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("nv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
+    "ann_filtered"   -> ((s, d) =>
+      filteredTopK(Tables.embeddings(s, d), Tables.documents(s, d))),
     "ann_bruteforce" -> ((s, d) => bruteForce(Tables.embeddings(s, d))),
     "ann_mips"       -> ((s, d) => mipsTopK(Tables.embeddings(s, d))),
     "ann_sq"         -> ((s, d) => sqTopK(Tables.embeddings(s, d))),
@@ -1188,6 +1227,18 @@ object Similarity {
          |  FROM (SELECT vec_id, $V AS v FROM embeddings
          |        WHERE vec_id % $QueryStride = 0) q
          |  JOIN dq n ON q.vec_id <> n.vec_id) t
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    // the predicate constrains the NEIGHBOR side only — queries are
+    // unrestricted, matching the pre-filter semantics
+    "ann_filtered" ->
+      s"""SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, n.vec_id) AS rank
+         |  FROM embeddings q
+         |  JOIN embeddings n ON q.vec_id <> n.vec_id
+         |  JOIN documents d ON d.doc_id = n.vec_id
+         |  WHERE q.vec_id % $QueryStride = 0 AND d.lang = '$FilterLang') t
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
     "ann_bruteforce" ->
       s"""SELECT query_id, rank, neighbor_id FROM (

@@ -1054,7 +1054,59 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Kneser-Ney absolute discount (the standard 0.75). */
+  val KnDiscount = 0.75
+  val KnTop = 100
+
+  /** INTERPOLATED KNESER-NEY bigram probabilities (`text_kn`) — the
+    * NLP-standard LM smoothing (Kneser & Ney 1995; Chen & Goodman 1998)
+    * next to [[bigramLogProb]]'s Stupid Backoff: for the top-[[KnTop]]
+    * corpus bigrams,
+    * P_KN(w2|w1) = max(c(w1,w2)−D, 0)/c(w1·) + λ(w1)·P_cont(w2) with
+    * λ(w1) = D·N1+(w1·)/c(w1·) and P_cont(w2) = N1+(·w2)/|bigram types|
+    * — the CONTINUATION probability that fixes the "San Francisco"
+    * pathology (a word frequent only inside one collocation gets a low
+    * unigram-replacement weight because it follows few distinct
+    * contexts, where raw-frequency backoff would overweight it).
+    *
+    * Cross-engine determinism: every statistic (c, c(w1·), N1+(w1·),
+    * N1+(·w2), type count) is an exact integer; the probability is ONE
+    * per-row pinned float chain
+    * `greatest(n−D, 0)/c1 + (D·n1f/c1)·(n1p/types)` rounded at 6dp —
+    * no float ever enters an aggregation.
+    *
+    * Scale: ONE combiner count shuffle to the distinct-bigram table,
+    * which persists and serves everything else — context stats and
+    * continuation stats are vocabulary-bounded aggregates OVER it, the
+    * type count is a 1-row frame, and all joins happen AFTER the
+    * top-[[KnTop]] cut (a 100-row probe side, broadcast by AQE). The
+    * corpus is tokenized exactly once; nothing downstream is
+    * event-volume-sized. */
+  def knBigram(docs: DataFrame): DataFrame = {
+    val ws = filter(split(col("text"), " "), w => w =!= "")
+    val n1 = greatest(size(ws) - 1, lit(0))
+    val bi = docs.select(explode(zip_with(
+        slice(ws, lit(1), n1), slice(ws, lit(2), n1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .persist()
+    val ctx = bi.groupBy("w1")
+      .agg(sum("n").cast("long").as("c1"), count(lit(1)).as("n1f"))
+    val pred = bi.groupBy("w2").agg(count(lit(1)).as("n1p"))
+    val types = bi.agg(count(lit(1)).as("types"))
+    val top = bi.orderBy(col("n").desc, col("w1"), col("w2")).limit(KnTop)
+    top.join(ctx, "w1").join(pred, "w2").crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("n"),
+        round(
+          greatest(col("n") - lit(KnDiscount), lit(0.0)) / col("c1") +
+            (lit(KnDiscount) * col("n1f") / col("c1")) *
+              (col("n1p") / col("types")), 6).as("pkn"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_kn"          -> ((s, d) => knBigram(Tables.documents(s, d))),
     "text_normalize"   -> ((s, d) => normalize(Tables.documents(s, d))),
     "text_entropy"     -> ((s, d) => entropy(Tables.documents(s, d))),
     "text_pii"         -> ((s, d) => piiRedact(Tables.documents(s, d))),
@@ -1255,6 +1307,27 @@ object TextAnalysis {
          |${(1 to PrIters).map(epoch).mkString(",\n")}
          |SELECT word, rank FROM r$PrIters ORDER BY word""".stripMargin
     },
+    // same integer statistics off one bigram-count CTE; the probability
+    // is the identical pinned per-row float chain rounded at 6dp
+    "text_kn" ->
+      s"""WITH wsarr AS (
+         |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |bi AS (
+         |  SELECT w1, w2, count(*) AS n FROM (
+         |    SELECT w[i] AS w1, w[i + 1] AS w2
+         |    FROM wsarr, unnest(range(1, len(w))) AS u(i)) b
+         |  GROUP BY 1, 2),
+         |ctx AS (SELECT w1, CAST(sum(n) AS BIGINT) AS c1, count(*) AS n1f
+         |        FROM bi GROUP BY 1),
+         |pred AS (SELECT w2, count(*) AS n1p FROM bi GROUP BY 1),
+         |ty AS (SELECT count(*) AS types FROM bi),
+         |top AS (SELECT w1, w2, n FROM bi ORDER BY n DESC, w1, w2 LIMIT $KnTop)
+         |SELECT t.w1 AS w1, t.w2 AS w2, t.n AS n,
+         |  round(greatest(t.n - $KnDiscount, 0.0) / c.c1
+         |    + ($KnDiscount * c.n1f / c.c1) * (p.n1p / ty.types), 6) AS pkn
+         |FROM top t JOIN ctx c ON c.w1 = t.w1 JOIN pred p ON p.w2 = t.w2, ty
+         |ORDER BY n DESC, w1, w2""".stripMargin,
     "text_bigram_lp" ->
       s"""WITH tr AS (SELECT doc_id, text FROM documents
          |  WHERE ('0x' || substr(md5('lm:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 < $LmTrainPct),

@@ -1,0 +1,189 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, BindReferences, Expression, GenericInternalRow, JoinedRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.LongType
+
+/** GROUPED TOP-K — the third native whole-operator plan (after
+  * [[AsOfJoinNode]] and [[IntervalAggNode]]): for every key, the k
+  * best rows under (order desc, id asc), ranked 1..k.
+  *
+  * Why a physical operator: the declarative form
+  * (`row_number().over(partitionBy(key).orderBy(...)) <= k`) SORTS
+  * every key-partition in full — at 100 TB that is a total sort of the
+  * fact table just to keep 3 rows per key, and `WindowGroupLimit`
+  * (Spark's own rank-limit pushdown) still shuffles every input row.
+  * This operator plans the partial-aggregation shape instead, the same
+  * two-phase split `HashAggregate` gets: a PARTIAL exec with NO
+  * distribution requirement runs a bounded heap per (map-partition,
+  * key) and emits at most k candidate rows per key per partition —
+  * so the exchange that satisfies the FINAL exec's
+  * `ClusteredDistribution(key)` carries at most partitions·keys·k rows
+  * instead of n. The final exec re-heaps the candidates and emits
+  * ranks. Heap state is O(keys-per-partition · k) rows — bounded like
+  * an aggregation map, with no sort buffer and no spill pressure from
+  * row count.
+  *
+  * Determinism: (order, id) with a unique id is a TOTAL order, so the
+  * retained set and the ranks are independent of arrival order — the
+  * partial/final split cannot change the answer (the same argument as
+  * partial aggregation's commutative monoid). Rows with a NULL key,
+  * order, or id are dropped (documented contract; the gated fixture is
+  * null-free).
+  *
+  * `ev_asof_native`'s discipline applies: the operator is gated by the
+  * SAME DuckDB oracle as the declarative window form, so native ≡
+  * declarative is machine-checked every round. */
+case class TopKPerKeyNode(
+    child: LogicalPlan,
+    key: Attribute, order: Attribute, tieId: Attribute, k: Int,
+    rankAttr: AttributeReference) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(Seq(rankAttr))
+  override def references: AttributeSet =
+    AttributeSet(child.output) // all child columns ride through
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(c, key, order, tid, k, rank) =>
+      // the partial/final split HashAggregate gets, hand-planned: the
+      // exchange between them (inserted by EnsureRequirements for the
+      // final's ClusteredDistribution) sees only per-partition top-k
+      // survivors
+      TopKPerKeyExec(
+        TopKPerKeyExec(planLater(c), key, order, tid, k, rank, partial = true),
+        key, order, tid, k, rank, partial = false) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerKeyExec(
+    child: SparkPlan,
+    key: Attribute, order: Attribute, tieId: Attribute, k: Int,
+    rankAttr: AttributeReference, partial: Boolean) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] =
+    if (partial) child.output else child.output :+ rankAttr
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(Seq(key)) :: Nil
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val childOut = child.output
+    val keyOrd = TypeUtils.getInterpretedOrdering(key.dataType)
+    val ordOrd = TypeUtils.getInterpretedOrdering(order.dataType)
+    val idOrd = TypeUtils.getInterpretedOrdering(tieId.dataType)
+    val kk = k
+    val isPartial = partial
+    val out = output
+    val rank = rankAttr
+    child.execute().mapPartitions({ iter =>
+      val keyB = BindReferences.bindReference(key: Expression, childOut)
+      val ordB = BindReferences.bindReference(order: Expression, childOut)
+      val idB = BindReferences.bindReference(tieId: Expression, childOut)
+      // "goodness": greater order wins, ties to the SMALLER id — a total
+      // order when id is unique, so retained sets are arrival-invariant
+      case class Entry(ord: Any, id: Any, row: InternalRow)
+      val better = new java.util.Comparator[Entry] {
+        override def compare(a: Entry, b: Entry): Int = {
+          val c = ordOrd.compare(a.ord, b.ord)
+          if (c != 0) c else idOrd.compare(b.id, a.id) // smaller id = greater goodness
+        }
+      }
+      // per-key bounded min-heap: head = least good retained entry
+      val heaps = new java.util.HashMap[Any, java.util.PriorityQueue[Entry]]()
+      while (iter.hasNext) {
+        val r = iter.next()
+        val kv = keyB.eval(r)
+        val ov = ordB.eval(r)
+        val iv = idB.eval(r)
+        if (kv != null && ov != null && iv != null) {
+          var h = heaps.get(kv)
+          if (h == null) {
+            h = new java.util.PriorityQueue[Entry](kk + 1, better)
+            // map keys must own their storage: eval of an UnsafeRow-backed
+            // attribute can return memory reused by the next row
+            heaps.put(InternalRow.copyValue(kv), h)
+          }
+          if (h.size < kk) h.offer(Entry(InternalRow.copyValue(ov), InternalRow.copyValue(iv), r.copy()))
+          else if (better.compare(Entry(ov, iv, null), h.peek()) > 0) {
+            h.poll()
+            h.offer(Entry(InternalRow.copyValue(ov), InternalRow.copyValue(iv), r.copy()))
+          }
+        }
+      }
+      val keys = new java.util.ArrayList[Any](heaps.keySet())
+      // deterministic emit order (useful locally; the gated query adds
+      // its own global orderBy over the keys·k-row result anyway)
+      java.util.Collections.sort(keys, new java.util.Comparator[Any] {
+        override def compare(a: Any, b: Any): Int = keyOrd.compare(a, b)
+      })
+      val joined = new JoinedRow
+      val rankRow = new GenericInternalRow(1)
+      val resultProj =
+        if (isPartial) null
+        else UnsafeProjection.create(out: Seq[Expression], childOut :+ rank)
+      val it = keys.iterator()
+      new Iterator[InternalRow] {
+        private var buf: Array[Entry] = Array.empty
+        private var pos = 0
+        override def hasNext: Boolean = pos < buf.length || it.hasNext
+        override def next(): InternalRow = {
+          if (pos >= buf.length) {
+            val h = heaps.get(it.next())
+            buf = new Array[Entry](h.size)
+            var i = buf.length - 1
+            while (i >= 0) { buf(i) = h.poll(); i -= 1 } // poll worst-first → best-first
+            pos = 0
+          }
+          val e = buf(pos); pos += 1
+          if (isPartial) e.row
+          else { rankRow.update(0, pos.toLong); resultProj(joined(e.row, rankRow)) }
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+}
+
+object TopKPlans {
+
+  /** Append [[TopKPerKeyStrategy]] to an existing session (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies = cur :+ TopKPerKeyStrategy
+  }
+
+  /** Per `keyCol`, the `k` best rows under (`orderCol` desc, `idCol`
+    * asc), with a 1-based `rankName` column appended. Rows with NULL in
+    * any of the three driving columns are dropped. */
+  def topKPerKey(df: DataFrame, keyCol: String, orderCol: String,
+      idCol: String, k: Int, rankName: String): DataFrame = {
+    val spark = df.sparkSession
+    register(spark)
+    val plan = df.queryExecution.analyzed
+    def attr(name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+        s"topKPerKey: column '$name' not found in ${plan.output.map(_.name)}"))
+    require(k > 0, s"topKPerKey: k must be positive, got $k")
+    val node = TopKPerKeyNode(plan, attr(keyCol), attr(orderCol), attr(idCol), k,
+      AttributeReference(rankName, LongType, nullable = false)())
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark, node)
+  }
+}

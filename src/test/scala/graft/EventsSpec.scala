@@ -426,6 +426,30 @@ class EventsSpec extends SparkSpec {
     assert(compacted.where(col("last_type") === "error").count() == 0)
   }
 
+  test("features: strictly-preceding frames — no target leakage, hand-traced values") {
+    val s = spark
+    import s.implicits._
+    def t(min: Long) = new java.sql.Timestamp(1704067200000L + min * 60000)
+    val d = Seq(
+      (1L, t(0), 1L, "purchase", 10.0), (2L, t(10), 1L, "purchase", 20.0),
+      (3L, t(20), 1L, "purchase", 30.0), (4L, t(30), 1L, "purchase", 40.0),
+      (5L, t(40), 1L, "purchase", 50.0),
+      (6L, t(5), 1L, "click", 99.0) // non-purchase: invisible to features
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.features(d)
+      .select("event_id", "prev_value", "gap_us", "n_prior", "run_sum", "avg3")
+      .collect().map(x => (x.getLong(0),
+        if (x.isNullAt(1)) -999.0 else x.getDouble(1),
+        x.getLong(2), x.getLong(3), x.getDouble(4), x.getDouble(5))).toSeq
+    val g = 600000000L // 10 min in µs
+    assert(r == Seq(
+      (1L, -999.0, -1L, 0L, 0.0, 0.0),
+      (2L, 10.0, g, 1L, 10.0, 10.0),
+      (3L, 20.0, g, 2L, 30.0, 15.0),
+      (4L, 30.0, g, 3L, 60.0, 20.0),
+      (5L, 40.0, g, 4L, 100.0, 30.0)), r.toString) // avg3@5 = mean(20,30,40)
+  }
+
   test("markov2: P² composes 1-step edges through mid, exact paths + floored ppm") {
     val s = spark
     import s.implicits._

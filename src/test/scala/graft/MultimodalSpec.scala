@@ -293,4 +293,26 @@ class MultimodalSpec extends SparkSpec {
     assert(near >= 2 * variants, s"variants unmatched: $near matched rows for $variants variants")
     r.unpersist()
   }
+
+  test("silenceRuns: hand-counted islands over real PCM, tail merges with a silent head run") {
+    import graft.operators.AudioCodec
+    // flags (T=2048 ⇒ head silent iff |b−128|<32): s.sss.ss..ss..s. + tail
+    val head = Array[Int](100, 200, 128, 128, 128, 50, 97, 159, 96, 160,
+      131, 131, 200, 200, 140, 90).map(_.toByte)
+    val wav = AudioCodec.encodeWav(20, head, 1) // tail amp 32 → silent
+    assert(AudioCodec.silenceRuns(wav, Multimodal.SilenceT, 1L) == ((20, 13L, 6L, 4L)))
+    // last head sample silent → the 4-sample tail MERGES into its run
+    val head2 = head.clone(); head2(15) = 130.toByte
+    val wav2 = AudioCodec.encodeWav(20, head2, 0)
+    assert(AudioCodec.silenceRuns(wav2, Multimodal.SilenceT, 2L) == ((20, 14L, 5L, 6L)))
+    // corpus invariants over the real media table
+    val r = Multimodal.silenceSummary(Multimodal.mediaTable(spark, sf))
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      val (n, sil, runs, lg) = (row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+      assert(sil <= n && lg <= sil && (runs == 0) == (sil == 0), row.toString)
+      assert(lg * runs >= sil, "longest·runs must cover the silent total")
+    }
+  }
 }

@@ -413,4 +413,29 @@ class SimilaritySpec extends SparkSpec {
     }.toSeq.sortBy(t => (t._1, t._2))
     assert(reduced == direct, "norm-augmentation reduction changed the MIPS ranking")
   }
+
+  test("filteredTopK: every neighbor passes the predicate, every query still fills k") {
+    val s = spark
+    import s.implicits._
+    val em = Tables.embeddings(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    val r = Similarity.filteredTopK(em, docs).cache()
+    // pre-filter semantics: ONLY allowed neighbors appear
+    val enIds = docs.where(col("lang") === Similarity.FilterLang)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val neigh = r.select("neighbor_id").as[Long].collect()
+    assert(neigh.nonEmpty && neigh.forall(enIds), "non-en neighbor leaked through")
+    // and k still fills (the post-filter failure mode): every query has TopK rows
+    val perQ = r.groupBy("query_id").count().select("count").as[Long].collect()
+    assert(perQ.forall(_ == Similarity.TopK.toLong), perQ.mkString(","))
+    // filtering changed SOMETHING vs the unfiltered ranking (non-en docs
+    // exist in some brute top-k)
+    val brute = Similarity.bruteForce(em)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val filt = r.select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(filt != brute, "predicate never bound — fixture too permissive")
+    r.unpersist()
+  }
 }

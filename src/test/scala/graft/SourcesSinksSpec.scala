@@ -41,6 +41,18 @@ class SourcesSinksSpec extends SparkSpec {
     assert(lines.count() == 20) // one doc per line (no newlines in corpus)
   }
 
+  test("Tables resolves Hadoop-style URIs, not just bare paths (object-store pass-through)") {
+    // Every loader goes through spark.read.parquet(s"$dir/$name.parquet"),
+    // which resolves via the Hadoop FileSystem API — so an object-store
+    // deployment changes only the dir string (s3a://bucket/sf — same
+    // resolution path as the file:// scheme exercised here), never the
+    // Tables/Sources code. Pin that no local-path assumption creeps in.
+    val uri = "file://" + sf
+    assert(Tables.documents(spark, uri).count() == Tables.documents(spark, sf).count())
+    assert(Tables.events(spark, uri).schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("csv and jsonl readers round-trip the documents table with explicit schemas") {
     val sample = docs.limit(50).select("doc_id", "text", "lang")
     def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()

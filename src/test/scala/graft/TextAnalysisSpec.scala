@@ -376,4 +376,22 @@ class TextAnalysisSpec extends SparkSpec {
         s"fewer fps than ceil(windows/w): $nk $nf")
     }
   }
+
+  test("knBigram: hand-computed continuation probabilities; corpus pkn in (0,1]") {
+    val s = spark
+    import s.implicits._
+    // bi: ab:2 ba:1 bc:1 ca:1 → types=4
+    // ctx: a(c1=2,n1f=1) b(2,2) c(1,1); pred: a←{b,c}=2, b←{a}=1, c←{b}=1
+    val d = Seq((1L, "a b a b c"), (2L, "c a")).toDF("doc_id", "text")
+    val r = TextAnalysis.knBigram(d)
+      .as[(String, String, Long, Double)].collect()
+      .map(x => (x._1, x._2) -> (x._3, x._4)).toMap
+    assert(r(("a", "b")) == ((2L, 0.71875)), r.toString)  // 1.25/2 + (.75·1/2)(1/4)
+    assert(r(("b", "a")) == ((1L, 0.5)), r.toString)      // .25/2 + (.75·2/2)(2/4)
+    assert(r(("b", "c")) == ((1L, 0.3125)), r.toString)   // .25/2 + (.75·2/2)(1/4)
+    assert(r(("c", "a")) == ((1L, 0.625)), r.toString)    // .25/1 + (.75·1/1)(2/4)
+    // corpus: probabilities are probabilities
+    val c = TextAnalysis.knBigram(docs).select("pkn").as[Double].collect()
+    assert(c.nonEmpty && c.forall(p => p > 0.0 && p <= 1.0))
+  }
 }

@@ -1,0 +1,67 @@
+package graft
+
+import graft.plans.TopKPlans
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class TopKPerKeySpec extends SparkSpec {
+
+  test("topKPerKey: bounded heap keeps exactly the window form's rows, ranks included") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      // key 1: four rows — rank by (v desc, id asc); id 11 beats 12 on the 5.0 tie
+      (1L, 11L, 5.0), (1L, 12L, 5.0), (1L, 13L, 9.0), (1L, 14L, 1.0),
+      // key 2: fewer than k rows — all emit
+      (2L, 21L, 3.0),
+      // key 3: exactly k
+      (3L, 31L, 2.0), (3L, 32L, 8.0), (3L, 33L, 4.0)
+    ).toDF("k", "id", "v").repartition(4) // spread rows over map partitions
+    val r = TopKPlans.topKPerKey(d, "k", "v", "id", 3, "rank")
+      .select("k", "rank", "id", "v").orderBy("k", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(r == Seq(
+      (1L, 1L, 13L, 9.0), (1L, 2L, 11L, 5.0), (1L, 3L, 12L, 5.0),
+      (2L, 1L, 21L, 3.0),
+      (3L, 1L, 32L, 8.0), (3L, 2L, 33L, 4.0), (3L, 3L, 31L, 2.0)), r.toString)
+  }
+
+  test("topKPerKey: rows with NULL key/order/id are dropped, not ranked") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (Some(1L), Some(11L), Some(2.0)), (Some(1L), Some(12L), None),
+      (None, Some(13L), Some(9.0)), (Some(1L), None, Some(9.0)),
+      (Some(1L), Some(15L), Some(1.0))
+    ).toDF("k", "id", "v")
+    val r = TopKPlans.topKPerKey(d, "k", "v", "id", 3, "rank")
+      .select("k", "rank", "id").orderBy("k", "rank")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 1L, 11L), (1L, 2L, 15L)), r.toString)
+  }
+
+  test("topKPerKey: partial/final split — two execs, the exchange sees only survivors") {
+    val s = spark
+    import s.implicits._
+    val d = (1L to 1000L).map(i => (i % 5, i, (i % 97).toDouble))
+      .toDF("k", "id", "v").repartition(8)
+    val q = TopKPlans.topKPerKey(d, "k", "v", "id", 3, "rank")
+    val plan = q.queryExecution.executedPlan.toString
+    // node name prints without the Exec suffix
+    assert("TopKPerKey\\b".r.findAllIn(plan).length == 2, plan)
+    // partial below the exchange, final above: partitions(8)·keys(5)·k(3)
+    // = ≤120 candidate rows cross the wire, not 1000
+    val idx = plan.indexOf("ENSURE_REQUIREMENTS")
+    assert(idx >= 0, "no exchange planned for the final ClusteredDistribution")
+    assert(plan.indexOf("TopKPerKey") < idx, "final exec must sit above the exchange")
+    assert(plan.indexOf("TopKPerKey", idx) > idx, "partial exec must sit below the exchange")
+    // equivalence vs the declarative window form on the same data
+    val native = q.select("k", "rank", "id").orderBy("k", "rank")
+      .as[(Long, Long, Long)].collect().toSeq
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+    val decl = d.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3).select("k", "rank", "id").orderBy("k", "rank")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(native == decl)
+  }
+}
