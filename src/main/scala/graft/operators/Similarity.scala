@@ -190,6 +190,14 @@ object Similarity {
         // max-norm row against a negative FP residue under NaN
         concat(col("v"), array(sqrt(greatest(col("m2") - col("nrm2"), lit(0.0)))))
           .as("nv"))
+      // materialization barrier: without it CollapseProject folds the
+      // norm+augmentation chain INTO the pair-level cosine expression
+      // and |x|² re-evaluates once per (query, neighbor) PAIR instead of
+      // once per corpus row. Measured at 100× (§5c-r8c): 216.8 s →
+      // 163.9 s, vs the same-run plain brute scan's 177.5 s — with the
+      // barrier the reduction costs NOTHING over its baseline class
+      // (0.92×), which is the augmentation's whole selling point.
+      .persist()
     val qs = withNorm.where(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("query_id"), concat(col("v"), array(lit(0.0))).as("qv"))
     val w = Window.partitionBy("query_id")
@@ -923,8 +931,17 @@ object Similarity {
     * pre-filtering is WHY that composition is possible. */
   def filteredTopK(em: DataFrame, docs: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(em.sparkSession)
+    // broadcast the PROJECTED id set explicitly: at 100× it crosses the
+    // auto-broadcast threshold and AQE would otherwise plan a sort-merge
+    // join that shuffles AND sorts the full wide-vector corpus (measured
+    // 103.7 s → 70.2 s at 100×; same-run brute-force scan 177.5 s, so
+    // the 0.40 ratio is exactly the predicate's selectivity — §5c-r8c).
+    // An id column broadcasts at ~8 bytes/row; past driver-memory scale
+    // the production shapes are co-bucketed id layout (the q26 pattern)
+    // or storing the filter column WITH the vectors (vector-store
+    // payload design).
     val allowed = docs.where(col("lang") === FilterLang).select(col("doc_id"))
-    val corpus = em.join(allowed, col("vec_id") === col("doc_id"))
+    val corpus = em.join(broadcast(allowed), col("vec_id") === col("doc_id"))
       .select(col("vec_id").as("neighbor_id"), vec(col("embedding")).as("nv"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))

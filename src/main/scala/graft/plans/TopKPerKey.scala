@@ -15,21 +15,28 @@ import org.apache.spark.sql.types.LongType
   * [[AsOfJoinNode]] and [[IntervalAggNode]]): for every key, the k
   * best rows under (order desc, id asc), ranked 1..k.
   *
-  * Why a physical operator: the declarative form
-  * (`row_number().over(partitionBy(key).orderBy(...)) <= k`) SORTS
-  * every key-partition in full — at 100 TB that is a total sort of the
-  * fact table just to keep 3 rows per key, and `WindowGroupLimit`
-  * (Spark's own rank-limit pushdown) still shuffles every input row.
-  * This operator plans the partial-aggregation shape instead, the same
-  * two-phase split `HashAggregate` gets: a PARTIAL exec with NO
-  * distribution requirement runs a bounded heap per (map-partition,
-  * key) and emits at most k candidate rows per key per partition —
-  * so the exchange that satisfies the FINAL exec's
-  * `ClusteredDistribution(key)` carries at most partitions·keys·k rows
-  * instead of n. The final exec re-heaps the candidates and emits
-  * ranks. Heap state is O(keys-per-partition · k) rows — bounded like
-  * an aggregation map, with no sort buffer and no spill pressure from
-  * row count.
+  * Why a physical operator: this operator plans the
+  * partial-aggregation shape for RANKING — the same two-phase split
+  * `HashAggregate` gets: a PARTIAL exec with NO distribution
+  * requirement runs a bounded heap per (map-partition, key) and emits
+  * at most k candidate rows per key per partition, so the exchange
+  * that satisfies the FINAL exec's `ClusteredDistribution(key)`
+  * carries at most partitions·keys·k rows instead of n. The final
+  * exec re-heaps the candidates and emits ranks.
+  *
+  * Honest differential vs the built-in (measured, `TopKStress`):
+  * Spark 4's `WindowGroupLimit` pushdown ALREADY cuts the shuffle to
+  * per-partition rank-k survivors (partial mode below the exchange,
+  * plan-verified), so at 100× the two forms tie — 1.71 s native vs
+  * 1.66 s window, min-of-2, result-identity asserted. What the heap
+  * exec changes is the MEMORY shape, not the row counts: the window
+  * form SORTS each map partition in full (O(n log n) compares, a
+  * sort buffer sized by partition rows, spill under pressure) where
+  * the heap does O(n log k) compares in O(keys-per-partition · k)
+  * bounded state with no sort buffer at all — the difference that
+  * matters when a map partition is much larger than memory or one
+  * key floods a partition. At todays measured scale that regime is
+  * not reached, and the row says so.
   *
   * Determinism: (order, id) with a unique id is a TOTAL order, so the
   * retained set and the ranks are independent of arrival order — the
