@@ -965,6 +965,61 @@ object Events {
       .orderBy("user_id", "event_id")
   }
 
+  /** High-value-purchase conversion threshold for [[abTest]] — chosen
+    * so the conversion is non-degenerate on the synthetic corpus
+    * (neither ~0% nor ~100% of users). */
+  val AbConvValue = 180.0
+  /** z²·10⁴ at 95% two-sided (1.96² = 3.8415). */
+  val AbZ2x10k = 38415L
+
+  /** A/B TEST readout (`ev_abtest`) — the experimentation-platform
+    * member of the event family: users split into two deterministic
+    * arms (user_id parity), "conversion" = the user has a purchase
+    * above [[AbConvValue]]; the readout is the pooled TWO-PROPORTION
+    * z-test, evaluated DIVISION-FREE in exact integers (the
+    * `ev_anomaly` discipline applied to the two-sample test):
+    * z² = D²·N / (na·nb·X·(N−X)) with D = xa·nb − xb·na, X = xa+xb,
+    * N = na+nb — so significance is the integer comparison
+    * D²·N·10⁴ > [[AbZ2x10k]]·na·nb·X·(N−X), and z²·10⁶ is emitted by
+    * exact integer floor-division. Products run in DECIMAL(38,0)
+    * (DuckDB: HUGEINT): D² alone crosses 2⁶³ past ~10⁵ users/arm.
+    * Degenerate corpora (X = 0 or X = N: zero variance) emit z² = 0,
+    * not-significant — no division ever happens.
+    *
+    * Scale: one combiner-friendly per-user aggregation (the shuffle),
+    * one 2-row arm aggregate, one 1-row readout — the readout costs
+    * the same at 100 TB as at sf0.001, which is the point: experiment
+    * analysis is an aggregation problem, not a row problem. */
+  def abTest(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val big = DecimalType(38, 0)
+    val users = ev.groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" &&
+        col("value") > AbConvValue, 1L).otherwise(0L)).as("conv"))
+    val arms = users.groupBy((col("user_id") % 2).as("arm"))
+      .agg(count(lit(1)).as("n"), sum("conv").as("x"))
+    val t = arms.agg(
+      sum(when(col("arm") === 0, col("n"))).cast("long").as("na"),
+      sum(when(col("arm") === 0, col("x"))).cast("long").as("xa"),
+      sum(when(col("arm") === 1, col("n"))).cast("long").as("nb"),
+      sum(when(col("arm") === 1, col("x"))).cast("long").as("xb"))
+    t.withColumn("nn", (col("na") + col("nb")).cast(big))
+      .withColumn("xx", (col("xa") + col("xb")).cast(big))
+      .withColumn("d",
+        col("xa").cast(big) * col("nb") - col("xb").cast(big) * col("na"))
+      .withColumn("num", col("d") * col("d") * col("nn"))
+      .withColumn("den",
+        col("na").cast(big) * col("nb") * col("xx") * (col("nn") - col("xx")))
+      .select(col("na"), col("xa"), col("nb"), col("xb"),
+        expr("xa * 1000000 div na").as("ca_ppm"),
+        expr("xb * 1000000 div nb").as("cb_ppm"),
+        when(col("den") === 0, lit(0L))
+          .otherwise(expr("(num * 1000000) div den")).as("z2_ppm"),
+        when(col("den") === 0, lit(0L))
+          .otherwise((col("num") * lit(10000L) >
+            col("den") * lit(AbZ2x10k)).cast("long")).as("is_sig"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "ev_scd2"       -> ((s, d) => scd2(Tables.events(s, d))),
@@ -990,6 +1045,7 @@ object Events {
     "ev_markov2"    -> ((s, d) => markov2(Tables.events(s, d))),
     "ev_seqmatch"   -> ((s, d) => seqMatch(Tables.events(s, d))),
     "ev_features"   -> ((s, d) => features(Tables.events(s, d))),
+    "ev_abtest"     -> ((s, d) => abTest(Tables.events(s, d))),
     "ev_anomaly"    -> ((s, d) => anomalies(Tables.events(s, d))),
     "ev_hopping"    -> ((s, d) => hopping(Tables.events(s, d))),
     "ev_cohort"     -> ((s, d) => cohort(Tables.events(s, d))),
@@ -1367,6 +1423,37 @@ object Events {
          |FROM ex e JOIN est ON est.t = e.t
          |ORDER BY day""".stripMargin
     },
+    // identical integer algebra on HUGEINT (DuckDB's 128-bit twin of
+    // the Spark side's DECIMAL(38,0)); `//` is DuckDB's floor division
+    "ev_abtest" ->
+      s"""WITH u AS (
+         |  SELECT user_id, max(CASE WHEN event_type = 'purchase'
+         |      AND value > $AbConvValue THEN 1 ELSE 0 END) AS conv
+         |  FROM events GROUP BY 1),
+         |a AS (SELECT user_id % 2 AS arm, count(*) AS n,
+         |        CAST(sum(conv) AS BIGINT) AS x
+         |      FROM u GROUP BY 1),
+         |t AS (SELECT
+         |  CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS na,
+         |  CAST(sum(CASE WHEN arm = 0 THEN x END) AS BIGINT) AS xa,
+         |  CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS nb,
+         |  CAST(sum(CASE WHEN arm = 1 THEN x END) AS BIGINT) AS xb
+         |  FROM a),
+         |w AS (SELECT na, xa, nb, xb,
+         |  CAST(na AS HUGEINT) + nb AS nn, CAST(xa AS HUGEINT) + xb AS xx,
+         |  CAST(xa AS HUGEINT) * nb - CAST(xb AS HUGEINT) * na AS d
+         |  FROM t),
+         |z AS (SELECT *, d * d * nn AS num,
+         |  CAST(na AS HUGEINT) * nb * xx * (nn - xx) AS den FROM w)
+         |SELECT na, xa, nb, xb,
+         |  xa * 1000000 // na AS ca_ppm,
+         |  xb * 1000000 // nb AS cb_ppm,
+         |  CAST(CASE WHEN den = 0 THEN 0
+         |    ELSE (num * 1000000) // den END AS BIGINT) AS z2_ppm,
+         |  CAST(CASE WHEN den = 0 THEN 0
+         |    WHEN num * 10000 > den * $AbZ2x10k THEN 1 ELSE 0 END
+         |    AS BIGINT) AS is_sig
+         |FROM z""".stripMargin,
     // the same strictly-preceding frames — point-in-time correctness is
     // IN the frame bounds, so the oracle can't accidentally leak either
     "ev_features" ->

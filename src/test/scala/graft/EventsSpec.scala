@@ -450,6 +450,34 @@ class EventsSpec extends SparkSpec {
       (5L, 40.0, g, 4L, 100.0, 30.0)), r.toString) // avg3@5 = mean(20,30,40)
   }
 
+  test("abTest: exact-integer two-proportion z², degenerate variance short-circuits") {
+    val s = spark
+    import s.implicits._
+    def t(min: Long) = new java.sql.Timestamp(1704067200000L + min * 60000)
+    // arm0 = even users {2,4}: u2 converts (190 > 180), u4 doesn't;
+    // arm1 = odd users {1,3,5}: u1,u3 convert, u5 doesn't
+    val d = Seq(
+      (1L, t(0), 2L, "purchase", 190.0), (2L, t(1), 4L, "purchase", 10.0),
+      (3L, t(2), 1L, "purchase", 200.0), (4L, t(3), 3L, "purchase", 181.0),
+      (5L, t(4), 5L, "purchase", 179.9), (6L, t(5), 5L, "click", 999.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.abTest(d)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // D = xa·nb − xb·na = 1·3 − 2·2 = −1; num = D²·N = 5;
+    // den = na·nb·X·(N−X) = 2·3·3·2 = 36; z²·10⁶ = 5000000 div 36
+    assert(r == Seq((2L, 1L, 3L, 2L, 500000L, 666666L, 138888L, 0L)), r.toString)
+    // degenerate: every user converts → zero variance → z²=0, not sig
+    val all = Seq(
+      (1L, t(0), 1L, "purchase", 190.0), (2L, t(1), 2L, "purchase", 199.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r2 = Events.abTest(all)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r2 == Seq((1L, 1L, 1L, 1L, 1000000L, 1000000L, 0L, 0L)), r2.toString)
+    // corpus: one readout row, arms partition the user base
+    val c = Events.abTest(ev).collect()(0)
+    assert(c.getLong(0) + c.getLong(2) == ev.select("user_id").distinct().count())
+  }
+
   test("markov2: P² composes 1-step edges through mid, exact paths + floored ppm") {
     val s = spark
     import s.implicits._
