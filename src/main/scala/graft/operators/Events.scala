@@ -998,11 +998,15 @@ object Events {
         col("value") > AbConvValue, 1L).otherwise(0L)).as("conv"))
     val arms = users.groupBy((col("user_id") % 2).as("arm"))
       .agg(count(lit(1)).as("n"), sum("conv").as("x"))
+    // coalesce: an arm the corpus never populated reads as (0, 0), so
+    // the degenerate-variance short-circuit below handles it — without
+    // this a single-arm corpus yields NULL algebra and a zero-divisor
+    // ppm (which DuckDB raises on)
     val t = arms.agg(
-      sum(when(col("arm") === 0, col("n"))).cast("long").as("na"),
-      sum(when(col("arm") === 0, col("x"))).cast("long").as("xa"),
-      sum(when(col("arm") === 1, col("n"))).cast("long").as("nb"),
-      sum(when(col("arm") === 1, col("x"))).cast("long").as("xb"))
+      coalesce(sum(when(col("arm") === 0, col("n"))), lit(0L)).cast("long").as("na"),
+      coalesce(sum(when(col("arm") === 0, col("x"))), lit(0L)).cast("long").as("xa"),
+      coalesce(sum(when(col("arm") === 1, col("n"))), lit(0L)).cast("long").as("nb"),
+      coalesce(sum(when(col("arm") === 1, col("x"))), lit(0L)).cast("long").as("xb"))
     t.withColumn("nn", (col("na") + col("nb")).cast(big))
       .withColumn("xx", (col("xa") + col("xb")).cast(big))
       .withColumn("d",
@@ -1011,8 +1015,10 @@ object Events {
       .withColumn("den",
         col("na").cast(big) * col("nb") * col("xx") * (col("nn") - col("xx")))
       .select(col("na"), col("xa"), col("nb"), col("xb"),
-        expr("xa * 1000000 div na").as("ca_ppm"),
-        expr("xb * 1000000 div nb").as("cb_ppm"),
+        when(col("na") === 0, lit(0L))
+          .otherwise(expr("xa * 1000000 div na")).as("ca_ppm"),
+        when(col("nb") === 0, lit(0L))
+          .otherwise(expr("xb * 1000000 div nb")).as("cb_ppm"),
         when(col("den") === 0, lit(0L))
           .otherwise(expr("(num * 1000000) div den")).as("z2_ppm"),
         when(col("den") === 0, lit(0L))
@@ -1434,10 +1440,10 @@ object Events {
          |        CAST(sum(conv) AS BIGINT) AS x
          |      FROM u GROUP BY 1),
          |t AS (SELECT
-         |  CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS na,
-         |  CAST(sum(CASE WHEN arm = 0 THEN x END) AS BIGINT) AS xa,
-         |  CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS nb,
-         |  CAST(sum(CASE WHEN arm = 1 THEN x END) AS BIGINT) AS xb
+         |  CAST(COALESCE(sum(CASE WHEN arm = 0 THEN n END), 0) AS BIGINT) AS na,
+         |  CAST(COALESCE(sum(CASE WHEN arm = 0 THEN x END), 0) AS BIGINT) AS xa,
+         |  CAST(COALESCE(sum(CASE WHEN arm = 1 THEN n END), 0) AS BIGINT) AS nb,
+         |  CAST(COALESCE(sum(CASE WHEN arm = 1 THEN x END), 0) AS BIGINT) AS xb
          |  FROM a),
          |w AS (SELECT na, xa, nb, xb,
          |  CAST(na AS HUGEINT) + nb AS nn, CAST(xa AS HUGEINT) + xb AS xx,
@@ -1446,8 +1452,8 @@ object Events {
          |z AS (SELECT *, d * d * nn AS num,
          |  CAST(na AS HUGEINT) * nb * xx * (nn - xx) AS den FROM w)
          |SELECT na, xa, nb, xb,
-         |  xa * 1000000 // na AS ca_ppm,
-         |  xb * 1000000 // nb AS cb_ppm,
+         |  CASE WHEN na = 0 THEN 0 ELSE xa * 1000000 // na END AS ca_ppm,
+         |  CASE WHEN nb = 0 THEN 0 ELSE xb * 1000000 // nb END AS cb_ppm,
          |  CAST(CASE WHEN den = 0 THEN 0
          |    ELSE (num * 1000000) // den END AS BIGINT) AS z2_ppm,
          |  CAST(CASE WHEN den = 0 THEN 0

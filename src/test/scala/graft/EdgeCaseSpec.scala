@@ -174,4 +174,34 @@ class EdgeCaseSpec extends SparkSpec {
     val f = Events.fillDaily(one)
     assert(f.count() == 1 && f.head().getLong(3) == 0L) // 1-day spine, not a gap
   }
+
+  test("graph family on degenerate corpora: no edges, letterless, empty") {
+    // weird's only multi-edge doc is "héllo wörld Ψυχή héllo" — a
+    // 3-CYCLE (the last adjacency closes back to héllo), so exactly one
+    // triangle exists; self-loops ("the the") drop; all three graph
+    // operators must survive and partition the vocabulary
+    val bfs = WordCount.bfs(weird).collect()
+    val vocab = WordCount.tokens(weird).distinct().count()
+    assert(bfs.map(_.getLong(1)).sum == vocab)
+    val lpa = WordCount.lpa(weird).collect()
+    assert(lpa.map(_.getLong(1)).sum == vocab)
+    val tri = WordCount.triangles(weird).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Seq("héllo", "wörld", "Ψυχή").forall(w => tri.get(w).contains(1L)), tri)
+    assert(tri.filterKeys(w => !Set("héllo", "wörld", "Ψυχή")(w)).values.forall(_ == 0L), tri)
+  }
+
+  test("new event operators on a single-event corpus: no crashes, sane zeros") {
+    val s = spark
+    import s.implicits._
+    val one = Seq((1L, new java.sql.Timestamp(1704067200000L), 8L, "purchase", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Events.markov2(one).count() == 0)      // no pairs → empty matrix
+    val sm = Events.seqMatch(one).collect()       // "p" matches nothing
+    assert(sm.length == Events.SeqPatterns.length && sm.forall(_.getLong(2) == 0L))
+    val ft = Events.features(one).head()
+    assert(ft.isNullAt(2) && ft.getLong(3) == -1L && ft.getLong(4) == 0L)
+    val ab = Events.abTest(one).head()            // one arm empty → den=0 path
+    assert(ab.getLong(7) == 0L)
+  }
 }
