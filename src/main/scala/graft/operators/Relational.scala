@@ -191,12 +191,27 @@ object Relational {
     * customer join — each join's probe side is the already-aggregated
     * frame, never the raw fact. Catalyst does not apply this rewrite
     * itself (it only splits aggregates into partial/final around one
-    * shuffle), so at 100 TB the hand-eager form is the difference
-    * between joining |lineitem| rows into orders and joining |orders|
-    * pre-collapsed rows — a 4:1 row cut before any join exchange, and
-    * the l_orderkey pre-aggregation's hash partitioning is REUSED by
-    * the orders equi-join (co-partitioned, no second lineitem-sized
-    * exchange).
+    * shuffle); the l_orderkey pre-aggregation's hash partitioning is
+    * REUSED by the orders equi-join (co-partitioned, no second
+    * lineitem-sized exchange).
+    *
+    * MEASURED HONESTLY ([[graft.EagerStress]], 100×, result-identity
+    * asserted): on THIS query the rewrite LOSES — flat 5.9-15.3 s warm
+    * vs eager 17-57 s. The reason is instructive: the final aggregate
+    * has 25 groups, so the flat plan's map-side combine already
+    * collapses every task's output to 25 rows and its joins are what
+    * AQE makes of them — while the eager form pays a 15 M-distinct-key
+    * hash aggregate (≈4 rows/key: partial aggregation buys almost
+    * nothing at that cardinality, and the aggregation map spills)
+    * before any join shrinks. Yan & Larson's own applicability
+    * condition says exactly this: eager aggregation pays off when the
+    * pre-aggregation's reduction factor is large and the final
+    * grouping is NOT already collapse-friendly — q1-style tiny-group
+    * rollups over equi-joined facts are the rewrite's WORST case, kept
+    * here (like `q20_salted`) as a measured mechanism demo with the
+    * boundary documented: do not copy this plan for low-cardinality
+    * rollups; reach for it when the per-key fan-in is 100:1+ or the
+    * join multiplies rows.
     *
     * Cross-engine determinism: partial sums stay UNROUNDED exact
     * DECIMAL(28,10) through every regrouping level (decimal addition is
