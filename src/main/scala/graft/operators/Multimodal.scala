@@ -509,7 +509,34 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  val HistBins = 4
+
+  /** LUMINANCE HISTOGRAM (`mm_histogram`) — the exposure/content
+    * statistic image-curation filters threshold on (all-dark,
+    * all-blown, low-contrast screens): per image, every REAL decoded
+    * pixel bins into [[HistBins]] equal-width luminance buckets. The
+    * oracle re-derives each bin arithmetically — 16 digest-head pixels
+    * bin individually, the constant-gray remainder lands wholesale in
+    * one bin — so a hash match proves the decoded raster is the one
+    * the fixture encoded, pixel-population-exactly (mm_summary proves
+    * the SUM; this proves the DISTRIBUTION).
+    *
+    * Scale: map-only per-file codec work, one row per image — the
+    * §2.7 file-count cost model. */
+  def lumHistogramSummary(media: Dataset[MediaFile]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .mapPartitions(_.map { m =>
+        val h = ImageCodec.lumHistogram(m.content, HistBins, m.media_id)
+        (m.media_id, h(0), h(1), h(2), h(3))
+      })
+      .toDF("media_id", "h0", "h1", "h2", "h3")
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm_histogram" -> ((s, d) => lumHistogramSummary(mediaTable(s, d))),
     "mm_silence" -> ((s, d) => silenceSummary(mediaTable(s, d))),
     "mm_summary" -> ((s, d) => mediaSummary(mediaTable(s, d))),
     "mm_dedup"   -> ((s, d) => mediaDedup(mediaTable(s, d))),
@@ -625,6 +652,24 @@ object Multimodal {
          |       <= $HammingT) AS BIGINT) AS n_near
          |FROM sig s ORDER BY media_id""".stripMargin,
     "mm_summary" -> MmSummarySql,
+    // 16 head pixels bin individually; the constant-gray remainder
+    // lands wholesale in its own bin — bins partition the pixel count
+    "mm_histogram" -> {
+      def bin(k: Int): String = {
+        val head = (0 until 16).map(j =>
+          s"(CASE WHEN ${oPix(j)} // ${256 / HistBins} = $k THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"CAST($head + (CASE WHEN (n_chars % 256) // ${256 / HistBins} = $k" +
+          s" THEN px - 16 ELSE 0 END) AS BIGINT)"
+      }
+      s"""SELECT doc_id AS media_id,
+         |  ${bin(0)} AS h0, ${bin(1)} AS h1, ${bin(2)} AS h2, ${bin(3)} AS h3
+         |FROM (
+         |  SELECT doc_id, n_chars, md5(text) AS dig,
+         |    (8 + n_chars % 24) * (8 + n_chars % 16) AS px
+         |  FROM documents WHERE doc_id % 3 = 0) m
+         |ORDER BY media_id""".stripMargin
+    },
     // the fixture's 17 segments (16 digest-head samples + constant
     // tail) through the identical island construction: g = running
     // count of non-silent segments, consecutive silent segments share g
@@ -802,6 +847,26 @@ object ImageCodec {
       y += 1
     }
     (w, h, lum)
+  }
+
+  /** One decode pass binning every pixel's luminance into
+    * `bins` equal-width buckets (256/bins levels each) — the exposure/
+    * content statistic image curation filters threshold on. */
+  def lumHistogram(content: Array[Byte], bins: Int, mediaId: Long): Array[Long] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    require(img != null, s"media $mediaId: content is not a decodable image")
+    val width = 256 / bins
+    val h = new Array[Long](bins)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        h((img.getRGB(x, y) & 0xff) / width) += 1
+        x += 1
+      }
+      y += 1
+    }
+    h
   }
 
   /** Decode PNG bytes → the first `n` pixels' gray levels in row-major

@@ -491,7 +491,45 @@ object WordCount {
       .limit(50)
   }
 
+  /** CONNECTED COMPONENTS of the word-adjacency graph (`wc_cc`) — the
+    * fifth and final graph-family member (triangles count structure,
+    * BFS traverses, LPA partitions heuristically, TextRank scores; CC
+    * partitions EXACTLY): every word labeled with the lexicographic
+    * minimum of its component, components summarized to (label, size,
+    * min/max member), top-50 by (size desc, label).
+    *
+    * The machinery is [[graft.operators.Dedup.connectedComponents]] —
+    * the large-star/small-star O(log²) contraction already gated on
+    * doc-id graphs — applied UNCHANGED to string vertices (the
+    * contraction only needs a total order, and min/least on strings is
+    * one; that genericity is itself the point of having ONE CC
+    * implementation). Edge set distinct-bigram-bounded; rounds are
+    * one-aggregate-action each with localCheckpoint truncation (see the
+    * Dedup scaladoc). The oracle is the same recursive min-reachable
+    * closure `dedup_cluster` uses, over word edges. */
+  def components(docs: DataFrame): DataFrame = {
+    val ws = filter(split(col("text"), TokenRe), w => w =!= "")
+    val n1 = greatest(size(ws) - 1, lit(0))
+    val und = docs.select(explode(zip_with(
+        slice(ws, lit(1), n1), slice(ws, lit(2), n1),
+        (a, b) => struct(a.as("u"), b.as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .where(col("u") =!= col("v"))
+    val pairs = und
+      .select(least(col("u"), col("v")).as("doc_a"),
+        greatest(col("u"), col("v")).as("doc_b"))
+      .distinct()
+    val nodes = docs.select(explode(ws).as("doc_id")).distinct()
+    Dedup.connectedComponents(nodes, pairs)
+      .groupBy(col("cluster_id").as("label"))
+      .agg(count(lit(1)).as("n_words"),
+        min("doc_id").as("w_min"), max("doc_id").as("w_max"))
+      .orderBy(col("n_words").desc, col("label"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wc_cc"        -> ((s, d) => components(Tables.documents(s, d))),
     "wc_wordcount" -> ((s, d) => wordCount(Tables.documents(s, d))),
     "wc_topk"      -> ((s, d) => topK(Tables.documents(s, d), 50)),
     "wc_distinct"  -> ((s, d) => distinctPerLang(Tables.documents(s, d))),
@@ -554,6 +592,27 @@ object WordCount {
          |    len(regexp_extract_all(text, p.pattern)) AS c
          |  FROM documents, (SELECT unnest([${GrepPatterns.map(p => s"'$p'").mkString(", ")}]) AS pattern) p) t
          |GROUP BY pattern ORDER BY pattern""".stripMargin,
+    // the dedup_cluster closure on word edges: min reachable word ==
+    // the min-label fixpoint the star contraction converges to
+    "wc_cc" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT w[i] AS u, w[i + 1] AS v
+         |  FROM (SELECT $OracleWords AS w FROM documents) ws,
+         |    unnest(range(1, len(w))) AS t(i)
+         |  WHERE w[i] <> w[i + 1]),
+         |edges AS (
+         |  SELECT DISTINCT u AS src, v AS dst FROM (
+         |    SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs) b),
+         |nodes AS (SELECT DISTINCT word FROM ($TokensSql) tk),
+         |reach AS (
+         |  SELECT word AS node, word AS r FROM nodes
+         |  UNION
+         |  SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+         |cl AS (SELECT node, min(r) AS label FROM reach GROUP BY 1)
+         |SELECT label, count(*)::BIGINT AS n_words,
+         |  min(node) AS w_min, max(node) AS w_max
+         |FROM cl GROUP BY 1
+         |ORDER BY n_words DESC, label LIMIT 50""".stripMargin,
     // the identical three synchronous rounds unrolled as CTEs; argmax
     // as the same two-stage max-count-then-max-label in both engines
     "wc_lpa" -> {

@@ -294,6 +294,26 @@ class MultimodalSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("lumHistogram: hand-binned pixels over a real PNG; bins partition every image") {
+    import graft.operators.ImageCodec
+    // 4×5 = 20 pixels: 16 head bytes bin by value/64, 4 gray(100) → bin 1
+    val head = Array[Int](0, 63, 64, 127, 128, 191, 192, 255,
+      10, 70, 130, 200, 255, 0, 64, 192).map(_.toByte)
+    val png = ImageCodec.encodePng(4, 5, head, 100)
+    val h = ImageCodec.lumHistogram(png, Multimodal.HistBins, 1L)
+    // head: bin0 {0,63,10,0}=4, bin1 {64,127,70,64}=4, bin2 {128,191,130}=3,
+    // bin3 {192,255,200,255,192}=5; +4 gray(100)→bin1
+    assert(h.toSeq == Seq(4L, 8L, 3L, 5L), h.toSeq.toString)
+    assert(h.sum == 20L)
+    // corpus: bins partition each image's pixel count
+    val r = Multimodal.lumHistogramSummary(Multimodal.mediaTable(spark, sf)).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val total = row.getLong(1) + row.getLong(2) + row.getLong(3) + row.getLong(4)
+      assert(total > 0, row.toString)
+    }
+  }
+
   test("silenceRuns: hand-counted islands over real PCM, tail merges with a silent head run") {
     import graft.operators.AudioCodec
     // flags (T=2048 ⇒ head silent iff |b−128|<32): s.sss.ss..ss..s. + tail

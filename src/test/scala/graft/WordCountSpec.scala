@@ -180,6 +180,20 @@ class WordCountSpec extends SparkSpec {
     assert(levels.find(_._1 == 0L).get._2 == 1L, "exactly one seed")
   }
 
+  test("cc: string-vertex components via the shared star contraction, isolated included") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "a b"), (2L, "a c"), (3L, "d e"), (4L, "z z"))
+      .toDF("doc_id", "text")
+    val r = WordCount.components(d).as[(String, Long, String, String)].collect().toSeq
+    assert(r == Seq(("a", 3L, "a", "c"), ("d", 2L, "d", "e"), ("z", 1L, "z", "z")), r.toString)
+    // corpus: component sizes partition the vocabulary (top-50 covers it here)
+    val vocab = WordCount.tokens(docs).distinct().count()
+    val sizes = WordCount.components(docs).as[(String, Long, String, String)].collect()
+    assert(sizes.map(_._2).sum <= vocab)
+    assert(sizes.map(_._2).toSeq == sizes.map(_._2).toSeq.sorted.reverse)
+  }
+
   test("lpa: hand-traced 3 rounds on a star + pair, ties to max label, isolated keep labels") {
     val s = spark
     import s.implicits._
