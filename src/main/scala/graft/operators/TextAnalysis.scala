@@ -1105,7 +1105,52 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("w1"), col("w2"))
   }
 
+  /** TRAIN-THEN-SERVE (`pipe_train`) — the DCLM/fastText loop closed
+    * end to end: [[trainClassifier]]'s perceptron weights (distilled
+    * from the corpus's own quality rule) score the SAME corpus, and
+    * the readout is per-language keep rates in exact integer ppm —
+    * the number a curation run actually publishes ("this filter keeps
+    * 34% of English, 12% of Chinese"). Training AND serving share one
+    * gate: any divergence anywhere in the training trajectory moves
+    * some doc's score across zero and shifts a keep count.
+    *
+    * Scale: training as [[trainPerceptron]] (per-epoch ≤4096-row
+    * weight broadcast + two combiner aggregations); serving is ONE
+    * feature join against the broadcast weight table + a
+    * language-bounded aggregate — the inference pass is exactly
+    * [[classify]]'s shape with learned weights. */
+  def trainServe(docs: DataFrame): DataFrame = {
+    val w = trainClassifier(docs)
+    val words = docs.select(col("doc_id"),
+      explode(filter(split(col("text"), " "), x => x =!= "")).as("w"))
+    val wb = words.select("w").distinct()
+      .select(col("w"), (Dedup.h32(lit("clf"), col("w")) % ClfBuckets).as("bucket"))
+    val feats = words.join(wb, "w")
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+    val scores = feats.join(broadcast(w), "bucket")
+      .groupBy("doc_id").agg(sum(col("cnt") * col("weight")).as("score"))
+    // keep = ABOVE-MEAN learned score (the budget-curation cut: "keep
+    // the above-average half by the trained scorer") — a sign cut
+    // degenerates to keep-everything on this corpus because the
+    // quality labels are almost all positive. The mean test is
+    // division-free exact integers: score·n > Σscores (products fit
+    // BIGINT here; a corpus past 2⁶³ switches both engines to the
+    // DECIMAL product, the ev_anomaly note).
+    val scored = docs.select(col("doc_id"), col("lang"))
+      .join(scores, Seq("doc_id"), "left")
+      .select(col("lang"), coalesce(col("score"), lit(0L)).as("score"))
+    val tot = scored.agg(count(lit(1)).as("n_tot"), sum("score").as("s_tot"))
+    scored.crossJoin(broadcast(tot))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("score") * col("n_tot") > col("s_tot")).cast("long")).as("n_keep"))
+      .select(col("lang"), col("n_docs"), col("n_keep"),
+        expr("n_keep * 1000000 div n_docs").as("keep_ppm"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipe_train"       -> ((s, d) => trainServe(Tables.documents(s, d))),
     "text_kn"          -> ((s, d) => knBigram(Tables.documents(s, d))),
     "text_normalize"   -> ((s, d) => normalize(Tables.documents(s, d))),
     "text_entropy"     -> ((s, d) => entropy(Tables.documents(s, d))),
@@ -1248,6 +1293,38 @@ object TextAnalysis {
        |    LEFT JOIN vocab v1 ON length(v1.piece) = 1 AND v1.piece = substr(w, pos, 1)
        |    WHERE pos <= length(w)) s),
        |fin AS (SELECT w, n_sub, n_unk, cks FROM enc WHERE pos > length(w))""".stripMargin
+
+  /** Shared DuckDB CTE chain for the perceptron trajectory (quality
+    * labels → hashed features → unrolled epochs) — used by both the
+    * `text_train` weight gate and the `pipe_train` serve gate, so the
+    * two can never train different models. */
+  private lazy val TrainCtesSql: String = {
+    val epoch = (t: Int) =>
+      s"""s$t AS (SELECT doc_id, CAST(sum(cnt * wt) AS BIGINT) AS score
+         |  FROM feats JOIN w${t - 1} USING (bucket) GROUP BY doc_id),
+         |m$t AS (SELECT ql.doc_id, y FROM ql LEFT JOIN s$t USING (doc_id)
+         |  WHERE y * coalesce(score, 0) <= 0),
+         |d$t AS (SELECT bucket, CAST(sum(y * cnt) AS BIGINT) AS dw
+         |  FROM feats JOIN m$t USING (doc_id) GROUP BY bucket),
+         |w$t AS (SELECT bucket, wt + coalesce(dw, 0) AS wt
+         |  FROM w${t - 1} LEFT JOIN d$t USING (bucket))""".stripMargin
+    s"""ql AS (
+       |  SELECT doc_id, CAST(CASE WHEN quality >= $QualityMin THEN 1 ELSE -1 END AS BIGINT) AS y
+       |  FROM ($QualitySql) q),
+       |wd AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |  FROM documents),
+       |wb AS (
+       |  SELECT w, ('0x' || substr(md5('clf:' || w), 1, 8))::BIGINT % $ClfBuckets AS bucket
+       |  FROM (SELECT DISTINCT w FROM wd) d),
+       |feats AS (
+       |  SELECT doc_id, bucket, count(*)::BIGINT AS cnt
+       |  FROM wd JOIN wb USING (w) GROUP BY doc_id, bucket),
+       |w1 AS (
+       |  SELECT bucket, CAST(sum(y * cnt) AS BIGINT) AS wt
+       |  FROM feats JOIN ql USING (doc_id) GROUP BY bucket),
+       |${(2 to TrainIters).map(epoch).mkString(",\n")}""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     // same per-term 6dp round + exact decimal sum (the unigram float
@@ -1558,35 +1635,27 @@ object TextAnalysis {
     // SQL the rules gate; w1 is the full label-weighted feature sum
     // (epoch 1 from w=0 misclassifies everything); later epochs score →
     // misclassify → update. All integer — zero rounding discipline.
-    "text_train" -> {
-      val epoch = (t: Int) =>
-        s"""s$t AS (SELECT doc_id, CAST(sum(cnt * wt) AS BIGINT) AS score
-           |  FROM feats JOIN w${t - 1} USING (bucket) GROUP BY doc_id),
-           |m$t AS (SELECT ql.doc_id, y FROM ql LEFT JOIN s$t USING (doc_id)
-           |  WHERE y * coalesce(score, 0) <= 0),
-           |d$t AS (SELECT bucket, CAST(sum(y * cnt) AS BIGINT) AS dw
-           |  FROM feats JOIN m$t USING (doc_id) GROUP BY bucket),
-           |w$t AS (SELECT bucket, wt + coalesce(dw, 0) AS wt
-           |  FROM w${t - 1} LEFT JOIN d$t USING (bucket))""".stripMargin
-      s"""WITH ql AS (
-         |  SELECT doc_id, CAST(CASE WHEN quality >= $QualityMin THEN 1 ELSE -1 END AS BIGINT) AS y
-         |  FROM ($QualitySql) q),
-         |wd AS (
-         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
-         |  FROM documents),
-         |wb AS (
-         |  SELECT w, ('0x' || substr(md5('clf:' || w), 1, 8))::BIGINT % $ClfBuckets AS bucket
-         |  FROM (SELECT DISTINCT w FROM wd) d),
-         |feats AS (
-         |  SELECT doc_id, bucket, count(*)::BIGINT AS cnt
-         |  FROM wd JOIN wb USING (w) GROUP BY doc_id, bucket),
-         |w1 AS (
-         |  SELECT bucket, CAST(sum(y * cnt) AS BIGINT) AS wt
-         |  FROM feats JOIN ql USING (doc_id) GROUP BY bucket),
-         |${(2 to TrainIters).map(epoch).mkString(",\n")}
+    "text_train" ->
+      s"""WITH $TrainCtesSql
          |SELECT bucket, wt AS weight FROM w$TrainIters
-         |WHERE wt <> 0 ORDER BY bucket""".stripMargin
-    },
+         |WHERE wt <> 0 ORDER BY bucket""".stripMargin,
+    // the same unrolled training trajectory, then SERVED back over the
+    // corpus — per-lang keep rates in exact integer ppm
+    "pipe_train" ->
+      s"""WITH $TrainCtesSql,
+         |wfin AS (SELECT bucket, wt FROM w$TrainIters WHERE wt <> 0),
+         |sc AS (SELECT doc_id, CAST(sum(cnt * wt) AS BIGINT) AS score
+         |       FROM feats JOIN wfin USING (bucket) GROUP BY 1),
+         |sc2 AS (SELECT d.lang, coalesce(sc.score, 0) AS score
+         |        FROM documents d LEFT JOIN sc USING (doc_id)),
+         |tot AS (SELECT count(*) AS n_tot, CAST(sum(score) AS BIGINT) AS s_tot
+         |        FROM sc2)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |  CAST(sum(CASE WHEN score * n_tot > s_tot THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_keep,
+         |  CAST(sum(CASE WHEN score * n_tot > s_tot THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 1000000 // count(*) AS keep_ppm
+         |FROM sc2, tot GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_tokencount" ->
       s"""SELECT doc_id,
          |  len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS ws_tokens,

@@ -377,6 +377,22 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("trainServe: keep rates cover the corpus, ppm identity holds, filter actually binds") {
+    val s = spark
+    import s.implicits._
+    val r = TextAnalysis.trainServe(docs)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(r.map(_._2).sum == docs.count(), "per-lang docs must cover the corpus")
+    r.foreach { case (lang, n, keep, ppm) =>
+      assert(keep >= 0 && keep <= n, s"$lang: $keep of $n")
+      assert(ppm == keep * 1000000L / n, s"$lang: ppm identity")
+    }
+    // the trained filter must BIND: neither keep-everything nor drop-everything
+    val total = r.map(_._2).sum.toDouble
+    val kept = r.map(_._3).sum.toDouble
+    assert(kept > 0 && kept < total, s"degenerate filter: $kept of $total")
+  }
+
   test("knBigram: hand-computed continuation probabilities; corpus pkn in (0,1]") {
     val s = spark
     import s.implicits._
