@@ -1149,7 +1149,47 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  val WSampleK = 50
+
+  /** WEIGHTED SAMPLING WITHOUT REPLACEMENT (`text_wsample`) —
+    * Efraimidis & Spirakis 2006, the distributed weighted reservoir:
+    * every doc draws a deterministic md5-uniform u ∈ (0,1] and gets
+    * priority ln(u)/w (w = n_chars); the top-[[WSampleK]] priorities
+    * ARE an exact weight-proportional sample without replacement (the
+    * ES theorem — u^(1/w) order statistics, in log form). This is how
+    * a training-data pipeline samples documents ∝ quality/length
+    * across a cluster with NO coordination: priorities are map-only,
+    * selection is one distributed top-k.
+    *
+    * Determinism: u derives from md5(doc_id) (+1 so u > 0, /2³² so
+    * u ≤ 1); both engines evaluate the identical
+    * `ln((h+1)/2³²)/w` double chain on the same integers, so the
+    * ORDERING is bit-reproducible (u values are distinct, ties
+    * impossible); the gate hashes (rank, doc_id) only — no float in
+    * the output.
+    *
+    * Scale: map-only priority + TakeOrdered top-k (distributed partial
+    * top-k, no global sort); k rows reach the driver. */
+  def weightedSample(docs: DataFrame): DataFrame = {
+    val h = conv(substring(md5(concat(lit("ws:"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(4294967296.0)
+    // TakeOrdered cuts to k rows FIRST (distributed partial top-k); the
+    // rank window then runs over the ≤k-row LIMIT frame — the
+    // ann_hybrid bounded-cardinality shape, never a corpus-sized
+    // global window
+    docs.where(col("n_chars") > 0)
+      .select(col("doc_id"), (log(u) / col("n_chars").cast("double")).as("prio"))
+      .orderBy(col("prio").desc, col("doc_id")).limit(WSampleK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("prio").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_wsample"     -> ((s, d) => weightedSample(Tables.documents(s, d))),
     "pipe_train"       -> ((s, d) => trainServe(Tables.documents(s, d))),
     "text_kn"          -> ((s, d) => knBigram(Tables.documents(s, d))),
     "text_normalize"   -> ((s, d) => normalize(Tables.documents(s, d))),
@@ -1635,6 +1675,17 @@ object TextAnalysis {
     // SQL the rules gate; w1 is the full label-weighted feature sum
     // (epoch 1 from w=0 misclassifies everything); later epochs score →
     // misclassify → update. All integer — zero rounding discipline.
+    // identical ln((h+1)/2^32)/w double chain on the same integers —
+    // the ORDERING is what the theorem needs, and it reproduces exactly
+    "text_wsample" ->
+      s"""SELECT rank, doc_id FROM (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY
+         |      ln((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+         |          / 4294967296.0)
+         |        / CAST(n_chars AS DOUBLE) DESC, doc_id) AS rank
+         |  FROM documents WHERE n_chars > 0) t
+         |WHERE rank <= $WSampleK ORDER BY rank""".stripMargin,
     "text_train" ->
       s"""WITH $TrainCtesSql
          |SELECT bucket, wt AS weight FROM w$TrainIters

@@ -324,7 +324,10 @@ class PlanShapeSpec extends SparkSpec {
     // ann_hybrid's three global windows assign ranks WITHIN frames a
     // LIMIT (TakeOrdered, ≤ListK=100 rows) has already cut — O(k)
     // scalars per window, never corpus rows.
-    val boundedCardinality = Set("q28_running", "q29_movavg", "wc_concat", "ann_hybrid")
+    // text_wsample follows the same LIMIT-then-rank shape: TakeOrdered
+    // cuts the corpus to k=50 rows before its rank window runs.
+    val boundedCardinality =
+      Set("q28_running", "q29_movavg", "wc_concat", "ann_hybrid", "text_wsample")
     val offenders = SparkEntry.queries.toSeq
       .filterNot { case (name, _) => boundedCardinality(name) }
       .flatMap { case (name, fn) =>

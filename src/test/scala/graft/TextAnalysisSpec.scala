@@ -377,6 +377,24 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("weightedSample: Efraimidis-Spirakis selection matches a local recompute exactly") {
+    val s = spark
+    import s.implicits._
+    val got = TextAnalysis.weightedSample(docs).as[(Long, Long)].collect().toSeq
+    assert(got.map(_._1) == (1L to TextAnalysis.WSampleK.toLong), "ranks must be 1..k")
+    // identical formula computed driver-side: ln((h+1)/2^32)/w, top-k
+    val local = docs.select("doc_id", "n_chars").as[(Long, Long)].collect()
+      .filter(_._2 > 0)
+      .map { case (id, w) =>
+        val h = graft.functions.Md5Hash.prefix32("ws:" + id)
+        (id, math.log((h + 1).toDouble / 4294967296.0) / w.toDouble)
+      }
+      .sortBy { case (id, p) => (-p, id) }
+      .take(TextAnalysis.WSampleK)
+      .zipWithIndex.map { case ((id, _), i) => (i + 1L, id) }.toSeq
+    assert(got == local, s"selection diverged: ${got.take(3)} vs ${local.take(3)}")
+  }
+
   test("trainServe: keep rates cover the corpus, ppm identity holds, filter actually binds") {
     val s = spark
     import s.implicits._
