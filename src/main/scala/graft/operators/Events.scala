@@ -986,11 +986,27 @@ object Events {
     * Degenerate corpora (X = 0 or X = N: zero variance) emit z² = 0,
     * not-significant — no division ever happens.
     *
+    * Overflow guard (r9): worst-case num·10⁶ = D²·N·10⁶ ≤ N⁵·10⁶/16,
+    * which crosses DECIMAL(38,0) near N ≈ 4.4·10⁶ users — and past it
+    * non-ANSI Spark silently NULLs the product while DuckDB HUGEINT
+    * raises, a SILENT cross-engine divergence. The readout therefore
+    * `raise_error`s when N > [[AbMaxUsers]] (condition checked before
+    * any product is consumed), so both engines fail LOUD at the same
+    * boundary; a platform-scale experiment past it reads out through
+    * the same algebra at DECIMAL(38,6)-per-factor scaling or a
+    * two-level aggregate, which this guard forces you to choose
+    * consciously rather than ship a NULL readout.
+    *
     * Scale: one combiner-friendly per-user aggregation (the shuffle),
     * one 2-row arm aggregate, one 1-row readout — the readout costs
     * the same at 100 TB as at sf0.001, which is the point: experiment
     * analysis is an aggregation problem, not a row problem. */
-  def abTest(ev: DataFrame): DataFrame = {
+  /** N⁵·10⁶/16 < 10³⁸ ⇒ N ≤ 4·10⁶ keeps every product exact. */
+  val AbMaxUsers = 4000000L
+
+  def abTest(ev: DataFrame): DataFrame = abTest(ev, AbMaxUsers)
+
+  private[graft] def abTest(ev: DataFrame, maxUsers: Long): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val big = DecimalType(38, 0)
     val users = ev.groupBy("user_id")
@@ -1020,6 +1036,12 @@ object Events {
         when(col("nb") === 0, lit(0L))
           .otherwise(expr("xb * 1000000 div nb")).as("cb_ppm"),
         when(col("den") === 0, lit(0L))
+          // guard BEFORE consuming any product: past the headroom Spark's
+          // non-ANSI decimal silently NULLs where DuckDB raises — fail
+          // loud on both engines instead of diverging silently
+          .when(col("nn") > lit(maxUsers).cast(big), raise_error(concat(
+            lit(s"ev_abtest: user count exceeds exact-integer headroom ($maxUsers): "),
+            col("nn").cast("string"))))
           .otherwise(expr("(num * 1000000) div den")).as("z2_ppm"),
         when(col("den") === 0, lit(0L))
           .otherwise((col("num") * lit(10000L) >

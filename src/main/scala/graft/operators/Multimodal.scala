@@ -526,6 +526,10 @@ object Multimodal {
   def lumHistogramSummary(media: Dataset[MediaFile]): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    // the emitted tuple and the h0..h3 schema (and the oracle's bin(k)
+    // expansion) are all 4-wide by construction — pin the constant so
+    // it cannot drift from the shape silently
+    require(HistBins == 4, s"lumHistogramSummary emits exactly 4 bins, HistBins=$HistBins")
     media.filter(col("kind") === "image")
       .mapPartitions(_.map { m =>
         val h = ImageCodec.lumHistogram(m.content, HistBins, m.media_id)

@@ -1162,11 +1162,14 @@ object TextAnalysis {
     * selection is one distributed top-k.
     *
     * Determinism: u derives from md5(doc_id) (+1 so u > 0, /2³² so
-    * u ≤ 1); both engines evaluate the identical
-    * `ln((h+1)/2³²)/w` double chain on the same integers, so the
-    * ORDERING is bit-reproducible (u values are distinct, ties
-    * impossible); the gate hashes (rank, doc_id) only — no float in
-    * the output.
+    * u ≤ 1); both engines evaluate the same `ln((h+1)/2³²)/w` double
+    * chain on the same integers, and the priority ROUNDS to 12dp
+    * before the ordering (r9): JVM Math.log and libm log are each
+    * ulp-accurate but not bit-identical, so a raw-double near-tie at
+    * the top-k boundary could flip between engines — the repo's
+    * round-before-compare float discipline applies to ORDER keys too.
+    * Post-round ties (none at 12dp in practice) break on doc_id; the
+    * gate hashes (rank, doc_id) only — no float in the output.
     *
     * Scale: map-only priority + TakeOrdered top-k (distributed partial
     * top-k, no global sort); k rows reach the driver. */
@@ -1179,7 +1182,7 @@ object TextAnalysis {
     // ann_hybrid bounded-cardinality shape, never a corpus-sized
     // global window
     docs.where(col("n_chars") > 0)
-      .select(col("doc_id"), (log(u) / col("n_chars").cast("double")).as("prio"))
+      .select(col("doc_id"), round(log(u) / col("n_chars").cast("double"), 12).as("prio"))
       .orderBy(col("prio").desc, col("doc_id")).limit(WSampleK)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -1675,15 +1678,16 @@ object TextAnalysis {
     // SQL the rules gate; w1 is the full label-weighted feature sum
     // (epoch 1 from w=0 misclassifies everything); later epochs score →
     // misclassify → update. All integer — zero rounding discipline.
-    // identical ln((h+1)/2^32)/w double chain on the same integers —
-    // the ORDERING is what the theorem needs, and it reproduces exactly
+    // same ln((h+1)/2^32)/w double chain on the same integers, rounded
+    // at 12dp before ordering (Math.log vs libm log are ulp-accurate,
+    // not bit-identical — the round pins the ORDER key cross-engine)
     "text_wsample" ->
       s"""SELECT rank, doc_id FROM (
          |  SELECT doc_id,
          |    row_number() OVER (ORDER BY
-         |      ln((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+         |      round(ln((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 8))::BIGINT + 1)
          |          / 4294967296.0)
-         |        / CAST(n_chars AS DOUBLE) DESC, doc_id) AS rank
+         |        / CAST(n_chars AS DOUBLE), 12) DESC, doc_id) AS rank
          |  FROM documents WHERE n_chars > 0) t
          |WHERE rank <= $WSampleK ORDER BY rank""".stripMargin,
     "text_train" ->

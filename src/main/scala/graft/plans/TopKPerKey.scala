@@ -38,12 +38,21 @@ import org.apache.spark.sql.types.LongType
   * key floods a partition. At todays measured scale that regime is
   * not reached, and the row says so.
   *
-  * Determinism: (order, id) with a unique id is a TOTAL order, so the
-  * retained set and the ranks are independent of arrival order — the
-  * partial/final split cannot change the answer (the same argument as
-  * partial aggregation's commutative monoid). Rows with a NULL key,
-  * order, or id are dropped (documented contract; the gated fixture is
-  * null-free).
+  * Determinism: (order, id) with a unique non-null id is a TOTAL
+  * order, so the retained set and the ranks are independent of arrival
+  * order — the partial/final split cannot change the answer (the same
+  * argument as partial aggregation's commutative monoid).
+  *
+  * Null/float semantics MIRROR the declarative window form (r9, was a
+  * drop-nulls contract): a NULL key forms its own group exactly as
+  * `PARTITION BY` groups nulls together; a NULL order ranks last
+  * (`ORDER BY ord DESC` is NULLS LAST in Spark); a NULL tie id ranks
+  * last among order-ties (`id ASC` NULLS LAST). Float/double driving
+  * values are normalized before grouping/comparison (-0.0 → 0.0; NaN
+  * canonicalizes via doubleToLongBits in boxed equals/hashCode) — the
+  * same NormalizeFloatingNumbers discipline Catalyst applies to
+  * window partition/sort keys, so native ≡ declarative holds on ALL
+  * inputs, not just null-free integer-keyed ones.
   *
   * `ev_asof_native`'s discipline applies: the operator is gated by the
   * SAME DuckDB oracle as the declarative window form, so native ≡
@@ -104,42 +113,75 @@ case class TopKPerKeyExec(
       val keyB = BindReferences.bindReference(key: Expression, childOut)
       val ordB = BindReferences.bindReference(order: Expression, childOut)
       val idB = BindReferences.bindReference(tieId: Expression, childOut)
-      // "goodness": greater order wins, ties to the SMALLER id — a total
-      // order when id is unique, so retained sets are arrival-invariant
+      // NormalizeFloatingNumbers-style value normalization: -0.0 → 0.0
+      // (x + 0.0 maps both zeros to +0.0; boxed NaN already canonicalizes
+      // via doubleToLongBits in equals/hashCode), so float keys group and
+      // float orders tie exactly as the window form's normalized keys do
+      def norm(dt: org.apache.spark.sql.types.DataType): Any => Any = dt match {
+        case org.apache.spark.sql.types.DoubleType =>
+          v => if (v == null) null else java.lang.Double.valueOf(v.asInstanceOf[Double] + 0.0d)
+        case org.apache.spark.sql.types.FloatType =>
+          v => if (v == null) null else java.lang.Float.valueOf(v.asInstanceOf[Float] + 0.0f)
+        case _ => identity
+      }
+      val normK = norm(key.dataType)
+      val normO = norm(order.dataType)
+      val normI = norm(tieId.dataType)
+      // "goodness": greater order wins (NULL order least good — DESC is
+      // NULLS LAST), ties to the SMALLER id (NULL id least good — ASC is
+      // NULLS LAST) — a total order when id is unique and non-null, so
+      // retained sets are arrival-invariant
       case class Entry(ord: Any, id: Any, row: InternalRow)
       val better = new java.util.Comparator[Entry] {
         override def compare(a: Entry, b: Entry): Int = {
-          val c = ordOrd.compare(a.ord, b.ord)
-          if (c != 0) c else idOrd.compare(b.id, a.id) // smaller id = greater goodness
+          val c =
+            if (a.ord == null && b.ord == null) 0
+            else if (a.ord == null) -1
+            else if (b.ord == null) 1
+            else ordOrd.compare(a.ord, b.ord)
+          if (c != 0) c
+          else if (a.id == null && b.id == null) 0
+          else if (a.id == null) -1
+          else if (b.id == null) 1
+          else idOrd.compare(b.id, a.id) // smaller id = greater goodness
         }
       }
+      // NULL keys form their own group, as PARTITION BY groups them — a
+      // sentinel stands in because HashMap.get(null) can't share a slot
+      // with "absent"
+      val NullKey = new AnyRef
       // per-key bounded min-heap: head = least good retained entry
       val heaps = new java.util.HashMap[Any, java.util.PriorityQueue[Entry]]()
       while (iter.hasNext) {
         val r = iter.next()
-        val kv = keyB.eval(r)
-        val ov = ordB.eval(r)
-        val iv = idB.eval(r)
-        if (kv != null && ov != null && iv != null) {
-          var h = heaps.get(kv)
-          if (h == null) {
-            h = new java.util.PriorityQueue[Entry](kk + 1, better)
-            // map keys must own their storage: eval of an UnsafeRow-backed
-            // attribute can return memory reused by the next row
-            heaps.put(InternalRow.copyValue(kv), h)
-          }
-          if (h.size < kk) h.offer(Entry(InternalRow.copyValue(ov), InternalRow.copyValue(iv), r.copy()))
-          else if (better.compare(Entry(ov, iv, null), h.peek()) > 0) {
-            h.poll()
-            h.offer(Entry(InternalRow.copyValue(ov), InternalRow.copyValue(iv), r.copy()))
-          }
+        val kv0 = keyB.eval(r)
+        val kv = if (kv0 == null) NullKey else normK(kv0)
+        val ov = normO(ordB.eval(r))
+        val iv = normI(idB.eval(r))
+        var h = heaps.get(kv)
+        if (h == null) {
+          h = new java.util.PriorityQueue[Entry](kk + 1, better)
+          // map keys must own their storage: eval of an UnsafeRow-backed
+          // attribute can return memory reused by the next row
+          heaps.put(if (kv.asInstanceOf[AnyRef] eq NullKey) kv
+            else InternalRow.copyValue(kv), h)
+        }
+        if (h.size < kk) h.offer(Entry(InternalRow.copyValue(ov), InternalRow.copyValue(iv), r.copy()))
+        else if (better.compare(Entry(ov, iv, null), h.peek()) > 0) {
+          h.poll()
+          h.offer(Entry(InternalRow.copyValue(ov), InternalRow.copyValue(iv), r.copy()))
         }
       }
       val keys = new java.util.ArrayList[Any](heaps.keySet())
-      // deterministic emit order (useful locally; the gated query adds
-      // its own global orderBy over the keys·k-row result anyway)
+      // deterministic emit order, null-key group last (useful locally; the
+      // gated query adds its own global orderBy over the keys·k-row result)
       java.util.Collections.sort(keys, new java.util.Comparator[Any] {
-        override def compare(a: Any, b: Any): Int = keyOrd.compare(a, b)
+        override def compare(a: Any, b: Any): Int = {
+          val an = a.asInstanceOf[AnyRef] eq NullKey
+          val bn = b.asInstanceOf[AnyRef] eq NullKey
+          if (an && bn) 0 else if (an) 1 else if (bn) -1
+          else keyOrd.compare(a, b)
+        }
       })
       val joined = new JoinedRow
       val rankRow = new GenericInternalRow(1)
@@ -177,9 +219,11 @@ object TopKPlans {
       spark.experimental.extraStrategies = cur :+ TopKPerKeyStrategy
   }
 
-  /** Per `keyCol`, the `k` best rows under (`orderCol` desc, `idCol`
-    * asc), with a 1-based `rankName` column appended. Rows with NULL in
-    * any of the three driving columns are dropped. */
+  /** Per `keyCol`, the `k` best rows under (`orderCol` desc NULLS
+    * LAST, `idCol` asc NULLS LAST), with a 1-based `rankName` column
+    * appended — NULL keys form their own group, exactly as the window
+    * form `row_number() OVER (PARTITION BY key ORDER BY ord DESC, id)`
+    * treats them. */
   def topKPerKey(df: DataFrame, keyCol: String, orderCol: String,
       idCol: String, k: Int, rankName: String): DataFrame = {
     val spark = df.sparkSession

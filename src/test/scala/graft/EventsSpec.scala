@@ -476,6 +476,12 @@ class EventsSpec extends SparkSpec {
     // corpus: one readout row, arms partition the user base
     val c = Events.abTest(ev).collect()(0)
     assert(c.getLong(0) + c.getLong(2) == ev.select("user_id").distinct().count())
+    // past the exact-integer headroom the readout fails LOUD (both
+    // engines), never a silent NULL — exercised via a tiny override
+    val boom = intercept[Exception] { Events.abTest(d, maxUsers = 1L).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(boom).exists(_.contains("exact-integer headroom")), boom.toString)
   }
 
   test("markov2: P² composes 1-step edges through mid, exact paths + floored ppm") {

@@ -26,18 +26,50 @@ class TopKPerKeySpec extends SparkSpec {
       (3L, 1L, 32L, 8.0), (3L, 2L, 33L, 4.0), (3L, 3L, 31L, 2.0)), r.toString)
   }
 
-  test("topKPerKey: rows with NULL key/order/id are dropped, not ranked") {
+  test("topKPerKey: NULL key/order/id mirror the window form (NULLS LAST, null key = own group)") {
     val s = spark
     import s.implicits._
     val d = Seq(
       (Some(1L), Some(11L), Some(2.0)), (Some(1L), Some(12L), None),
       (None, Some(13L), Some(9.0)), (Some(1L), None, Some(9.0)),
-      (Some(1L), Some(15L), Some(1.0))
-    ).toDF("k", "id", "v")
+      (Some(1L), Some(15L), Some(1.0)), (None, Some(16L), Some(3.0))
+    ).toDF("k", "id", "v").repartition(3)
     val r = TopKPlans.topKPerKey(d, "k", "v", "id", 3, "rank")
-      .select("k", "rank", "id").orderBy("k", "rank")
-      .as[(Long, Long, Long)].collect().toSeq
-    assert(r == Seq((1L, 1L, 11L), (1L, 2L, 15L)), r.toString)
+      .select("k", "rank", "id").orderBy(col("k").asc_nulls_last, col("rank"))
+      .as[(Option[Long], Long, Option[Long])].collect().toSeq
+    // window semantics: v DESC NULLS LAST, id ASC NULLS LAST; NULL key
+    // partitions together. k=1: null-id@9.0, 11@2.0, 15@1.0 (12@null v
+    // falls past k=3); null key: 13@9.0, 16@3.0.
+    assert(r == Seq(
+      (Some(1L), 1L, None), (Some(1L), 2L, Some(11L)), (Some(1L), 3L, Some(15L)),
+      (None, 1L, Some(13L)), (None, 2L, Some(16L))), r.toString)
+    // and the window form agrees row for row
+    val w = Window.partitionBy("k").orderBy(col("v").desc_nulls_last, col("id").asc_nulls_last)
+    val decl = d.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3).select("k", "rank", "id")
+      .orderBy(col("k").asc_nulls_last, col("rank"))
+      .as[(Option[Long], Long, Option[Long])].collect().toSeq
+    assert(r == decl, s"native=$r decl=$decl")
+  }
+
+  test("topKPerKey: double keys normalize -0.0/0.0 and NaN like the window form") {
+    val s = spark
+    import s.implicits._
+    // -0.0 and 0.0 must land in ONE group; NaNs in one group
+    val d = Seq(
+      (0.0, 1L, 5.0), (-0.0, 2L, 7.0), (Double.NaN, 3L, 4.0),
+      (Double.NaN, 4L, 6.0), (1.0, 5L, 1.0)
+    ).toDF("k", "id", "v").repartition(3)
+    val native = TopKPlans.topKPerKey(d, "k", "v", "id", 1, "rank")
+      .select("id").orderBy("id").as[Long].collect().toSeq
+    // one winner per normalized group: {±0.0}→id 2 (7.0), {NaN}→id 4
+    // (6.0), {1.0}→id 5
+    assert(native == Seq(2L, 4L, 5L), native.toString)
+    // fewer than k non-null rows still all emit, ranks 1..n
+    val few = Seq((1L, 1L, 2.0)).toDF("k", "id", "v")
+    val fr = TopKPlans.topKPerKey(few, "k", "v", "id", 3, "rank")
+      .select("rank").as[Long].collect().toSeq
+    assert(fr == Seq(1L))
   }
 
   test("topKPerKey: partial/final split — two execs, the exchange sees only survivors") {

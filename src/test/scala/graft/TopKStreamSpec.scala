@@ -4,6 +4,8 @@ import graft.streaming.{Event, TopKStream}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 class TopKStreamSpec extends SparkSpec {
 
   test("streamed top-k folds converge to the batch ranking; store stays candidate-bounded") {
@@ -41,11 +43,15 @@ class TopKStreamSpec extends SparkSpec {
     val nKeys = stored.select("user_id").distinct().count()
     assert(stored.count() <= nBatches * nKeys * TopKStream.K)
 
-    // re-delivered batch (same id, same content) is a no-op
+    // re-delivered batch (same id, same content) is a no-op.
+    // LIMIT without an ordering is not stable across executions —
+    // materialize the sample ONCE so both folds really see the same rows
+    val redelivered = spark.createDataFrame(
+      batchDf.limit(500).collect().toIndexedSeq.asJava, batchDf.schema)
     def snapshot() = rows(TopKStream.topKFromStore(spark, path))
-    TopKStream.foldBatch(batchDf.limit(500), 99L, path)
+    TopKStream.foldBatch(redelivered, 99L, path)
     val before = snapshot()
-    TopKStream.foldBatch(batchDf.limit(500), 99L, path)
+    TopKStream.foldBatch(redelivered, 99L, path)
     assert(snapshot() == before)
 
     // compaction: rewriting the store as its own top-k (batch_id = -1)
