@@ -222,6 +222,24 @@ object WordCount {
     wordCount(graft.sources.Sources.concatChunked(docs, ChunkChars)
       .withColumnRenamed("chunk", "text"))
 
+  /** Chunk COUNT for `wc_chunked_n` — the reference's default config
+    * (`configurations/config.json` WORKER_NUM_MAP = 5). */
+  val NumChunksFixed = 5
+
+  /** The reference's FIXED-CHUNK-NUM chunkized count (`wc_chunked_n`,
+    * r9) — the `CHUNK_SIZE ≤ 0` branch (`core/utils.go:325-329`) that
+    * the DEFAULT configuration runs: [[NumChunksFixed]] average-size
+    * slices of the concatenated stream, remainder chars appended to the
+    * LAST chunk, each slice tokenized independently. Closes the last
+    * reference chunkize mode next to [[chunkedWordCount]]
+    * (CHUNK_SIZE > 0, per-doc) and [[concatWordCount]] (CHUNK_SIZE > 0,
+    * cross-file): same [[graft.sources.Sources.concatChunkedN]]
+    * prefix-sum construction, different slice rule — the gate pins the
+    * remainder-to-last-chunk boundary artifact. */
+  def chunkedNWordCount(docs: DataFrame): DataFrame =
+    wordCount(graft.sources.Sources.concatChunkedN(docs, NumChunksFixed)
+      .withColumnRenamed("chunk", "text"))
+
   /** The reference's ACTUAL input path, driver-gated end to end: raw text
     * files on disk → splittable line scan → schema extraction → per-doc
     * chunkization → tokenize → count (`core/utils.go:320-343` →
@@ -537,6 +555,7 @@ object WordCount {
     "wc_per_doc"   -> ((s, d) => perDocCounts(Tables.documents(s, d))),
     "wc_chunked"   -> ((s, d) => chunkedWordCount(Tables.documents(s, d))),
     "wc_concat"    -> ((s, d) => concatWordCount(Tables.documents(s, d))),
+    "wc_chunked_n" -> ((s, d) => chunkedNWordCount(Tables.documents(s, d))),
     "wc_files"     -> ((s, d) => filesWordCount(s, d)),
     "wc_bigrams"   -> ((s, d) => bigramCount(Tables.documents(s, d))),
     "wc_cooccur"   -> ((s, d) => cooccur(Tables.documents(s, d))),
@@ -743,6 +762,42 @@ object WordCount {
          |           - GREATEST(k * $ChunkChars, off) AS BIGINT)) AS piece
          |  FROM offs, unnest(range(CAST(off // $ChunkChars AS BIGINT),
          |                          CAST((off + len - 1) // $ChunkChars + 1 AS BIGINT))) AS u(k)
+         |  WHERE len > 0),
+         |chunks AS (
+         |  SELECT chunk_no, string_agg(piece, '' ORDER BY off) AS text
+         |  FROM pieces GROUP BY chunk_no)
+         |SELECT word, count(*) AS cnt FROM (
+         |  SELECT unnest(regexp_split_to_array(text, '$TokenRe')) AS word
+         |  FROM chunks) t
+         |WHERE word <> ''
+         |GROUP BY word ORDER BY cnt DESC, word""".stripMargin,
+    // fixed chunk COUNT (core/utils.go:325-329): cs = total div 5,
+    // uniform slices, remainder to the LAST chunk — chunk_no caps at
+    // k−1 so the overflow region folds into it, as the reference's
+    // allStr[low : high+reminder] does
+    "wc_chunked_n" ->
+      s"""WITH offs AS (
+         |  SELECT doc_id, text, length(text)::BIGINT AS len,
+         |    CAST(COALESCE(SUM(length(text)::BIGINT) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |  FROM documents),
+         |tot AS (SELECT CAST(COALESCE(SUM(length(text)::BIGINT), 0) AS BIGINT) AS tot,
+         |               CAST(COALESCE(SUM(length(text)::BIGINT), 0) // $NumChunksFixed
+         |                    AS BIGINT) AS cs
+         |        FROM documents),
+         |pieces AS (
+         |  SELECT k AS chunk_no, off,
+         |    substr(text,
+         |      CAST(GREATEST(k * cs, off) - off + 1 AS BIGINT),
+         |      CAST(LEAST(CASE WHEN k = $NumChunksFixed - 1 THEN tot ELSE (k + 1) * cs END,
+         |                 off + len)
+         |           - GREATEST(k * cs, off) AS BIGINT)) AS piece
+         |  FROM offs, tot,
+         |    unnest(range(
+         |      CASE WHEN cs = 0 THEN ${NumChunksFixed - 1}
+         |           ELSE LEAST(off // cs, ${NumChunksFixed - 1}) END,
+         |      CASE WHEN cs = 0 THEN $NumChunksFixed
+         |           ELSE LEAST((off + len - 1) // cs, ${NumChunksFixed - 1}) + 1 END)) AS u(k)
          |  WHERE len > 0),
          |chunks AS (
          |  SELECT chunk_no, string_agg(piece, '' ORDER BY off) AS text

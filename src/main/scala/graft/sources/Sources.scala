@@ -172,8 +172,81 @@ object Sources {
     *
     * Output: (chunk_no, chunk), the reference's CHUNK array. */
   def concatChunked(docs: DataFrame, chunkSize: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cs = chunkSize.toLong
+    globalOffsets(docs).where(col("len") > 0)
+      .select(col("off"), col("text"),
+        explode(sequence(expr(s"off div $cs"), expr(s"(off + len - 1) div $cs")))
+          .as("chunk_no"))
+      .select(col("chunk_no"), col("off"),
+        col("text").substr(
+          (greatest(col("chunk_no") * cs, col("off")) - col("off") + 1).cast("int"),
+          (least((col("chunk_no") + 1) * cs, col("off") + length(col("text")))
+            - greatest(col("chunk_no") * cs, col("off"))).cast("int")).as("piece"))
+      .transform(reassemble)
+  }
+
+  /** The reference's OTHER chunkize branch, exact (`core/utils.go:
+    * 325-329` + 339-341, the `CHUNK_SIZE ≤ 0` default path a user
+    * running `configurations/config.json` hits — WORKER_NUM_MAP = 5
+    * fixed chunks): `chunkSize = total div numChunks`, chunk x slices
+    * `[x·cs, (x+1)·cs)`, and the REMAINDER (`total mod numChunks`)
+    * appends to the LAST chunk (`filesChunkized[len-1] =
+    * allStr[low : high+reminder]`) — so the last worker's chunk is up
+    * to `numChunks−1` chars bigger, a boundary artifact this key pins.
+    * Degenerate corpus (< numChunks chars ⇒ cs = 0): the reference
+    * slices every chunk empty and the remainder rule hands the WHOLE
+    * stream to the last chunk — mirrored by the cs = 0 branch.
+    *
+    * Same distributed shape as [[concatChunked]]: the global
+    * concatenation exists only as prefix-sum COORDINATES; the one new
+    * input is the 1-row corpus-length aggregate, broadcast. At scale
+    * numChunks is the worker count, so per-chunk reassembly groups are
+    * corpus/numChunks-sized — the reference's own per-worker payload. */
+  def concatChunkedN(docs: DataFrame, numChunks: Int): DataFrame = {
+    val k = numChunks.toLong
+    val tot = docs.agg(
+      coalesce(sum(length(col("text")).cast("long")), lit(0L)).as("tot"))
+    globalOffsets(docs).where(col("len") > 0)
+      .crossJoin(broadcast(tot))
+      .withColumn("cs", expr(s"tot div $k"))
+      // chunk index of a global offset: uniform cs-wide slices, the
+      // overflow past (k−1)·cs all folding into the LAST chunk —
+      // integer `div` end to end (no double division at corpus offsets)
+      .withColumn("first_c",
+        when(col("cs") === 0, lit(k - 1))
+          .otherwise(least(expr("off div cs"), lit(k - 1))))
+      .withColumn("last_c",
+        when(col("cs") === 0, lit(k - 1))
+          .otherwise(least(expr("(off + len - 1) div cs"), lit(k - 1))))
+      .select(col("off"), col("text"), col("cs"), col("tot"),
+        explode(sequence(col("first_c"), col("last_c"))).as("chunk_no"))
+      // chunk c spans [c·cs, (c+1)·cs) — except the last, which runs to
+      // the end of the stream (the remainder rule)
+      .withColumn("cstart", col("chunk_no") * col("cs"))
+      .withColumn("cend",
+        when(col("chunk_no") === k - 1, col("tot")).otherwise((col("chunk_no") + 1) * col("cs")))
+      .select(col("chunk_no"), col("off"),
+        col("text").substr(
+          (greatest(col("cstart"), col("off")) - col("off") + 1).cast("int"),
+          (least(col("cend"), col("off") + length(col("text")))
+            - greatest(col("cstart"), col("off"))).cast("int")).as("piece"))
+      .transform(reassemble)
+  }
+
+  /** (doc_id, text, len, off): exclusive global prefix offsets of the
+    * doc_id-ordered no-separator concatenation — the two-phase
+    * distributed scan both chunkize modes share:
+    *
+    *  1. range-partition by doc_id, so each partition holds a
+    *     contiguous run of the enumeration order;
+    *  2. within-partition exclusive running length (partition-local
+    *     window — parallel);
+    *  3. per-partition totals → a PARTITION-COUNT-sized frame whose own
+    *     prefix scan is one tiny single-task window, broadcast back
+    *     (the classic two-phase scan: the only global sequential step
+    *     is O(#partitions), not O(rows)). */
+  private def globalOffsets(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sized = docs.select(col("doc_id"), col("text"),
         length(col("text")).cast("long").as("len"))
       .repartitionByRange(col("doc_id"))
@@ -185,23 +258,18 @@ object Sources {
     val bases = sized.groupBy("pid").agg(sum("len").as("plen"))
       .withColumn("base", coalesce(sum("plen").over(wBases), lit(0L)))
       .select("pid", "base")
-    val offd = sized
+    sized
       .withColumn("loff", coalesce(sum("len").over(wLocal), lit(0L)))
       .join(broadcast(bases), "pid")
       .select(col("doc_id"), col("text"), col("len"),
         (col("base") + col("loff")).as("off"))
-    offd.where(col("len") > 0)
-      .select(col("off"), col("text"),
-        explode(sequence(expr(s"off div $cs"), expr(s"(off + len - 1) div $cs")))
-          .as("chunk_no"))
-      .select(col("chunk_no"), col("off"),
-        col("text").substr(
-          (greatest(col("chunk_no") * cs, col("off")) - col("off") + 1).cast("int"),
-          (least((col("chunk_no") + 1) * cs, col("off") + length(col("text")))
-            - greatest(col("chunk_no") * cs, col("off"))).cast("int")).as("piece"))
-      .groupBy("chunk_no")
+  }
+
+  /** (chunk_no, off, piece) → (chunk_no, chunk): one groupBy(chunk_no)
+    * shuffle, pieces reassembled in offset order. */
+  private def reassemble(pieces: DataFrame): DataFrame =
+    pieces.groupBy("chunk_no")
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("off"), col("piece")))),
         e => e.getField("piece")), "").as("chunk"))
-  }
 }

@@ -210,4 +210,25 @@ class DedupSpec extends SparkSpec {
     val mae = est.map { case (e, j) => math.abs(e - j) }.sum / est.length
     assert(mae <= 0.25, f"mean |est−jaccard| $mae%.3f too large over ${est.length} pairs")
   }
+
+  test("minhashThresholded: exactly the estimator's pairs cut at the sketch, exact branch never run") {
+    val s = spark
+    import s.implicits._
+    val thr = Dedup.minhashThresholded(docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    // the production path must agree with the measurement query's
+    // est_matches column filtered at the same cut — same candidates,
+    // same signatures, no exact-Jaccard arithmetic anywhere
+    val viaEst = Dedup.minhashEstimate(docs)
+      .where(col("est_matches") >= Dedup.ThreshMatches)
+      .select("doc_a", "doc_b", "est_matches")
+      .orderBy("doc_a", "doc_b").as[(Long, Long, Long)].collect().toSeq
+    assert(thr == viaEst, s"thr=${thr.take(5)}… viaEst=${viaEst.take(5)}…")
+    assert(thr.forall(_._3 >= Dedup.ThreshMatches))
+    // and identical docs pass the cut with full agreement
+    val twins = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    assert(Dedup.minhashThresholded(twins)
+      .as[(Long, Long, Long)].head() == ((1L, 2L, 16L)))
+  }
 }

@@ -48,6 +48,28 @@ class WordCountSpec extends SparkSpec {
     assert(ch2 == Seq((0L, "abcd"), (1L, "efg")))
   }
 
+  test("concatChunkedN: avg-size slices, remainder appended to the LAST chunk, cs=0 degenerate") {
+    val s = spark
+    import s.implicits._
+    // stream = "aaaa bb"+"cc"+"ddd" = "aaaa bbccddd" (12 chars); K=5 ⇒
+    // cs = 12 div 5 = 2, remainder 2 → last chunk [8,12) gets 4 chars
+    val d = Seq((1L, "aaaa bb"), (2L, "cc"), (3L, "ddd")).toDF("doc_id", "text")
+    val ch = graft.sources.Sources.concatChunkedN(d, 5)
+      .orderBy("chunk_no").as[(Long, String)].collect().toSeq
+    assert(ch == Seq((0L, "aa"), (1L, "aa"), (2L, " b"), (3L, "bc"), (4L, "cddd")), ch.toString)
+    // tokens: the reference's cross-doc merge ("bc") and remainder-fed
+    // last chunk ("cddd") are the gated artifacts
+    val words = WordCount.chunkedNWordCount(d).as[(String, Long)].collect().toMap
+    assert(words == Map("aa" -> 2L, "b" -> 1L, "bc" -> 1L, "cddd" -> 1L), words.toString)
+    // corpus shorter than K chars ⇒ cs = 0: the reference slices every
+    // chunk empty and the remainder rule hands the WHOLE stream to the
+    // last chunk (core/utils.go:339-341)
+    val tiny = Seq((1L, "xy")).toDF("doc_id", "text")
+    val ch2 = graft.sources.Sources.concatChunkedN(tiny, 5)
+      .orderBy("chunk_no").as[(Long, String)].collect().toSeq
+    assert(ch2 == Seq((4L, "xy")), ch2.toString)
+  }
+
   test("topK is the head of the full ranking") {
     val full = WordCount.wordCount(docs).collect()
     val top = WordCount.topK(docs, 5).collect()
