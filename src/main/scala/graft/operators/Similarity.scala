@@ -211,6 +211,94 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Where the persisted AUGMENTED-space codebook for `ann_mips_ivf`
+    * lives — trained on the norm-augmented (65-dim) corpus, float cv,
+    * fixture-keyed like [[codebookPath]] so the DuckDB oracle reads the
+    * SAME bits. A separate fixture from the cosine codebook on purpose:
+    * MIPS cell geometry lives in augmented space (all corpus vectors on
+    * the radius-M sphere), and training there is exactly how a cosine
+    * index family becomes a MIPS index. */
+  def mipsCodebookPath(sfDir: String): String =
+    graft.sources.Fixtures.dirFor("mips_codebook", sfDir, "embeddings")
+
+  /** (vec_id, av): the norm-augmented corpus — v ∥ sqrt(M² − |v|²),
+    * M = max corpus norm — shared by [[mipsIvf]]'s training and
+    * assignment passes. The |v|² fold and the sqrt are the SAME
+    * left-to-right double chains the oracle unrolls, so the augmented
+    * component is bit-identical cross-engine (it feeds assignment
+    * cosines). Persisted by the caller (the CollapseProject barrier —
+    * [[mipsTopK]]'s measured lesson). */
+  private[graft] def augmented(em: DataFrame): DataFrame = {
+    val withNorm = em.select(col("vec_id"), vec(col("embedding")).as("v"))
+      .withColumn("nrm2", aggregate(transform(col("v"), x => x * x),
+        lit(0.0), (acc, x) => acc + x))
+    val mx = withNorm.agg(max(col("nrm2")).as("m2"))
+    withNorm.crossJoin(broadcast(mx))
+      .select(col("vec_id"),
+        concat(col("v"), array(sqrt(greatest(col("m2") - col("nrm2"), lit(0.0)))))
+          .as("av"))
+  }
+
+  /** INDEX-BACKED MIPS (`ann_mips_ivf`, r9) — the composition
+    * [[mipsTopK]]'s own scaladoc argues is the reduction's whole 100 TB
+    * value, now gated: norm-augment the corpus (every vector lands on
+    * the radius-M sphere), TRAIN the IVF codebook in augmented space
+    * (persisted fixture, Lloyd's under cosine — [[trainCodebook]]
+    * unchanged at 65 dims), assign/probe by augmented cosine exactly as
+    * [[ivfTrained]] does, and rank the cell-restricted candidates by
+    * RAW inner product — which augmented-cosine cell geometry preserves
+    * (q_aug·x_aug = q·x, |x_aug| = M, so the ranking is monotone in the
+    * raw dot product; Bachrach et al. RecSys 2014). The oracle mirrors
+    * assignment/probing over the SAME persisted codebook and ranks by
+    * DuckDB's raw `list_inner_product` — a hash match proves the
+    * composed index answers MIPS, not just that a scan does.
+    *
+    * Scale shape: identical to `ann_ivf_trained` — the augmentation is
+    * one map pass over the corpus plus a 1-row broadcast max; the n·K
+    * assignment is the broadcast pass; candidates are
+    * queries·NProbe·(n/K). Measured at 100× this replaces `ann_mips`'s
+    * 163.9 s n·q scan with the IVF candidate budget (§5c-r9). */
+  def mipsIvf(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val em = Tables.embeddings(s, d)
+    val dir = mipsCodebookPath(d)
+    val aug = augmented(em).persist()
+    if (!graft.sources.Fixtures.ready(dir))
+      trainCodebook(aug.select(col("vec_id"), col("av").as("embedding")))
+        .select(col("cent_id"), transform(col("cv"), x => x.cast("float")).as("cv"))
+        .write.mode("overwrite").parquet(dir)
+    mipsIvfWith(em, aug, readCodebook(s, dir))
+  }
+
+  /** [[mipsIvf]] over explicit augmented-corpus and augmented-codebook
+    * frames — spec-runnable on synthetic corpora without fixtures. */
+  private[graft] def mipsIvfWith(em: DataFrame, aug: DataFrame,
+                                 cents: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(em.sparkSession)
+    val assign = nearestCells(aug.select(col("vec_id"), col("av").as("v")), cents, 1)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    // queries augment with 0 (their true norm rides the cosine's |q|)
+    val qs = em.where(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id"), concat(vec(col("embedding")), array(lit(0.0))).as("v"))
+    val probes = nearestCells(qs, cents, NProbe)
+      .withColumnRenamed("vec_id", "query_id")
+    val cand = probes.join(assign, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    // final ranking: RAW dot product of the ORIGINAL 64-dim vectors —
+    // the MIPS answer itself, not a cosine proxy
+    val qv = em.select(col("vec_id").as("query_id"), vec(col("embedding")).as("qv"))
+    val nv = em.select(col("vec_id").as("neighbor_id"), vec(col("embedding")).as("nv"))
+    val ip = aggregate(zip_with(col("qv"), col("nv"), (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy("query_id").orderBy(col("ip").desc, col("neighbor_id"))
+    cand.join(broadcast(qv), "query_id").join(nv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), ip.as("ip"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= TopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
   private def lshIndex(em: DataFrame): DataFrame = lshIndex(em, LshBits)
 
   private def lshIndex(em: DataFrame, bits: Int): DataFrame = {
@@ -954,10 +1042,57 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** FILTERED ANN over the trained IVF index (`ann_filtered_ivf`, r9)
+    * — the filter ∧ cell composition [[filteredTopK]]'s scaladoc says
+    * pre-filtering exists to enable (faiss's selector-aware search),
+    * now gated: the metadata predicate lands as a semi-join BEFORE
+    * cell assignment, so only the |filter| surviving vectors are
+    * assigned to cells at all — per-query work is the probed cells'
+    * FILTERED membership, |filter|·NProbe/K candidates, never the
+    * |filter|-scan of `ann_filtered` and never a post-filter underfill.
+    * Queries stay unrestricted (probe the same [[NProbe]] cells as
+    * `ann_ivf_trained` — the SAME persisted codebook fixture, so the
+    * index is shared between the filtered and unfiltered search paths,
+    * exactly as a production vector store serves both from one index).
+    *
+    * Scale shape: assignment drops from n·K to |filter|·K broadcast
+    * cosines; the candidate join shuffles skinny id/cell triples of the
+    * filtered corpus only. Composes the `ann_filtered` broadcast-ids
+    * lesson (§5c-r8c) with `ann_ivf_trained`'s probe machinery
+    * unchanged — [[ivfRank]] is the shared tail. */
+  def filteredIvf(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val em = Tables.embeddings(s, d)
+    val dir = codebookPath(d)
+    if (!graft.sources.Fixtures.ready(dir))
+      persistCodebook(em, dir)
+    val allowed = Tables.documents(s, d)
+      .where(col("lang") === FilterLang).select(col("doc_id"))
+    filteredIvfWith(em, allowed, readCodebook(s, dir))
+  }
+
+  /** [[filteredIvf]] over explicit allowed-id and centroid frames —
+    * spec-runnable on synthetic corpora without fixtures. */
+  private[graft] def filteredIvfWith(em: DataFrame, allowed: DataFrame,
+                                     cents: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(em.sparkSession)
+    val fcorpus = em.join(broadcast(allowed), col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), vec(col("embedding")).as("v"))
+    val assign = cellAssign(fcorpus, cents)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val probes = nearestCells(
+      em.where(col("vec_id") % QueryStride === 0)
+        .select(col("vec_id"), vec(col("embedding")).as("v")), cents, NProbe)
+      .withColumnRenamed("vec_id", "query_id")
+    ivfRank(em, probes, assign)
+  }
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "ann_filtered"   -> ((s, d) =>
       filteredTopK(Tables.embeddings(s, d), Tables.documents(s, d))),
+    "ann_filtered_ivf" -> ((s, d) => filteredIvf(s, d)),
+    "ann_mips_ivf"   -> ((s, d) => mipsIvf(s, d)),
     "ann_bruteforce" -> ((s, d) => bruteForce(Tables.embeddings(s, d))),
     "ann_mips"       -> ((s, d) => mipsTopK(Tables.embeddings(s, d))),
     "ann_sq"         -> ((s, d) => sqTopK(Tables.embeddings(s, d))),
@@ -1293,6 +1428,81 @@ object Similarity {
          |  JOIN embeddings q ON q.vec_id = c.query_id
          |  JOIN embeddings n ON n.vec_id = c.neighbor_id) t
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    // augmented-space assignment/probing over the SAME persisted
+    // augmented codebook; the final rank is the RAW inner product — the
+    // unrolled |v|² sum and sqrt mirror the Spark folds term for term
+    "ann_mips_ivf" -> {
+      val n2 = (1 to 64).map(i => s"v[$i]*v[$i]").mkString(" + ")
+      val dir = mipsCodebookPath(graft.Dials.sfDir.getOrElse("/root/testdata/sf0.001"))
+      s"""WITH nrm AS (
+         |  SELECT vec_id, v, $n2 AS n2 FROM (SELECT vec_id, $V AS v FROM embeddings) e),
+         |mx AS (SELECT max(n2) AS m2 FROM nrm),
+         |aug AS (
+         |  SELECT vec_id, list_append(v, sqrt(greatest(m2 - n2, 0.0::DOUBLE))) AS av
+         |  FROM nrm, mx),
+         |cents AS (
+         |  SELECT cent_id, cv::DOUBLE[] AS cv FROM read_parquet('$dir/*.parquet')),
+         |assign AS (
+         |  SELECT vec_id AS neighbor_id, cell FROM (
+         |    SELECT a.vec_id, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_cosine_similarity(a.av, c.cv) DESC, c.cent_id) AS crn
+         |    FROM aug a, cents c) t WHERE crn = 1),
+         |probes AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT q.vec_id AS query_id, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(list_append(q.v, 0.0::DOUBLE), c.cv)
+         |          DESC, c.cent_id) AS crn
+         |    FROM nrm q, cents c WHERE q.vec_id % $QueryStride = 0) p
+         |  WHERE crn <= $NProbe),
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, a.neighbor_id
+         |  FROM probes p JOIN assign a ON a.cell = p.cell
+         |  WHERE a.neighbor_id <> p.query_id)
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    row_number() OVER (PARTITION BY c.query_id
+         |      ORDER BY list_inner_product(q.$V, n.$V) DESC, c.neighbor_id) AS rank
+         |  FROM cand c
+         |  JOIN embeddings q ON q.vec_id = c.query_id
+         |  JOIN embeddings n ON n.vec_id = c.neighbor_id) t
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+    },
+    // the predicate restricts ASSIGNMENT (the corpus side) only; probes
+    // and the ranking tail are ivfSql's, over the same codebook fixture
+    "ann_filtered_ivf" -> {
+      val dir = codebookPath(graft.Dials.sfDir.getOrElse("/root/testdata/sf0.001"))
+      s"""WITH cents AS (
+         |  SELECT cent_id, cv::DOUBLE[] AS cv FROM read_parquet('$dir/*.parquet')),
+         |assign AS (
+         |  SELECT vec_id AS neighbor_id, cell FROM (
+         |    SELECT e.vec_id, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.$V, c.cv) DESC, c.cent_id) AS crn
+         |    FROM embeddings e
+         |    JOIN documents d ON d.doc_id = e.vec_id AND d.lang = '$FilterLang',
+         |    cents c) a WHERE crn = 1),
+         |probes AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT q.vec_id AS query_id, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.$V, c.cv) DESC, c.cent_id) AS crn
+         |    FROM embeddings q, cents c WHERE q.vec_id % $QueryStride = 0) p
+         |  WHERE crn <= $NProbe),
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, a.neighbor_id
+         |  FROM probes p JOIN assign a ON a.cell = p.cell
+         |  WHERE a.neighbor_id <> p.query_id)
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    row_number() OVER (PARTITION BY c.query_id
+         |      ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, c.neighbor_id) AS rank
+         |  FROM cand c
+         |  JOIN embeddings q ON q.vec_id = c.query_id
+         |  JOIN embeddings n ON n.vec_id = c.neighbor_id) t
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+    },
     "ann_ivf" -> ivfSql(
       s"""SELECT vec_id AS cent_id, $V AS cv FROM embeddings
          |  WHERE vec_id % $CentroidStride = 0""".stripMargin),
