@@ -17,13 +17,23 @@ import org.apache.spark.sql.functions._
   * orderings are total), so the timing comparison can never silently
   * compare different answers.
   *
-  * Usage: runMain graft.TopKStress <sfDir>
+  * `--flood` (r9) reaches the MEMORY regime the plan's scaladoc claims
+  * (a map partition much larger than the sort budget): a synthetic
+  * frame floods 90% of its rows onto ONE key across 4 fat partitions,
+  * and the JVM should be started with a small heap (e.g. -Xmx1536m,
+  * SPARK_GRAFT_CPUS=4) so the window form's per-partition sort runs
+  * under genuine memory pressure (UnsafeExternalSorter spills) while
+  * the heap exec holds O(keys·k) state and never touches a sort
+  * buffer. Row count via SPARK_GRAFT_FLOOD_ROWS (default 20 M).
+  *
+  * Usage: runMain graft.TopKStress <sfDir> [--flood]
   * Prints one JSON line per variant: {"variant":...,"sec":...}.
   */
 object TopKStress {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
+    val flood = args.contains("--flood")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,8 +43,21 @@ object TopKStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val base = Tables.orders(spark, sfDir)
-      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val base =
+      if (flood) {
+        // 90% of rows on key 0, the rest spread over 1000 keys; 4 fat
+        // partitions so each map task sorts millions of rows. Values
+        // are hash-derived, deterministic, unique-id tie-broken.
+        val n = sys.env.getOrElse("SPARK_GRAFT_FLOOD_ROWS", "20000000").toLong
+        spark.range(n).select(
+            when(col("id") % 10 < 9, lit(0L))
+              .otherwise(pmod(col("id"), lit(1000L))).as("o_custkey"),
+            col("id").as("o_orderkey"),
+            pmod(col("id") * 2654435761L, lit(1000003L)).cast("double")
+              .as("o_totalprice"))
+          .repartition(4)
+      } else Tables.orders(spark, sfDir)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
 
     def time(name: String)(f: => Long): Long = {
       val t0 = System.nanoTime()

@@ -241,6 +241,54 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** EAGER AGGREGATION IN ITS WINNING REGIME (`q45_eagermult`, r9) —
+    * the other side of `q43_eageragg`'s measured boundary: per
+    * order-priority, the total event value and event-order pair count
+    * of each order's customer — a ROW-MULTIPLYING fact-to-fact join
+    * (events ⋈ orders on the customer key: ~67 events × ~10 orders per
+    * customer ⇒ ~1 M pairs at sf0.1, ~100 M at 100×, from two ≤600 k
+    * inputs). Exactly Yan & Larson's applicability condition, both
+    * halves: the pre-aggregation's reduction factor is HUGE (events
+    * collapse 67:1 to one row per user before the join) and the join
+    * MULTIPLIES rows (so the flat plan's shuffle+CPU scale with the
+    * pair count, not the input count).
+    *
+    * Eager tree: events → per-user (sum, count) [map-side combine
+    * collapses each task to ≈ distinct-users rows — the high fan-in is
+    * what q43's 4-rows/key l_orderkey pre-agg lacked]; the per-user
+    * frame then BROADCASTS to orders (users ≪ orders ≪ pairs), and the
+    * final 5-group rollup is one combine-friendly pass over |orders|
+    * rows. The multiplied pair set is never materialized anywhere.
+    * Measured ([[graft.EagerStress]] `--mult`, 100×, warm min-of-2,
+    * result-identity asserted): eager 3.0 s vs flat 6.3 s — a 2.1×
+    * win where q43's shape LOSES 3-4× on the same machine, so the
+    * Yan-Larson boundary now has both sides measured. (The gap is 2×,
+    * not 10×: the flat form never materializes its ~100 M pairs — the
+    * join streams them straight into a 5-group combine — so the
+    * multiplied CPU, not shuffle bytes, is the whole difference.)
+    * At user counts past broadcast range the per-user frame
+    * instead co-partitions with orders on the customer key (both sides
+    * shuffle |users| + |orders| rows — still never |pairs|).
+    *
+    * Determinism: per-event values cast to DECIMAL(28,10) BEFORE any
+    * sum; regrouping Σ_pairs ≡ Σ_orders Σ_user-events is exact decimal
+    * associativity (q43's argument); the pair count is Σ ev_n — exact
+    * integers. Final round(2)+double is [[Compat.xsum]]'s contract. */
+  def q45EagerMult: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val perUser = Tables.events(s, d).groupBy("user_id")
+      .agg(sum(col("value").cast(DecimalType(28, 10))).as("ev_sum"),
+        count(lit(1)).as("ev_n"))
+    Tables.orders(s, d).select("o_custkey", "o_orderpriority")
+      .join(broadcast(perUser), col("o_custkey") === col("user_id"))
+      .groupBy("o_orderpriority")
+      .agg(sum("ev_sum").as("dec_sum"), sum("ev_n").as("n_pairs"))
+      .select(col("o_orderpriority"),
+        col("dec_sum").cast(DecimalType(28, 2)).cast("double").as("ev_revenue"),
+        col("n_pairs"))
+      .orderBy("o_orderpriority")
+  }
+
   val GroupTopK = 3
 
   /** GROUPED TOP-K through the native two-phase plan
@@ -926,6 +974,7 @@ object Relational {
     "q41_mergeagg" -> q41MergeAgg,
     "q42_unpivot"  -> q42Unpivot,
     "q43_eageragg" -> q43EagerAgg,
+    "q45_eagermult" -> q45EagerMult,
     "q44_grouptopk"-> q44GroupTopK,
     "q1_agg"       -> q1Agg,
     "q2_filter"    -> q2Filter,
@@ -984,6 +1033,14 @@ object Relational {
         |JOIN customer ON c_custkey = o_custkey
         |JOIN nation ON n_nationkey = c_nationkey
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    // the flat pair-level join-agg the eager tree must equal: exact
+    // decimal associativity makes the per-user regrouping invisible
+    "q45_eagermult" ->
+      s"""SELECT o_orderpriority,
+         |  ${Compat.osum("value")} AS ev_revenue,
+         |  count(*) AS n_pairs
+         |FROM events e JOIN orders o ON o.o_custkey = e.user_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q42_unpivot" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
         |  event_type, count(*) AS n
