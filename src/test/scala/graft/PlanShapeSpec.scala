@@ -317,17 +317,19 @@ class PlanShapeSpec extends SparkSpec {
     // time axis or the cluster topology, not the data volume — q28/q29
     // window over a per-DAY aggregate (≤ a few thousand rows for a
     // decade of data at any SF), so the single task carries O(days)
-    // scalars, never O(rows); wc_concat's prefix-sum windows over the
-    // PER-PARTITION length sums (one row per partition — O(P) scalars,
-    // the canonical distributed prefix-sum shape, sources/Sources.scala
-    // concatChunked), never the documents themselves.
+    // scalars, never O(rows); wc_concat's and wc_chunked_n's prefix-sum
+    // windows over the PER-PARTITION length sums (one row per partition
+    // — O(P) scalars, the canonical distributed prefix-sum shape,
+    // sources/Sources.scala globalOffsets), never the documents
+    // themselves.
     // ann_hybrid's three global windows assign ranks WITHIN frames a
     // LIMIT (TakeOrdered, ≤ListK=100 rows) has already cut — O(k)
     // scalars per window, never corpus rows.
     // text_wsample follows the same LIMIT-then-rank shape: TakeOrdered
     // cuts the corpus to k=50 rows before its rank window runs.
     val boundedCardinality =
-      Set("q28_running", "q29_movavg", "wc_concat", "ann_hybrid", "text_wsample")
+      Set("q28_running", "q29_movavg", "wc_concat", "wc_chunked_n",
+        "ann_hybrid", "text_wsample")
     val offenders = SparkEntry.queries.toSeq
       .filterNot { case (name, _) => boundedCardinality(name) }
       .flatMap { case (name, fn) =>
