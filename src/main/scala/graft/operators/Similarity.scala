@@ -119,7 +119,12 @@ object Similarity {
     * smaller resident index), and composes with the IVF cell
     * restriction the same way PQ does when candidates, not bytes, are
     * the bottleneck. Spec measures recall@5 vs exact ≥ 0.9. */
-  def sqTopK(em: DataFrame): DataFrame = {
+  /** (neighbor_id, dv): the SQ8 encode → dequantize pass over the whole
+    * corpus — the min/max "model" aggregates once and broadcasts, every
+    * vector quantizes to byte codes and dequantizes against the same
+    * frame. Shared by the exhaustive scan ([[sqTopK]]) and the
+    * IVF-restricted composition ([[sqIvf]]). */
+  private def sqDequantized(em: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(em.sparkSession)
     val dims = em.select(posexplode(vec(col("embedding"))).as(Seq("pos", "x")))
       .groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
@@ -138,12 +143,51 @@ object Similarity {
             least(greatest(
               round((x - loAt(i)) / (hiAt(i) - loAt(i)) * SqLevels).cast("long"),
               lit(0L)), lit(SqLevels.toLong)))).as("codes"))
-    val dequant = encoded.select(col("neighbor_id"),
+    encoded.select(col("neighbor_id"),
       transform(col("codes"), (c, i) =>
         loAt(i) + c.cast("double") * lit(1.0) / SqLevels * (hiAt(i) - loAt(i))).as("dv"))
+  }
+
+  /** SQ8 OVER THE TRAINED IVF INDEX (`ann_sq_ivf`, r9) — the
+    * composition the `ann_sq` row promises ("SQ is the BYTES lever and
+    * composes with the IVF cell restriction when candidates are the
+    * bottleneck"), now gated: faiss's `IndexIVFScalarQuantizer` shape.
+    * Candidates come from the trained-codebook cell restriction
+    * ([[ivfCandidates]] — the IMI-composed assign/probe chain `ann_pq`
+    * already gates, same persisted fixture), and each candidate scores
+    * by ASYMMETRIC distance: raw float query against the DEQUANTIZED
+    * candidate ([[sqDequantized]]). Both compression levers stack:
+    * IVF cuts the candidate count (queries·NProbe·n/K, never n·q), SQ
+    * cuts the bytes the index holds (8×); the float corpus serves only
+    * the query-side point lookups.
+    *
+    * The oracle composes the two existing mirrors verbatim — the SQ
+    * quantize→dequantize CTEs and the IMI assign/probe CTEs — so
+    * neither arithmetic can drift from its already-gated sibling. */
+  def sqIvf(s: SparkSession, d: String): DataFrame = {
+    val em = Tables.embeddings(s, d)
+    val ivfDir = codebookPath(d)
+    if (!graft.sources.Fixtures.ready(ivfDir)) persistCodebook(em, ivfDir)
+    sqIvfWith(em, readCodebook(s, ivfDir))
+  }
+
+  /** [[sqIvf]] over an explicit centroid frame (spec-runnable). */
+  private[graft] def sqIvfWith(em: DataFrame, cents: DataFrame): DataFrame = {
+    val cand = ivfCandidates(em, cents)
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(broadcast(queriesDf(em)), "query_id")
+      .join(sqDequantized(em), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("dv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  def sqTopK(em: DataFrame): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(queriesDf(em))
-      .join(dequant, col("query_id") =!= col("neighbor_id"))
+      .join(sqDequantized(em), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("dv")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= TopK)
@@ -1096,6 +1140,7 @@ object Similarity {
     "ann_bruteforce" -> ((s, d) => bruteForce(Tables.embeddings(s, d))),
     "ann_mips"       -> ((s, d) => mipsTopK(Tables.embeddings(s, d))),
     "ann_sq"         -> ((s, d) => sqTopK(Tables.embeddings(s, d))),
+    "ann_sq_ivf"     -> ((s, d) => sqIvf(s, d)),
     "ann_lsh"        -> ((s, d) => lshBuckets(Tables.embeddings(s, d))),
     "ann_lsh_topk"   -> ((s, d) => lshTopK(Tables.embeddings(s, d))),
     "ann_ivf"        -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
@@ -1302,6 +1347,30 @@ object Similarity {
        |  JOIN lut l3 ON l3.m = 3 AND l3.ca = q.c3 AND l3.cb = x.c3)""".stripMargin
   }
 
+  /** The SQ8 quantize → dequantize CTE chain over `embeddings` — the
+    * SQL mirror of [[sqDequantized]], shared verbatim by the `ann_sq`
+    * exhaustive oracle and the `ann_sq_ivf` composition so the
+    * arithmetic cannot drift between them. Emits `dim`, `st`, `enc`,
+    * `dq` (vec_id, dv). */
+  private def sqDqCtesSql: String =
+    s"""dim AS (
+       |  SELECT t.i AS pos, min(e.v[t.i]) AS lo, max(e.v[t.i]) AS hi
+       |  FROM (SELECT $V AS v FROM embeddings) e,
+       |       unnest(range(1, ${SqDims + 1})) AS t(i)
+       |  GROUP BY t.i),
+       |st AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his FROM dim),
+       |enc AS (
+       |  SELECT vec_id, list_transform(range(1, ${SqDims + 1}), i ->
+       |      CASE WHEN his[i] = los[i] THEN 0
+       |           ELSE least(greatest(
+       |             CAST(round((v[i] - los[i]) / (his[i] - los[i]) * $SqLevels) AS BIGINT),
+       |             0), $SqLevels) END) AS codes
+       |  FROM (SELECT vec_id, $V AS v FROM embeddings), st),
+       |dq AS (
+       |  SELECT vec_id, list_transform(range(1, ${SqDims + 1}), i ->
+       |      los[i] + codes[i] * 1.0 / $SqLevels * (his[i] - los[i])) AS dv
+       |  FROM enc, st)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     // BM25 arithmetic mirrored stage for stage (6dp idf/contribution
     // rounds, DECIMAL doc sums, 10dp RRF reciprocals); ranks only reach
@@ -1355,23 +1424,7 @@ object Similarity {
     // same quantize → dequantize → asymmetric-cosine chain: per-dim
     // min/max, round+clamp to [0,255], lo + c/255·(hi−lo)
     "ann_sq" ->
-      s"""WITH dim AS (
-         |  SELECT t.i AS pos, min(e.v[t.i]) AS lo, max(e.v[t.i]) AS hi
-         |  FROM (SELECT $V AS v FROM embeddings) e,
-         |       unnest(range(1, ${SqDims + 1})) AS t(i)
-         |  GROUP BY t.i),
-         |st AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his FROM dim),
-         |enc AS (
-         |  SELECT vec_id, list_transform(range(1, ${SqDims + 1}), i ->
-         |      CASE WHEN his[i] = los[i] THEN 0
-         |           ELSE least(greatest(
-         |             CAST(round((v[i] - los[i]) / (his[i] - los[i]) * $SqLevels) AS BIGINT),
-         |             0), $SqLevels) END) AS codes
-         |  FROM (SELECT vec_id, $V AS v FROM embeddings), st),
-         |dq AS (
-         |  SELECT vec_id, list_transform(range(1, ${SqDims + 1}), i ->
-         |      los[i] + codes[i] * 1.0 / $SqLevels * (his[i] - los[i])) AS dv
-         |  FROM enc, st)
+      s"""WITH $sqDqCtesSql
          |SELECT query_id, rank, neighbor_id FROM (
          |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
          |    row_number() OVER (PARTITION BY q.vec_id
@@ -1380,6 +1433,29 @@ object Similarity {
          |        WHERE vec_id % $QueryStride = 0) q
          |  JOIN dq n ON q.vec_id <> n.vec_id) t
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    // the two already-gated mirrors composed verbatim: IMI assign/probe
+    // candidates (ann_pq's chain, same persisted codebook) scored by the
+    // SQ dequantized arithmetic (ann_sq's chain) — asymmetric distance
+    // over cell-restricted candidates
+    "ann_sq_ivf" -> {
+      val dir = codebookPath(graft.Dials.sfDir.getOrElse("/root/testdata/sf0.001"))
+      s"""WITH cents AS (
+         |  SELECT cent_id, cv::DOUBLE[] AS cv FROM read_parquet('$dir/*.parquet')),
+         |${imiAssignProbesSql("cents", "icand", "i")},
+         |cand2 AS (
+         |  SELECT DISTINCT p.query_id, a.neighbor_id
+         |  FROM probes p JOIN assign a ON a.cell = p.cell
+         |  WHERE a.neighbor_id <> p.query_id),
+         |$sqDqCtesSql
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT c2.query_id, c2.neighbor_id,
+         |    row_number() OVER (PARTITION BY c2.query_id
+         |      ORDER BY list_cosine_similarity(q.v, n.dv) DESC, c2.neighbor_id) AS rank
+         |  FROM cand2 c2
+         |  JOIN (SELECT vec_id, $V AS v FROM embeddings) q ON q.vec_id = c2.query_id
+         |  JOIN dq n ON n.vec_id = c2.neighbor_id) t
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+    },
     // the predicate constrains the NEIGHBOR side only — queries are
     // unrestricted, matching the pre-filter semantics
     "ann_filtered" ->
