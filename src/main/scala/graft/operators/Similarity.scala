@@ -300,8 +300,9 @@ object Similarity {
     * Scale shape: identical to `ann_ivf_trained` — the augmentation is
     * one map pass over the corpus plus a 1-row broadcast max; the n·K
     * assignment is the broadcast pass; candidates are
-    * queries·NProbe·(n/K). Measured at 100× this replaces `ann_mips`'s
-    * 163.9 s n·q scan with the IVF candidate budget (§5c-r9). */
+    * queries·NProbe·(n/K). Measured at 100×: 7.9 s vs `ann_mips`'s
+    * 163.9 s n·q scan (20.7×), within 1.7 s of `ann_ivf_trained`'s
+    * 6.2 s — the reduction rides the cosine index at par (§5c-r9). */
   def mipsIvf(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
     val em = Tables.embeddings(s, d)
@@ -329,15 +330,19 @@ object Similarity {
     val cand = probes.join(assign, "cell")
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
-    // final ranking: RAW dot product of the ORIGINAL 64-dim vectors —
-    // the MIPS answer itself, not a cosine proxy
-    val qv = em.select(col("vec_id").as("query_id"), vec(col("embedding")).as("qv"))
-    val nv = em.select(col("vec_id").as("neighbor_id"), vec(col("embedding")).as("nv"))
-    val ip = aggregate(zip_with(col("qv"), col("nv"), (a, b) => a * b),
-      lit(0.0), (acc, x) => acc + x)
-    val w = Window.partitionBy("query_id").orderBy(col("ip").desc, col("neighbor_id"))
-    cand.join(broadcast(qv), "query_id").join(nv, "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"), ip.as("ip"))
+    // final ranking: augmented cosine via the native codegen'd
+    // expression — MONOTONE in the raw dot product (q_aug·x_aug = q·x,
+    // |x_aug| = M: the ann_mips-gated order equivalence), so ranking
+    // against the raw-IP oracle re-proves the reduction while the hot
+    // per-candidate loop stays in codegen (the declarative zip_with
+    // fold here measured 22.0 s at 100×; this form 7.9 s). Neighbor
+    // vectors come from the PERSISTED aug frame — no third corpus scan.
+    val nv = aug.select(col("vec_id").as("neighbor_id"), col("av").as("nv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(broadcast(qs.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("v", "qv")), "query_id")
+      .join(nv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("nv")).as("cos"))
       .withColumn("rank", row_number().over(w)).where(col("rank") <= TopK)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
       .orderBy("query_id", "rank")
