@@ -108,6 +108,34 @@ class EdgeCaseSpec extends SparkSpec {
     assert(re == "héllo wörld Ψυχή héllo")
   }
 
+  test("r9 operators on degenerate corpora: empty frames, thresholded dedup, fixed-N chunks") {
+    val s = spark
+    import s.implicits._
+    val none = weird.where(lit(false))
+    // fixed-N chunkize of an EMPTY corpus: tot = 0, no pieces, no rows
+    assert(graft.sources.Sources.concatChunkedN(none, 5).count() == 0)
+    assert(operators.WordCount.chunkedNWordCount(none).count() == 0)
+    // weird corpus: chunk set reassembles to the full concatenated stream
+    val total = weird.agg(sum(length(col("text")))).head().getLong(0)
+    val chunks = graft.sources.Sources.concatChunkedN(weird, 5)
+      .agg(sum(length(col("chunk")))).head().getLong(0)
+    assert(chunks == total, s"fixed-N chunks lost chars: $chunks != $total")
+    // thresholded dedup: docs under 3 words have no signatures — no
+    // pairs, no crash; the repeated-word doc pairs with nothing
+    assert(operators.Dedup.minhashThresholded(weird).count() == 0)
+    assert(operators.Dedup.minhashThresholded(none).count() == 0)
+    // eager-mult on an empty events frame: zero groups, not a crash
+    val ev0 = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val orders = Seq((1L, 1L, "1-URGENT")).toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val perUser = ev0.groupBy("user_id")
+      .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 10))).as("ev_sum"),
+        count(lit(1)).as("ev_n"))
+    val r = orders.join(broadcast(perUser), col("o_custkey") === col("user_id"))
+      .groupBy("o_orderpriority").agg(sum("ev_sum"), sum("ev_n"))
+    assert(r.count() == 0)
+  }
+
   test("bpe: empty/whitespace docs vanish, non-ASCII letters become per-code-point UNKs") {
     val b = TextAnalysis.bpeTokens(weird)
     assert(b.where(col("doc_id").isin(1L, 2L)).count() == 0) // no words → no row
