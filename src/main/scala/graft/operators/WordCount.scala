@@ -48,6 +48,50 @@ object WordCount {
   def topK(docs: DataFrame, k: Int): DataFrame =
     wordCount(docs).limit(k)
 
+  /** The reference's reducer count (`configurations/config.json`
+    * ISTANCES_NUM_REDUCE = 3) and hash salt (`core/utils.go:356`
+    * EXTRASHUFFLE = 96). */
+  val RouteReducers = 3
+  val ExtraShuffle = 96
+
+  /** KEY → REDUCER ROUTING, exact (`wc_route`, r9): the reference's
+    * `HashKeyReducerSum` (`core/utils.go:353-364`) decides which of the
+    * [[RouteReducers]] reducers owns each word — the one piece of its
+    * shuffle that is OBSERVABLE BEHAVIOR rather than subsumed
+    * infrastructure (per-reducer partition contents; the locality-aware
+    * placement AROUND it maps to Spark scheduler locality, SURVEY §1).
+    * This key gates the per-reducer workload profile: words and total
+    * tokens routed to each reducer id.
+    *
+    * Faithfulness note: the Go loop is `for c := range key { sum += c }`
+    * — single-variable range over a STRING yields the BYTE INDEX of
+    * each rune start, not the rune — so the "char-sum hash" actually
+    * sums rune byte-offsets (0+1+…+len−1 for ASCII; multibyte runes
+    * skip indices). Reproduced exactly: Σ octet_length(first-i-chars
+    * prefix) over i = 0..chars−1, + [[ExtraShuffle]], mod
+    * [[RouteReducers]] — both engines evaluate the same integer chain,
+    * and the quirk (a length-shaped, content-blind distribution for
+    * ASCII corpora) is part of the gated semantics, like wc_concat's
+    * boundary artifacts.
+    *
+    * Scale: the routing computes on the VOCABULARY-sized count table
+    * (one short prefix fold per distinct word), never per token; one
+    * combiner count shuffle + one [[RouteReducers]]-row aggregate. */
+  def routeCounts(docs: DataFrame): DataFrame = {
+    val prefixBytes = transform(
+      sequence(lit(0), length(col("word")) - 1),
+      i => octet_length(col("word").substr(lit(1), i)).cast("long"))
+    val reducer = pmod(
+      aggregate(prefixBytes, lit(0L), (acc, x) => acc + x) + ExtraShuffle,
+      lit(RouteReducers.toLong))
+    tokens(docs)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(reducer.as("reducer"), col("cnt"))
+      .groupBy("reducer")
+      .agg(count(lit(1)).as("n_words"), sum("cnt").as("n_tokens"))
+      .orderBy("reducer")
+  }
+
   /** Distinct-token count per language — distinct + grouping shape. */
   def distinctPerLang(docs: DataFrame): DataFrame =
     tokens(docs, col("lang"))
@@ -550,6 +594,7 @@ object WordCount {
     "wc_cc"        -> ((s, d) => components(Tables.documents(s, d))),
     "wc_wordcount" -> ((s, d) => wordCount(Tables.documents(s, d))),
     "wc_topk"      -> ((s, d) => topK(Tables.documents(s, d), 50)),
+    "wc_route"     -> ((s, d) => routeCounts(Tables.documents(s, d))),
     "wc_distinct"  -> ((s, d) => distinctPerLang(Tables.documents(s, d))),
     "wc_lengths"   -> ((s, d) => lengthHistogram(Tables.documents(s, d))),
     "wc_per_doc"   -> ((s, d) => perDocCounts(Tables.documents(s, d))),
@@ -581,6 +626,20 @@ object WordCount {
     "wc_wordcount" ->
       s"""SELECT word, count(*) AS cnt FROM ($TokensSql) tk
          |GROUP BY word ORDER BY cnt DESC, word""".stripMargin,
+    // HashKeyReducerSum mirrored exactly, Go range-over-string quirk
+    // included: sum of rune BYTE OFFSETS (strlen of each i-char
+    // prefix), + 96, mod 3
+    "wc_route" ->
+      s"""WITH wcg AS (
+         |  SELECT word, count(*) AS cnt FROM ($TokensSql) tk GROUP BY word),
+         |rt AS (
+         |  SELECT cnt,
+         |    CAST((coalesce(list_sum(list_transform(range(0, length(word)),
+         |        i -> strlen(substr(word, 1, CAST(i AS INTEGER))))), 0)
+         |      + $ExtraShuffle) % $RouteReducers AS BIGINT) AS reducer
+         |  FROM wcg)
+         |SELECT reducer, count(*) AS n_words, CAST(sum(cnt) AS BIGINT) AS n_tokens
+         |FROM rt GROUP BY reducer ORDER BY reducer""".stripMargin,
     "wc_topk" ->
       s"""SELECT word, count(*) AS cnt FROM ($TokensSql) tk
          |GROUP BY word ORDER BY cnt DESC, word LIMIT 50""".stripMargin,

@@ -18,6 +18,30 @@ class WordCountSpec extends SparkSpec {
     assert(pairs.sameElements(pairs.sortBy { case (c, w) => (-c, w) }))
   }
 
+  test("wc_route: byte-offset-sum routing exact; ASCII corpora provably starve reducer 2") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "abc"), (2L, "héllo")).toDF("doc_id", "text")
+    val r = WordCount.routeCounts(d).as[(Long, Long, Long)].collect().toSeq
+    // abc: rune offsets 0+1+2 = 3, +96 → 99 % 3 = 0;
+    // héllo: é is 2 UTF-8 bytes so offsets are 0,1,3,4,5 = 13, +96 →
+    // 109 % 3 = 1 — the Go range-over-string quirk, reproduced
+    assert(r == Seq((0L, 1L, 1L), (1L, 1L, 1L)), r.toString)
+    // the skew artifact this key gates: for ASCII words the sum is
+    // l(l−1)/2, and l(l−1)/2 mod 3 never equals 2 (l≡0,1 mod 3 → the
+    // product has a factor ≡ 0; l ≡ 2 → l(l−1)/2 ≡ 2·1/2 = 1) — so
+    // ONE OF THE REFERENCE'S THREE REDUCERS receives nothing from any
+    // all-ASCII corpus, a content-blind skew now machine-verified
+    assert((1 to 500).forall(l => (l.toLong * (l - 1) / 2) % 3 != 2))
+    val corpus = WordCount.routeCounts(Tables.documents(spark, sf))
+    assert(corpus.where(col("reducer") === 2).count() == 0)
+    // and the per-reducer totals conserve the corpus
+    val (w, t) = corpus.agg(sum("n_words"), sum("n_tokens"))
+      .as[(Long, Long)].head()
+    assert(w == WordCount.wordCount(Tables.documents(spark, sf)).count())
+    assert(t == WordCount.tokens(Tables.documents(spark, sf)).count())
+  }
+
   test("tokens: case-sensitive, non-letter splits, no empties") {
     val s = spark
     import s.implicits._
