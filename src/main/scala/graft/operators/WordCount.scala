@@ -77,18 +77,56 @@ object WordCount {
     * Scale: the routing computes on the VOCABULARY-sized count table
     * (one short prefix fold per distinct word), never per token; one
     * combiner count shuffle + one [[RouteReducers]]-row aggregate. */
-  def routeCounts(docs: DataFrame): DataFrame = {
+  /** `HashKeyReducerSum(word) % RouteReducers` as a Column — the
+    * shared routing expression of [[routeCounts]] and
+    * [[routeCostMatrix]]. */
+  private def reducerOf(w: Column): Column = {
     val prefixBytes = transform(
-      sequence(lit(0), length(col("word")) - 1),
-      i => octet_length(col("word").substr(lit(1), i)).cast("long"))
-    val reducer = pmod(
-      aggregate(prefixBytes, lit(0L), (acc, x) => acc + x) + ExtraShuffle,
+      sequence(lit(0), length(w) - 1),
+      i => octet_length(w.substr(lit(1), i)).cast("long"))
+    pmod(aggregate(prefixBytes, lit(0L), (acc, x) => acc + x) + ExtraShuffle,
       lit(RouteReducers.toLong))
+  }
+
+  def routeCounts(docs: DataFrame): DataFrame =
     tokens(docs)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .select(reducer.as("reducer"), col("cnt"))
+      .select(reducerOf(col("word")).as("reducer"), col("cnt"))
       .groupBy("reducer")
       .agg(count(lit(1)).as("n_words"), sum("cnt").as("n_tokens"))
+      .orderBy("reducer")
+
+  /** THE LOCALITY-AWARE PLACEMENT INPUT, exact (`wc_routecost`, r9):
+    * the reference's whole thesis — place each reducer on the worker
+    * that minimizes data movement — is driven by ONE data structure,
+    * the per-mapper `Map2ReduceRouteCost` matrix
+    * (`core/map_reduce.go:224-227`, built at 552-556): every mapper
+    * (= one CHUNK) runs its in-mapper combiner (`IntermediateTokens`,
+    * one entry per DISTINCT word in the chunk) and accumulates, per
+    * destination reducer, `estimateTokenSize(token)` =
+    * `len(k) + 4` bytes (`core/workersUtils.go:53-56` — Go `len` =
+    * UTF-8 bytes) and one expected reduce call. This key gates the
+    * aggregated matrix: per reducer id, total estimated route cost and
+    * total expected reduce calls, summed over all mappers of the
+    * [[ChunkChars]] fixed-size chunkization (`wc_chunked`'s gated data
+    * model, boundary artifacts included).
+    *
+    * RouteNum counts (chunk, word) DISTINCT pairs — not global distinct
+    * words (a word in 3 chunks is 3 expected calls), not tokens (the
+    * combiner collapses within a chunk) — the exact number the master's
+    * `RoutingCostsSorter` ranks placements by.
+    *
+    * Scale: one chunkize+tokenize pass, a (chunk, word) distinct (the
+    * combiner shape, vocabulary-×-chunks bounded), a 3-row aggregate. */
+  def routeCostMatrix(docs: DataFrame): DataFrame = {
+    val words = graft.sources.Sources.chunked(docs, ChunkChars)
+      .select(col("doc_id"), col("chunk_no"),
+        explode(filter(split(col("chunk"), TokenRe), w => w =!= "")).as("word"))
+      .distinct()
+    words.select(reducerOf(col("word")).as("reducer"),
+        (octet_length(col("word")) + 4).cast("long").as("cost"))
+      .groupBy("reducer")
+      .agg(sum("cost").as("route_cost"), count(lit(1)).as("route_num"))
       .orderBy("reducer")
   }
 
@@ -595,6 +633,7 @@ object WordCount {
     "wc_wordcount" -> ((s, d) => wordCount(Tables.documents(s, d))),
     "wc_topk"      -> ((s, d) => topK(Tables.documents(s, d), 50)),
     "wc_route"     -> ((s, d) => routeCounts(Tables.documents(s, d))),
+    "wc_routecost" -> ((s, d) => routeCostMatrix(Tables.documents(s, d))),
     "wc_distinct"  -> ((s, d) => distinctPerLang(Tables.documents(s, d))),
     "wc_lengths"   -> ((s, d) => lengthHistogram(Tables.documents(s, d))),
     "wc_per_doc"   -> ((s, d) => perDocCounts(Tables.documents(s, d))),
@@ -617,6 +656,12 @@ object WordCount {
   val OracleWords: String =
     s"list_filter(regexp_split_to_array(text, '$TokenRe'), w -> w <> '')"
 
+  /** DuckDB text of [[reducerOf]] over any word expression. */
+  private def reducerSql(w: String): String =
+    s"""CAST((coalesce(list_sum(list_transform(range(0, length($w)),
+       |        i -> strlen(substr($w, 1, CAST(i AS INTEGER))))), 0)
+       |      + $ExtraShuffle) % $RouteReducers AS BIGINT)""".stripMargin
+
   private val TokensSql =
     s"""SELECT doc_id, lang, word FROM (
       |  SELECT doc_id, lang, unnest(regexp_split_to_array(text, '$TokenRe')) AS word
@@ -633,12 +678,27 @@ object WordCount {
       s"""WITH wcg AS (
          |  SELECT word, count(*) AS cnt FROM ($TokensSql) tk GROUP BY word),
          |rt AS (
-         |  SELECT cnt,
-         |    CAST((coalesce(list_sum(list_transform(range(0, length(word)),
-         |        i -> strlen(substr(word, 1, CAST(i AS INTEGER))))), 0)
-         |      + $ExtraShuffle) % $RouteReducers AS BIGINT) AS reducer
+         |  SELECT cnt, ${reducerSql("word")} AS reducer
          |  FROM wcg)
          |SELECT reducer, count(*) AS n_words, CAST(sum(cnt) AS BIGINT) AS n_tokens
+         |FROM rt GROUP BY reducer ORDER BY reducer""".stripMargin,
+    // per-mapper combiner (chunk-distinct words) × estimateTokenSize
+    // (strlen+4) routed by the same hash — the Map2ReduceRouteCost
+    // matrix summed over mappers
+    "wc_routecost" ->
+      s"""WITH cw AS (
+         |  SELECT DISTINCT doc_id, i AS chunk_no, word FROM (
+         |    SELECT doc_id, i, unnest(regexp_split_to_array(
+         |      substr(text, i * $ChunkChars + 1, $ChunkChars), '$TokenRe')) AS word
+         |    FROM documents,
+         |      unnest(range(0, CAST(ceil(length(text) / $ChunkChars.0) AS BIGINT))) AS u(i)
+         |  ) t WHERE word <> ''),
+         |rt AS (
+         |  SELECT ${reducerSql("word")} AS reducer,
+         |    strlen(word) + 4 AS cost
+         |  FROM cw)
+         |SELECT reducer, CAST(sum(cost) AS BIGINT) AS route_cost,
+         |  count(*) AS route_num
          |FROM rt GROUP BY reducer ORDER BY reducer""".stripMargin,
     "wc_topk" ->
       s"""SELECT word, count(*) AS cnt FROM ($TokensSql) tk

@@ -42,6 +42,26 @@ class WordCountSpec extends SparkSpec {
     assert(t == WordCount.tokens(Tables.documents(spark, sf)).count())
   }
 
+  test("wc_routecost: per-mapper combiner × estimateTokenSize, chunk-split words counted per chunk") {
+    val s = spark
+    import s.implicits._
+    // one doc, chunk width 256 — "ab" and "cd" in one chunk; a doc with
+    // a repeated word exercises the combiner (distinct within chunk)
+    val d = Seq((1L, "ab cd ab")).toDF("doc_id", "text")
+    val r = WordCount.routeCostMatrix(d).as[(Long, Long, Long)].collect().toSeq
+    // ab: offsets 0+1=1, +96 → 97 % 3 = 1, cost 2+4=6, ONE combiner
+    // entry despite two occurrences; cd: same length → reducer 1 too
+    assert(r == Seq((1L, 12L, 2L)), r.toString)
+    // a word straddling chunks counts once per chunk it appears in:
+    // 300 a's chunk at 256 into "a"*256 and "a"*44 — same word, two
+    // mappers, two combiner entries, two route-cost contributions
+    val long = Seq((1L, "a" * 300)).toDF("doc_id", "text")
+    val r2 = WordCount.routeCostMatrix(long).as[(Long, Long, Long)].collect().toSeq
+    // "a"*256: sum 255·256/2 = 32640 + 96 → %3 = 0; "a"*44: 43·44/2 =
+    // 946 +96 = 1042 % 3 = 1 — the two pieces even route differently
+    assert(r2 == Seq((0L, 260L, 1L), (1L, 48L, 1L)), r2.toString)
+  }
+
   test("tokens: case-sensitive, non-letter splits, no empties") {
     val s = spark
     import s.implicits._
