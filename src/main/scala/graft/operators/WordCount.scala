@@ -130,6 +130,75 @@ object WordCount {
       .orderBy("reducer")
   }
 
+  /** Map workers (`WORKER_NUM_MAP` = [[NumChunksFixed]] = 5) and
+    * dedicated reduce-only workers (`WORKER_NUM_ONLY_REDUCE` = 2) of
+    * the reference's default config. */
+  val OnlyReduceWorkers = 2
+
+  /** THE PLACEMENT DECISION, exact (`wc_place`, r9) — the output the
+    * whole "localityaware" machinery exists to produce: which worker
+    * hosts each reducer (`ReducersBindingsLocallityAwareEuristic`,
+    * `core/masterReducersBindings.go:33-77`). Full pipeline mirrored:
+    *
+    *  1. chunks = the CROSS-FILE fixed-size chunkization (`wc_concat`'s
+    *     gated model — global sequential chunk ids, the reference's
+    *     CHUNK array);
+    *  2. chunk → map worker by CONTIGUOUS FAIR SHARE
+    *     (`master/main.go:382-408`): fs = max(1, numChunks div 5),
+    *     worker(c) = min(c div fs, 4) — remainder chunks to the LAST
+    *     worker, the chunkize remainder rule applied to assignment;
+    *  3. per (worker, reducer) edge: the summed `Map2ReduceRouteCost`
+    *     (`wc_routecost`'s gated arithmetic over this chunk model);
+    *  4. edges sort by cost DESC and the greedy contraction binds
+    *     reducers to workers under `MAX_REDUCERS_PER_WORKER`. Under
+    *     the default config `maxContractions = ISTANCES_NUM_REDUCE −
+    *     WORKER_NUM_ONLY_REDUCE = 1`, so the loop IS the argmax edge —
+    *     gated declaratively; remaining reducers bind to the
+    *     reduce-only workers in ascending reducer order
+    *     (`masterReducersBindings.go:63-70`).
+    *
+    * Tie discipline: Go's `sort.Sort` is UNSTABLE, so the reference's
+    * own behavior on exact cost ties is unspecified — both engines here
+    * pin (cost desc, worker, reducer), the `wc_lpa` precedent of
+    * making an unspecified tie-break deterministic identically on both
+    * sides. Degenerate corpora (fewer edges than non-only-reduce
+    * bindings needed) make the reference PANIC
+    * (`masterReducersBindings.go:72-75`) — out of the gated domain.
+    *
+    * Scale: the edge frame is workers × reducers — CLUSTER-topology
+    * sized, not data sized; everything upstream is the wc_routecost
+    * shape. Output: (reducer, host, via). */
+  def placement(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val chunks = graft.sources.Sources.concatChunked(docs, ChunkChars)
+    val n = chunks.agg(count(lit(1)).as("n_chunks"))
+    val w = lit(NumChunksFixed.toLong)
+    val edges = chunks.crossJoin(broadcast(n))
+      .select(least(expr(s"chunk_no div greatest(n_chunks div $NumChunksFixed, 1)"),
+          w - 1).as("worker"),
+        explode(array_distinct(filter(split(col("chunk"), TokenRe), x => x =!= "")))
+          .as("word"))
+      // a word may repeat across a worker's chunks: combiner is
+      // PER CHUNK, so distinct runs per (chunk) above, then costs sum
+      .select(col("worker"), reducerOf(col("word")).as("reducer"),
+        (octet_length(col("word")) + 4).cast("long").as("cost"))
+      .groupBy("worker", "reducer").agg(sum("cost").as("cost"))
+    val top = edges
+      .orderBy(col("cost").desc, col("worker"), col("reducer")).limit(1)
+      .select(col("reducer"), col("worker"))
+    val reducers = spark.range(RouteReducers).select(col("id").as("reducer"))
+    val bound = reducers.join(broadcast(top), Seq("reducer"), "left")
+    val wIdx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("worker").isNull).orderBy("reducer")
+    bound
+      .withColumn("ri", row_number().over(wIdx).cast("long") - 1)
+      .select(col("reducer"),
+        when(col("worker").isNotNull, col("worker")).otherwise(col("ri")).as("host"),
+        when(col("worker").isNotNull, lit("locality")).otherwise(lit("only_reduce"))
+          .as("via"))
+      .orderBy("reducer")
+  }
+
   /** Distinct-token count per language — distinct + grouping shape. */
   def distinctPerLang(docs: DataFrame): DataFrame =
     tokens(docs, col("lang"))
@@ -634,6 +703,7 @@ object WordCount {
     "wc_topk"      -> ((s, d) => topK(Tables.documents(s, d), 50)),
     "wc_route"     -> ((s, d) => routeCounts(Tables.documents(s, d))),
     "wc_routecost" -> ((s, d) => routeCostMatrix(Tables.documents(s, d))),
+    "wc_place"     -> ((s, d) => placement(Tables.documents(s, d))),
     "wc_distinct"  -> ((s, d) => distinctPerLang(Tables.documents(s, d))),
     "wc_lengths"   -> ((s, d) => lengthHistogram(Tables.documents(s, d))),
     "wc_per_doc"   -> ((s, d) => perDocCounts(Tables.documents(s, d))),
@@ -655,6 +725,30 @@ object WordCount {
     * shared by every oracle that tokenizes. */
   val OracleWords: String =
     s"list_filter(regexp_split_to_array(text, '$TokenRe'), w -> w <> '')"
+
+  /** The `wc_concat` chunkize CTE chain (offs → pieces → chunks):
+    * global prefix offsets, overlapped pieces, reassembled global
+    * chunks at [[ChunkChars]] — shared verbatim by the `wc_concat` and
+    * `wc_place` oracles so the chunk model cannot drift. Emits
+    * `chunks(chunk_no, text)`. */
+  private val concatChunksSql: String =
+    s"""offs AS (
+       |  SELECT doc_id, text, length(text)::BIGINT AS len,
+       |    COALESCE(SUM(length(text)::BIGINT) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM documents),
+       |pieces AS (
+       |  SELECT k AS chunk_no, off,
+       |    substr(text,
+       |      CAST(GREATEST(k * $ChunkChars, off) - off + 1 AS BIGINT),
+       |      CAST(LEAST((k + 1) * $ChunkChars, off + len)
+       |           - GREATEST(k * $ChunkChars, off) AS BIGINT)) AS piece
+       |  FROM offs, unnest(range(CAST(off // $ChunkChars AS BIGINT),
+       |                          CAST((off + len - 1) // $ChunkChars + 1 AS BIGINT))) AS u(k)
+       |  WHERE len > 0),
+       |chunks AS (
+       |  SELECT chunk_no, string_agg(piece, '' ORDER BY off) AS text
+       |  FROM pieces GROUP BY chunk_no)""".stripMargin
 
   /** DuckDB text of [[reducerOf]] over any word expression. */
   private def reducerSql(w: String): String =
@@ -868,28 +962,40 @@ object WordCount {
     // doc_id order, per-doc overlapped pieces, chunks reassembled in
     // offset order — strings.Join(filesData, "") + fixed slices, exactly
     "wc_concat" ->
-      s"""WITH offs AS (
-         |  SELECT doc_id, text, length(text)::BIGINT AS len,
-         |    COALESCE(SUM(length(text)::BIGINT) OVER (ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-         |  FROM documents),
-         |pieces AS (
-         |  SELECT k AS chunk_no, off,
-         |    substr(text,
-         |      CAST(GREATEST(k * $ChunkChars, off) - off + 1 AS BIGINT),
-         |      CAST(LEAST((k + 1) * $ChunkChars, off + len)
-         |           - GREATEST(k * $ChunkChars, off) AS BIGINT)) AS piece
-         |  FROM offs, unnest(range(CAST(off // $ChunkChars AS BIGINT),
-         |                          CAST((off + len - 1) // $ChunkChars + 1 AS BIGINT))) AS u(k)
-         |  WHERE len > 0),
-         |chunks AS (
-         |  SELECT chunk_no, string_agg(piece, '' ORDER BY off) AS text
-         |  FROM pieces GROUP BY chunk_no)
+      s"""WITH $concatChunksSql
          |SELECT word, count(*) AS cnt FROM (
          |  SELECT unnest(regexp_split_to_array(text, '$TokenRe')) AS word
          |  FROM chunks) t
          |WHERE word <> ''
          |GROUP BY word ORDER BY cnt DESC, word""".stripMargin,
+    // the full placement pipeline: global chunks → contiguous fair
+    // share to 5 map workers (remainder to the last) → per-(worker,
+    // reducer) route costs → argmax edge contracted (maxContractions =
+    // 3 − 2 = 1 under the default config) → remaining reducers to the
+    // reduce-only workers in ascending order
+    "wc_place" ->
+      s"""WITH $concatChunksSql,
+         |n AS (SELECT count(*) AS n_chunks FROM chunks),
+         |cw AS (
+         |  SELECT DISTINCT chunk_no, word FROM (
+         |    SELECT chunk_no, unnest(regexp_split_to_array(text, '$TokenRe')) AS word
+         |    FROM chunks) t WHERE word <> ''),
+         |edges AS (
+         |  SELECT CAST(least(chunk_no // greatest(n_chunks // $NumChunksFixed, 1),
+         |           ${NumChunksFixed - 1}) AS BIGINT) AS worker,
+         |    ${reducerSql("word")} AS reducer,
+         |    CAST(sum(strlen(word) + 4) AS BIGINT) AS cost
+         |  FROM cw, n GROUP BY 1, 2),
+         |top AS (SELECT reducer, worker FROM edges
+         |        ORDER BY cost DESC, worker, reducer LIMIT 1),
+         |red AS (SELECT CAST(unnest(range(0, $RouteReducers)) AS BIGINT) AS reducer),
+         |b AS (SELECT r.reducer, t.worker FROM red r LEFT JOIN top t USING (reducer))
+         |SELECT reducer,
+         |  CASE WHEN worker IS NOT NULL THEN worker
+         |       ELSE CAST(row_number() OVER (PARTITION BY worker IS NULL
+         |              ORDER BY reducer) - 1 AS BIGINT) END AS host,
+         |  CASE WHEN worker IS NOT NULL THEN 'locality' ELSE 'only_reduce' END AS via
+         |FROM b ORDER BY reducer""".stripMargin,
     // fixed chunk COUNT (core/utils.go:325-329): cs = total div 5,
     // uniform slices, remainder to the LAST chunk — chunk_no caps at
     // k−1 so the overflow region folds into it, as the reference's

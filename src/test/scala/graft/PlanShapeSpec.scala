@@ -327,9 +327,12 @@ class PlanShapeSpec extends SparkSpec {
     // scalars per window, never corpus rows.
     // text_wsample follows the same LIMIT-then-rank shape: TakeOrdered
     // cuts the corpus to k=50 rows before its rank window runs.
+    // wc_place embeds the same prefix-sum shape (via concatChunked) and
+    // adds a ≤3-row binding window (reducer count — cluster topology,
+    // not data volume)
     val boundedCardinality =
       Set("q28_running", "q29_movavg", "wc_concat", "wc_chunked_n",
-        "ann_hybrid", "text_wsample")
+        "wc_place", "ann_hybrid", "text_wsample")
     val offenders = SparkEntry.queries.toSeq
       .filterNot { case (name, _) => boundedCardinality(name) }
       .flatMap { case (name, fn) =>

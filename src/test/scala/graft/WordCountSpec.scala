@@ -62,6 +62,26 @@ class WordCountSpec extends SparkSpec {
     assert(r2 == Seq((0L, 260L, 1L), (1L, 48L, 1L)), r2.toString)
   }
 
+  test("wc_place: argmax edge contracts, remaining reducers go to reduce-only workers in order") {
+    val s = spark
+    import s.implicits._
+    // one chunk, worker 0; "aa"/"bb" both route to reducer 1 (offsets
+    // 0+1 = 1, +96 → 97 % 3 = 1) with cost (2+4)·2 = 12 → top edge
+    // (w0, r1); r0/r2 fall to only-reduce slots 0/1 in ascending order
+    val d = Seq((1L, "aa bb")).toDF("doc_id", "text")
+    val r = WordCount.placement(d).as[(Long, Long, String)].collect().toSeq
+    assert(r == Seq((0L, 0L, "only_reduce"), (1L, 0L, "locality"),
+      (2L, 1L, "only_reduce")), r.toString)
+    // corpus: always RouteReducers rows, exactly one locality binding
+    // (maxContractions = 3 − 2 = 1), hosts within their ranges
+    val c = WordCount.placement(Tables.documents(spark, sf))
+      .as[(Long, Long, String)].collect().toSeq
+    assert(c.map(_._1) == (0L until WordCount.RouteReducers.toLong))
+    assert(c.count(_._3 == "locality") == 1)
+    assert(c.filter(_._3 == "locality").forall(x => x._2 >= 0 && x._2 < WordCount.NumChunksFixed))
+    assert(c.filter(_._3 == "only_reduce").map(_._2) == Seq(0L, 1L))
+  }
+
   test("tokens: case-sensitive, non-letter splits, no empties") {
     val s = spark
     import s.implicits._
