@@ -652,6 +652,88 @@ object TextAnalysis {
     * All-integer arithmetic ⇒ engine-exact; the DuckDB oracle runs the
     * same greedy loop as a recursive CTE over the same vocab VALUES
     * list (single source of truth: [[graft.functions.BpeImpl.vocabValuesSql]]). */
+  /** Learned-merge count for [[bpeTrain]] — fixed rounds ⇒ static plan
+    * depth (the wc_lpa discipline). */
+  val BpeTrainMerges = 8
+
+  /** BPE TRAINING (`text_bpe_train`, r9) — learn the merge table from
+    * the corpus (Sennrich et al. 2016), the other half of the
+    * tokenizer story next to [[bpeTokens]]'s fixed-vocab INFERENCE and
+    * the capability every real pipeline runs before it can tokenize:
+    * for [[BpeTrainMerges]] rounds, count frequency-weighted adjacent
+    * symbol pairs, merge the most frequent pair everywhere, repeat.
+    * Output: the learned merges in order — (step, left, right,
+    * pair_count), the merges file a tokenizer ships.
+    *
+    * Scale (how real BPE trainers run on big corpora): training
+    * operates on the WORD-FREQUENCY TABLE, not the corpus — one
+    * corpus tokenize produces (word, count), and every round is a
+    * vocabulary-sized pass (the Zipf compression [[bpeTokens]] already
+    * exploits for inference). Per round: one pair-count aggregate, a
+    * 1-row argmax (localCheckpointed — computed once, reused by the
+    * merge apply and the output), one broadcast merge-apply map pass,
+    * lineage truncated per round.
+    *
+    * Cross-engine exactness: symbol sequences are pipe-delimited
+    * strings (`|a||b||c|` — tokens are letters only, so '|' cannot
+    * occur) and a merge applies as literal string replace of
+    * `|left||right|` with `|leftright|` — both engines' replace is
+    * leftmost non-overlapping, and per-symbol delimiters mean adjacent
+    * candidate pairs share no characters, so `aaa` under merge (a,a)
+    * becomes `[aa, a]` and `aaaa` becomes `[aa, aa]` identically in
+    * both (the overlap case a shared-separator encoding gets wrong).
+    * Pair counts are exact integers; argmax ties break on
+    * (count desc, left, right) — both engines pin the same total
+    * order. No end-of-word marker (within-word merges only —
+    * documented departure from tokenizers that model word boundaries).
+    *
+    * Fewer than [[BpeTrainMerges]] learnable pairs (every word a
+    * single symbol) ⇒ later rounds emit nothing and the output is
+    * short — degenerate corpora shrink the merge table, as real
+    * trainers do. */
+  def bpeTrain(docs: DataFrame): DataFrame = {
+    val sep = "|"
+    val wordCounts = WordCount.tokens(docs)
+      .groupBy("word").agg(count(lit(1)).as("w_cnt"))
+    // per-CODE-POINT symbols (substr counts code points in both
+    // engines); split-on-empty-pattern is avoided — it keeps a
+    // trailing empty in Spark's limit=-1 semantics
+    var vocab = wordCounts.select(col("w_cnt"),
+      concat(lit(sep),
+        array_join(transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))), sep + sep),
+        lit(sep)).as("seq"))
+      .localCheckpoint(true)
+    def syms = split(trim(col("seq"), sep), "\\|\\|")
+    var merges: DataFrame = null
+    for (step <- 1 to BpeTrainMerges) {
+      val pairs = vocab
+        .select(col("w_cnt"),
+          explode(zip_with(
+            slice(syms, lit(1), greatest(size(syms) - 1, lit(0))),
+            slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("merge_left"), col("p.b").as("merge_right"))
+        .agg(sum("w_cnt").as("pair_count"))
+      val best = pairs
+        .orderBy(col("pair_count").desc, col("merge_left"), col("merge_right"))
+        .limit(1)
+        .select(lit(step.toLong).as("step"), col("merge_left"),
+          col("merge_right"), col("pair_count"))
+        .localCheckpoint(true)
+      vocab = vocab.crossJoin(broadcast(best))
+        .select(col("w_cnt"),
+          call_function("replace", col("seq"),
+            concat(lit(sep), col("merge_left"), lit(sep + sep),
+              col("merge_right"), lit(sep)),
+            concat(lit(sep), col("merge_left"), col("merge_right"), lit(sep)))
+            .as("seq"))
+        .localCheckpoint(true)
+      merges = if (merges == null) best else merges.unionAll(best)
+    }
+    merges.orderBy("step")
+  }
+
   def bpeTokens(docs: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
     val words = docs.select(col("doc_id"),
@@ -1214,6 +1296,7 @@ object TextAnalysis {
     "text_pack"        -> ((s, d) => packing(Tables.documents(s, d))),
     "text_chunks"      -> ((s, d) => chunk(Tables.documents(s, d))),
     "text_bpe"         -> ((s, d) => bpeTokens(Tables.documents(s, d))),
+    "text_bpe_train"   -> ((s, d) => bpeTrain(Tables.documents(s, d))),
     "text_pack_bpe"    -> ((s, d) => bpePacking(Tables.documents(s, d))),
     "text_unigram"     -> ((s, d) => unigramLogProb(Tables.documents(s, d))),
     "text_ppl_bucket"  -> ((s, d) => pplBuckets(Tables.documents(s, d))),
@@ -1518,6 +1601,38 @@ object TextAnalysis {
          |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 2 THEN 'middle'
          |       ELSE 'tail' END AS label
          |FROM pd JOIN cut USING (lang, avg_lp) ORDER BY doc_id""".stripMargin,
+    // the 8 training rounds unrolled as CTE pairs (b_s = argmax pair,
+    // v_s = merge applied by literal pipe-delimited replace): same
+    // weighted pair counts, same (count desc, left, right) tie pin,
+    // same leftmost non-overlapping merge semantics
+    "text_bpe_train" -> {
+      val tokSql = s"SELECT word, count(*) AS w_cnt FROM (${WordCount.TokensSql}) tk GROUP BY word"
+      val rounds = (1 to BpeTrainMerges).map { s =>
+        s"""b$s AS (
+           |  SELECT $s::BIGINT AS step, a AS merge_left, b AS merge_right,
+           |    CAST(cnt AS BIGINT) AS pair_count FROM (
+           |    SELECT syms[i] AS a, syms[i + 1] AS b, sum(w_cnt) AS cnt FROM (
+           |      SELECT w_cnt, string_split(trim(seq, '|'), '||') AS syms
+           |      FROM v${s - 1}) t,
+           |      unnest(range(1, len(syms))) AS u(i)
+           |    GROUP BY 1, 2) p
+           |  ORDER BY cnt DESC, a, b LIMIT 1),
+           |v$s AS (
+           |  SELECT w_cnt,
+           |    replace(seq, '|' || merge_left || '||' || merge_right || '|',
+           |                 '|' || merge_left || merge_right || '|') AS seq
+           |  FROM v${s - 1}, b$s)""".stripMargin
+      }.mkString(",\n")
+      val unioned = (1 to BpeTrainMerges).map(s => s"SELECT * FROM b$s").mkString(" UNION ALL ")
+      s"""WITH v0 AS (
+         |  SELECT w_cnt,
+         |    '|' || array_to_string(list_transform(range(1, length(word) + 1),
+         |      i -> substr(word, CAST(i AS INTEGER), 1)), '||') || '|' AS seq
+         |  FROM ($tokSql) wc),
+         |$rounds
+         |SELECT step, merge_left, merge_right, pair_count
+         |FROM ($unioned) m ORDER BY step""".stripMargin
+    },
     "text_bpe" ->
       s"""$BpeEncCtes
          |SELECT doc_id, count(*) AS n_words,

@@ -756,7 +756,7 @@ object WordCount {
        |        i -> strlen(substr($w, 1, CAST(i AS INTEGER))))), 0)
        |      + $ExtraShuffle) % $RouteReducers AS BIGINT)""".stripMargin
 
-  private val TokensSql =
+  private[operators] val TokensSql =
     s"""SELECT doc_id, lang, word FROM (
       |  SELECT doc_id, lang, unnest(regexp_split_to_array(text, '$TokenRe')) AS word
       |  FROM documents) t WHERE word <> ''""".stripMargin

@@ -5,6 +5,25 @@ import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("bpeTrain: hand-traced merge trajectory, leftmost non-overlap, early exhaustion") {
+    val s = spark
+    import s.implicits._
+    // word counts: aaab×2, ab×1. Round 1: (a,a) weight 4 beats (a,b) 3
+    // — and aaab merges LEFTMOST to [aa, a, b], not [a, aa, b]; round
+    // 2: (a,b) 3 beats (aa,a) 2; round 3: (aa,ab) 2; round 4+: every
+    // word is one symbol — training exhausts at 3 merges, not 8
+    val d = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeTrain(d).as[(Long, String, String, Long)].collect().toSeq
+    assert(r == Seq((1L, "a", "a", 4L), (2L, "a", "b", 3L), (3L, "aa", "ab", 2L)),
+      r.toString)
+    // the aaaa overlap case: merge (a,a) must produce [aa, aa] (two
+    // disjoint merges), so round 2's (aa,aa) weight equals the word
+    // count — the shared-separator encoding bug this pins
+    val d2 = Seq((1L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.bpeTrain(d2).as[(Long, String, String, Long)].collect().toSeq
+    assert(r2 == Seq((1L, "a", "a", 9L), (2L, "aa", "aa", 3L)), r2.toString)
+  }
+
   test("piiRedact: real-world formats scrub, look-alikes survive, residual is zero") {
     val s = spark
     import s.implicits._
