@@ -991,8 +991,12 @@ object Events {
     * non-ANSI Spark silently NULLs the product while DuckDB HUGEINT
     * raises, a SILENT cross-engine divergence. The readout therefore
     * `raise_error`s when N > [[AbMaxUsers]] (condition checked before
-    * any product is consumed), so both engines fail LOUD at the same
-    * boundary; a platform-scale experiment past it reads out through
+    * any product is consumed), and the DuckDB oracle carries the SAME
+    * `error()` guard at the same N (r10 — before it, DuckDB only
+    * raised at its natural HUGEINT overflow near 4.4 M users, so for
+    * N in (4.0 M, 4.4 M] the engines disagreed on loud-vs-answer), so
+    * both engines now fail LOUD at the same boundary by construction;
+    * a platform-scale experiment past it reads out through
     * the same algebra at DECIMAL(38,6)-per-factor scaling or a
     * two-level aggregate, which this guard forces you to choose
     * consciously rather than ship a NULL readout.
@@ -1477,6 +1481,7 @@ object Events {
          |  CASE WHEN na = 0 THEN 0 ELSE xa * 1000000 // na END AS ca_ppm,
          |  CASE WHEN nb = 0 THEN 0 ELSE xb * 1000000 // nb END AS cb_ppm,
          |  CAST(CASE WHEN den = 0 THEN 0
+         |    WHEN nn > $AbMaxUsers THEN error('ev_abtest: user count exceeds exact-integer headroom ($AbMaxUsers): ' || nn)
          |    ELSE (num * 1000000) // den END AS BIGINT) AS z2_ppm,
          |  CAST(CASE WHEN den = 0 THEN 0
          |    WHEN num * 10000 > den * $AbZ2x10k THEN 1 ELSE 0 END

@@ -78,6 +78,14 @@ object Similarity {
     * `GraftFunctions.register(spark)` (every operator entry point does). */
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 
+  /** Inner product via the native codegen'd [[graft.functions.DotProduct]]
+    * — the MIPS ranking score (r10): on norm-augmented vectors whose
+    * query slot is 0.0 it is bit-equal to the raw q·x the oracle's
+    * `list_inner_product` computes (same left-to-right double fold),
+    * which removes the augmented-cosine |x_aug| ulp surface the ADVICE
+    * flagged from both MIPS gates. */
+  def dotp(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
   private def queriesDf(em: DataFrame): DataFrame =
     em.where(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("query_id"), vec(col("embedding")).as("qv"))
@@ -244,6 +252,15 @@ object Similarity {
       .persist()
     val qs = withNorm.where(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("query_id"), concat(col("v"), array(lit(0.0))).as("qv"))
+    // This key RANKS by augmented cosine deliberately — it is the
+    // reduction DEMO: the hash gate against the raw-IP oracle machine-
+    // checks Bachrach et al.'s monotone equivalence on real data.
+    // Accepted FP caveat (ADVICE r9): |x_aug| is recomputed per vector
+    // and differs from M by ulps, so the equivalence is exact-arithmetic
+    // only and a near-tie could in principle rank differently across
+    // engines. The PRODUCTION path (`ann_mips_ivf`) ranks by graft_dot
+    // instead — bit-equal to the oracle's raw inner product — keeping
+    // the divergence surface confined to this gauge key.
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(qs)
@@ -290,12 +307,15 @@ object Similarity {
     * (persisted fixture, Lloyd's under cosine — [[trainCodebook]]
     * unchanged at 65 dims), assign/probe by augmented cosine exactly as
     * [[ivfTrained]] does, and rank the cell-restricted candidates by
-    * RAW inner product — which augmented-cosine cell geometry preserves
-    * (q_aug·x_aug = q·x, |x_aug| = M, so the ranking is monotone in the
-    * raw dot product; Bachrach et al. RecSys 2014). The oracle mirrors
-    * assignment/probing over the SAME persisted codebook and ranks by
-    * DuckDB's raw `list_inner_product` — a hash match proves the
-    * composed index answers MIPS, not just that a scan does.
+    * the RAW inner product itself — `graft_dot` over the augmented
+    * vectors, which with a 0.0 query slot is bit-equal to q·x (r10; the
+    * reduction q_aug·x_aug = q·x, |x_aug| = M of Bachrach et al.
+    * RecSys 2014 is what makes the augmented-cosine CELL geometry
+    * answer MIPS). The oracle mirrors assignment/probing over the SAME
+    * persisted codebook and ranks by DuckDB's raw `list_inner_product`
+    * — a hash match proves the composed index answers MIPS, not just
+    * that a scan does, and since r10 the final-ranking scores are
+    * bit-identical across engines, not merely monotone-equivalent.
     *
     * Scale shape: identical to `ann_ivf_trained` — the augmentation is
     * one map pass over the corpus plus a 1-row broadcast max; the n·K
@@ -330,19 +350,26 @@ object Similarity {
     val cand = probes.join(assign, "cell")
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
-    // final ranking: augmented cosine via the native codegen'd
-    // expression — MONOTONE in the raw dot product (q_aug·x_aug = q·x,
-    // |x_aug| = M: the ann_mips-gated order equivalence), so ranking
-    // against the raw-IP oracle re-proves the reduction while the hot
-    // per-candidate loop stays in codegen (the declarative zip_with
-    // fold here measured 22.0 s at 100×; this form 7.9 s). Neighbor
-    // vectors come from the PERSISTED aug frame — no third corpus scan.
+    // final ranking: the augmented DOT via the native codegen'd
+    // expression (r10, was augmented cosine). The query's augmented
+    // slot is 0.0, so graft_dot(qv, nv) accumulates exactly the 64 raw
+    // products q_i·x_i plus a trailing +0.0 — BIT-EQUAL to the oracle's
+    // raw list_inner_product (same left-to-right double fold, same
+    // tie-break column), not merely monotone-equivalent: the
+    // per-neighbor |x_aug|-recomputation ulp surface the ADVICE flagged
+    // is gone while the hot per-candidate loop stays in codegen (the
+    // declarative zip_with fold here measured 22.0 s at 100×; the
+    // codegen'd form 7.9 s). The reduction still earns its keep
+    // UPSTREAM — cell geometry (assignment + probing) runs in augmented
+    // cosine space, which is where MIPS-as-cosine buys the index.
+    // Neighbor vectors come from the PERSISTED aug frame — no third
+    // corpus scan.
     val nv = aug.select(col("vec_id").as("neighbor_id"), col("av").as("nv"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("ip").desc, col("neighbor_id"))
     cand.join(broadcast(qs.withColumnRenamed("vec_id", "query_id")
         .withColumnRenamed("v", "qv")), "query_id")
       .join(nv, "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("nv")).as("cos"))
+      .select(col("query_id"), col("neighbor_id"), dotp(col("qv"), col("nv")).as("ip"))
       .withColumn("rank", row_number().over(w)).where(col("rank") <= TopK)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
       .orderBy("query_id", "rank")

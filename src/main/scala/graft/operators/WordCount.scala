@@ -140,13 +140,18 @@ object WordCount {
     * hosts each reducer (`ReducersBindingsLocallityAwareEuristic`,
     * `core/masterReducersBindings.go:33-77`). Full pipeline mirrored:
     *
-    *  1. chunks = the CROSS-FILE fixed-size chunkization (`wc_concat`'s
-    *     gated model — global sequential chunk ids, the reference's
-    *     CHUNK array);
+    *  1. chunks = the CROSS-FILE fixed-COUNT chunkization
+    *     (`wc_chunked_n`'s gated model, r10 — the `CHUNK_SIZE ≤ 0`
+    *     path the cited default config ACTUALLY runs, closing the r9
+    *     ADVICE drift where placement fed on the fixed-size model):
+    *     `WORKER_NUM_MAP` = 5 global chunks, remainder chars to the
+    *     last;
     *  2. chunk → map worker by CONTIGUOUS FAIR SHARE
     *     (`master/main.go:382-408`): fs = max(1, numChunks div 5),
-    *     worker(c) = min(c div fs, 4) — remainder chunks to the LAST
-    *     worker, the chunkize remainder rule applied to assignment;
+    *     worker(c) = min(c div fs, 4) — under the default config
+    *     numChunks = WORKER_NUM_MAP so the share is 1:1 (worker c hosts
+    *     chunk c), and the formula still covers the degenerate
+    *     single-chunk corpus (everything on the last worker);
     *  3. per (worker, reducer) edge: the summed `Map2ReduceRouteCost`
     *     (`wc_routecost`'s gated arithmetic over this chunk model);
     *  4. edges sort by cost DESC and the greedy contraction binds
@@ -170,7 +175,7 @@ object WordCount {
     * shape. Output: (reducer, host, via). */
   def placement(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val chunks = graft.sources.Sources.concatChunked(docs, ChunkChars)
+    val chunks = graft.sources.Sources.concatChunkedN(docs, NumChunksFixed)
     val n = chunks.agg(count(lit(1)).as("n_chunks"))
     val w = lit(NumChunksFixed.toLong)
     val edges = chunks.crossJoin(broadcast(n))
@@ -728,9 +733,9 @@ object WordCount {
 
   /** The `wc_concat` chunkize CTE chain (offs → pieces → chunks):
     * global prefix offsets, overlapped pieces, reassembled global
-    * chunks at [[ChunkChars]] — shared verbatim by the `wc_concat` and
-    * `wc_place` oracles so the chunk model cannot drift. Emits
-    * `chunks(chunk_no, text)`. */
+    * chunks at [[ChunkChars]] — the `wc_concat` oracle's chunk model
+    * (`wc_place` moved to [[concatChunksNSql]], the default-config
+    * model, in r10). Emits `chunks(chunk_no, text)`. */
   private val concatChunksSql: String =
     s"""offs AS (
        |  SELECT doc_id, text, length(text)::BIGINT AS len,
@@ -745,6 +750,41 @@ object WordCount {
        |           - GREATEST(k * $ChunkChars, off) AS BIGINT)) AS piece
        |  FROM offs, unnest(range(CAST(off // $ChunkChars AS BIGINT),
        |                          CAST((off + len - 1) // $ChunkChars + 1 AS BIGINT))) AS u(k)
+       |  WHERE len > 0),
+       |chunks AS (
+       |  SELECT chunk_no, string_agg(piece, '' ORDER BY off) AS text
+       |  FROM pieces GROUP BY chunk_no)""".stripMargin
+
+  /** The fixed-COUNT chunkize CTE chain (offs → tot → pieces → chunks):
+    * cs = total div [[NumChunksFixed]], uniform slices, remainder to the
+    * LAST chunk — the `CHUNK_SIZE ≤ 0` default-config path
+    * (`core/utils.go:325-329`, 339-341). Shared verbatim by the
+    * `wc_chunked_n` and `wc_place` oracles (r10 — placement now runs on
+    * the chunk model the default config actually produces). Emits
+    * `chunks(chunk_no, text)`. */
+  private val concatChunksNSql: String =
+    s"""offs AS (
+       |  SELECT doc_id, text, length(text)::BIGINT AS len,
+       |    CAST(COALESCE(SUM(length(text)::BIGINT) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |  FROM documents),
+       |tot AS (SELECT CAST(COALESCE(SUM(length(text)::BIGINT), 0) AS BIGINT) AS tot,
+       |               CAST(COALESCE(SUM(length(text)::BIGINT), 0) // $NumChunksFixed
+       |                    AS BIGINT) AS cs
+       |        FROM documents),
+       |pieces AS (
+       |  SELECT k AS chunk_no, off,
+       |    substr(text,
+       |      CAST(GREATEST(k * cs, off) - off + 1 AS BIGINT),
+       |      CAST(LEAST(CASE WHEN k = $NumChunksFixed - 1 THEN tot ELSE (k + 1) * cs END,
+       |                 off + len)
+       |           - GREATEST(k * cs, off) AS BIGINT)) AS piece
+       |  FROM offs, tot,
+       |    unnest(range(
+       |      CASE WHEN cs = 0 THEN ${NumChunksFixed - 1}
+       |           ELSE LEAST(off // cs, ${NumChunksFixed - 1}) END,
+       |      CASE WHEN cs = 0 THEN $NumChunksFixed
+       |           ELSE LEAST((off + len - 1) // cs, ${NumChunksFixed - 1}) + 1 END)) AS u(k)
        |  WHERE len > 0),
        |chunks AS (
        |  SELECT chunk_no, string_agg(piece, '' ORDER BY off) AS text
@@ -974,7 +1014,7 @@ object WordCount {
     // 3 − 2 = 1 under the default config) → remaining reducers to the
     // reduce-only workers in ascending order
     "wc_place" ->
-      s"""WITH $concatChunksSql,
+      s"""WITH $concatChunksNSql,
          |n AS (SELECT count(*) AS n_chunks FROM chunks),
          |cw AS (
          |  SELECT DISTINCT chunk_no, word FROM (
@@ -1001,32 +1041,7 @@ object WordCount {
     // k−1 so the overflow region folds into it, as the reference's
     // allStr[low : high+reminder] does
     "wc_chunked_n" ->
-      s"""WITH offs AS (
-         |  SELECT doc_id, text, length(text)::BIGINT AS len,
-         |    CAST(COALESCE(SUM(length(text)::BIGINT) OVER (ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
-         |  FROM documents),
-         |tot AS (SELECT CAST(COALESCE(SUM(length(text)::BIGINT), 0) AS BIGINT) AS tot,
-         |               CAST(COALESCE(SUM(length(text)::BIGINT), 0) // $NumChunksFixed
-         |                    AS BIGINT) AS cs
-         |        FROM documents),
-         |pieces AS (
-         |  SELECT k AS chunk_no, off,
-         |    substr(text,
-         |      CAST(GREATEST(k * cs, off) - off + 1 AS BIGINT),
-         |      CAST(LEAST(CASE WHEN k = $NumChunksFixed - 1 THEN tot ELSE (k + 1) * cs END,
-         |                 off + len)
-         |           - GREATEST(k * cs, off) AS BIGINT)) AS piece
-         |  FROM offs, tot,
-         |    unnest(range(
-         |      CASE WHEN cs = 0 THEN ${NumChunksFixed - 1}
-         |           ELSE LEAST(off // cs, ${NumChunksFixed - 1}) END,
-         |      CASE WHEN cs = 0 THEN $NumChunksFixed
-         |           ELSE LEAST((off + len - 1) // cs, ${NumChunksFixed - 1}) + 1 END)) AS u(k)
-         |  WHERE len > 0),
-         |chunks AS (
-         |  SELECT chunk_no, string_agg(piece, '' ORDER BY off) AS text
-         |  FROM pieces GROUP BY chunk_no)
+      s"""WITH $concatChunksNSql
          |SELECT word, count(*) AS cnt FROM (
          |  SELECT unnest(regexp_split_to_array(text, '$TokenRe')) AS word
          |  FROM chunks) t

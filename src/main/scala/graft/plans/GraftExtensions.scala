@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BpeIds, CosineSim, LshBuckets, SimHash32}
+import graft.functions.{BpeIds, CosineSim, DotProduct, LshBuckets, SimHash32}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -50,6 +50,9 @@ object GraftFunctions {
     ("graft_cosine",
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))),
+    ("graft_dot",
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
     ("graft_bpe_ids",
       new ExpressionInfo(classOf[BpeIds].getName, "graft_bpe_ids"),
       (args: Seq[Expression]) => BpeIds(args.head)),

@@ -52,7 +52,11 @@ import org.apache.spark.sql.types.LongType
   * drop-nulls contract): a NULL key forms its own group exactly as
   * `PARTITION BY` groups nulls together; a NULL order ranks last
   * (`ORDER BY ord DESC` is NULLS LAST in Spark); a NULL tie id ranks
-  * last among order-ties (`id ASC` NULLS LAST). Float/double driving
+  * last among order-ties — the exec's tie contract is explicitly
+  * `id.asc_nulls_last` (DuckDB's ASC default; Spark's plain `id ASC`
+  * defaults to NULLS FIRST, so a declarative twin must spell
+  * `asc_nulls_last`, as `topKPerKey`'s doc and the spec's comparison
+  * window both do). Float/double driving
   * values are normalized before grouping/comparison (-0.0 → 0.0; NaN
   * canonicalizes via doubleToLongBits in boxed equals/hashCode) — the
   * same NormalizeFloatingNumbers discipline Catalyst applies to
