@@ -14,15 +14,24 @@ run / fork := true
 // FaultToleranceSpec needs a SparkContext with task retries enabled —
 // local-mode maxFailures is fixed at context creation (`local[4, 3]`)
 // and every other suite shares SparkSpec's no-retry local[4] session,
-// so that one suite runs in its own forked JVM.
+// so that one suite runs in its own forked JVM. ExecutorLossSpec
+// likewise: it runs `local-cluster[2,1,1024]` (real executor JVMs it
+// kills mid-stage), which cannot share a JVM whose session is local[*].
+// Its standalone worker writes executor sandboxes under SPARK_WORKER_DIR,
+// pointed into target/ so nothing lands outside the repo.
 Test / testGrouping := {
   val forkOpts = ForkOptions()
     .withRunJVMOptions((Test / javaOptions).value.toVector)
-  val (ft, rest) = (Test / definedTests).value
-    .partition(_.name == "graft.FaultToleranceSpec")
-  Seq(
-    Tests.Group("main", rest, Tests.SubProcess(forkOpts)),
-    Tests.Group("fault-tolerance", ft, Tests.SubProcess(forkOpts)),
+    .withEnvVars(Map(
+      "SPARK_WORKER_DIR" -> (target.value / "spark-worker").getAbsolutePath,
+      // the worker's executor-command builder needs this outside
+      // bin/load-spark-env.sh (else: "Cannot find any build directories")
+      "SPARK_SCALA_VERSION" -> "2.13"))
+  val soloSuites = Set("graft.FaultToleranceSpec", "graft.ExecutorLossSpec")
+  val (solo, rest) = (Test / definedTests).value
+    .partition(t => soloSuites.contains(t.name))
+  (Tests.Group("main", rest, Tests.SubProcess(forkOpts)) +:
+    solo.map(t => Tests.Group(t.name, Seq(t), Tests.SubProcess(forkOpts)))
   ).filter(_.tests.nonEmpty)
 }
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
