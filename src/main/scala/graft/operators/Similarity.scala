@@ -680,6 +680,70 @@ object Similarity {
     ivfWith(Tables.embeddings(s, d), readCodebook(s, dir))
   }
 
+  /** The batch split for index MAINTENANCE (`ann_ivf_upsert`) — same
+    * convention as `dedup_incremental`: vec_id % 20 == 0 is the fresh
+    * batch, the rest is the already-indexed base corpus. */
+  val UpsertMod = 20
+
+  /** Where the persisted base-corpus cell index (vec_id → cell under
+    * the trained codebook) lives — the STORED inverted file a vector
+    * store maintains between batches. Fixture-keyed like
+    * [[codebookPath]], so regenerated test data invalidates it. */
+  def cellIndexPath(sfDir: String): String =
+    graft.sources.Fixtures.dirFor("ivf_cellindex", sfDir, "embeddings")
+
+  /** Vector-index MAINTENANCE (`ann_ivf_upsert`, r10) — the upsert
+    * path every production vector store runs between codebook
+    * retrains: new vectors are assigned to the FIXED persisted
+    * codebook's cells and unioned with the STORED cell index; queries
+    * probe the merged index. Per-batch cost is |batch|·K broadcast
+    * cosines plus the skinny index union — the base corpus is never
+    * re-assigned (its (vec_id, cell) rows are read back from the
+    * persisted fixture, written once). This promotes the
+    * [[graft.streaming.CorpusStream.incrementalSemantic]] refresh
+    * machinery (spec-only until now) to an oracle-gated batch key.
+    *
+    * The gate is the strongest one available: cell assignment under a
+    * fixed codebook is deterministic and order-free, so
+    * stored(base) ∪ assign(fresh) must equal assign(all) — the oracle
+    * is `ann_ivf_trained`'s full-rebuild chain over the merged corpus,
+    * asserting upsert ≡ rebuild exactly (row, schema, hash).
+    *
+    * Scale shape: the stored index is a skinny (id, cell) table that
+    * at 100 TB lives partitioned by cell; the upsert touches one
+    * batch-sized slice of it, and [[ivfRank]]'s probe tail is shared
+    * verbatim with every other IVF key. */
+  def ivfUpsert(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val em = Tables.embeddings(s, d)
+    val cbDir = codebookPath(d)
+    if (!graft.sources.Fixtures.ready(cbDir)) persistCodebook(em, cbDir)
+    val cents = readCodebook(s, cbDir)
+    val idxDir = cellIndexPath(d)
+    if (!graft.sources.Fixtures.ready(idxDir))
+      cellAssign(em.where(col("vec_id") % UpsertMod =!= 0)
+        .select(col("vec_id"), vec(col("embedding")).as("v")), cents)
+        .write.mode("overwrite").parquet(idxDir)
+    val stored = s.read.parquet(idxDir).select("vec_id", "cell")
+    val fresh = em.where(col("vec_id") % UpsertMod === 0)
+      .select(col("vec_id"), vec(col("embedding")).as("v"))
+    ivfUpsertWith(em, cents, stored, fresh)
+  }
+
+  /** [[ivfUpsert]] over explicit stored-index and fresh-batch frames —
+    * spec-runnable on synthetic corpora without fixtures. */
+  private[graft] def ivfUpsertWith(em: DataFrame, cents: DataFrame,
+                                   stored: DataFrame, fresh: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(em.sparkSession)
+    val upserts = cellAssign(fresh, cents) // |batch|·K, the only assignment work
+    val assign = stored.unionAll(upserts).withColumnRenamed("vec_id", "neighbor_id")
+    val probes = nearestCells(
+      em.where(col("vec_id") % QueryStride === 0)
+        .select(col("vec_id"), vec(col("embedding")).as("v")), cents, NProbe)
+      .withColumnRenamed("vec_id", "query_id")
+    ivfRank(em, probes, assign)
+  }
+
   /** Semantic dedup, SemDeDup-style (Abbas et al. 2023, public): assign
     * every vector to its trained-codebook cell, then flag vectors with a
     * LOWER-id near-neighbor (cosine ≥ [[DupCosine]]) in the SAME cell —
@@ -1177,6 +1241,7 @@ object Similarity {
     "ann_lsh_topk"   -> ((s, d) => lshTopK(Tables.embeddings(s, d))),
     "ann_ivf"        -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
     "ann_ivf_trained"-> ((s, d) => ivfTrained(s, d)),
+    "ann_ivf_upsert" -> ((s, d) => ivfUpsert(s, d)),
     "dedup_semantic" -> ((s, d) => semanticDedup(s, d)),
     "ann_ivf_imi"    -> ((s, d) => ivfImi(s, d)),
     "ann_pq"         -> ((s, d) => pqTopK(s, d)),
@@ -1617,6 +1682,14 @@ object Similarity {
     "ann_ivf_trained" -> ivfSql(
       // the oracle reads the SAME persisted codebook the query probes
       // (cv stored float; ::DOUBLE[] is the exact widening both sides use)
+      s"""SELECT cent_id, cv::DOUBLE[] AS cv FROM read_parquet(
+         |  '${codebookPath(graft.Dials.sfDir.getOrElse("/root/testdata/sf0.001"))}/*.parquet')""".stripMargin),
+    // upsert ≡ rebuild: the maintenance path must reproduce the full
+    // rebuild's answer exactly, so the oracle IS the ann_ivf_trained
+    // chain over the merged corpus (assign everything from the same
+    // persisted codebook) — any divergence in the stored index, the
+    // batch assignment, or the union surfaces as a hash mismatch
+    "ann_ivf_upsert" -> ivfSql(
       s"""SELECT cent_id, cv::DOUBLE[] AS cv FROM read_parquet(
          |  '${codebookPath(graft.Dials.sfDir.getOrElse("/root/testdata/sf0.001"))}/*.parquet')""".stripMargin),
     "ann_ivf_imi" -> imiSql(

@@ -523,4 +523,33 @@ class SimilaritySpec extends SparkSpec {
     assert(filt != brute, "predicate never bound — fixture too permissive")
     r.unpersist()
   }
+
+  test("ann_ivf_upsert: stored index ∪ batch assignment ≡ full rebuild, and only the batch is assigned") {
+    val s = spark
+    import s.implicits._
+    val corpus = clusteredCorpus.cache()
+    val cents = Similarity.trainCodebook(corpus, k = 16, iters = 2).cache()
+    def vecs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    // the maintained state: base corpus assigned ONCE (what ivfUpsert persists)
+    val stored = Similarity.cellAssign(
+      vecs(corpus.where(col("vec_id") % Similarity.UpsertMod =!= 0)), cents)
+    val fresh = vecs(corpus.where(col("vec_id") % Similarity.UpsertMod === 0))
+    val upsert = Similarity.ivfUpsertWith(corpus, cents, stored, fresh)
+      .as[(Long, Long, Long)].collect().toSeq
+    // upsert ≡ rebuild: assignment under a fixed codebook is per-vector
+    // deterministic, so the merged index must reproduce the full
+    // ivfWith answer EXACTLY — rank ties included
+    val rebuild = Similarity.ivfWith(corpus, cents)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(upsert == rebuild, "upsert path diverged from full rebuild")
+    // cost ∝ batch: the fresh side really is the 1/20 slice, and the
+    // stored side covers exactly the rest (no re-assignment happened)
+    val nFresh = fresh.count()
+    assert(nFresh > 0 && nFresh < corpus.count() / 10,
+      s"batch split degenerate: $nFresh fresh of ${corpus.count()}")
+    assert(stored.count() + nFresh == corpus.count(),
+      "stored ∪ fresh does not partition the corpus")
+    corpus.unpersist(); cents.unpersist()
+  }
 }

@@ -24,6 +24,71 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r2 == Seq((1L, "a", "a", 9L), (2L, "aa", "aa", 3L)), r2.toString)
   }
 
+  /** In-test reference BPE encode: chars, then each learned merge as a
+    * leftmost non-overlapping literal replace on the pipe-delimited
+    * form — the SAME semantics both engines' `replace` implement,
+    * derived independently of the distributed loop under test. */
+  private def refSeg(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var seq = "|" + word.map(_.toString).mkString("||") + "|"
+    for ((l, r) <- merges) seq = seq.replace(s"|$l||$r|", s"|$l$r|")
+    seq.stripPrefix("|").stripSuffix("|").split("\\|\\|").toSeq
+  }
+
+  test("bpe train→tokenize: the learned merges drive the encode, each changing the next round's tokenization") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "banana banana banana bandana"),
+      (2L, "banana apple apple bananas"),
+      (3L, "ananas apple bandana banana cabana")).toDF("doc_id", "text")
+    val (mergesDf, vocabDf) =
+      TextAnalysis.bpeTrainRounds(d, TextAnalysis.BpeTrainMerges)
+    val merges = mergesDf.orderBy("step")
+      .select("merge_left", "merge_right").as[(String, String)].collect().toSeq
+    assert(merges.size == TextAnalysis.BpeTrainMerges, merges.toString)
+    // 1. the final training vocab IS the learned encode: every word's
+    //    seq equals the reference replay of the merges over its chars
+    val vocab = vocabDf.select("word", "seq").as[(String, String)].collect().toMap
+    for ((w, seq) <- vocab)
+      assert(seq == "|" + refSeg(w, merges).mkString("||") + "|",
+        s"$w: $seq != replayed merges")
+    // 2. the VERDICT pin: a merge learned in round k changes round-k+1
+    //    tokenization — total symbol count strictly drops at every k
+    for (k <- 1 to merges.size) {
+      val before = vocab.keys.toSeq.map(w => refSeg(w, merges.take(k - 1)).size).sum
+      val after = vocab.keys.toSeq.map(w => refSeg(w, merges.take(k)).size).sum
+      assert(after < before, s"merge $k (${merges(k - 1)}) changed no word's tokenization")
+    }
+    // 3. the gated per-doc stats equal an independent recomputation
+    //    from the reference segmentation of each occurrence
+    val got = TextAnalysis.bpeLearnedTokens(d)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val want = Seq((1L, "banana banana banana bandana"),
+        (2L, "banana apple apple bananas"),
+        (3L, "ananas apple bandana banana cabana"))
+      .map { case (id, text) =>
+        val ws = text.split(" ").filter(_.nonEmpty).toSeq
+        val segs = ws.map(w => refSeg(w, merges))
+        (id, ws.size.toLong,
+          segs.map(_.size.toLong).sum,
+          segs.map(_.zipWithIndex.map { case (sym, i) => (i + 1).toLong * sym.length }.sum).sum)
+      }
+    assert(got == want, s"$got != $want")
+  }
+
+  test("bpe learned encode survives training exhaustion (vocab persists past empty rounds)") {
+    val s = spark
+    import s.implicits._
+    // aaab/ab exhaust after 3 merges (hand-traced above): rounds 4-8
+    // learn nothing, and the learned segmentation must still cover
+    // every word — one symbol each by then
+    val d = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeLearnedTokens(d).as[(Long, Long, Long, Long)].collect().toSeq
+    // 3 words, each a single learned symbol of full word length:
+    // checksum = Σ 1·len = 4+4+2
+    assert(r == Seq((1L, 3L, 3L, 10L)), r.toString)
+  }
+
   test("piiRedact: real-world formats scrub, look-alikes survive, residual is zero") {
     val s = spark
     import s.implicits._
