@@ -606,6 +606,59 @@ object Dedup {
       .limit(20)
   }
 
+  /** Containment pairs below this many distinct capped bigrams on the
+    * CONTAINED side are noise (2 shared bigrams ⇒ containment 1.0) —
+    * both engines apply the same floor before the ratio. */
+  val MinContainSet = 5
+
+  /** CONTAINMENT detection (`dedup_containment`, r10) — Broder's OTHER
+    * resemblance measure (Broder 1997 distinguishes resemblance
+    * |A∩B|/|A∪B| from containment |A∩B|/|A|): the DIRECTED question
+    * "how much of A is inside B", which Jaccard structurally cannot
+    * answer — a short doc fully quoted inside a long one has tiny
+    * Jaccard (the union is dominated by B) but containment 1.0. This is
+    * the dedup family's quote/subset detector: boilerplate inclusion,
+    * full-article quoting, prompt-in-completion leakage all read as
+    * high C(A→B) with low resemblance, so they survive every symmetric
+    * key (`dedup_ngram`, minhash) in this suite by design.
+    *
+    * Same DF-capped (source, bigram) inverted-index universe as
+    * [[ngramJaccard]] — the shared cap is what keeps BOTH keys
+    * posting-list-bounded — but the pair emission is DIRECTED (a≠b,
+    * both orientations scored independently; C(A→B) ≠ C(B→A) is the
+    * point), the denominator is the CONTAINED side's set size only, and
+    * docs with fewer than [[MinContainSet]] capped bigrams are dropped
+    * before the ratio (2 shared bigrams ⇒ a meaningless 1.0). Top-20 by
+    * (containment desc, doc_a, doc_b) — a total order.
+    *
+    * Scale: identical shape to `dedup_ngram` (one window-capped bigram
+    * table feeding a self-equi-join on (source, bigram)) — the directed
+    * variant emits each colliding pair twice instead of once, a
+    * constant factor, still never a cross join. The one float is a
+    * single integer division, IEEE754-identical cross-engine. */
+  def containmentPairs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kept = docs
+      .select(col("doc_id"), col("source"), wordsCol.as("ws"))
+      .select(col("doc_id"), col("source"), explode(grams(col("ws"), 2)).as("bigram"))
+      .distinct()
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("source", "bigram")))
+      .where(col("df") <= MaxBigramDf)
+      .withColumn("nset", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .where(col("nset") >= MinContainSet)
+    val a = kept.select(col("doc_id").as("doc_a"), col("source"), col("bigram"),
+      col("nset").as("na"))
+    val b = kept.select(col("doc_id").as("doc_b"), col("source"), col("bigram"))
+    a.join(b, Seq("source", "bigram"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"), first("na").as("na"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared").cast("double") / col("na")).as("containment"))
+      .orderBy(col("containment").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   /** Duplicated-SPAN detection — the n-gram form of exact-substring
     * dedup (Lee et al., "Deduplicating Training Data Makes Language
     * Models Better": memorization tracks verbatim repeated spans, not
@@ -671,6 +724,7 @@ object Dedup {
     },
     "dedup_editdist"       -> ((s, d) => editDistancePairs(Tables.documents(s, d))),
     "dedup_substring"      -> ((s, d) => duplicatedSpans(Tables.documents(s, d))),
+    "dedup_containment"    -> ((s, d) => containmentPairs(Tables.documents(s, d))),
     "dedup_increclust"     -> { (s, d) =>
       val docs = Tables.documents(s, d)
       incrementalClusters(
@@ -874,6 +928,28 @@ object Dedup {
          |  GROUP BY 1, 2) p
          |JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
          |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    // same capped-bigram universe as dedup_ngram, DIRECTED pairs, the
+    // contained side's set size as the sole denominator, MinContainSet
+    // floor before the ratio — one integer division, IEEE754-identical
+    "dedup_containment" ->
+      s"""WITH db AS (
+         |  SELECT DISTINCT doc_id, source, words[i] || ' ' || words[i+1] AS bigram
+         |  FROM (SELECT doc_id, source, $W AS words FROM documents) dw,
+         |       unnest(range(1, len(words))) AS u(i)),
+         |keep AS (SELECT source, bigram FROM db
+         |         GROUP BY 1, 2 HAVING count(*) <= $MaxBigramDf),
+         |fdb AS (SELECT db.* FROM db JOIN keep USING (source, bigram)),
+         |sz AS (SELECT doc_id, count(*) AS nset FROM fdb GROUP BY doc_id
+         |       HAVING count(*) >= $MinContainSet),
+         |fk AS (SELECT fdb.* FROM fdb JOIN sz USING (doc_id))
+         |SELECT doc_a, doc_b, shared::DOUBLE / sa.nset AS containment
+         |FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM fk a JOIN fk b ON a.source = b.source AND a.bigram = b.bigram
+         |    AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2) p
+         |JOIN sz sa ON sa.doc_id = doc_a
+         |ORDER BY containment DESC, doc_a, doc_b LIMIT 20""".stripMargin,
     // bands are per-row, so bands(new)⋈bands(existing) ∪ bands(new)⋈bands(new)
     // equals the full band join restricted to pairs touching a new doc —
     // the oracle needs no notion of the stored index

@@ -1124,6 +1124,73 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** DSIR feature-hash width. The paper uses 10k buckets on web-scale
+    * corpora; 512 keeps per-bucket counts non-degenerate at test sf
+    * while the operator shape is width-independent (the bucket table is
+    * a broadcast frame either way). */
+  val DsirBuckets = 512
+  /** Selected-set size (the paper's resampling budget). */
+  val DsirK = 50
+  /** The target distribution: English docs — the "formal text" stand-in
+    * (any predicate over the metadata works; selection quality, not
+    * operator shape, is what changes). */
+  val DsirTargetLang = "en"
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * NeurIPS; public): select pretraining data that LOOKS LIKE a target
+    * corpus by importance weight under two hashed n-gram bag models.
+    * Features are unigrams ∪ bigrams hashed into [[DsirBuckets]]
+    * buckets; the target model is the bucket distribution over
+    * lang=[[DsirTargetLang]] docs, the source model over the full raw
+    * corpus (both add-1 smoothed); a doc's log importance weight is
+    * Σ_b c_b(x)·(log p_target[b] − log p_source[b]), and the [[DsirK]]
+    * highest-weight docs are the selected set (the paper resamples with
+    * Gumbel noise; selection here is the deterministic top-K — noise
+    * would un-gate the key, and the weights ARE the operator).
+    *
+    * Exactness: the per-bucket log-ratio quantizes ONCE to integer
+    * 1e-8 units (one ln over a double ratio both engines build from the
+    * same integers, round-half-away — the established rounding match),
+    * after which everything is BIGINT: per-doc weights are exact integer
+    * sums (`logw_e8`), order-free and overflow-safe to ~9e18 (corpus
+    * gram counts ~1e12 × lpd ~1e9 stays inside at any plausible sf).
+    *
+    * Scale: the Zipf trick (hash per DISTINCT gram, occurrences join
+    * the skinny map); ONE combined count aggregate serves both models
+    * (source count + conditional target count per bucket — no second
+    * corpus pass); the 512-row log-ratio table broadcasts; the per-doc
+    * weight is a combiner-friendly sum; top-K is TakeOrdered, never a
+    * global sort. The gram frame persists across its two consumers
+    * (totals + per-doc) and releases via [[graft.Cleanup.releaseAll]]. */
+  def dsir(docs: DataFrame): DataFrame = {
+    val b = DsirBuckets
+    val withWs = docs.select(col("doc_id"), col("lang"),
+      filter(split(col("text"), " "), w => w =!= "").as("ws"))
+    val n1 = greatest(size(col("ws")) - 1, lit(0))
+    val grams = withWs.select(col("doc_id"), col("lang"),
+      explode(concat(col("ws"),
+        zip_with(slice(col("ws"), lit(1), n1), slice(col("ws"), lit(2), n1),
+          (x, y) => concat(x, lit(" "), y)))).as("g"))
+    val gb = grams.select("g").distinct()
+      .select(col("g"), (Dedup.h32(lit("dsir"), col("g")) % b).as("bucket"))
+    val bg = grams.join(gb, "g").select("doc_id", "lang", "bucket").persist()
+    val isTgt = when(col("lang") === DsirTargetLang, 1L).otherwise(0L)
+    val tot = bg.agg(count(lit(1)).as("ts_n"), sum(isTgt).as("tt_n"))
+    val lpd = bg.groupBy("bucket")
+      .agg(count(lit(1)).as("cs"), sum(isTgt).as("ct"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        round(log(((col("ct") + 1).cast("double") * (col("ts_n") + b)) /
+            ((col("cs") + 1).cast("double") * (col("tt_n") + b))) * 1e8, 0)
+          .cast("long").as("lpd8"))
+    bg.groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(lpd), "bucket")
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_grams"), sum(col("cnt") * col("lpd8")).as("logw_e8"))
+      .orderBy(col("logw_e8").desc, col("doc_id"))
+      .limit(DsirK)
+  }
+
   /** Sliding-window CHUNKING with overlap — the context-window prep step
     * that turns long documents into model-sized pieces (the counterpart
     * of [[packing]]'s concatenate-and-cut: packing joins short docs,
@@ -1357,6 +1424,7 @@ object TextAnalysis {
     "text_textrank"    -> ((s, d) => textRank(Tables.documents(s, d))),
     "text_mix"         -> ((s, d) => domainMix(Tables.documents(s, d))),
     "text_classify"    -> ((s, d) => classify(Tables.documents(s, d))),
+    "text_dsir"        -> ((s, d) => dsir(Tables.documents(s, d))),
     "text_bigram_lp"   -> ((s, d) => bigramLogProb(Tables.documents(s, d))),
   )
 
@@ -1652,6 +1720,39 @@ object TextAnalysis {
          |  CAST(SUM(CAST(lp AS DECIMAL(28,10))) AS DOUBLE) AS sum_lp,
          |  round(CAST(SUM(CAST(lp AS DECIMAL(28,10))) AS DOUBLE) / count(*), 4) AS avg_lp
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the lpd8 quantization is the ONLY float step (one ln over a
+    // double ratio built from the same integers); everything after is
+    // exact BIGINT, so the per-doc weights and the top-K cut hash-match
+    "text_dsir" ->
+      s"""WITH wd AS (
+         |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, lang, unnest(ws) AS g FROM wd
+         |  UNION ALL
+         |  SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS g
+         |  FROM wd, unnest(range(1, len(ws))) AS u(i)),
+         |gb AS (
+         |  SELECT g, ('0x' || substr(md5('dsir:' || g), 1, 8))::BIGINT % $DsirBuckets AS bucket
+         |  FROM (SELECT DISTINCT g FROM g) d),
+         |bg AS (SELECT doc_id, lang, bucket FROM g JOIN gb USING (g)),
+         |tot AS (
+         |  SELECT count(*) AS ts_n,
+         |    sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END) AS tt_n
+         |  FROM bg),
+         |lpd AS (
+         |  SELECT bucket, CAST(round(ln(
+         |      ((ct + 1)::DOUBLE * (ts_n + $DsirBuckets)) /
+         |      ((cs + 1)::DOUBLE * (tt_n + $DsirBuckets))) * 1e8) AS BIGINT) AS lpd8
+         |  FROM (
+         |    SELECT bucket, count(*) AS cs,
+         |      sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END) AS ct
+         |    FROM bg GROUP BY bucket) a, tot),
+         |pd AS (SELECT doc_id, bucket, count(*) AS cnt FROM bg GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+         |  CAST(sum(cnt * lpd8) AS BIGINT) AS logw_e8
+         |FROM pd JOIN lpd USING (bucket)
+         |GROUP BY doc_id ORDER BY logw_e8 DESC, doc_id LIMIT $DsirK""".stripMargin,
     "text_classify" ->
       s"""WITH wd AS (
          |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w

@@ -194,6 +194,45 @@ class DedupSpec extends SparkSpec {
     })
   }
 
+  test("containment: a doc quoted inside a longer one reads 1.0 where jaccard reads low") {
+    val s = spark
+    import s.implicits._
+    val quote = "alpha bravo charlie delta echo foxtrot" // 5 bigrams
+    val host = quote + " golf hotel india juliett kilo lima mike november " +
+      "oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee zulu"
+    val d = Seq(
+      (1L, quote, "s1"),
+      (2L, host, "s1"),
+      // a third unrelated doc in the same source so the df cap has work
+      (3L, "one two three four five six seven eight nine ten", "s1"))
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.containmentPairs(d)
+      .as[(Long, Long, Double)].collect()
+      .map(p => ((p._1, p._2), p._3)).toMap
+    // directed: ALL of doc1 is inside doc2 → C(1→2)=1.0; the reverse
+    // direction is the quote's share of the host, strictly below
+    assert(r((1L, 2L)) == 1.0, r.toString)
+    assert(r((2L, 1L)) <= 0.2, r.toString)
+    // the symmetric key would score this pair low — the reason the
+    // directed key exists (jaccard = 5 / (5 + 27 - 5))
+    val jac = Dedup.ngramJaccard(d).as[(Long, Long, Double)].collect()
+      .find(p => p._1 == 1L && p._2 == 2L).map(_._3)
+    assert(jac.exists(_ < 0.25), jac.toString)
+    // the MinContainSet floor: doc3 shares nothing, and a 2-bigram doc
+    // never enters the universe at all
+    val tiny = Seq((1L, quote, "s1"), (4L, "alpha bravo charlie", "s1"))
+      .toDF("doc_id", "text", "source")
+    assert(Dedup.containmentPairs(tiny).count() == 0)
+  }
+
+  test("containment on the corpus: values in (0, 1], directed rows, capped at 20") {
+    val c = Dedup.containmentPairs(docs).collect()
+    assert(c.length <= 20)
+    assert(c.forall { r =>
+      val v = r.getDouble(2); v > 0.0 && v <= 1.0 && r.getLong(0) != r.getLong(1)
+    })
+  }
+
   test("minhashEstimate: identical docs agree on all 16 components; estimator tracks truth") {
     val s = spark
     import s.implicits._

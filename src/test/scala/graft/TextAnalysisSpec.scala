@@ -89,6 +89,61 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r == Seq((1L, 3L, 3L, 10L)), r.toString)
   }
 
+  test("dsir: target-vocabulary docs outrank source-vocabulary docs, weights are exact integer sums") {
+    val s = spark
+    import s.implicits._
+    // two disjoint vocabularies: 'en' docs speak A, others speak B —
+    // so A-grams have high target/source ratio, B-grams low
+    val d = Seq(
+      (1L, "alpha beta gamma alpha beta", "en"),
+      (2L, "alpha gamma beta gamma", "en"),
+      (3L, "omega psi chi omega psi", "de"),
+      (4L, "psi chi omega chi", "de"),
+      // the probe: an 'fr' doc written in TARGET vocabulary must
+      // outrank an 'en'-tagged doc written in source-only vocabulary —
+      // DSIR scores CONTENT, not the label that trained the model
+      (5L, "alpha beta gamma beta", "fr"),
+      (6L, "omega psi chi psi", "en"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.dsir(d).as[(Long, Long, Long)].collect()
+    val byDoc = r.map(t => t._1 -> t._3).toMap
+    // ordering: every A-vocab doc above every B-vocab doc
+    val aDocs = Seq(1L, 2L, 5L).map(byDoc)
+    val bDocs = Seq(3L, 4L, 6L).map(byDoc)
+    assert(aDocs.min > bDocs.max, r.mkString(", "))
+    // the content-not-label pin, explicitly
+    assert(byDoc(5L) > byDoc(6L), r.mkString(", "))
+    // exactness: recompute doc 1's weight from first principles
+    val grams1 = Seq("alpha", "beta", "gamma", "alpha", "beta",
+      "alpha beta", "beta gamma", "gamma alpha", "alpha beta")
+    val all = Seq(
+      (1L, "alpha beta gamma alpha beta", "en"), (2L, "alpha gamma beta gamma", "en"),
+      (3L, "omega psi chi omega psi", "de"), (4L, "psi chi omega chi", "de"),
+      (5L, "alpha beta gamma beta", "fr"), (6L, "omega psi chi psi", "en"))
+    def gramsOf(t: String) = {
+      val w = t.split(" ").filter(_.nonEmpty)
+      w.toSeq ++ w.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+    }
+    def bucket(g: String) = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dsir:$g".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5, 16) % TextAnalysis.DsirBuckets
+    }
+    val occ = all.flatMap { case (id, t, l) => gramsOf(t).map(g => (id, l, bucket(g))) }
+    val tsN = occ.size.toLong
+    val ttN = occ.count(_._2 == "en").toLong
+    val b = TextAnalysis.DsirBuckets
+    val lpd8 = occ.groupBy(_._3).map { case (bk, os) =>
+      val cs = os.size.toLong
+      val ct = os.count(_._2 == "en").toLong
+      bk -> BigDecimal(math.log((ct + 1).toDouble * (tsN + b) /
+        ((cs + 1).toDouble * (ttN + b))) * 1e8)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val want1 = grams1.map(g => lpd8(bucket(g))).sum
+    assert(byDoc(1L) == want1, s"${byDoc(1L)} != $want1")
+  }
+
   test("piiRedact: real-world formats scrub, look-alikes survive, residual is zero") {
     val s = spark
     import s.implicits._
