@@ -539,7 +539,63 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** Embedding width for [[embedNearDup]] — 16 luminance bins (the
+    * 4-bin histogram is too coarse to separate images whose dominant
+    * gray differs by < 64 levels). */
+  val EmbedBins = 16
+  /** Result cut for the embedding near-dup ranking. */
+  val EmbedTopPairs = 20
+
+  /** IMAGE-EMBEDDING NEAR-DUP (`mm_embed`, r10) — the multimodal →
+    * vector-search composition: decode every image, extract a feature
+    * VECTOR (the [[EmbedBins]]-bin luminance histogram — the classical
+    * pre-neural image descriptor; a learned CLIP-style encoder ships
+    * through the same [[FeatureExtractor]] mount and changes nothing
+    * downstream), then rank the most similar image pairs by exact
+    * cosine WITHIN coarse cells — cell = the embedding's dominant bin
+    * (first argmax), the 1-probe quantizer, so candidate pairs are
+    * cell-confined exactly as [[graft.operators.Similarity.semanticDedup]]
+    * confines document vectors (never all-pairs; a production corpus
+    * raises the cell count, not this shape). Top-[[EmbedTopPairs]]
+    * pairs by (cosine desc, a, b).
+    *
+    * Exactness: histograms are integer pixel counts, dot/norms are
+    * exact BIGINT sums; the one float is cos = dot/sqrt(na2·nb2) —
+    * int→double conversions, one multiply, one correctly-rounded sqrt,
+    * one divide, bit-identical cross-engine. The oracle re-derives the
+    * 16 bins arithmetically from the fixture construction (the
+    * mm_histogram argument at 4× resolution), so a hash match proves
+    * BOTH the decoded distribution and the vector-space ranking.
+    *
+    * Scale: decode is the §2.7 map-only file-count cost; embeddings
+    * are skinny (id, 16 ints); the pair join is cell-bucketed. */
+  def embedNearDup(media: Dataset[MediaFile]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val emb = media.filter(col("kind") === "image")
+      .mapPartitions(_.map { m =>
+        (m.media_id, ImageCodec.lumHistogram(m.content, EmbedBins, m.media_id))
+      })
+      .toDF("media_id", "emb")
+      .select(col("media_id"), col("emb"),
+        array_position(col("emb"), array_max(col("emb"))).as("cell"),
+        aggregate(col("emb"), lit(0L), (acc, x) => acc + x * x).as("n2"))
+    val a = emb.select(col("media_id").as("media_a"), col("cell"),
+      col("emb").as("ea"), col("n2").as("na2"))
+    val b = emb.select(col("media_id").as("media_b"), col("cell"),
+      col("emb").as("eb"), col("n2").as("nb2"))
+    a.join(b, "cell")
+      .where(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"),
+        (aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y),
+            lit(0L), (acc, x) => acc + x).cast("double") /
+          sqrt(col("na2").cast("double") * col("nb2").cast("double"))).as("cos"))
+      .orderBy(col("cos").desc, col("media_a"), col("media_b"))
+      .limit(EmbedTopPairs)
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm_embed"     -> ((s, d) => embedNearDup(mediaTable(s, d))),
     "mm_histogram" -> ((s, d) => lumHistogramSummary(mediaTable(s, d))),
     "mm_silence" -> ((s, d) => silenceSummary(mediaTable(s, d))),
     "mm_summary" -> ((s, d) => mediaSummary(mediaTable(s, d))),
@@ -658,6 +714,33 @@ object Multimodal {
     "mm_summary" -> MmSummarySql,
     // 16 head pixels bin individually; the constant-gray remainder
     // lands wholesale in its own bin — bins partition the pixel count
+    // the mm_histogram bin derivation at 16-bin resolution, packed into
+    // a list; cell/argmax, norms, dot and cosine mirror the Spark
+    // expressions term for term (exact ints until the one sqrt+divide)
+    "mm_embed" -> {
+      def bin(k: Int): String = {
+        val head = (0 until 16).map(j =>
+          s"(CASE WHEN ${oPix(j)} // ${256 / EmbedBins} = $k THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"CAST($head + (CASE WHEN (n_chars % 256) // ${256 / EmbedBins} = $k" +
+          s" THEN px - 16 ELSE 0 END) AS BIGINT)"
+      }
+      val lst = (0 until EmbedBins).map(bin).mkString("[", ", ", "]")
+      s"""WITH img AS (
+         |  SELECT doc_id AS media_id, n_chars, md5(text) AS dig,
+         |    (8 + n_chars % 24) * (8 + n_chars % 16) AS px
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |e AS (SELECT media_id, $lst AS emb FROM img),
+         |c AS (
+         |  SELECT media_id, emb,
+         |    list_position(emb, list_aggregate(emb, 'max')) AS cell,
+         |    list_inner_product(emb::DOUBLE[], emb::DOUBLE[]) AS n2
+         |  FROM e)
+         |SELECT a.media_id AS media_a, b.media_id AS media_b,
+         |  list_inner_product(a.emb::DOUBLE[], b.emb::DOUBLE[]) / sqrt(a.n2 * b.n2) AS cos
+         |FROM c a JOIN c b ON a.cell = b.cell AND a.media_id < b.media_id
+         |ORDER BY cos DESC, media_a, media_b LIMIT $EmbedTopPairs""".stripMargin
+    },
     "mm_histogram" -> {
       def bin(k: Int): String = {
         val head = (0 until 16).map(j =>

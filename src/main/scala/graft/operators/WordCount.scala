@@ -599,6 +599,72 @@ object WordCount {
       .orderBy("hop")
   }
 
+  /** Bellman-Ford relaxation rounds — fixed like [[BfsMaxHop]]: the key
+    * gates bounded-hop cheapest paths (≤ [[SsspRounds]] edges), keeping
+    * the plan depth static and the oracle finitely unrollable. */
+  val SsspRounds = 4
+  /** Edge weights span [1, [[SsspWgtMod]]] — wide enough that a 2-hop
+    * path can undercut a heavy direct edge (the property that separates
+    * SSSP from BFS, spec-pinned). */
+  val SsspWgtMod = 9
+
+  /** WEIGHTED SINGLE-SOURCE SHORTEST PATHS (`wc_sssp`, r10) — the
+    * weighted member of the graph family: [[bfs]] counts HOPS, this
+    * relaxes COSTS, and the two disagree exactly when a multi-edge
+    * detour is cheaper than a heavy direct edge. Synchronous
+    * Bellman-Ford over the same undirected word-adjacency graph from
+    * the same most-frequent-word seed: [[SsspRounds]] rounds of
+    * dist(v) ← min(dist(v), min over edges (u,v) of dist(u)+w(u,v)),
+    * i.e. cheapest cost over paths of ≤ 4 edges. Edge weights derive
+    * deterministically from the edge's unordered endpoints
+    * (1 + h32("sssp", u·' '·v) mod [[SsspWgtMod]] on the least/greatest
+    * ordering — symmetric by construction, standing in for a
+    * co-occurrence-strength weight file that would ship the same way).
+    * Output: the 50 cheapest-reached words by (dist, word) — all
+    * integer, total order.
+    *
+    * Scale: the Pregel/GraphX message-min iteration — per round ONE
+    * vocab-bounded equi-join of the persisted weighted edge set against
+    * the current distance frame, then a MIN aggregate (commutative,
+    * associative, map-side combinable — a Zipf hub's fan-in collapses
+    * in the combiner, never concentrating rows on one reducer the way
+    * an argmax-by-key join would). Distance frames are
+    * vocabulary-bounded; each round persists and releases its
+    * predecessor (the [[lpa]] cache-boundary rule). Rounds fixed, no
+    * driver-side convergence loop. The oracle unrolls the identical
+    * rounds as min-union CTEs. */
+  def sssp(docs: DataFrame): DataFrame = {
+    val ws = filter(split(col("text"), TokenRe), w => w =!= "")
+    val n1 = greatest(size(ws) - 1, lit(0))
+    val und = docs.select(explode(zip_with(
+        slice(ws, lit(1), n1), slice(ws, lit(2), n1),
+        (a, b) => struct(a.as("u"), b.as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .where(col("u") =!= col("v"))
+    val wgt = lit(1) + Dedup.h32(lit("sssp"),
+      concat(least(col("u"), col("v")), lit(" "), greatest(col("u"), col("v")))) % SsspWgtMod
+    val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .select(col("u").as("src"), col("v").as("dst"), wgt.cast("long").as("w"))
+      .persist()
+    val seed = docs.select(explode(ws).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(1)
+      .select(col("w").as("word"), lit(0L).as("dist"))
+    var dist = seed.persist()
+    for (_ <- 1 to SsspRounds) {
+      val relaxed = edges.join(dist.select(col("word").as("src"), col("dist")), "src")
+        .select(col("dst").as("word"), (col("dist") + col("w")).as("dist"))
+      val prev = dist
+      dist = prev.unionAll(relaxed)
+        .groupBy("word").agg(min("dist").as("dist"))
+        .persist()
+      dist.count()
+      prev.unpersist()
+    }
+    dist.orderBy(col("dist"), col("word")).limit(50)
+  }
+
   /** LPA round count — fixed so the plan depth is static and the
     * oracle's unrolled CTE chain stays finite. */
   val LpaRounds = 3
@@ -723,6 +789,7 @@ object WordCount {
     "wc_inverted"  -> ((s, d) => invertedIndex(Tables.documents(s, d))),
     "wc_grep"      -> ((s, d) => grep(Tables.documents(s, d))),
     "wc_bfs"       -> ((s, d) => bfs(Tables.documents(s, d))),
+    "wc_sssp"      -> ((s, d) => sssp(Tables.documents(s, d))),
     "wc_lpa"       -> ((s, d) => lpa(Tables.documents(s, d))),
   )
 
@@ -912,6 +979,36 @@ object WordCount {
          |  min(node) AS w_min, max(node) AS w_max
          |FROM l$LpaRounds GROUP BY 1
          |ORDER BY n_words DESC, label LIMIT 50""".stripMargin
+    },
+    // the identical Bellman-Ford rounds unrolled as min-union CTEs;
+    // same md5 edge weights on the least/greatest endpoint ordering
+    "wc_sssp" -> {
+      val rounds = (1 to SsspRounds).map { i =>
+        val prev = s"d${i - 1}"
+        s"""d$i AS (SELECT word, min(dist) AS dist FROM (
+           |  SELECT word, dist FROM $prev
+           |  UNION ALL
+           |  SELECT e.dst AS word, p.dist + e.w AS dist
+           |  FROM $prev p JOIN edges e ON e.src = p.word) u GROUP BY word)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT w[i] AS u, w[i + 1] AS v
+         |  FROM (SELECT $OracleWords AS w FROM documents) ws,
+         |    unnest(range(1, len(w))) AS t(i)
+         |  WHERE w[i] <> w[i + 1]),
+         |edges AS (
+         |  SELECT src, dst,
+         |    1 + ('0x' || substr(md5('sssp:' || least(src, dst) || ' ' || greatest(src, dst)), 1, 8))::BIGINT % $SsspWgtMod AS w
+         |  FROM (SELECT DISTINCT u AS src, v AS dst FROM (
+         |    SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs) b) e),
+         |tk AS (SELECT word FROM ($TokensSql) q),
+         |d0 AS (
+         |  SELECT word, 0::BIGINT AS dist
+         |  FROM (SELECT word, count(*) AS cnt FROM tk GROUP BY word) c
+         |  ORDER BY cnt DESC, word LIMIT 1),
+         |$rounds
+         |SELECT word, CAST(dist AS BIGINT) AS dist FROM d$SsspRounds
+         |ORDER BY dist, word LIMIT 50""".stripMargin
     },
     // the declarative twin of the level-synchronous traversal: a
     // recursive CTE bounded at BfsMaxHop, min-hop per word, unreached

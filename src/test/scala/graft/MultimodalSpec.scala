@@ -102,6 +102,40 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2).lum == (130 - 128).abs * 64 + (126 - 128).abs * 64 + 38L * 5 * 32)
   }
 
+  test("mm_embed: identical rasters rank first at cos 1.0; cross-cell pairs never pair; cos matches hand math") {
+    val s = spark
+    import s.implicits._
+    // ids 1,2: identical dark images (dominant bin 0 → same cell);
+    // id 3: dark but different head (same cell, cos < 1);
+    // id 4: bright (dominant bin 15 → different cell, never paired)
+    def img(id: Long, head: Array[Byte], gray: Int) =
+      MediaFile(id, "image", ImageCodec.encodePng(8, 8, head, gray),
+        MediaMeta(8, 8, 0, "png"))
+    val m = s.createDataset(Seq(
+      img(1, Array[Byte](10, 20, 30), 5),
+      img(2, Array[Byte](10, 20, 30), 5),
+      img(3, Array[Byte](100, 110, 120), 5),
+      img(4, Array[Byte](10, 20, 30), 250)))
+    val r = Multimodal.embedNearDup(m).as[(Long, Long, Double)].collect()
+    assert(r.head == ((1L, 2L, 1.0)), r.mkString(", "))
+    // 4 shares no cell with anyone → exactly the 3 dark-cell pairs
+    assert(r.map(t => (t._1, t._2)).toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // hand math: histograms over 64 pixels, width-16 bins
+    def hist(head: Array[Int], gray: Int): Array[Long] = {
+      val h = new Array[Long](16)
+      (head ++ Array.fill(64 - head.length)(gray)).foreach(p => h(p / 16) += 1)
+      h
+    }
+    val h1 = hist(Array(10, 20, 30), 5)
+    val h3 = hist(Array(100, 110, 120), 5)
+    def cos(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => x * y }.sum.toDouble /
+        math.sqrt(a.map(x => x * x).sum.toDouble * b.map(x => x * x).sum.toDouble)
+    val got13 = r.find(t => t._1 == 1L && t._2 == 3L).get._3
+    assert(got13 == cos(h1, h3), s"$got13 != ${cos(h1, h3)}")
+    assert(got13 < 1.0)
+  }
+
   test("video codec: MPNG encode→parse→decode round-trips exact frames") {
     val f0 = ImageCodec.encodePng(5, 4, Array[Byte](10, 20), 9)
     val f1 = ImageCodec.encodePng(5, 4, Array[Byte](10, 20), 11)

@@ -266,6 +266,46 @@ class WordCountSpec extends SparkSpec {
     assert(levels.find(_._1 == 0L).get._2 == 1L, "exactly one seed")
   }
 
+  test("sssp: matches an independent Bellman-Ford replay; relaxation beats the direct edge; hop bound cuts") {
+    val s = spark
+    import s.implicits._
+    // "s" most frequent → seed; triangle s-a-t plus direct s-t (the
+    // relaxation case), chain t-c-d-e-f (f at 5 hops > SsspRounds)
+    val d = Seq(
+      (1L, "s s s"), (2L, "s a"), (3L, "a t"), (4L, "s t"),
+      (5L, "t c"), (6L, "c d"), (7L, "d e"), (8L, "e f")
+    ).toDF("doc_id", "text")
+    val got = WordCount.sssp(d).as[(String, Long)].collect().toMap
+    // independent replay: same edges, same md5 weights, textbook BF
+    def h32(seed: String, x: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$x".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val adj = Seq(("s","a"), ("a","t"), ("s","t"), ("t","c"), ("c","d"), ("d","e"), ("e","f"))
+    def w(u: String, v: String): Long = {
+      val (lo, hi) = if (u < v) (u, v) else (v, u)
+      1L + h32("sssp", s"$lo $hi") % WordCount.SsspWgtMod
+    }
+    val edges = adj.flatMap { case (u, v) => Seq((u, v), (v, u)) }.distinct
+    var dist = Map("s" -> 0L)
+    for (_ <- 1 to WordCount.SsspRounds)
+      dist = (dist.toSeq ++ edges.flatMap { case (u, v) =>
+        dist.get(u).map(du => v -> (du + w(u, v))) })
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+    assert(got == dist, s"$got != $dist")
+    // the relaxation contract, explicitly: t costs the cheaper of the
+    // direct edge and the 2-hop detour (whichever md5 makes cheaper)
+    assert(got("t") == math.min(w("s", "t"), w("s", "a") + w("a", "t")))
+    // hop bound: f is 5 edges out — absent from the distance frame
+    assert(!got.contains("f"))
+    // corpus smoke: integer dists, seed at 0, total order respected
+    val corpus = WordCount.sssp(docs).as[(String, Long)].collect()
+    assert(corpus.length <= 50 && corpus.head._2 == 0L)
+    assert(corpus.sliding(2).forall { case Array(x, y) =>
+      x._2 < y._2 || (x._2 == y._2 && x._1 < y._1); case _ => true })
+  }
+
   test("cc: string-vertex components via the shared star contraction, isolated included") {
     val s = spark
     import s.implicits._
