@@ -689,6 +689,78 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Chaining shingle width for [[longestSpans]]. Smaller than
+    * [[SubstrN]] on purpose: k bounds the MINIMUM detectable span, not
+    * the maximum — chained k-grams reconstruct spans of any length, so
+    * k only needs to clear noise (4 words is far above chance collision
+    * at md5 width). */
+  val SpanK = 4
+  /** Total-occurrence posting cap per shingle digest: bounds the
+    * candidate join to ≤ C(cap,2) pairs per digest. A span running
+    * THROUGH a hotter-than-cap shingle (boilerplate repeated >12 times
+    * corpus-wide) splits at that shingle on both engines — the honest
+    * price of a shuffle-bounded construction (Lee et al.'s suffix array
+    * is single-machine; this is the distributed trade). */
+  val SpanPostCap = 12
+  val SpanTop = 20
+
+  /** LONGEST DUPLICATED SPAN (`dedup_lcs`, r10) — exact-substring dedup
+    * at suffix granularity (Lee et al. 2021's actual object: the
+    * longest VERBATIM repeated span, length-free), closing the
+    * fixed-8-word-window approximation [[duplicatedSpans]] carries.
+    * For every document pair that shares any [[SpanK]]-word shingle,
+    * the maximal verbatim common word-span is reconstructed by
+    * DIAGONAL RUN CHAINING: positional k-grams join on digest, a match
+    * at (pos_a, pos_b) lies on diagonal pos_a−pos_b, and CONSECUTIVE
+    * matches on one diagonal chain into a longer exact match — if
+    * a[p..p+k−1]=b[q..q+k−1] and a[p+1..p+k]=b[q+1..q+k] then
+    * a[p..p+k]=b[q..q+k], inductively: a run of r consecutive diagonal
+    * matches IS a verbatim span of r+k−1 words, and every duplicated
+    * span of length L ≥ k produces exactly L−k+1 such matches. Runs are
+    * gaps-and-islands (pos_a − row_number over the diagonal); output
+    * the [[SpanTop]] longest spans as (doc_a, doc_b, start_a, start_b,
+    * span_words, span_hash) — span_hash is md5 of the actual span text
+    * re-sliced from doc_a, so the gate proves the span is REAL, not
+    * just that run arithmetic agrees.
+    *
+    * Scale: never all-pairs — candidates come only from shared-digest
+    * postings, capped at [[SpanPostCap]] occurrences; the islands
+    * window partitions by (pair, diagonal), bounded by the shorter
+    * doc's length; shingles shuffle as fixed-width digests; final
+    * top-K is a sort-limit (TakeOrdered), and the 20-row result joins
+    * back to the words table for the span hash (broadcast). */
+  def longestSpans(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dw = docs.select(col("doc_id"), wordsCol.as("ws")).persist()
+    val pg = dw
+      .select(col("doc_id"), posexplode(grams(col("ws"), SpanK)).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), md5(col("g")).as("gh"))
+    val capped = pg
+      .withColumn("post", count(lit(1)).over(Window.partitionBy("gh")))
+      .where(col("post") <= SpanPostCap)
+    val a = capped.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"), col("gh"))
+    val b = capped.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"), col("gh"))
+    val wDiag = Window
+      .partitionBy(col("doc_a"), col("doc_b"), (col("pos_a") - col("pos_b")).as("diag"))
+      .orderBy("pos_a")
+    val top = a.join(b, "gh").where(col("doc_a") < col("doc_b"))
+      .withColumn("grp", col("pos_a") - row_number().over(wDiag))
+      .groupBy(col("doc_a"), col("doc_b"), (col("pos_a") - col("pos_b")).as("diag"), col("grp"))
+      .agg(min("pos_a").as("sa"), min("pos_b").as("sb"),
+        (max("pos_a") - min("pos_a") + SpanK).as("sw"))
+      .select(col("doc_a"), col("doc_b"), col("sa").cast("long").as("start_a"),
+        col("sb").cast("long").as("start_b"), col("sw").cast("long").as("span_words"))
+      .orderBy(col("span_words").desc, col("doc_a"), col("doc_b"),
+        col("start_a"), col("start_b"))
+      .limit(SpanTop)
+    top.join(dw.select(col("doc_id").as("doc_a"), col("ws")), "doc_a")
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"), col("span_words"),
+        md5(concat_ws(" ", slice(col("ws"), col("start_a").cast("int"),
+          col("span_words").cast("int")))).as("span_hash"))
+      .orderBy(col("span_words").desc, col("doc_a"), col("doc_b"),
+        col("start_a"), col("start_b"))
+  }
+
   /** Same simhash via the native codegen'd expression
     * [[graft.functions.SimHash32]] — map-only, no 32× bit-row blowup.
     * Letterless docs are filtered out (the declarative pipeline and its
@@ -724,6 +796,7 @@ object Dedup {
     },
     "dedup_editdist"       -> ((s, d) => editDistancePairs(Tables.documents(s, d))),
     "dedup_substring"      -> ((s, d) => duplicatedSpans(Tables.documents(s, d))),
+    "dedup_lcs"            -> ((s, d) => longestSpans(Tables.documents(s, d))),
     "dedup_containment"    -> ((s, d) => containmentPairs(Tables.documents(s, d))),
     "dedup_increclust"     -> { (s, d) =>
       val docs = Tables.documents(s, d)
@@ -906,6 +979,40 @@ object Dedup {
          |  round(coalesce(sum((df >= 2)::INT), 0)::DOUBLE / count(*), 4) AS dup_frac,
          |  (coalesce(sum((df >= 2)::INT), 0) > 0)::BIGINT AS flagged
          |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // diagonal run chaining: consecutive positional k-gram matches on
+    // one diagonal ARE a verbatim span (induction on overlap); islands
+    // via pos_a - row_number per (pair, diagonal); span re-sliced from
+    // doc_a's words so the hash gates the actual text
+    "dedup_lcs" ->
+      s"""WITH dw AS (SELECT doc_id, $W AS words FROM documents),
+         |pg AS (
+         |  SELECT doc_id, i AS pos,
+         |    md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]) AS gh
+         |  FROM dw, unnest(range(1, len(words) - ${SpanK - 2})) AS u(i)),
+         |capped AS (
+         |  SELECT doc_id, pos, gh FROM (
+         |    SELECT doc_id, pos, gh, count(*) OVER (PARTITION BY gh) AS post FROM pg) c
+         |  WHERE post <= $SpanPostCap),
+         |m AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+         |  FROM capped a JOIN capped b USING (gh)
+         |  WHERE a.doc_id < b.doc_id),
+         |isl AS (
+         |  SELECT doc_a, doc_b, pos_a,  pos_b,
+         |    pos_a - row_number() OVER (
+         |      PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS grp
+         |  FROM m),
+         |spans AS (
+         |  SELECT doc_a, doc_b, min(pos_a)::BIGINT AS start_a, min(pos_b)::BIGINT AS start_b,
+         |    (max(pos_a) - min(pos_a) + $SpanK)::BIGINT AS span_words
+         |  FROM isl GROUP BY doc_a, doc_b, pos_a - pos_b, grp),
+         |top AS (SELECT * FROM spans
+         |        ORDER BY span_words DESC, doc_a, doc_b, start_a, start_b LIMIT $SpanTop)
+         |SELECT t.doc_a, t.doc_b, t.start_a, t.start_b, t.span_words,
+         |  md5(array_to_string(
+         |    list_slice(dw.words, t.start_a, t.start_a + t.span_words - 1), ' ')) AS span_hash
+         |FROM top t JOIN dw ON dw.doc_id = t.doc_a
+         |ORDER BY span_words DESC, doc_a, doc_b, start_a, start_b""".stripMargin,
     "dedup_simhash" -> simhashSql,
     // the native expression implements the identical algorithm, so it
     // shares the declarative pipeline's oracle

@@ -233,6 +233,56 @@ class DedupSpec extends SparkSpec {
     })
   }
 
+  test("longestSpans: a planted 15-word quote is found length-free at its exact offsets") {
+    val s = spark
+    import s.implicits._
+    // letter-only words: TokenRe splits on digits, which would collapse
+    // numbered fixtures into hot single-letter tokens past the post cap
+    def ws(p: Char, n: Int) = (0 until n).map(i => s"$p${('a' + i).toChar}")
+    val quote = ws('q', 15).mkString(" ")
+    val hostA = (ws('f', 9) ++ ws('q', 15) ++ ws('g', 6)).mkString(" ") // quote at pos 10
+    val hostB = (ws('h', 5) ++ ws('q', 15) ++ ws('i', 4)).mkString(" ") // quote at pos 6
+    val d = Seq((1L, hostA), (2L, hostB)).toDF("doc_id", "text")
+    val r = Dedup.longestSpans(d).collect()
+    // one island: the full 15-word span — LONGER than dedup_substring's
+    // fixed 8-word window, the length-free point of the key
+    assert(r.length == 1, r.mkString("; "))
+    val row = r.head
+    assert((row.getLong(0), row.getLong(1)) == (1L, 2L))
+    assert(row.getLong(2) == 10L && row.getLong(3) == 6L, row.toString)
+    assert(row.getLong(4) == 15L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expectHash = md.digest(quote.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(row.getString(5) == expectHash)
+  }
+
+  test("longestSpans: a one-word mutation breaks the chain into two exact islands") {
+    val s = spark
+    import s.implicits._
+    // shared prefix of 6 words, a differing middle word, shared suffix of 5:
+    // runs must NOT chain across the mutation
+    val pre = (0 until 6).map(i => s"p${('a' + i).toChar}").mkString(" ")
+    val suf = (0 until 5).map(i => s"s${('a' + i).toChar}").mkString(" ")
+    val d = Seq((1L, s"$pre xx $suf"), (2L, s"$pre yy $suf")).toDF("doc_id", "text")
+    val r = Dedup.longestSpans(d)
+      .select("span_words", "start_a", "start_b").as[(Long, Long, Long)].collect().toSet
+    // prefix island: 3 consecutive k-grams → span 6 at pos 1/1;
+    // suffix island: 2 k-grams → span 5 at pos 8/8
+    assert(r == Set((6L, 1L, 1L), (5L, 8L, 8L)), r.toString)
+  }
+
+  test("longestSpans on the corpus: spans >= k, starts positive, ordered, capped at 20") {
+    val r = Dedup.longestSpans(docs).collect()
+    assert(r.length <= Dedup.SpanTop)
+    assert(r.forall(row => row.getLong(4) >= Dedup.SpanK &&
+      row.getLong(2) >= 1 && row.getLong(3) >= 1 && row.getLong(0) < row.getLong(1)))
+    val lens = r.map(_.getLong(4)).toSeq
+    assert(lens == lens.sortBy(-_), "not sorted by span_words desc")
+    // the corpus plants near-dups: at least one genuinely duplicated span
+    assert(r.nonEmpty)
+  }
+
   test("minhashEstimate: identical docs agree on all 16 components; estimator tracks truth") {
     val s = spark
     import s.implicits._

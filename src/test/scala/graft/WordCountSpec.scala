@@ -65,12 +65,15 @@ class WordCountSpec extends SparkSpec {
   test("wc_place: argmax edge contracts, remaining reducers go to reduce-only workers in order") {
     val s = spark
     import s.implicits._
-    // one chunk, worker 0; "aa"/"bb" both route to reducer 1 (offsets
-    // 0+1 = 1, +96 → 97 % 3 = 1) with cost (2+4)·2 = 12 → top edge
-    // (w0, r1); r0/r2 fall to only-reduce slots 0/1 in ascending order
+    // under the default-config fixed-N model (r10 ADVICE fix), "aa bb"
+    // (5 chars, cs = 5 div 5 = 1) splits into single-char chunks
+    // "a","a"," ","b","b" on workers 0..4; chunk words "a"/"b" route to
+    // reducer 0 (prefix-offset sum 0, +96 → 96 % 3 = 0), each edge cost
+    // 1+4 = 5 — a four-way cost tie, broken by (worker, reducer) asc →
+    // top edge (w0, r0); r1/r2 fall to only-reduce slots 0/1 in order
     val d = Seq((1L, "aa bb")).toDF("doc_id", "text")
     val r = WordCount.placement(d).as[(Long, Long, String)].collect().toSeq
-    assert(r == Seq((0L, 0L, "only_reduce"), (1L, 0L, "locality"),
+    assert(r == Seq((0L, 0L, "locality"), (1L, 0L, "only_reduce"),
       (2L, 1L, "only_reduce")), r.toString)
     // corpus: always RouteReducers rows, exactly one locality binding
     // (maxContractions = 3 − 2 = 1), hosts within their ranges
