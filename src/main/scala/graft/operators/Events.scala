@@ -824,6 +824,47 @@ object Events {
       .orderBy("day")
   }
 
+  /** Trailing RANGE-frame width in exact integer µs (1 hour). */
+  val RangeFrameUs: Long = 3600L * 1000000L
+
+  /** VALUE-RANGE window frames (`ev_rolling_range`, r10) — the
+    * RANGE-frame member of the window family: every other window key in
+    * the suite frames by ROW COUNT (`rowsBetween` — "the last 3
+    * events"), but operational rolling metrics are defined over TIME
+    * ("the last hour"), and on irregularly spaced streams the two
+    * disagree everywhere: a burst packs 50 events into one ROWS-3 frame
+    * hour, a quiet user's ROWS-3 frame spans days. Per event: count and
+    * exact value-sum of the SAME user's events in the trailing hour,
+    * computed with `rangeBetween(-3600s, 0)` over the epoch-µs ordering
+    * — the frame is defined by the ORDER VALUE, so µs-tied events share
+    * one frame that contains BOTH (the SQL-standard RANGE peer rule,
+    * which no ROWS frame can express; spec pins it).
+    *
+    * Exactness: frame bounds compare exact integer µs; the frame is a
+    * SET, so the decimal in-frame sum (the [[Compat.xsum]] discipline)
+    * is order-free and engine-exact.
+    *
+    * Scale: ONE shuffle on user_id + an in-partition sort — the
+    * sessionize shape; the RANGE frame evaluates with a sliding
+    * two-pointer pass per partition in both engines (never quadratic);
+    * a hot user is the known skew case and shatters with the same
+    * salting/binning playbook as `ev_interval` (the batch key gates
+    * semantics; `ev_interval`'s binned form is the measured hot-user
+    * plan). */
+  def rollingRange(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-RangeFrameUs, 0)
+    ev.select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("val_1h",
+        sum(col("value").cast(DecimalType(28, 10))).over(w)
+          .cast(DecimalType(28, 2)).cast(DoubleType))
+      .select(col("event_id"), col("user_id"), col("ts"), col("n_1h"), col("val_1h"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   /** Two-step MARKOV transition matrix (`ev_markov2`) — P² of the
     * session-local event-type chain: for each (src, dst) type pair, the
     * probability of sitting at dst exactly TWO within-session steps
@@ -1082,6 +1123,7 @@ object Events {
     "ev_hopping"    -> ((s, d) => hopping(Tables.events(s, d))),
     "ev_cohort"     -> ((s, d) => cohort(Tables.events(s, d))),
     "ev_rolling"    -> ((s, d) => rollingActive(Tables.events(s, d))),
+    "ev_rolling_range" -> ((s, d) => rollingRange(Tables.events(s, d))),
     "ev_rolling_hll"-> ((s, d) => rollingActiveHll(Tables.events(s, d))),
     "ev_dwell"      -> ((s, d) => dwell(Tables.events(s, d))),
   )
@@ -1411,6 +1453,17 @@ object Events {
         |  CAST(floor(c.n_active * 1000000.0 / s.cohort_size) AS BIGINT) AS retention_ppm
         |FROM c JOIN s USING (cohort_week)
         |ORDER BY cohort_week, week_offset""".stripMargin,
+    // RANGE (value-based) frame over exact epoch µs — µs-tied events are
+    // RANGE peers and share one frame on both engines; in-frame sum is
+    // the xsum decimal discipline (a set, so order-free)
+    "ev_rolling_range" ->
+      s"""SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |  count(*) OVER w AS n_1h,
+         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))) OVER w, 2) AS DOUBLE) AS val_1h
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+         |  RANGE BETWEEN $RangeFrameUs PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, ts, event_id""".stripMargin,
     "ev_rolling" ->
       """WITH ud AS (SELECT DISTINCT user_id,
         |        date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d

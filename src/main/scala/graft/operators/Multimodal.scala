@@ -594,8 +594,59 @@ object Multimodal {
       .limit(EmbedTopPairs)
   }
 
+  /** Scene-cut threshold: a boundary is a cut when the mean per-pixel
+    * absolute luminance change exceeds this many gray levels —
+    * compared as exact integers (SAD > threshold·n_pixels, no
+    * division). */
+  val SceneMeanDiff = 100L
+
+  /** VIDEO SCENE-CHANGE DETECTION (`mm_scene`, r10) — the shot-boundary
+    * operator every video-curation pipeline runs before sampling
+    * (pick one frame per SHOT, not per fixed stride): consecutive
+    * frames compare by SAD (sum of absolute per-pixel luminance
+    * differences — the classical shot-boundary baseline), and a
+    * boundary whose mean change exceeds [[SceneMeanDiff]] gray levels
+    * is a cut. Per video: frame count, cut count, and the total SAD
+    * across all boundaries — all exact integers.
+    *
+    * The fixture's videos have REAL planted cuts: frame f's body gray
+    * is (n_chars + 7f) % 256, so within a "shot" consecutive frames
+    * differ by 7 everywhere while the mod-256 WRAP is a hard cut
+    * (|Δ| = 249); the 16 digest pixels are frame-constant and
+    * contribute 0. The oracle re-derives every SAD arithmetically from
+    * (n_chars) alone — a hash match proves the decoded per-pixel
+    * deltas, not just the counts.
+    *
+    * Scale: map-only per-file codec work (the §2.7 cost model — cost
+    * tracks file/frame count); one row per video out; the only shuffle
+    * is the final sort. */
+  def sceneCuts(media: Dataset[MediaFile]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .mapPartitions(_.map { m =>
+        val fr = VideoCodec.frames(m.content, m.media_id)
+          .map(f => ImageCodec.pixels(f, m.media_id))
+        val px = fr.head._1.toLong * fr.head._2
+        val sads = fr.sliding(2).map { pair =>
+          val (wa, ha, a) = pair(0)
+          val (wb, hb, b) = pair(1)
+          require(wa == wb && ha == hb, s"media ${m.media_id}: frame dims differ")
+          var s = 0L
+          var i = 0
+          while (i < a.length) { s += math.abs(a(i) - b(i)); i += 1 }
+          s
+        }.toSeq
+        (m.media_id, fr.length.toLong,
+          sads.count(_ > SceneMeanDiff * px).toLong, sads.sum)
+      })
+      .toDF("media_id", "n_frames", "n_cuts", "total_sad")
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_embed"     -> ((s, d) => embedNearDup(mediaTable(s, d))),
+    "mm_scene"     -> ((s, d) => sceneCuts(mediaTable(s, d))),
     "mm_histogram" -> ((s, d) => lumHistogramSummary(mediaTable(s, d))),
     "mm_silence" -> ((s, d) => silenceSummary(mediaTable(s, d))),
     "mm_summary" -> ((s, d) => mediaSummary(mediaTable(s, d))),
@@ -878,6 +929,25 @@ object Multimodal {
          |    SELECT n_chars, (8 + n_chars % 24) * (8 + n_chars % 16) AS px,
          |      2 + n_chars % 6 AS vframes, md5(text) AS dig
          |    FROM documents WHERE doc_id % 3 = 2) v) t""".stripMargin,
+    // every SAD re-derived from n_chars alone: body pixels (px - 16)
+    // change by |((n_chars+7(f+1))%256) - ((n_chars+7f)%256)| (7 within
+    // a shot, 249 at the mod-256 wrap = the planted hard cut), digest
+    // pixels are frame-constant
+    "mm_scene" ->
+      s"""WITH v AS (
+         |  SELECT doc_id, n_chars, 2 + n_chars % 6 AS nf,
+         |    (8 + n_chars % 24) * (8 + n_chars % 16) AS px
+         |  FROM documents WHERE doc_id % 3 = 2),
+         |d AS (
+         |  SELECT doc_id, nf, px,
+         |    abs(((n_chars + 7 * (f + 1)) % 256) - ((n_chars + 7 * f) % 256)) AS diff
+         |  FROM v, unnest(range(0, nf - 1)) AS t(f))
+         |SELECT doc_id AS media_id, CAST(nf AS BIGINT) AS n_frames,
+         |  CAST(coalesce(sum(CASE WHEN (px - 16) * diff > $SceneMeanDiff * px
+         |                         THEN 1 END), 0) AS BIGINT) AS n_cuts,
+         |  CAST(coalesce(sum((px - 16) * diff), 0) AS BIGINT) AS total_sad
+         |FROM d GROUP BY doc_id, nf
+         |ORDER BY media_id""".stripMargin,
     "mm_dedup" ->
       """SELECT kind, count(*) AS n_files,
         |  count(DISTINCT md5(text)) AS n_unique
@@ -954,6 +1024,25 @@ object ImageCodec {
       y += 1
     }
     h
+  }
+
+  /** Decode PNG bytes → (w, h, every pixel's gray level in row-major
+    * order) — the full-frame read the scene-change SAD needs. Fails
+    * loud on undecodable content. */
+  def pixels(content: Array[Byte], mediaId: Long): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    require(img != null, s"media $mediaId: content is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val a = new Array[Int](w * h)
+    var p = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { a(p) = img.getRGB(x, y) & 0xff; p += 1; x += 1 }
+      y += 1
+    }
+    (w, h, a)
   }
 
   /** Decode PNG bytes → the first `n` pixels' gray levels in row-major

@@ -1191,6 +1191,58 @@ object TextAnalysis {
       .limit(DsirK)
   }
 
+  /** Collocation support floor: bigrams seen fewer times carry no
+    * statistical signal (a 1-count bigram between two rare words has
+    * enormous lift by construction). */
+  val CollocMinCount = 5
+  val CollocTop = 30
+
+  /** COLLOCATION EXTRACTION by lift (`text_colloc`, r10) — the classic
+    * corpus-linguistics operator (Church & Hanks 1990 word-association
+    * norms): rank adjacent word pairs by how much more often they
+    * co-occur than independence predicts, lift = p(w1,w2) /
+    * (p(w1)·p(w2)) = c12·N_uni² / (c1·c2·N_big) — the exponential of
+    * PMI, monotone-identical to it, so ranking by lift IS ranking by
+    * PMI with ZERO transcendental calls: every input is an exact
+    * integer count, and the one float is a fixed parenthesization of
+    * int→double conversions, three multiplies and one divide — each
+    * IEEE-754 correctly rounded, so both engines produce bit-identical
+    * doubles (no `ln` whose last-ulp behavior the gate would have to
+    * trust, the `mm_embed` cosine discipline applied to association
+    * scoring). Support floor [[CollocMinCount]] applied BEFORE the
+    * joins; top-[[CollocTop]] by (lift desc, w1, w2) — a total order.
+    *
+    * Scale: unigram and bigram count tables are vocabulary-sized and
+    * combiner-friendly; the two count totals are 1-row broadcasts; the
+    * c1/c2 attachment is two vocab-keyed hash joins on the
+    * ALREADY-floored bigram table; top-K is a TakeOrdered. Nothing in
+    * the plan is corpus-row-sized past the two counting shuffles. */
+  def collocations(docs: DataFrame): DataFrame = {
+    val withWs = docs.select(filter(split(col("text"), " "), w => w =!= "").as("ws"))
+    val n1 = greatest(size(col("ws")) - 1, lit(0))
+    val uni = withWs.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val big = withWs.select(explode(zip_with(
+        slice(col("ws"), lit(1), n1), slice(col("ws"), lit(2), n1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val nu = uni.agg(sum("c").as("nu"))
+    val nb = big.agg(sum("c12").as("nb"))
+    big.where(col("c12") >= CollocMinCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      // fixed parenthesization, mirrored verbatim in the oracle:
+      // ((c12·nu)·nu) / ((c1·c2)·nb)
+      .select(col("w1"), col("w2"), col("c12"),
+        (col("c12").cast("double") * col("nu").cast("double") * col("nu").cast("double") /
+          ((col("c1").cast("double") * col("c2").cast("double")) * col("nb").cast("double")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(CollocTop)
+  }
+
   /** Sliding-window CHUNKING with overlap — the context-window prep step
     * that turns long documents into model-sized pieces (the counterpart
     * of [[packing]]'s concatenate-and-cut: packing joins short docs,
@@ -1426,6 +1478,7 @@ object TextAnalysis {
     "text_classify"    -> ((s, d) => classify(Tables.documents(s, d))),
     "text_dsir"        -> ((s, d) => dsir(Tables.documents(s, d))),
     "text_bigram_lp"   -> ((s, d) => bigramLogProb(Tables.documents(s, d))),
+    "text_colloc"      -> ((s, d) => collocations(Tables.documents(s, d))),
   )
 
   // words-array SQL fragment shared by the oracles
@@ -1720,6 +1773,24 @@ object TextAnalysis {
          |  CAST(SUM(CAST(lp AS DECIMAL(28,10))) AS DOUBLE) AS sum_lp,
          |  round(CAST(SUM(CAST(lp AS DECIMAL(28,10))) AS DOUBLE) / count(*), 4) AS avg_lp
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // lift = exp(PMI): all-integer counts, one fixed-parenthesization
+    // double expression — ((c12·nu)·nu)/((c1·c2)·nb), every step IEEE
+    // correctly rounded, NO transcendental — mirrored verbatim
+    "text_colloc" ->
+      s"""WITH dw AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |uni AS (SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM dw) u GROUP BY w),
+         |nu AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM uni),
+         |big AS (SELECT ws[i] AS w1, ws[i + 1] AS w2, count(*) AS c12
+         |        FROM dw, unnest(range(1, len(ws))) AS t(i) GROUP BY w1, w2),
+         |nb AS (SELECT CAST(sum(c12) AS BIGINT) AS nb FROM big)
+         |SELECT w1, w2, c12,
+         |  CAST(c12 AS DOUBLE) * CAST(nu AS DOUBLE) * CAST(nu AS DOUBLE) /
+         |    ((CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)) * CAST(nb AS DOUBLE)) AS lift
+         |FROM (SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2
+         |      FROM big b JOIN uni u1 ON u1.w = b.w1 JOIN uni u2 ON u2.w = b.w2
+         |      WHERE b.c12 >= $CollocMinCount) j, nu, nb
+         |ORDER BY lift DESC, w1, w2 LIMIT $CollocTop""".stripMargin,
     // the lpd8 quantization is the ONLY float step (one ln over a
     // double ratio built from the same integers); everything after is
     // exact BIGINT, so the per-doc weights and the top-K cut hash-match

@@ -665,6 +665,62 @@ object WordCount {
     dist.orderBy(col("dist"), col("word")).limit(50)
   }
 
+  /** k-core threshold: vertices with fewer surviving neighbors peel. */
+  val KCoreK = 3
+  /** Peel rounds — fixed (the [[LpaRounds]] static-plan-depth rule), so
+    * the key gates the 4-ROUND PEEL, not the converged core: a vertex
+    * whose degree drops below K only in round 5 survives, identically
+    * on both engines. */
+  val KCoreRounds = 4
+
+  /** K-CORE PEELING (`wc_kcore`, r10) — the graph family's DENSITY
+    * member (triangles count local structure, BFS/SSSP traverse, LPA/CC
+    * partition; the k-core measures COHESION): iteratively remove
+    * vertices with fewer than [[KCoreK]] neighbors in the SURVIVING
+    * subgraph — the standard degeneracy peel (Matula & Beck 1983),
+    * run for [[KCoreRounds]] synchronous rounds over the same
+    * undirected word-adjacency graph as [[bfs]]/[[lpa]]. Output: the
+    * 50 highest-degree survivors by (degree within the surviving
+    * subgraph, desc; word) — all integer, total order.
+    *
+    * Scale: per round TWO vocab-keyed semi-joins of the persisted edge
+    * set against the alive frame (src alive ∧ dst alive) + one
+    * combiner-friendly degree count; alive frames are vocabulary-
+    * bounded and shrink monotonically; rounds fixed → static plan
+    * depth; each round persists and releases its predecessor (the
+    * [[lpa]] cache-boundary rule). The oracle unrolls the identical
+    * rounds as CTEs. */
+  def kcore(docs: DataFrame): DataFrame = {
+    val ws = filter(split(col("text"), TokenRe), w => w =!= "")
+    val n1 = greatest(size(ws) - 1, lit(0))
+    val und = docs.select(explode(zip_with(
+        slice(ws, lit(1), n1), slice(ws, lit(2), n1),
+        (a, b) => struct(a.as("u"), b.as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .where(col("u") =!= col("v"))
+    val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .select(col("u").as("src"), col("v").as("dst"))
+      .persist()
+    def degrees(alive: DataFrame): DataFrame = edges
+      .join(alive.select(col("word").as("src")), "src")
+      .join(alive.select(col("word").as("dst")), "dst")
+      .groupBy("src").agg(count(lit(1)).as("deg"))
+    var alive = edges.select(col("src").as("word")).distinct().persist()
+    alive.count()
+    for (_ <- 1 to KCoreRounds) {
+      val prev = alive
+      alive = degrees(prev).where(col("deg") >= KCoreK)
+        .select(col("src").as("word")).persist()
+      alive.count()
+      prev.unpersist()
+    }
+    degrees(alive)
+      .select(col("src").as("word"), col("deg"))
+      .orderBy(col("deg").desc, col("word"))
+      .limit(50)
+  }
+
   /** LPA round count — fixed so the plan depth is static and the
     * oracle's unrolled CTE chain stays finite. */
   val LpaRounds = 3
@@ -790,6 +846,7 @@ object WordCount {
     "wc_grep"      -> ((s, d) => grep(Tables.documents(s, d))),
     "wc_bfs"       -> ((s, d) => bfs(Tables.documents(s, d))),
     "wc_sssp"      -> ((s, d) => sssp(Tables.documents(s, d))),
+    "wc_kcore"     -> ((s, d) => kcore(Tables.documents(s, d))),
     "wc_lpa"       -> ((s, d) => lpa(Tables.documents(s, d))),
   )
 
@@ -1009,6 +1066,33 @@ object WordCount {
          |$rounds
          |SELECT word, CAST(dist AS BIGINT) AS dist FROM d$SsspRounds
          |ORDER BY dist, word LIMIT 50""".stripMargin
+    },
+    // the identical 4 synchronous peel rounds unrolled as CTEs; the
+    // final degree is measured within the surviving subgraph (a
+    // survivor with zero surviving neighbors emits no row — both
+    // engines, by the same join)
+    "wc_kcore" -> {
+      val rounds = (1 to KCoreRounds).map { i =>
+        val prev = s"a${i - 1}"
+        s"""a$i AS (SELECT src AS word FROM edges
+           |  JOIN $prev p1 ON p1.word = edges.src
+           |  JOIN $prev p2 ON p2.word = edges.dst
+           |  GROUP BY src HAVING count(*) >= $KCoreK)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT w[i] AS u, w[i + 1] AS v
+         |  FROM (SELECT $OracleWords AS w FROM documents) ws,
+         |    unnest(range(1, len(w))) AS t(i)
+         |  WHERE w[i] <> w[i + 1]),
+         |edges AS (
+         |  SELECT DISTINCT u AS src, v AS dst FROM (
+         |    SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs) b),
+         |a0 AS (SELECT DISTINCT src AS word FROM edges),
+         |$rounds
+         |SELECT src AS word, count(*) AS deg FROM edges
+         |JOIN a$KCoreRounds f1 ON f1.word = edges.src
+         |JOIN a$KCoreRounds f2 ON f2.word = edges.dst
+         |GROUP BY src ORDER BY deg DESC, word LIMIT 50""".stripMargin
     },
     // the declarative twin of the level-synchronous traversal: a
     // recursive CTE bounded at BfsMaxHop, min-hop per word, unreached

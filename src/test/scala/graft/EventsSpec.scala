@@ -330,6 +330,29 @@ class EventsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("rollingRange: value-based frame — hour boundary inclusive, µs ties are peers, users isolated") {
+    val sp = spark
+    import sp.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val d = Seq(
+      (1L, 10L, at(0), 1.0),
+      (2L, 10L, at(3600), 2.0),      // exactly 1h after e1 → frame includes e1
+      (3L, 10L, at(3601), 4.0),      // 3601s after e1 → e1 aged out; e2 in
+      (4L, 10L, at(3601), 8.0),      // µs-TIED with e3: RANGE peers — each
+                                     // frame holds BOTH tied rows (no ROWS
+                                     // frame can express this)
+      (5L, 20L, at(3601), 16.0))     // other user: isolated
+      .toDF("event_id", "user_id", "ts", "value")
+    val r = Events.rollingRange(d).collect()
+      .map(row => row.getLong(0) -> (row.getLong(3), row.getDouble(4))).toMap
+    assert(r(1L) == (1L, 1.0))
+    assert(r(2L) == (2L, 3.0), r.toString)           // inclusive lower bound
+    assert(r(3L) == (3L, 14.0), r.toString)          // e2 + BOTH tied rows
+    assert(r(4L) == (3L, 14.0), r.toString)          // peer frames identical
+    assert(r(5L) == (1L, 16.0))
+  }
+
   test("rollingActive: trailing-7 coverage, zero-coverage gap days kept as 0") {
     val s = spark
     import s.implicits._

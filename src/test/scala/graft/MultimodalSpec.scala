@@ -102,6 +102,25 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2).lum == (130 - 128).abs * 64 + (126 - 128).abs * 64 + 38L * 5 * 32)
   }
 
+  test("sceneCuts: SAD from real decoded pixels — a hard cut fires, a 7-level drift doesn't, head pixels contribute 0") {
+    val sp = spark
+    import sp.implicits._
+    // 10×8 frames (80 px, 16 digest-head px identical everywhere):
+    // grays 10 → 17 → 250: boundary 1 SAD = 64·7 = 448 (mean 5.6, no
+    // cut); boundary 2 SAD = 64·233 = 14912 > 100·80 (cut)
+    val head = Array.tabulate(16)(i => (i * 3).toByte)
+    val mpng = VideoCodec.encodeMpng(Seq(
+      ImageCodec.encodePng(10, 8, head, 10),
+      ImageCodec.encodePng(10, 8, head, 17),
+      ImageCodec.encodePng(10, 8, head, 250)))
+    val media = sp.createDataset(Seq(
+      MediaFile(5L, "video", mpng, MediaMeta(10, 8, 0, "mpng")),
+      MediaFile(6L, "image", ImageCodec.encodePng(4, 4, head, 1),
+        MediaMeta(4, 4, 0, "png"))))  // non-video: excluded
+    val r = Multimodal.sceneCuts(media).as[(Long, Long, Long, Long)].collect()
+    assert(r.toSeq == Seq((5L, 3L, 1L, 448L + 14912L)), r.mkString("; "))
+  }
+
   test("mm_embed: identical rasters rank first at cos 1.0; cross-cell pairs never pair; cos matches hand math") {
     val s = spark
     import s.implicits._

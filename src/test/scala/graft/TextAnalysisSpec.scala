@@ -89,6 +89,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r == Seq((1L, 3L, 3L, 10L)), r.toString)
   }
 
+  test("collocations: lift is the exact double ratio; support floor filters; corpus run sorted") {
+    val s = spark
+    import s.implicits._
+    // 6 docs "ka kb" + 4 docs "ma mb": N_uni = 20, N_big = 10;
+    // lift(ka,kb) = 6·20² / (6·6·10) — computed HERE with the operator's
+    // exact parenthesization, so the equality is bit-for-bit;
+    // (ma,mb) has c12 = 4 < CollocMinCount and must be filtered
+    val d = ((1 to 6).map(i => (i.toLong, "ka kb")) ++
+      (7 to 10).map(i => (i.toLong, "ma mb"))).toDF("doc_id", "text")
+    val r = TextAnalysis.collocations(d)
+      .as[(String, String, Long, Double)].collect()
+    assert(r.length == 1, r.mkString("; "))
+    val (w1, w2, c12, lift) = r.head
+    assert((w1, w2, c12) == ("ka", "kb", 6L))
+    assert(lift == 6.0 * 20.0 * 20.0 / ((6.0 * 6.0) * 10.0), lift.toString)
+    // corpus: sorted by lift desc, every survivor meets the floor
+    val c = TextAnalysis.collocations(Tables.documents(spark, sf))
+      .as[(String, String, Long, Double)].collect()
+    assert(c.length <= TextAnalysis.CollocTop)
+    assert(c.forall(_._3 >= TextAnalysis.CollocMinCount))
+    val lifts = c.map(_._4).toSeq
+    assert(lifts == lifts.sortBy(-_), "not sorted by lift desc")
+  }
+
   test("dsir: target-vocabulary docs outrank source-vocabulary docs, weights are exact integer sums") {
     val s = spark
     import s.implicits._

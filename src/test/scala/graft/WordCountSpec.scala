@@ -269,6 +269,27 @@ class WordCountSpec extends SparkSpec {
     assert(levels.find(_._1 == 0L).get._2 == 1L, "exactly one seed")
   }
 
+  test("kcore: cascade peel — pendant then its support; the 4-clique survives at degree 3") {
+    val s = spark
+    import s.implicits._
+    // clique {wa,wb,wc,wd} (all 6 edges) + we—{wa,wb,wf} + pendant wf:
+    // round 1 peels wf (deg 1); round 2 peels we (deg 2 once wf is
+    // gone) — the CASCADE a single degree filter cannot express;
+    // the clique stabilizes at degree 3 (wa/wb lose the we edge)
+    val d = Seq("wa wb", "wa wc", "wa wd", "wb wc", "wb wd", "wc wd",
+        "we wa", "we wb", "we wf")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val r = WordCount.kcore(d).as[(String, Long)].collect().toSet
+    assert(r == Set(("wa", 3L), ("wb", 3L), ("wc", 3L), ("wd", 3L)), r.toString)
+    // corpus: all degrees >= KCoreK is NOT guaranteed (4-round peel, not
+    // the converged core) — but the output is bounded, sorted, positive
+    val c = WordCount.kcore(Tables.documents(spark, sf)).as[(String, Long)].collect()
+    assert(c.length <= 50)
+    assert(c.forall(_._2 >= 1))
+    val degs = c.map(_._2).toSeq
+    assert(degs == degs.sortBy(-_), "not sorted by degree desc")
+  }
+
   test("sssp: matches an independent Bellman-Ford replay; relaxation beats the direct edge; hop bound cuts") {
     val s = spark
     import s.implicits._
