@@ -809,6 +809,50 @@ object Similarity {
   private[graft] def corpusVecs(em: DataFrame): DataFrame =
     em.select(col("vec_id"), vec(col("embedding")).as("v"))
 
+  /** Out-degree of the k-NN graph. */
+  val KnnK = 3
+
+  /** CORPUS k-NN GRAPH (`ann_knn_graph`, r10) — EVERY vector's
+    * [[KnnK]] nearest neighbors, not just the query stride's: the
+    * building block graph-based vector systems construct first
+    * (NN-descent, HNSW's base layer, graph-walk diversity sampling,
+    * graph near-dup clustering all start from exactly this edge list).
+    * Candidates are CELL-CONFINED under the stride centroid set (each
+    * vector meets only its 1-probe cell's members — the
+    * [[semanticDedup]] confinement applied to neighbor-list
+    * construction), ranked by exact cosine, ties by neighbor_id;
+    * output (vec_id, rank, neighbor_id) — the id-only gate of the ann
+    * family (cosine stays internal, so no FP emission).
+    *
+    * A vector alone in its cell emits no edges — identically on both
+    * engines (the approximation every 1-probe graph build carries;
+    * raising probes or centroid count is a dial, not a shape change).
+    *
+    * Scale: assignment is the broadcast n·K pass; the pair join
+    * shuffles on cell id (width n/K — never corpus×corpus); the
+    * per-vector top-K window partitions by vec_id over skinny
+    * (id, id, cos) triples. At 100 TB the cells ARE the shards: each
+    * cell's neighbor lists build independently, and incremental
+    * maintenance (`ann_ivf_upsert`'s fixed-codebook batch assign)
+    * extends to the graph by re-building only touched cells. */
+  def knnGraph(em: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(em.sparkSession)
+    val cents = em.where(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), vec(col("embedding")).as("cv"))
+    val assign = nearestCells(corpusVecs(em), cents, 1)
+    val nv = em.select(col("vec_id").as("neighbor_id"), vec(col("embedding")).as("nv"))
+    val qv = em.select(col("vec_id"), vec(col("embedding")).as("qv"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id"))
+    assign.join(assign.select(col("vec_id").as("neighbor_id"), col("cell")), "cell")
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .join(qv, "vec_id").join(nv, "neighbor_id")
+      .select(col("vec_id"), col("neighbor_id"), cosine(col("qv"), col("nv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= KnnK)
+      .select(col("vec_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+      .orderBy("vec_id", "rank")
+  }
+
   // ---- Product quantization (`ann_pq`) ----
 
   val PqM = 4     // subspaces
@@ -1240,6 +1284,7 @@ object Similarity {
     "ann_lsh"        -> ((s, d) => lshBuckets(Tables.embeddings(s, d))),
     "ann_lsh_topk"   -> ((s, d) => lshTopK(Tables.embeddings(s, d))),
     "ann_ivf"        -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
+    "ann_knn_graph"  -> ((s, d) => knnGraph(Tables.embeddings(s, d))),
     "ann_ivf_trained"-> ((s, d) => ivfTrained(s, d)),
     "ann_ivf_upsert" -> ((s, d) => ivfUpsert(s, d)),
     "dedup_semantic" -> ((s, d) => semanticDedup(s, d)),
@@ -1676,6 +1721,27 @@ object Similarity {
          |  JOIN embeddings n ON n.vec_id = c.neighbor_id) t
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
     },
+    // the full-corpus neighbor list under the same stride centroid set:
+    // assign top-1 per vector, pairs within a cell, top-KnnK by
+    // (cosine desc, neighbor_id) — a singleton cell emits no edges
+    "ann_knn_graph" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, $V AS cv FROM embeddings
+         |  WHERE vec_id % $CentroidStride = 0),
+         |assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.$V, c.cv) DESC, c.cent_id) AS crn
+         |    FROM embeddings e, cents c) a WHERE crn = 1)
+         |SELECT vec_id, rank, neighbor_id FROM (
+         |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, b.vec_id) AS rank
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |  JOIN embeddings q ON q.vec_id = a.vec_id
+         |  JOIN embeddings n ON n.vec_id = b.vec_id) t
+         |WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin,
     "ann_ivf" -> ivfSql(
       s"""SELECT vec_id AS cent_id, $V AS cv FROM embeddings
          |  WHERE vec_id % $CentroidStride = 0""".stripMargin),

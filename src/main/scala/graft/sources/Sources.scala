@@ -106,11 +106,31 @@ object Sources {
     integrity(s.read.schema(DocSchema).orc(dir))
   }
 
+  /** Driver-gated XML read path (`src_xml`, r10) — the semi-structured
+    * source Spark 4 ships NATIVELY (the spark-xml datasource graduated
+    * into core): corpus staged as one <doc> element per record, read
+    * back with the explicit schema and the same byte-exact integrity
+    * contract as the CSV/JSONL keys. The XML-specific hazards the gate
+    * proves out: entity escaping of &<>"' in text, and
+    * `ignoreSurroundingSpaces` — the reader TRIMS element text by
+    * default, so the option is pinned false (leading/trailing
+    * whitespace is corpus content; a trim changes sum_chars AND sum_h
+    * and fails loud). */
+  def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = Fixtures.dirFor("src_xml", d, "documents")
+    if (!Fixtures.ready(dir))
+      graft.Tables.documents(s, d).select("doc_id", "lang", "text")
+        .write.mode("overwrite").option("rowTag", "doc").format("xml").save(dir)
+    integrity(s.read.schema(DocSchema).option("rowTag", "doc")
+      .option("ignoreSurroundingSpaces", "false").format("xml").load(dir))
+  }
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "src_csv"   -> ((s, d) => csvRoundtrip(s, d)),
     "src_jsonl" -> ((s, d) => jsonlRoundtrip(s, d)),
     "src_orc"   -> ((s, d) => orcRoundtrip(s, d)),
+    "src_xml"   -> ((s, d) => xmlRoundtrip(s, d)),
   )
 
   private val integritySql =
@@ -123,6 +143,7 @@ object Sources {
     "src_csv"   -> integritySql,
     "src_jsonl" -> integritySql,
     "src_orc"   -> integritySql,
+    "src_xml"   -> integritySql,
   )
 
   /** Fixed-size chunking of a (doc_id, text) corpus — the reference's

@@ -16,6 +16,40 @@ class SimilaritySpec extends SparkSpec {
     assert(ranks == (1 to Similarity.TopK).map(_.toLong).toSet)
   }
 
+  test("knnGraph: full-corpus coverage, no self edges, lists match an independent in-cell brute force") {
+    val g = Similarity.knnGraph(em).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(g.forall { case (v, _, n) => v != n })
+    // ranks contiguous from 1 per vector, at most KnnK
+    val byVec = g.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byVec.values.forall(rs => rs == (1L to rs.length)))
+    assert(byVec.values.forall(_.length <= Similarity.KnnK))
+    // EVERY vector appears except the singleton-cell ones — and the
+    // graph covers far more than the query stride (the point of the key)
+    assert(byVec.size > em.count() / 2, s"${byVec.size} of ${em.count()}")
+    // independent replay: recompute one busy vector's neighbor list from
+    // scratch (stride cents -> top-1 cell -> in-cell exact cosines)
+    val vecs = em.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val cents = vecs.keys.filter(_ % Similarity.CentroidStride == 0).toSeq.sorted
+    def cellOf(v: Long): Long =
+      cents.map(c => (c, cos(vecs(v), vecs(c)))).maxBy { case (c, s) => (s, -c) }._1
+    val probe = byVec.keys.min
+    val cell = cellOf(probe)
+    val members = vecs.keys.filter(v => v != probe && cellOf(v) == cell)
+    val expect = members.toSeq
+      .map(n => (n, cos(vecs(probe), vecs(n))))
+      .sortBy { case (n, s) => (-s, n) }
+      .take(Similarity.KnnK).map(_._1)
+    val got = g.filter(_._1 == probe).sortBy(_._2).map(_._3).toSeq
+    assert(got == expect, s"probe $probe: got $got expected $expect")
+  }
+
   test("cosine of a vector with itself is 1") {
     val s = spark
     import s.implicits._

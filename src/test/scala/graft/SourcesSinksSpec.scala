@@ -66,6 +66,25 @@ class SourcesSinksSpec extends SparkSpec {
     assert(asSet(Sources.jsonl(spark, jsonDir, sample.schema)) == expected)
   }
 
+  test("xml reader round-trips entity-laden and whitespace-edged text byte-exactly") {
+    val sp = spark
+    import sp.implicits._
+    // the XML hazards the source gate exists for: &<>'" escaping and
+    // surrounding whitespace (the reader trims unless told not to)
+    val tricky = Seq(
+      (1L, "en", "a & b < c > d 'quoted' \"double\""),
+      (2L, "de", "  leading and trailing  "),
+      (3L, "fr", "plain"))
+      .toDF("doc_id", "lang", "text")
+    val dir = Files.createTempDirectory("graft-xml").toString + "/x"
+    tricky.write.option("rowTag", "doc").format("xml").save(dir)
+    val back = spark.read.schema(tricky.schema).option("rowTag", "doc")
+      .option("ignoreSurroundingSpaces", "false").format("xml").load(dir)
+    val asSet = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(asSet(back) == asSet(tricky))
+  }
+
   test("bucketed tables join with no shuffle exchange on either side") {
     val s = spark
     val whA = Files.createTempDirectory("graft-ba").toString
