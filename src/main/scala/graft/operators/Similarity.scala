@@ -835,7 +835,15 @@ object Similarity {
     * cell's neighbor lists build independently, and incremental
     * maintenance (`ann_ivf_upsert`'s fixed-codebook batch assign)
     * extends to the graph by re-building only touched cells. */
-  def knnGraph(em: DataFrame): DataFrame = {
+  def knnGraph(em: DataFrame): DataFrame =
+    knnEdges(em)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"))
+      .orderBy("vec_id", "rank")
+
+  /** The k-NN graph's ranked edge list (vec_id, rank, neighbor_id) —
+    * [[knnGraph]] without the output sort, shared with the NN-descent
+    * refinement round. */
+  private[graft] def knnEdges(em: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(em.sparkSession)
     val cents = em.where(col("vec_id") % CentroidStride === 0)
       .select(col("vec_id").as("cent_id"), vec(col("embedding")).as("cv"))
@@ -855,6 +863,65 @@ object Similarity {
     // bounded heaps, the exchange carries ≤ keys·k survivors instead of
     // sorting the full pair stream per partition; tie contract
     // (cos desc, neighbor_id asc_nulls_last) = the window form's
+    graft.plans.TopKPlans.topKPerKey(scored, "vec_id", "cos", "neighbor_id", KnnK, "rank")
+  }
+
+  /** Deterministic random out-degree seeding the NN-descent round. */
+  val NndRndInit = 3
+
+  /** NN-DESCENT refinement (`ann_nn_descent`, r10) — one synchronous
+    * round of the graph-improvement iteration every graph-based vector
+    * index runs after the cheap initial build (Dong, Charikar & Li,
+    * WWW 2011). The [[knnGraph]] edge list alone cannot improve itself:
+    * its edges are all 1-probe cell-confined, so reverse and 2-hop
+    * candidates stay INSIDE the cell whose exact top-k the graph
+    * already holds — a round over it is provably a no-op (the spec's
+    * first draft machine-discovered this). Production NN-descent
+    * initializes with RANDOM edges for exactly this reason; here the
+    * random init is deterministic — [[NndRndInit]] extra out-edges per
+    * vector at h32("nnd", id:j) mod n, the md5 family every gated
+    * sampler uses — so both engines build the identical seed graph
+    * G = cell edges ∪ random edges. One exchange round then ranks
+    * cand(x) = G(x) ∪ G⁻¹(x) ∪ (G∘G)(x) by exact cosine and keeps
+    * top-[[KnnK]]: the "a neighbor of my neighbor is likely my
+    * neighbor" step, crossing cell boundaries through the random edges
+    * (rounds are a dial; each further round is this operator over its
+    * own output ∪ fresh random edges). Output shape = the graph's
+    * (vec_id, rank, neighbor_id); since cand ⊇ the cell edges, every
+    * vector's rank-1 cosine is ≥ the unrefined graph's (spec-pinned,
+    * improvement count measured).
+    *
+    * Scale: G is (k + [[NndRndInit]])-out-bounded — |G| ≤ 6n, so
+    * reverse edges and the 2-hop self-join cost ≤ n·36 skinny id-pair
+    * rows, never corpus×corpus and never cell-width²; the random init
+    * is a map-side hash (no global sort or shuffle); the re-rank
+    * attaches vectors by id to the bounded pair frame (two corpus-sized
+    * hash joins) and cuts through the native grouped top-k exec. At
+    * 100 TB this is the standard NN-descent shard shape: the edge frame
+    * is orders of magnitude narrower than the vectors, and each round
+    * is two self-joins of it. */
+  def nnDescent(em: DataFrame): DataFrame = {
+    val cell = knnEdges(em).select(col("vec_id"), col("neighbor_id"))
+    val nRow = broadcast(em.agg(count(lit(1)).as("n_corpus")))
+    val rnd = em.select(col("vec_id")).crossJoin(nRow)
+      .select(col("vec_id"), explode(array((1 to NndRndInit).map(j =>
+        Dedup.h32(lit("nnd"),
+          concat(col("vec_id").cast("string"), lit(":"), lit(j.toString)))
+          % col("n_corpus")): _*)).as("neighbor_id"))
+    val g = cell.unionAll(rnd)
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .distinct().persist()
+    val rev = g.select(col("neighbor_id").as("vec_id"), col("vec_id").as("neighbor_id"))
+    val hop2 = g.select(col("vec_id"), col("neighbor_id").as("mid"))
+      .join(g.select(col("vec_id").as("mid"), col("neighbor_id")), "mid")
+      .select(col("vec_id"), col("neighbor_id"))
+    val cand = g.unionAll(rev).unionAll(hop2)
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .distinct()
+    val qv = corpusVecs(em)
+    val scored = cand.join(qv, "vec_id")
+      .join(qv.select(col("vec_id").as("neighbor_id"), col("v").as("nv")), "neighbor_id")
+      .select(col("vec_id"), col("neighbor_id"), cosine(col("v"), col("nv")).as("cos"))
     graft.plans.TopKPlans.topKPerKey(scored, "vec_id", "cos", "neighbor_id", KnnK, "rank")
       .select(col("vec_id"), col("rank"), col("neighbor_id"))
       .orderBy("vec_id", "rank")
@@ -1292,6 +1359,7 @@ object Similarity {
     "ann_lsh_topk"   -> ((s, d) => lshTopK(Tables.embeddings(s, d))),
     "ann_ivf"        -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
     "ann_knn_graph"  -> ((s, d) => knnGraph(Tables.embeddings(s, d))),
+    "ann_nn_descent" -> ((s, d) => nnDescent(Tables.embeddings(s, d))),
     "ann_ivf_trained"-> ((s, d) => ivfTrained(s, d)),
     "ann_ivf_upsert" -> ((s, d) => ivfUpsert(s, d)),
     "dedup_semantic" -> ((s, d) => semanticDedup(s, d)),
@@ -1748,6 +1816,53 @@ object Similarity {
          |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
          |  JOIN embeddings q ON q.vec_id = a.vec_id
          |  JOIN embeddings n ON n.vec_id = b.vec_id) t
+         |WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin,
+    // one NN-descent round over the seed graph CTE (cell edges ∪
+    // deterministic random edges): candidates = forward ∪ reverse ∪
+    // 2-hop edges, deduped, re-ranked by exact cosine
+    "ann_nn_descent" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, $V AS cv FROM embeddings
+         |  WHERE vec_id % $CentroidStride = 0),
+         |assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.$V, c.cv) DESC, c.cent_id) AS crn
+         |    FROM embeddings e, cents c) a WHERE crn = 1),
+         |cellg AS (
+         |  SELECT vec_id, neighbor_id FROM (
+         |    SELECT a.vec_id, b.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, b.vec_id) AS rank
+         |    FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |    JOIN embeddings q ON q.vec_id = a.vec_id
+         |    JOIN embeddings n ON n.vec_id = b.vec_id) t
+         |  WHERE rank <= $KnnK),
+         |rnd AS (
+         |  SELECT e.vec_id,
+         |    ('0x' || substr(md5('nnd:' || e.vec_id::VARCHAR || ':' || j::VARCHAR), 1, 8))::BIGINT
+         |      % (SELECT count(*) FROM embeddings) AS neighbor_id
+         |  FROM embeddings e, generate_series(1, $NndRndInit) t(j)),
+         |g AS (
+         |  SELECT DISTINCT vec_id, neighbor_id FROM (
+         |    SELECT vec_id, neighbor_id FROM cellg
+         |    UNION ALL SELECT vec_id, neighbor_id FROM rnd) s
+         |  WHERE vec_id <> neighbor_id),
+         |cand AS (
+         |  SELECT DISTINCT vec_id, neighbor_id FROM (
+         |    SELECT vec_id, neighbor_id FROM g
+         |    UNION ALL SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM g
+         |    UNION ALL SELECT g1.vec_id, g2.neighbor_id
+         |      FROM g g1 JOIN g g2 ON g2.vec_id = g1.neighbor_id) u
+         |  WHERE vec_id <> neighbor_id)
+         |SELECT vec_id, rank, neighbor_id FROM (
+         |  SELECT c.vec_id, c.neighbor_id,
+         |    row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, c.neighbor_id) AS rank
+         |  FROM cand c
+         |  JOIN embeddings q ON q.vec_id = c.vec_id
+         |  JOIN embeddings n ON n.vec_id = c.neighbor_id) t
          |WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin,
     "ann_ivf" -> ivfSql(
       s"""SELECT vec_id AS cent_id, $V AS cv FROM embeddings

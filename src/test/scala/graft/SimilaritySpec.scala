@@ -50,6 +50,34 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expect, s"probe $probe: got $got expected $expect")
   }
 
+  test("nnDescent: refinement is monotone (rank-1 cosine never drops) and actually improves lists") {
+    val vecs = em.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    def lists(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val g0 = lists(Similarity.knnGraph(em))
+    val g1 = lists(Similarity.nnDescent(em))
+    // candidates ⊇ current edges ⇒ per-vector best cosine can only rise
+    for ((v, l1) <- g1; l0 <- g0.get(v)) {
+      val b0 = cos(vecs(v), vecs(l0.head))
+      val b1 = cos(vecs(v), vecs(l1.head))
+      assert(b1 >= b0 - 1e-12, s"vec $v: refined best $b1 < graph best $b0")
+    }
+    // every graph vector keeps a list (cand ⊇ G(x) — no one loses edges)
+    assert(g0.keySet.subsetOf(g1.keySet))
+    // and the round genuinely DOES something: 2-hop/reverse candidates
+    // found closer neighbors for a measurable slice of the corpus
+    val changed = g0.count { case (v, l0) => g1(v) != l0 }
+    assert(changed > 0, "NN-descent round changed no neighbor list")
+    info(s"refinement changed $changed of ${g0.size} neighbor lists")
+  }
+
   test("cosine of a vector with itself is 1") {
     val s = spark
     import s.implicits._
