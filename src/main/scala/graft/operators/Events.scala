@@ -865,6 +865,49 @@ object Events {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** EWMA horizon: terms beyond [[EwmaLags]] events back are dropped
+    * (their total weight is 2^-[[EwmaLags]] ≈ 0.4 %). */
+  val EwmaLags = 8
+
+  /** Trailing EWMA (`ev_ewma`) — exponentially-weighted moving average
+    * of each user's purchase values, the smoothing filter operational
+    * anomaly/trend detectors run before thresholding (vs
+    * [[rollingRange]]'s uniform window: EWMA discounts by RECENCY, the
+    * response every monitoring stack defaults to). The textbook form is
+    * recursive (ewma ← α·x + (1−α)·ewma) — inexpressible as a window
+    * without per-row sequential state; the gated form unrolls it to the
+    * fixed [[EwmaLags]]-term kernel ewma_t = Σ_{j<8} 2^{-(j+1)}·x_{t−j}
+    * (α = ½, zero-padded warm-up, tail mass dropped), which IS a
+    * window — [[EwmaLags]] `lag`s over one (user, time) ordering.
+    *
+    * Exactness — why α = ½ and not 0.3: dyadic weights 2^{-(j+1)} are
+    * exact doubles and multiplying by them only shifts the exponent, so
+    * each term is ONE exact IEEE op; each term rounds at 10dp into
+    * DECIMAL and the 8-term sum runs exact (the round-then-decimal-sum
+    * discipline) — the whole trajectory is engine-bit-identical, which
+    * a non-dyadic α cannot guarantee (its per-term product rounds
+    * differently under fused-multiply orders).
+    *
+    * Scale: ONE shuffle on user_id + in-partition sort; the 8 lags
+    * evaluate in a single window pass (no self-join), codegen'd; output
+    * is the purchase sub-stream, never the full event table. */
+  def ewma(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val terms = (0 until EwmaLags).map { j =>
+      val src = if (j == 0) col("value") else lag(col("value"), j).over(w)
+      // 2^-(j+1) is an exact double; the multiply is an exponent shift
+      round(coalesce(src, lit(0.0)) * lit(math.pow(0.5, j + 1)), 10)
+        .cast(DecimalType(28, 10))
+    }
+    ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("ewma",
+        terms.reduce(_ + _).cast(DecimalType(28, 10)).cast(DoubleType))
+      .select(col("event_id"), col("user_id"), col("ewma"))
+      .orderBy("event_id")
+  }
+
   /** Two-step MARKOV transition matrix (`ev_markov2`) — P² of the
     * session-local event-type chain: for each (src, dst) type pair, the
     * probability of sitting at dst exactly TWO within-session steps
@@ -1124,6 +1167,7 @@ object Events {
     "ev_cohort"     -> ((s, d) => cohort(Tables.events(s, d))),
     "ev_rolling"    -> ((s, d) => rollingActive(Tables.events(s, d))),
     "ev_rolling_range" -> ((s, d) => rollingRange(Tables.events(s, d))),
+    "ev_ewma" -> ((s, d) => ewma(Tables.events(s, d))),
     "ev_rolling_hll"-> ((s, d) => rollingActiveHll(Tables.events(s, d))),
     "ev_dwell"      -> ((s, d) => dwell(Tables.events(s, d))),
   )
@@ -1464,6 +1508,19 @@ object Events {
          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
          |  RANGE BETWEEN $RangeFrameUs PRECEDING AND CURRENT ROW)
          |ORDER BY user_id, ts, event_id""".stripMargin,
+    // the unrolled dyadic kernel, term-by-term: round(x·2^-(j+1), 10)
+    // into DECIMAL, exact 8-term sum — mirrors ewma()'s expression tree
+    "ev_ewma" -> {
+      val terms = (0 until EwmaLags).map { j =>
+        val src = if (j == 0) "value" else s"lag(value, $j) OVER w"
+        s"CAST(round(coalesce($src, 0) * ${math.pow(0.5, j + 1)}, 10) AS DECIMAL(28,10))"
+      }.mkString("\n         |    + ")
+      s"""SELECT event_id, user_id,
+         |  CAST(CAST($terms AS DECIMAL(28,10)) AS DOUBLE) AS ewma
+         |FROM events WHERE event_type = 'purchase'
+         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+         |ORDER BY event_id""".stripMargin
+    },
     "ev_rolling" ->
       """WITH ud AS (SELECT DISTINCT user_id,
         |        date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d

@@ -353,6 +353,25 @@ class EventsSpec extends SparkSpec {
     assert(r(5L) == (1L, 16.0))
   }
 
+  test("ewma: dyadic kernel trajectory matches hand unroll; warm-up zero-pads; users isolated") {
+    val sp = spark
+    import sp.implicits._
+    def at(sec: Long) = new java.sql.Timestamp(1704067200000L + sec * 1000)
+    val d = Seq(
+      (1L, 10L, at(0), "purchase", 8.0),
+      (2L, 10L, at(1), "purchase", 4.0),
+      (3L, 10L, at(2), "view", 999.0),      // other type: excluded entirely
+      (4L, 10L, at(3), "purchase", 2.0),
+      (5L, 20L, at(4), "purchase", 16.0))   // other user: isolated warm-up
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val r = Events.ewma(d).collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(!r.contains(3L))
+    assert(r(1L) == 8.0 * 0.5)                            // warm-up: only x_t
+    assert(r(2L) == 4.0 * 0.5 + 8.0 * 0.25)
+    assert(r(4L) == 2.0 * 0.5 + 4.0 * 0.25 + 8.0 * 0.125) // view row skipped
+    assert(r(5L) == 16.0 * 0.5)                           // user 20 unaffected
+  }
+
   test("rollingActive: trailing-7 coverage, zero-coverage gap days kept as 0") {
     val s = spark
     import s.implicits._
