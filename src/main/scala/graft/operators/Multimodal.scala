@@ -509,6 +509,52 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** Fingerprint window width in PCM sample frames. */
+  val FpWin = 64
+  /** Energy-quantization divisor: a full 64-sample window of max
+    * constant amplitude sums to ≈ 4·65536, so q = sum/65536 capped at 3
+    * spreads the corpus across all four 2-bit codes. */
+  val FpQDiv = 65536L
+
+  /** AUDIO FINGERPRINT (`mm_audio_fp`) — the compact content signature
+    * audio dedup/lookup systems index (Haitsma & Kalker 2002's
+    * energy-band scheme, mono-band variant; Chromaprint/AcoustID ship
+    * the same window-quantize-pack shape): per audio file, REAL decoded
+    * PCM windows of [[FpWin]] samples each reduce to an exact
+    * |amplitude| sum, quantize to a 2-bit code (min(3, sum/[[FpQDiv]])),
+    * and pack little-endian into one BIGINT fingerprint. Files sharing
+    * a fingerprint are audio near-duplicates at this resolution —
+    * n_same_fp counts each file's fingerprint-group size, the
+    * `dedup_exact` grouping applied to signal content instead of bytes
+    * (byte-identical WAVs trivially share fp; re-encoded/transcoded
+    * copies with identical PCM do too, which `mm_dedup`'s byte hash
+    * cannot see).
+    *
+    * The oracle re-derives every window sum arithmetically from the
+    * fixture construction (digest head + constant tail — the
+    * `mm_silence` argument applied to energy instead of runs), so a
+    * hash match proves the decoded windows carry exactly the PCM the
+    * fixture encoded.
+    *
+    * Scale: map-only per-file codec work (the §2.7 file-count cost
+    * model); the near-dup grouping is ONE combiner-friendly count
+    * shuffle of skinny (fp) keys + a fingerprint-keyed rejoin — exact
+    * hash-groupBy dedup shape, never pairwise. */
+  def audioFingerprint(media: Dataset[MediaFile]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val fps = media.filter(col("kind") === "audio")
+      .mapPartitions(_.map { m =>
+        val (nw, fp) = AudioCodec.fingerprint(m.content, FpWin, FpQDiv, m.media_id)
+        (m.media_id, nw.toLong, fp)
+      })
+      .toDF("media_id", "n_win", "fp")
+    val groups = fps.groupBy("fp").agg(count(lit(1)).as("n_same_fp"))
+    fps.join(groups, "fp")
+      .select(col("media_id"), col("n_win"), col("fp"), col("n_same_fp"))
+      .orderBy("media_id")
+  }
+
   val HistBins = 4
 
   /** LUMINANCE HISTOGRAM (`mm_histogram`) — the exposure/content
@@ -649,6 +695,7 @@ object Multimodal {
     "mm_scene"     -> ((s, d) => sceneCuts(mediaTable(s, d))),
     "mm_histogram" -> ((s, d) => lumHistogramSummary(mediaTable(s, d))),
     "mm_silence" -> ((s, d) => silenceSummary(mediaTable(s, d))),
+    "mm_audio_fp" -> ((s, d) => audioFingerprint(mediaTable(s, d))),
     "mm_summary" -> ((s, d) => mediaSummary(mediaTable(s, d))),
     "mm_dedup"   -> ((s, d) => mediaDedup(mediaTable(s, d))),
     "mm_frames"  -> ((s, d) => frameSummary(mediaTable(s, d))),
@@ -811,6 +858,28 @@ object Multimodal {
     // the fixture's 17 segments (16 digest-head samples + constant
     // tail) through the identical island construction: g = running
     // count of non-silent segments, consecutive silent segments share g
+    // window k=0 mixes the 16 digest samples with 48 tail samples; all
+    // later windows are constant-amplitude (possibly partial at the
+    // end) — n ≥ 256 guarantees window 0 is full, n ≤ 767 caps k at 11
+    "mm_audio_fp" ->
+      s"""WITH au AS (
+         |  SELECT doc_id AS media_id, md5(text) AS dig,
+         |    256 + n_chars % 512 AS n, (n_chars % 128) * 32 AS camp
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |win AS (
+         |  SELECT media_id, k,
+         |    CASE WHEN k = 0
+         |      THEN ($DigestAbsSum) + ($FpWin - 16) * camp
+         |      ELSE least($FpWin, n - $FpWin * k) * camp END AS sabs
+         |  FROM au, unnest(range(0, 12)) AS t(k)
+         |  WHERE $FpWin * k < n),
+         |fps AS (
+         |  SELECT media_id, CAST(count(*) AS BIGINT) AS n_win,
+         |    CAST(sum(least(3, sabs // $FpQDiv) * (1::BIGINT << (2 * k))) AS BIGINT) AS fp
+         |  FROM win GROUP BY media_id)
+         |SELECT media_id, n_win, fp,
+         |  count(*) OVER (PARTITION BY fp) AS n_same_fp
+         |FROM fps ORDER BY media_id""".stripMargin,
     "mm_silence" ->
       s"""WITH au AS (
          |  SELECT doc_id AS media_id, n_chars, md5(text) AS dig,
@@ -1180,6 +1249,36 @@ object AudioCodec {
       i += 1
     }
     (n, nSilent, nRuns, longest)
+  }
+
+  /** One decode pass computing the energy FINGERPRINT: window the PCM
+    * into `win`-sample frames; per window sum |amplitude| exactly
+    * (long); quantize q_k = min(3, sum_k / qdiv); pack the 2-bit codes
+    * little-endian, fp = Σ q_k·4^k. Returns (window count, fp). */
+  def fingerprint(content: Array[Byte], win: Int, qdiv: Long, mediaId: Long): (Int, Long) = {
+    val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(content))
+    val fmt = in.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+      s"media $mediaId: unexpected audio format $fmt")
+    val pcm = in.readAllBytes()
+    val n = pcm.length / 2
+    val m = (n + win - 1) / win
+    require(m <= 31, s"media $mediaId: $m windows overflow the 2-bit-packed long")
+    var fp = 0L
+    var k = 0
+    while (k < m) {
+      var s = 0L
+      var i = k * win
+      val end = math.min(n, (k + 1) * win)
+      while (i < end) {
+        val v = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+        s += math.abs(v)
+        i += 1
+      }
+      fp |= math.min(3L, s / qdiv) << (2 * k)
+      k += 1
+    }
+    (m, fp)
   }
 }
 

@@ -388,4 +388,25 @@ class MultimodalSpec extends SparkSpec {
       assert(lg * runs >= sil, "longest·runs must cover the silent total")
     }
   }
+
+  test("fingerprint: hand-derived window codes over real PCM; identical PCM shares fp; amp separates") {
+    import graft.operators.AudioCodec
+    val head = Array.tabulate[Byte](16)(i => (i * 16).toByte)
+    // 100 samples, amp 64 (tail |v| = 2048): windows of 64 → w0 = digest
+    // sum + 48·2048, w1 (36 samples) = 36·2048 = 73728 → q1 = 1
+    val wav = AudioCodec.fingerprint(AudioCodec.encodeWav(100, head, 64), 64, 65536L, 1L)
+    val w0 = head.map(b => math.abs((b & 0xff) - 128) * 64L).sum + 48L * 2048
+    val expect = math.min(3L, w0 / 65536) | (1L << 2)
+    assert(wav == ((2, expect)), s"got $wav want (2,$expect)")
+    // identical PCM → identical fp; different amp level → different fp
+    val a = AudioCodec.fingerprint(AudioCodec.encodeWav(300, head, 100), 64, 65536L, 2L)
+    val b = AudioCodec.fingerprint(AudioCodec.encodeWav(300, head, 100), 64, 65536L, 3L)
+    val c = AudioCodec.fingerprint(AudioCodec.encodeWav(300, head, 40), 64, 65536L, 4L)
+    assert(a == b && a != c)
+    // corpus: group counts are consistent with the fp column
+    val r = Multimodal.audioFingerprint(Multimodal.mediaTable(spark, sf)).collect()
+    assert(r.nonEmpty)
+    val byFp = r.groupBy(_.getLong(2)).view.mapValues(_.length.toLong).toMap
+    r.foreach(row => assert(row.getLong(3) == byFp(row.getLong(2)), row.toString))
+  }
 }
