@@ -310,6 +310,44 @@ object Relational {
       .select(col("o_custkey"), col("rank"), col("o_orderkey"), col("o_totalprice"))
       .orderBy("o_custkey", "rank")
 
+  /** CORRELATED LATERAL subquery with per-row ORDER BY + LIMIT
+    * (`q46_lateral`) — the THIRD declared form of grouped top-k, and
+    * the one that gates Catalyst's LATERAL machinery end to end:
+    * `q44_grouptopk` runs the native two-phase exec, a window+filter is
+    * its declarative twin, and this key declares the same intent the
+    * way SQL users actually write it — "for each customer, the 2
+    * cheapest finished orders" as a correlated LATERAL derived table.
+    * Catalyst must (a) resolve the outer reference through the lateral
+    * boundary, (b) DECORRELATE the LIMIT-under-correlation (the
+    * rank-rewrite `DecorrelateInnerQuery` performs — a correlated LIMIT
+    * is only executable after rewriting to a per-key rank filter), and
+    * (c) plan the result as ONE shuffle-join + per-key cut rather than
+    * a per-outer-row re-execution. The oracle is DuckDB's own LATERAL —
+    * both engines' decorrelators must agree row-for-row, ties broken by
+    * (o_totalprice, o_orderkey) into a total order.
+    *
+    * Scale: after decorrelation the plan is the `q44` class — one
+    * shuffle of orders on o_custkey with a rank cut (Spark 4 pushes
+    * `WindowGroupLimit` below the exchange), plus the customer join.
+    * The cautionary shape it exists to document: a NON-decorrelatable
+    * lateral (e.g. correlated through a non-equi predicate only)
+    * degenerates to nested-loop re-execution per outer row — at 100 TB
+    * the difference between this plan and that one is the whole
+    * operator. */
+  def q46Lateral: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("g46_customer")
+    Tables.orders(s, d).createOrReplaceTempView("g46_orders")
+    s.sql("""
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM g46_customer c,
+      LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM g46_orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+        ORDER BY o_totalprice, o_orderkey LIMIT 2) t
+      ORDER BY c.c_custkey, t.o_totalprice, t.o_orderkey""")
+  }
+
   /** Group + HAVING. */
   def q10Having: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -976,6 +1014,7 @@ object Relational {
     "q43_eageragg" -> q43EagerAgg,
     "q45_eagermult" -> q45EagerMult,
     "q44_grouptopk"-> q44GroupTopK,
+    "q46_lateral"  -> q46Lateral,
     "q1_agg"       -> q1Agg,
     "q2_filter"    -> q2Filter,
     "q3_join"      -> q3Join,
@@ -1020,6 +1059,17 @@ object Relational {
          |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
          |  FROM orders) t
          |WHERE rank <= $GroupTopK ORDER BY o_custkey, rank""".stripMargin,
+    // DuckDB's own LATERAL decorrelator — both engines rewrite the
+    // correlated LIMIT independently and must agree row-for-row
+    "q46_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+        |  ORDER BY o_totalprice, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_totalprice, t.o_orderkey""".stripMargin,
     // deliberately the FLAT join-then-aggregate — independent of the
     // eager three-level construction it gates; exact-decimal partial
     // sums make regrouping invisible, so result identity machine-checks

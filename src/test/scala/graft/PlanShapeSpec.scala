@@ -51,6 +51,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!afterJoin.contains("Exchange hashpartitioning(neighbor_id"), p)
   }
 
+  test("q46_lateral: the correlated LIMIT decorrelates — rank cut below the exchange, no per-row loop") {
+    val p = plan(SparkEntry.queries("q46_lateral")(spark, sf))
+    // the LIMIT-under-correlation must rewrite to a per-key group limit,
+    // with the PARTIAL cut pushed below the orders exchange…
+    assert(p.contains("WindowGroupLimit"), p)
+    val firstCut = p.indexOf("WindowGroupLimit")
+    assert(p.indexOf("Exchange", firstCut) >= 0 || p.lastIndexOf("WindowGroupLimit") > firstCut, p)
+    // …and never fall back to re-executing the subquery per outer row
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("scan pushdown: filtered relational queries reach the parquet scan") {
     val p = plan(SparkEntry.queries("q6_scanagg")(spark, sf))
     assert(p.contains("PushedFilters: [IsNotNull"), p)
