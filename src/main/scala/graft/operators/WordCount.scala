@@ -721,6 +721,79 @@ object WordCount {
       .limit(50)
   }
 
+  /** MINIMUM SPANNING FOREST via BORŮVKA (`wc_mst`, r10) — the
+    * weighted-OPTIMIZATION member of the graph family ([[sssp]] relaxes
+    * paths; this selects the globally cheapest connecting structure —
+    * the backbone-extraction / single-linkage-clustering primitive),
+    * over the SAME weighted word graph as `wc_sssp` (same "sssp" md5
+    * weights on the least/greatest endpoint ordering — one weighted
+    * graph, two operators). Two synchronous Borůvka rounds (1926; the
+    * parallel-MST algorithm precisely because each round is one
+    * argmin-per-key aggregate): round 1 — every VERTEX picks its
+    * minimum incident edge by the total order (w, a, b); the picked
+    * edges form a forest (≥ half the MST, the classic guarantee);
+    * round 2 — components CONTRACT (the [[components]] star-contraction,
+    * min-label) and every COMPONENT picks its minimum outgoing edge.
+    * Rounds fixed at 2 (the [[LpaRounds]] static-plan-depth rule): the
+    * key gates the two-round FOREST, not the converged MST — a third
+    * round is this same shape again. Output: every forest edge
+    * (round, a, b, w), totally ordered.
+    *
+    * Distinct-edge tie safety: weights collide (mod [[SsspWgtMod]]),
+    * so the argmin orders by the FULL edge identity (w, a, b) — both
+    * engines pick the identical edge, and the distinct collapse (both
+    * endpoints choosing the same edge) is exact.
+    *
+    * Scale: per round one vocab-keyed argmin (row_number over
+    * vocabulary-sized keys — never a global window), the contraction is
+    * the O(log²)-round star machinery already gated on billion-node
+    * dedup graphs, and all frames are vocabulary/distinct-bigram
+    * bounded (Zipf: ≪ corpus). The oracle mirrors round 1 and 2
+    * verbatim with the recursive min-reachable closure standing in for
+    * the contraction. */
+  def mst(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = filter(split(col("text"), TokenRe), w => w =!= "")
+    val n1 = greatest(size(ws) - 1, lit(0))
+    val und = docs.select(explode(zip_with(
+        slice(ws, lit(1), n1), slice(ws, lit(2), n1),
+        (a, b) => struct(a.as("u"), b.as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .where(col("u") =!= col("v"))
+    val edges = und
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      .withColumn("w", (lit(1) + Dedup.h32(lit("sssp"),
+        concat(col("a"), lit(" "), col("b"))) % SsspWgtMod).cast("long"))
+      .persist()
+    // argmin edge per key by the total order (w, a, b); both endpoints
+    // picking the same edge collapse in the distinct
+    def pick(keyed: DataFrame): DataFrame = {
+      val win = Window.partitionBy("k").orderBy(col("w"), col("a"), col("b"))
+      keyed.withColumn("rn", row_number().over(win)).where(col("rn") === 1)
+        .select("a", "b", "w").distinct()
+    }
+    val inc = edges.select(col("a").as("k"), col("a"), col("b"), col("w"))
+      .unionAll(edges.select(col("b").as("k"), col("a"), col("b"), col("w")))
+    val f1 = pick(inc).persist()
+    val nodes = edges.select(col("a").as("doc_id"))
+      .unionAll(edges.select(col("b").as("doc_id"))).distinct()
+    val comp = Dedup.connectedComponents(nodes,
+        f1.select(col("a").as("doc_a"), col("b").as("doc_b")))
+      .select(col("doc_id"), col("cluster_id"))
+    val ec = edges
+      .join(comp.select(col("doc_id").as("a"), col("cluster_id").as("ca")), "a")
+      .join(comp.select(col("doc_id").as("b"), col("cluster_id").as("cb")), "b")
+      .where(col("ca") =!= col("cb"))
+    val inc2 = ec.select(col("ca").as("k"), col("a"), col("b"), col("w"))
+      .unionAll(ec.select(col("cb").as("k"), col("a"), col("b"), col("w")))
+    val f2 = pick(inc2)
+    f1.withColumn("round", lit(1L))
+      .unionAll(f2.withColumn("round", lit(2L)))
+      .select(col("round"), col("a"), col("b"), col("w"))
+      .orderBy("round", "w", "a", "b")
+  }
+
   /** LPA round count — fixed so the plan depth is static and the
     * oracle's unrolled CTE chain stays finite. */
   val LpaRounds = 3
@@ -847,6 +920,7 @@ object WordCount {
     "wc_bfs"       -> ((s, d) => bfs(Tables.documents(s, d))),
     "wc_sssp"      -> ((s, d) => sssp(Tables.documents(s, d))),
     "wc_kcore"     -> ((s, d) => kcore(Tables.documents(s, d))),
+    "wc_mst"       -> ((s, d) => mst(Tables.documents(s, d))),
     "wc_lpa"       -> ((s, d) => lpa(Tables.documents(s, d))),
   )
 
@@ -1067,6 +1141,43 @@ object WordCount {
          |SELECT word, CAST(dist AS BIGINT) AS dist FROM d$SsspRounds
          |ORDER BY dist, word LIMIT 50""".stripMargin
     },
+    // Borůvka rounds 1 and 2 mirrored verbatim: per-vertex argmin, the
+    // recursive min-reachable closure standing in for the contraction,
+    // per-component argmin — same (w, a, b) total order both engines
+    "wc_mst" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT w[i] AS u, w[i + 1] AS v
+         |  FROM (SELECT $OracleWords AS w FROM documents) ws,
+         |    unnest(range(1, len(w))) AS t(i)
+         |  WHERE w[i] <> w[i + 1]),
+         |e AS (
+         |  SELECT a, b,
+         |    1 + ('0x' || substr(md5('sssp:' || a || ' ' || b), 1, 8))::BIGINT % $SsspWgtMod AS w
+         |  FROM (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM pairs) d),
+         |inc AS (SELECT a AS k, a, b, w FROM e UNION ALL SELECT b, a, b, w FROM e),
+         |f1 AS (SELECT DISTINCT a, b, w FROM (
+         |  SELECT k, a, b, w,
+         |    row_number() OVER (PARTITION BY k ORDER BY w, a, b) AS rn
+         |  FROM inc) t WHERE rn = 1),
+         |und1 AS (SELECT a AS src, b AS dst FROM f1 UNION ALL SELECT b, a FROM f1),
+         |vs AS (SELECT a AS word FROM e UNION SELECT b FROM e),
+         |reach AS (
+         |  SELECT word AS node, word AS r FROM vs
+         |  UNION
+         |  SELECT re.node, u.dst FROM reach re JOIN und1 u ON u.src = re.r),
+         |comp AS (SELECT node, min(r) AS c FROM reach GROUP BY 1),
+         |ec AS (
+         |  SELECT e.a, e.b, e.w, ca.c AS ca, cb.c AS cb
+         |  FROM e JOIN comp ca ON ca.node = e.a JOIN comp cb ON cb.node = e.b
+         |  WHERE ca.c <> cb.c),
+         |inc2 AS (SELECT ca AS k, a, b, w FROM ec UNION ALL SELECT cb, a, b, w FROM ec),
+         |f2 AS (SELECT DISTINCT a, b, w FROM (
+         |  SELECT k, a, b, w,
+         |    row_number() OVER (PARTITION BY k ORDER BY w, a, b) AS rn
+         |  FROM inc2) t WHERE rn = 1)
+         |SELECT 1::BIGINT AS round, a, b, w FROM f1
+         |UNION ALL SELECT 2::BIGINT, a, b, w FROM f2
+         |ORDER BY round, w, a, b""".stripMargin,
     // the identical 4 synchronous peel rounds unrolled as CTEs; the
     // final degree is measured within the surviving subgraph (a
     // survivor with zero surviving neighbors emits no row — both

@@ -330,6 +330,49 @@ class WordCountSpec extends SparkSpec {
       x._2 < y._2 || (x._2 == y._2 && x._1 < y._1); case _ => true })
   }
 
+  test("mst: matches an independent two-round Borůvka replay; the bridge edge always selected") {
+    val s = spark
+    import s.implicits._
+    // two triangles joined by a single bridge c-x: round 1 works inside
+    // the triangles (plus the bridge if it is some vertex's min); any
+    // correct 2-round Borůvka must select the bridge by round 2 at the
+    // latest (each contracted triangle's only outgoing edge)
+    val d = Seq((1L, "a b a c b c"), (2L, "x y x z y z"), (3L, "c x"))
+      .toDF("doc_id", "text")
+    val got = WordCount.mst(d).as[(Long, String, String, Long)].collect()
+      .map { case (r, a, b, w) => (r, a, b, w) }.toSet
+    def h32(seed: String, x: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$x".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def w(u: String, v: String): Long = {
+      val (lo, hi) = if (u < v) (u, v) else (v, u)
+      1L + h32("sssp", s"$lo $hi") % WordCount.SsspWgtMod
+    }
+    val und = Seq(("a","b"), ("a","c"), ("b","c"), ("x","y"), ("x","z"), ("y","z"), ("c","x"))
+    val es = und.map { case (u, v) =>
+      val (lo, hi) = if (u < v) (u, v) else (v, u); (lo, hi, w(lo, hi)) }
+    def argmin(cands: Seq[(String, String, Long)]) =
+      cands.minBy { case (a, b, wt) => (wt, a, b) }
+    val verts = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val f1 = verts.map(v => argmin(es.filter(e => e._1 == v || e._2 == v))).toSet
+    // contract: components of f1 (tiny graph — fixpoint label spread)
+    var comp = verts.map(v => v -> v).toMap
+    for (_ <- 1 to verts.size; (a, b, _) <- f1) {
+      val m = if (comp(a) < comp(b)) comp(a) else comp(b)
+      comp += a -> m; comp += b -> m
+    }
+    val cross = es.filter(e => comp(e._1) != comp(e._2))
+    val f2 = (cross.map(e => (comp(e._1), e)) ++ cross.map(e => (comp(e._2), e)))
+      .groupBy(_._1).values.map(cands => argmin(cands.map(_._2))).toSet
+    val want = f1.map { case (a, b, wt) => (1L, a, b, wt) } ++
+      f2.map { case (a, b, wt) => (2L, a, b, wt) }
+    assert(got == want, s"got $got\nwant $want")
+    // the bridge is in the forest, whichever round picked it
+    assert(got.exists { case (_, a, b, _) => (a, b) == (("c", "x")) })
+  }
+
   test("cc: string-vertex components via the shared star contraction, isolated included") {
     val s = spark
     import s.implicits._
