@@ -599,6 +599,60 @@ object WordCount {
       .orderBy("hop")
   }
 
+  /** BFS as a NATIVE RECURSIVE CTE (`wc_bfs_rec`, r10) — the same
+    * bounded-hop traversal as [[bfs]], declared as Spark 4's
+    * `WITH RECURSIVE` instead of a driver-side loop: Catalyst plans the
+    * self-reference as a UnionLoop (one executor-side iteration
+    * operator), so the traversal depth lives in the PLAN, not in
+    * driver control flow — the declarative twin `wc_bfs`'s iterative
+    * form, gated against the same oracle shape (DuckDB's recursion has
+    * always been the oracle; now BOTH engines recurse).
+    *
+    * Honest scale caveat: Spark's recursion supports UNION ALL only
+    * (UNION-dedup raises UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so the
+    * recursion enumerates bounded WALKS, not visited vertices — the
+    * min-hop aggregation after the loop restores BFS semantics exactly,
+    * but on a dense graph the walk count grows ~degree^[[BfsMaxHop]].
+    * The oracle dedups per level (UNION) and provably computes the same
+    * min-hop set. [[bfs]]'s per-round frontier DISTINCT is the
+    * scale-safe production form; this key gates the recursive-plan
+    * SURFACE (and stays cheap here because the walk fan-out is
+    * vocabulary-bounded). */
+  def bfsRecursive(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val ws = filter(split(col("text"), TokenRe), w => w =!= "")
+    val n1 = greatest(size(ws) - 1, lit(0))
+    val und = docs.select(explode(zip_with(
+        slice(ws, lit(1), n1), slice(ws, lit(2), n1),
+        (a, b) => struct(a.as("u"), b.as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .where(col("u") =!= col("v"))
+    und.union(und.select(col("v").as("u"), col("u").as("v"))).distinct()
+      .select(col("u").as("src"), col("v").as("dst"))
+      .createOrReplaceTempView("g47_edges")
+    val vocab = docs.select(explode(ws).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    vocab.createOrReplaceTempView("g47_vocab")
+    vocab.orderBy(col("cnt").desc, col("word")).limit(1)
+      .select("word").createOrReplaceTempView("g47_seed")
+    s.sql(s"""
+      WITH RECURSIVE reach(word, hop) AS (
+        SELECT word, 0 FROM g47_seed
+        UNION ALL
+        SELECT e.dst, r.hop + 1
+        FROM reach r JOIN g47_edges e ON e.src = r.word
+        WHERE r.hop < $BfsMaxHop),
+      mh AS (SELECT word, min(hop) AS hop FROM reach GROUP BY word),
+      allw AS (
+        SELECT word, hop FROM mh
+        UNION ALL
+        SELECT v.word, -1 AS hop
+        FROM g47_vocab v LEFT ANTI JOIN mh ON v.word = mh.word)
+      SELECT CAST(hop AS BIGINT) AS hop, count(*) AS n_words,
+        min(word) AS w_min, max(word) AS w_max
+      FROM allw GROUP BY hop ORDER BY hop""")
+  }
+
   /** Bellman-Ford relaxation rounds — fixed like [[BfsMaxHop]]: the key
     * gates bounded-hop cheapest paths (≤ [[SsspRounds]] edges), keeping
     * the plan depth static and the oracle finitely unrollable. */
@@ -918,6 +972,7 @@ object WordCount {
     "wc_inverted"  -> ((s, d) => invertedIndex(Tables.documents(s, d))),
     "wc_grep"      -> ((s, d) => grep(Tables.documents(s, d))),
     "wc_bfs"       -> ((s, d) => bfs(Tables.documents(s, d))),
+    "wc_bfs_rec"   -> ((s, d) => bfsRecursive(Tables.documents(s, d))),
     "wc_sssp"      -> ((s, d) => sssp(Tables.documents(s, d))),
     "wc_kcore"     -> ((s, d) => kcore(Tables.documents(s, d))),
     "wc_mst"       -> ((s, d) => mst(Tables.documents(s, d))),
@@ -998,6 +1053,37 @@ object WordCount {
     s"""SELECT doc_id, lang, word FROM (
       |  SELECT doc_id, lang, unnest(regexp_split_to_array(text, '$TokenRe')) AS word
       |  FROM documents) t WHERE word <> ''""".stripMargin
+
+  /** Shared by `wc_bfs` (iterative Spark loop) and `wc_bfs_rec`
+    * (Spark's native recursive CTE): one traversal semantic, two
+    * execution strategies, one oracle. */
+  private val BfsOracleSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT w[i] AS u, w[i + 1] AS v
+       |  FROM (SELECT $OracleWords AS w FROM documents) ws,
+       |    unnest(range(1, len(w))) AS t(i)
+       |  WHERE w[i] <> w[i + 1]),
+       |edges AS (
+       |  SELECT DISTINCT u AS src, v AS dst FROM (
+       |    SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs) b),
+       |tk AS (SELECT word FROM ($TokensSql) q),
+       |seed AS (
+       |  SELECT word FROM (SELECT word, count(*) AS cnt FROM tk GROUP BY word) c
+       |  ORDER BY cnt DESC, word LIMIT 1),
+       |bfs AS (
+       |  SELECT word, 0 AS hop FROM seed
+       |  UNION
+       |  SELECT e.dst, b.hop + 1 FROM bfs b JOIN edges e ON e.src = b.word
+       |  WHERE b.hop < $BfsMaxHop),
+       |mh AS (SELECT word, min(hop) AS hop FROM bfs GROUP BY word),
+       |allw AS (
+       |  SELECT word, hop FROM mh
+       |  UNION ALL
+       |  SELECT word, -1 AS hop FROM (SELECT DISTINCT word FROM tk) v
+       |  WHERE word NOT IN (SELECT word FROM mh))
+       |SELECT hop::BIGINT AS hop, count(*)::BIGINT AS n_words,
+       |  min(word) AS w_min, max(word) AS w_max
+       |FROM allw GROUP BY hop ORDER BY hop""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "wc_wordcount" ->
@@ -1208,33 +1294,11 @@ object WordCount {
     // the declarative twin of the level-synchronous traversal: a
     // recursive CTE bounded at BfsMaxHop, min-hop per word, unreached
     // vocabulary as hop -1
-    "wc_bfs" ->
-      s"""WITH RECURSIVE pairs AS (
-         |  SELECT w[i] AS u, w[i + 1] AS v
-         |  FROM (SELECT $OracleWords AS w FROM documents) ws,
-         |    unnest(range(1, len(w))) AS t(i)
-         |  WHERE w[i] <> w[i + 1]),
-         |edges AS (
-         |  SELECT DISTINCT u AS src, v AS dst FROM (
-         |    SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs) b),
-         |tk AS (SELECT word FROM ($TokensSql) q),
-         |seed AS (
-         |  SELECT word FROM (SELECT word, count(*) AS cnt FROM tk GROUP BY word) c
-         |  ORDER BY cnt DESC, word LIMIT 1),
-         |bfs AS (
-         |  SELECT word, 0 AS hop FROM seed
-         |  UNION
-         |  SELECT e.dst, b.hop + 1 FROM bfs b JOIN edges e ON e.src = b.word
-         |  WHERE b.hop < $BfsMaxHop),
-         |mh AS (SELECT word, min(hop) AS hop FROM bfs GROUP BY word),
-         |allw AS (
-         |  SELECT word, hop FROM mh
-         |  UNION ALL
-         |  SELECT word, -1 AS hop FROM (SELECT DISTINCT word FROM tk) v
-         |  WHERE word NOT IN (SELECT word FROM mh))
-         |SELECT hop::BIGINT AS hop, count(*)::BIGINT AS n_words,
-         |  min(word) AS w_min, max(word) AS w_max
-         |FROM allw GROUP BY hop ORDER BY hop""".stripMargin,
+    "wc_bfs" -> BfsOracleSql,
+    // wc_bfs_rec gates the SAME traversal (Spark recursing natively);
+    // the oracle is identical — DuckDB's UNION-dedup recursion and
+    // Spark's UNION ALL walk enumeration agree after min-hop
+    "wc_bfs_rec" -> BfsOracleSql,
     // same degree orientation: src = lower (degree, word) endpoint,
     // wedge at src ordered by (ddst, dst), closed against oriented edges
     "wc_triangles" ->
