@@ -772,9 +772,76 @@ object Dedup {
       .selectExpr("doc_id", "graft_simhash32(text) AS simhash").orderBy("doc_id")
   }
 
+  /** Bloom sizing: bits per stored key (m = 16·n) and hash count. At
+    * 16 bits/key with k = 4 the fill is 1−e^(−1/4) ≈ 22 % and the
+    * false-positive rate ≈ 0.22⁴ ≈ 0.24 % — and because m DERIVES from
+    * the stored count, the rate holds at any corpus size (a fixed m
+    * would saturate at 100×). */
+  val BloomBitsPerKey = 16L
+  val BloomHashes = 4
+
+  /** BLOOM-FILTER SHINGLE MEMBERSHIP (`dedup_bloom`) — the
+    * approximate-membership fast path incremental dedup and
+    * DECONTAMINATION run before the expensive machinery (Bloom 1970;
+    * the n-gram-overlap gate training pipelines run against benchmark
+    * sets): the stored corpus's (doc_id % 20 ≠ 0, `dedup_incremental`'s
+    * split) distinct 3-word shingles populate an m = 16·S-bit filter
+    * via [[BloomHashes]] md5-family bit positions per shingle; each
+    * batch doc probes ITS shingles and reports how many the filter
+    * claims seen (bloom_hits) beside the exact count (exact_hits) — so
+    * the key gates the ERROR SURFACE too: the false-positive set is a
+    * deterministic function of the data and both engines must produce
+    * the identical one, while bloom_hits < exact_hits (a false
+    * NEGATIVE) is impossible — the Bloom guarantee, spec-asserted.
+    * Membership is at SHINGLE granularity because that is where real
+    * overlap lives: this corpus has zero byte-exact duplicate texts
+    * (dedup_exact's gate proves it) but dense n-gram sharing.
+    *
+    * Scale: the filter is a DISTINCT over ≤ m skinny bit values — in
+    * production it compiles to a bitmap broadcast (Spark's own
+    * BloomFilterAggregate, gated at the relational level by
+    * `q36_bloom`, is exactly this compile); the bit-set JOIN form here
+    * keeps the arithmetic oracle-mirrorable bit for bit, and m DERIVES
+    * from the stored shingle count so the ≈0.24 % FP rate holds at any
+    * corpus size (a fixed m would saturate at 100×). Probe cost is k
+    * rows per batch shingle — batch-sized, never corpus-sized. */
+  def bloomDedup(docs: DataFrame): DataFrame = {
+    val stored = docs.where(pmod(col("doc_id"), lit(20)) =!= 0)
+    val batch = docs.where(pmod(col("doc_id"), lit(20)) === 0)
+    val storedSh = shingles(stored).select("shingle").distinct().persist()
+    val mRow = broadcast(storedSh.agg((count(lit(1)) * BloomBitsPerKey).as("m")))
+    def bitCols = array((0 until BloomHashes).map(r =>
+      h32(lit(s"bloom$r"), col("shingle")) % col("m")): _*)
+    val sbits = storedSh.crossJoin(mRow)
+      .select(explode(bitCols).as("bit")).distinct()
+    val batchSh = shingles(batch).persist()
+    // a shingle's k hashes may collide on one bit: count DISTINCT probe
+    // bits and require hits == need, identically on both engines
+    val pbits = batchSh.crossJoin(mRow)
+      .select(col("doc_id"), col("shingle"), explode(bitCols).as("bit"))
+      .distinct()
+    val needSh = pbits.groupBy("doc_id", "shingle").agg(count(lit(1)).as("need"))
+    val hitsSh = pbits.join(sbits, "bit")
+      .groupBy("doc_id", "shingle").agg(count(lit(1)).as("hits"))
+    val bloomHit = needSh.join(hitsSh, Seq("doc_id", "shingle"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("hits"), lit(0L)) === col("need")).cast("long").as("bh"))
+    val perDoc = batchSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val bloomPerDoc = bloomHit.groupBy("doc_id").agg(sum("bh").as("bloom_hits"))
+    val exactPerDoc = batchSh.join(storedSh, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("exact_hits"))
+    batch.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(bloomPerDoc, Seq("doc_id"), "left")
+      .join(exactPerDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_sh", "bloom_hits", "exact_hits"))
+      .orderBy("doc_id")
+  }
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "dedup_exact"          -> ((s, d) => exact(Tables.documents(s, d))),
+    "dedup_bloom"          -> ((s, d) => bloomDedup(Tables.documents(s, d))),
     "dedup_minhash"        -> ((s, d) => minhashBands(Tables.documents(s, d))),
     "dedup_minhash_pairs"  -> ((s, d) => minhashPairs(Tables.documents(s, d))),
     "dedup_minhash_est"    -> ((s, d) => minhashEstimate(Tables.documents(s, d))),
@@ -892,6 +959,42 @@ object Dedup {
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
         |  (doc_id <> min(doc_id) OVER (PARTITION BY md5(text)))::BIGINT AS is_dup
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the filter arithmetic mirrored bit for bit: same md5 positions,
+    // same m = 16·S sizing, same distinct-bit hit counting per shingle
+    "dedup_bloom" ->
+      s"""WITH stored AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
+         |batch AS (SELECT * FROM documents WHERE doc_id % 20 = 0),
+         |ssh AS (SELECT DISTINCT shingle FROM (${shinglesSql("stored")}) s),
+         |mm AS (SELECT $BloomBitsPerKey * count(*) AS m FROM ssh),
+         |sbits AS (
+         |  SELECT DISTINCT
+         |    ('0x' || substr(md5('bloom' || r::VARCHAR || ':' || shingle), 1, 8))::BIGINT % m AS bit
+         |  FROM ssh, mm, generate_series(0, ${BloomHashes - 1}) t(r)),
+         |bsh AS (SELECT DISTINCT doc_id, shingle FROM (${shinglesSql("batch")}) s),
+         |pbits AS (
+         |  SELECT DISTINCT doc_id, shingle,
+         |    ('0x' || substr(md5('bloom' || r::VARCHAR || ':' || shingle), 1, 8))::BIGINT % m AS bit
+         |  FROM bsh, mm, generate_series(0, ${BloomHashes - 1}) t(r)),
+         |needsh AS (SELECT doc_id, shingle, count(*) AS need FROM pbits GROUP BY 1, 2),
+         |hitssh AS (SELECT doc_id, shingle, count(*) AS hits
+         |  FROM pbits JOIN sbits USING (bit) GROUP BY 1, 2),
+         |bh AS (
+         |  SELECT n.doc_id,
+         |    CASE WHEN h.hits = n.need THEN 1 ELSE 0 END AS bhit
+         |  FROM needsh n LEFT JOIN hitssh h USING (doc_id, shingle)),
+         |perdoc AS (SELECT doc_id, count(*) AS n_sh FROM bsh GROUP BY 1),
+         |bpd AS (SELECT doc_id, CAST(sum(bhit) AS BIGINT) AS bloom_hits FROM bh GROUP BY 1),
+         |epd AS (SELECT doc_id, count(*) AS exact_hits FROM bsh
+         |  WHERE shingle IN (SELECT shingle FROM ssh) GROUP BY 1)
+         |SELECT b.doc_id,
+         |  coalesce(p.n_sh, 0) AS n_sh,
+         |  coalesce(bp.bloom_hits, 0) AS bloom_hits,
+         |  coalesce(ep.exact_hits, 0) AS exact_hits
+         |FROM batch b
+         |LEFT JOIN perdoc p USING (doc_id)
+         |LEFT JOIN bpd bp USING (doc_id)
+         |LEFT JOIN epd ep USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin,
     "dedup_minhash" ->
       s"""SELECT doc_id, band, band_hash FROM ($bandsSql) b
          |ORDER BY doc_id, band""".stripMargin,

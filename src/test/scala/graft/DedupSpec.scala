@@ -103,6 +103,32 @@ class DedupSpec extends SparkSpec {
     assert(e.where(col("doc_id") === col("keep_id") && col("is_dup") === 1).count() == 0)
   }
 
+  test("bloomDedup: no false negatives ever; shared shingles hit; corpus FP surface is tiny") {
+    val s = spark
+    import s.implicits._
+    // stored doc shares the shingle "a b c" with batch doc 20; batch doc
+    // 40 shares nothing; batch doc 60 is too short to shingle at all
+    val d = Seq(
+      (1L, "a b c d"), (3L, "p q r s t"),
+      (20L, "a b c x y z"), (40L, "u v w u v w u"), (60L, "k k"))
+      .toDF("doc_id", "text")
+    val r = Dedup.bloomDedup(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r.keySet == Set(20L, 40L, 60L))
+    assert(r(20L)._1 == 4)                      // 4 distinct shingles
+    assert(r(20L)._3 == 1)                      // exactly "a b c" stored
+    assert(r(60L) == ((0L, 0L, 0L)))            // shingle-less: all zeros
+    // the Bloom guarantee on every doc: claimed-seen ⊇ actually-seen
+    r.values.foreach { case (n, bh, eh) => assert(bh >= eh && bh <= n) }
+    // corpus: guarantee holds everywhere and the FP surplus is tiny
+    val c = Dedup.bloomDedup(docs).collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(c.forall { case (n, bh, eh) => bh >= eh && bh <= n })
+    val fp = c.map(t => t._2 - t._3).sum
+    val nsh = c.map(_._1).sum
+    assert(fp <= math.max(2L, nsh / 100), s"$fp false positives over $nsh shingles")
+  }
+
   test("h32 is a stable unsigned 32-bit value") {
     val s = spark
     import s.implicits._
