@@ -865,6 +865,74 @@ object Events {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** CUPED pre/post boundary — mid-corpus, so both periods are dense. */
+  val CupedCutoff = "2024-01-16"
+
+  /** CUPED-adjusted experiment readout (`ev_cuped`) — the
+    * variance-reduction step every experimentation platform bolts onto
+    * the plain A/B readout (Deng, Xu, Kohavi & Walker, WSDM 2013):
+    * using each user's PRE-period spend as the covariate, the
+    * post-period arm means adjust by θ·(pre-mean of the arm − global
+    * pre-mean) with θ = cov(pre, post)/var(pre) — same expectation,
+    * strictly lower variance when pre correlates with post. The key
+    * completes the experimentation pair: `ev_abtest` gates the
+    * division-free significance TEST, this gates the ESTIMATOR the
+    * platform reports beside it.
+    *
+    * Cross-engine determinism (the `ev_markov2` discipline, extended
+    * to second moments): values become exact integer CENTS up front
+    * (round(value·100) — the corpus is 2dp money, never on a rounding
+    * boundary); every sum and cross-moment (Σpre, Σpre², Σpre·post)
+    * runs in exact DECIMAL(38,0) — n·Σ-form covariance/variance stay
+    * exact integers (headroom: the products scale ~ n²·v², inside
+    * DECIMAL(38) even at 10⁹ users of 10⁶-cent spend); each ratio is
+    * then ONE decimal→double cast per operand (identical
+    * round-to-nearest in both engines) + ONE IEEE division, rounded at
+    * 6dp; θ-adjustment is a fixed subtract-multiply-subtract chain of
+    * 6dp-rounded doubles, re-rounded at 6dp.
+    *
+    * Scale: one user_id-keyed aggregation builds (pre, post) — the
+    * combiner collapses events map-side; the global moments are ONE
+    * 5-column broadcast row; arms are a 2-group rollup. Nothing wider
+    * than the user table ever shuffles. */
+  def cuped(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val big = DecimalType(38, 0)
+    val cut = lit(CupedCutoff).cast("timestamp")
+    val cents = round(col("value") * 100, 0).cast("long")
+    val users = ev.groupBy("user_id").agg(
+      sum(when(col("ts") < cut, cents).otherwise(0L)).as("pre"),
+      sum(when(col("ts") >= cut, cents).otherwise(0L)).as("post"))
+    val g = users.agg(
+      count(lit(1)).as("n"),
+      sum(col("pre").cast(big)).as("sp"),
+      sum(col("post").cast(big)).as("so"),
+      sum(col("pre").cast(big) * col("pre")).as("spp"),
+      sum(col("pre").cast(big) * col("post")).as("spo"))
+    val gv = broadcast(g.select(
+        col("n"),
+        round(col("sp").cast(DoubleType) / col("n"), 6).as("mean_pre_all"),
+        (col("n").cast(big) * col("spo") - col("sp") * col("so"))
+          .cast(DoubleType).as("cov"),
+        (col("n").cast(big) * col("spp") - col("sp") * col("sp"))
+          .cast(DoubleType).as("vr"))
+      .select(col("mean_pre_all"),
+        when(col("vr") === 0.0, lit(0.0))
+          .otherwise(round(col("cov") / col("vr"), 6)).as("theta")))
+    users.groupBy((col("user_id") % 2).as("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("pre").cast(big)).as("spa"),
+        sum(col("post").cast(big)).as("soa"))
+      .crossJoin(gv)
+      .select(col("arm"), col("n_users"),
+        round(col("soa").cast(DoubleType) / col("n_users"), 6).as("mean_post"),
+        round(round(col("soa").cast(DoubleType) / col("n_users"), 6)
+          - col("theta") * (round(col("spa").cast(DoubleType) / col("n_users"), 6)
+            - col("mean_pre_all")), 6).as("mean_adj"),
+        col("theta"))
+      .orderBy("arm")
+  }
+
   /** EWMA horizon: terms beyond [[EwmaLags]] events back are dropped
     * (their total weight is 2^-[[EwmaLags]] ≈ 0.4 %). */
   val EwmaLags = 8
@@ -1168,6 +1236,7 @@ object Events {
     "ev_rolling"    -> ((s, d) => rollingActive(Tables.events(s, d))),
     "ev_rolling_range" -> ((s, d) => rollingRange(Tables.events(s, d))),
     "ev_ewma" -> ((s, d) => ewma(Tables.events(s, d))),
+    "ev_cuped" -> ((s, d) => cuped(Tables.events(s, d))),
     "ev_rolling_hll"-> ((s, d) => rollingActiveHll(Tables.events(s, d))),
     "ev_dwell"      -> ((s, d) => dwell(Tables.events(s, d))),
   )
@@ -1508,6 +1577,42 @@ object Events {
          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
          |  RANGE BETWEEN $RangeFrameUs PRECEDING AND CURRENT ROW)
          |ORDER BY user_id, ts, event_id""".stripMargin,
+    // exact-cents moments in DECIMAL(38,0), one cast+divide+round(6)
+    // per ratio, the same fixed θ-adjustment chain — mirrors cuped()
+    "ev_cuped" ->
+      s"""WITH cents AS (
+         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |    CAST(round(value * 100, 0) AS BIGINT) AS c
+         |  FROM events),
+         |users AS (
+         |  SELECT user_id,
+         |    CAST(sum(CASE WHEN ts < TIMESTAMP '$CupedCutoff' THEN c ELSE 0 END) AS BIGINT) AS pre,
+         |    CAST(sum(CASE WHEN ts >= TIMESTAMP '$CupedCutoff' THEN c ELSE 0 END) AS BIGINT) AS post
+         |  FROM cents GROUP BY 1),
+         |g AS (
+         |  SELECT count(*) AS n,
+         |    sum(CAST(pre AS DECIMAL(38,0))) AS sp,
+         |    sum(CAST(post AS DECIMAL(38,0))) AS so,
+         |    sum(CAST(pre AS DECIMAL(38,0)) * pre) AS spp,
+         |    sum(CAST(pre AS DECIMAL(38,0)) * post) AS spo
+         |  FROM users),
+         |gv AS (
+         |  SELECT round(CAST(sp AS DOUBLE) / n, 6) AS mean_pre_all,
+         |    CASE WHEN CAST(n * spp - sp * sp AS DOUBLE) = 0 THEN 0.0
+         |      ELSE round(CAST(n * spo - sp * so AS DOUBLE)
+         |                 / CAST(n * spp - sp * sp AS DOUBLE), 6) END AS theta
+         |  FROM g),
+         |arms AS (
+         |  SELECT user_id % 2 AS arm, count(*) AS n_users,
+         |    sum(CAST(pre AS DECIMAL(38,0))) AS spa,
+         |    sum(CAST(post AS DECIMAL(38,0))) AS soa
+         |  FROM users GROUP BY 1)
+         |SELECT arm, n_users,
+         |  round(CAST(soa AS DOUBLE) / n_users, 6) AS mean_post,
+         |  round(round(CAST(soa AS DOUBLE) / n_users, 6)
+         |    - theta * (round(CAST(spa AS DOUBLE) / n_users, 6) - mean_pre_all), 6) AS mean_adj,
+         |  theta
+         |FROM arms, gv ORDER BY arm""".stripMargin,
     // the unrolled dyadic kernel, term-by-term: round(x·2^-(j+1), 10)
     // into DECIMAL, exact 8-term sum — mirrors ewma()'s expression tree
     "ev_ewma" -> {

@@ -125,8 +125,44 @@ object Sources {
       .option("ignoreSurroundingSpaces", "false").format("xml").load(dir))
   }
 
+  /** Driver-gated SCHEMA-EVOLUTION read path (`src_evolve`, r10b) — the
+    * longest-lived production hazard of a columnar lake: one logical
+    * table whose early files were written under an OLD schema and later
+    * files under a WIDER one. Staged as two parquet generations of the
+    * corpus — gen1 (doc_id even) carries only (doc_id, text); gen2
+    * (doc_id odd) adds (lang, n_chars) — read back in ONE scan with
+    * `mergeSchema=true`: Spark unions the file footers into the widest
+    * schema and NULL-fills the absent columns of old files. The gate
+    * proves BOTH halves of that contract: gen1 rows surface as
+    * lang NULL (grouped under the NULLS FIRST row, the §4 rule) and
+    * their n_chars contributes NULL to the sum (an all-NULL group sums
+    * to NULL, identically in DuckDB).
+    *
+    * Scale note: `mergeSchema` is a FOOTER union (per-file metadata,
+    * not data) — but it reads every footer, so production tables pin
+    * the merged schema in the catalog after evolution; the per-file
+    * NULL-fill itself is free (missing columns never materialize). */
+  def evolveRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = Fixtures.dirFor("src_evolve", d, "documents")
+    if (!Fixtures.ready(dir)) {
+      val docs = graft.Tables.documents(s, d)
+      docs.where(pmod(col("doc_id"), lit(2)) === 0).select("doc_id", "text")
+        .write.mode("overwrite").parquet(dir + "/gen1")
+      docs.where(pmod(col("doc_id"), lit(2)) === 1)
+        .select("doc_id", "text", "lang", "n_chars")
+        .write.mode("overwrite").parquet(dir + "/gen2")
+    }
+    s.read.option("mergeSchema", "true").parquet(dir + "/gen1", dir + "/gen2")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("sum_chars"),
+        sum(col("n_chars")).as("sum_n"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
+    "src_evolve" -> ((s, d) => evolveRoundtrip(s, d)),
     "src_csv"   -> ((s, d) => csvRoundtrip(s, d)),
     "src_jsonl" -> ((s, d) => jsonlRoundtrip(s, d)),
     "src_orc"   -> ((s, d) => orcRoundtrip(s, d)),
@@ -140,6 +176,15 @@ object Sources {
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the merged-scan semantics derived straight from the source table:
+    // even doc_ids are the gen1 (narrow-schema) rows → lang NULL,
+    // n_chars NULL; an all-NULL group sums to NULL in both engines
+    "src_evolve" ->
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END AS lang,
+        |  count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN NULL ELSE n_chars END) AS BIGINT) AS sum_n
+        |FROM documents GROUP BY 1 ORDER BY lang NULLS FIRST""".stripMargin,
     "src_csv"   -> integritySql,
     "src_jsonl" -> integritySql,
     "src_orc"   -> integritySql,

@@ -53,6 +53,15 @@ private case class Scd2State(open: Option[(Long, Long, Double)],
   * watermark (the streaming face of `ev_transitions`' pair stream). */
 case class Transition(user_id: Long, src: String, dst: String, ts: Timestamp)
 
+/** One smoothed reading of the purchase stream (the `ev_ewma` point). */
+case class EwmaPoint(event_id: Long, user_id: Long, ewma: Double)
+
+/** Per-user EWMA state: the last ≤ 7 SEALED purchase values
+  * (most-recent first) plus buffered in-horizon events
+  * (tsUs, eventId, value). */
+private case class EwmaState(hist: List[Double],
+                             pending: List[(Long, Long, Double)])
+
 /** Per-user transition state: the last SEALED event (tsUs, type) if its
   * session can still continue, plus buffered in-horizon events
   * (tsUs, eventId, type). */
@@ -298,6 +307,57 @@ object EventStream {
           if (open.isEmpty && still.isEmpty) state.remove()
           else {
             state.update(Scd2State(open, still))
+            if (still.nonEmpty) // wake when the oldest buffered event seals
+              state.setTimeoutTimestamp(
+                Math.floorDiv(still.map(_._1).min, 1000) + 1)
+          }
+          out.result().iterator
+      }
+  }
+
+  /** Streaming EWMA — the keyed-state face of `ev_ewma`: per sealed
+    * purchase event, the dyadic 8-term trailing EWMA of that user's
+    * purchase values, bit-identical to the batch window form (each term
+    * v·2^{-(j+1)} is an exact exponent shift, rounded at 10dp HALF_UP
+    * into exact decimal, decimal-summed — the same arithmetic Spark's
+    * `round` + DECIMAL(28,10) sum performs in the batch plan). Events
+    * seal under the watermark and process in (ts, event_id) order, so
+    * out-of-order arrival cannot reorder the smoothing kernel.
+    *
+    * State is O(1) per user — the last ≤ 7 sealed values plus the
+    * in-horizon buffer — and that is the SEMANTIC minimum: EWMA has no
+    * time horizon (the next purchase, whenever it arrives, still
+    * discounts the previous seven), so unlike the sessionizer there is
+    * nothing to evict; 7 doubles per ever-seen user is the state
+    * floor. */
+  def ewma(events: Dataset[Event]): Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(_.event_type == "purchase")
+      .withWatermark("ts", WatermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[EwmaState]) =>
+          val st = state.getOption.getOrElse(EwmaState(Nil, Nil))
+          val pending = st.pending ++
+            batch.map(e => (toMicros(e.ts), e.event_id, e.value))
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          val (ripe, still) = pending.partition(_._1 < wmUs)
+          var hist = st.hist
+          val out = List.newBuilder[EwmaPoint]
+          for (e <- ripe.sortBy(t => (t._1, t._2))) {
+            val vals = e._3 :: hist
+            var acc = java.math.BigDecimal.ZERO
+            for ((v, j) <- vals.take(graft.operators.Events.EwmaLags).zipWithIndex)
+              acc = acc.add(new java.math.BigDecimal(v * math.pow(0.5, j + 1))
+                .setScale(10, java.math.RoundingMode.HALF_UP))
+            out += EwmaPoint(e._2, userId, acc.doubleValue)
+            hist = vals.take(graft.operators.Events.EwmaLags - 1)
+          }
+          if (still.isEmpty && hist.isEmpty) state.remove()
+          else {
+            state.update(EwmaState(hist, still))
             if (still.nonEmpty) // wake when the oldest buffered event seals
               state.setTimeoutTimestamp(
                 Math.floorDiv(still.map(_._1).min, 1000) + 1)

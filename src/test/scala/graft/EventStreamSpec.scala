@@ -90,6 +90,59 @@ class EventStreamSpec extends SparkSpec {
     } finally { qo.stop(); qh.stop() }
   }
 
+  test("streaming ewma replaying the purchase stream converges to batch bit-exactly") {
+    val s = spark
+    import s.implicits._
+    val batchDf = Tables.events(spark, sf)
+    val want = graft.operators.Events.ewma(batchDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val evs = batchDf
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val input = MemoryStream[Event](s)
+    val q = EventStream.ewma(input.toDS())
+      .writeStream.format("memory").queryName("sewma").outputMode("append").start()
+    try {
+      // three micro-batches, then a far-future flusher (never sealed
+      // itself, so it emits nothing) to advance the watermark past all
+      // real events
+      evs.grouped((evs.size + 2) / 3).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      input.addData(Event(-1L, ts(400000000L), -1L, "purchase", 0.0))
+      q.processAllAvailable()
+      val got = s.sql("SELECT event_id, user_id, ewma FROM sewma")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want,
+        s"ewma stream diverged: ${got.size} vs ${want.size} points; " +
+          s"sample diff ${(got diff want).take(3)} / ${(want diff got).take(3)}")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming ewma: a late within-horizon purchase re-sorts into kernel order before sealing") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[Event](s)
+    val q = EventStream.ewma(input.toDS())
+      .writeStream.format("memory").queryName("sewmalate").outputMode("append").start()
+    try {
+      // arrive out of order WITHIN the watermark horizon: e2 (t=120)
+      // before e1 (t=60); both seal only when the flusher advances the
+      // watermark, and must process as (e1, e2)
+      input.addData(Event(2L, ts(120), 7L, "purchase", 4.0))
+      q.processAllAvailable()
+      input.addData(Event(1L, ts(60), 7L, "purchase", 8.0))
+      q.processAllAvailable()
+      input.addData(Event(9L, ts(100000), 99L, "purchase", 0.0))
+      q.processAllAvailable()
+      val got = s.sql("SELECT event_id, ewma FROM sewmalate ORDER BY event_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == Seq((1L, 4.0), (2L, 4.0)),
+        s"late arrival mis-ordered the kernel: $got") // 8/2, then 4/2+8/4
+    } finally q.stop()
+  }
+
   test("streaming compact under a 3-way batch split converges to the batch snapshot") {
     val s = spark
     import s.implicits._
