@@ -865,6 +865,45 @@ object Events {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** Residuals reported by the seasonal-decomposition key. */
+  val SeasonalTopN = 50
+
+  /** SEASONAL DECOMPOSITION + RESIDUAL ANOMALIES (`ev_seasonal`) — the
+    * first thing an operational anomaly detector does with periodic
+    * traffic: remove the hour-of-day PROFILE, then rank what the
+    * profile cannot explain. Per (event_type, hour-of-day): the mean
+    * value (the classical seasonal component at daily periodicity);
+    * per event: residual = value − its cell's profile mean; output the
+    * [[SeasonalTopN]] largest |residual| events — the spikes that are
+    * anomalous GIVEN the hour, which a raw-value threshold (`ev_anomaly`)
+    * misclassifies in both directions (a normal 3 pm peak flags; a
+    * quiet-hour surge hides).
+    *
+    * Determinism: profile means go through exact integer cents
+    * (round(value·100) — 2dp money, never boundary) summed as BIGINT,
+    * ONE division by 100·n rounded at 6dp; the residual is one IEEE
+    * subtraction of identical doubles rounded at 6dp; ranking compares
+    * identical doubles, ties broken by event_id into a total order.
+    *
+    * Scale: the profile is ≤ types·24 rows — built with one
+    * combiner-friendly shuffle and BROADCAST back to the event stream
+    * (the map-side pattern: no second shuffle over events); the top-N
+    * cut is TakeOrdered (per-partition heaps, never a global sort). */
+  def seasonal(ev: DataFrame): DataFrame = {
+    val cents = round(col("value") * 100, 0).cast("long")
+    val keyed = ev.select(col("event_id"), col("event_type"), col("value"),
+      hour(col("ts")).cast("long").as("hr"), cents.as("c"))
+    val profile = keyed.groupBy("event_type", "hr")
+      .agg(sum("c").as("sc"), count(lit(1)).as("n"))
+      .select(col("event_type"), col("hr"),
+        round(col("sc").cast("double") / (col("n") * 100), 6).as("mean_v"))
+    keyed.join(broadcast(profile), Seq("event_type", "hr"))
+      .select(col("event_id"), col("event_type"), col("hr"),
+        round(col("value") - col("mean_v"), 6).as("residual"))
+      .orderBy(abs(col("residual")).desc, col("event_id"))
+      .limit(SeasonalTopN)
+  }
+
   /** CUPED pre/post boundary — mid-corpus, so both periods are dense. */
   val CupedCutoff = "2024-01-16"
 
@@ -1237,6 +1276,7 @@ object Events {
     "ev_rolling_range" -> ((s, d) => rollingRange(Tables.events(s, d))),
     "ev_ewma" -> ((s, d) => ewma(Tables.events(s, d))),
     "ev_cuped" -> ((s, d) => cuped(Tables.events(s, d))),
+    "ev_seasonal" -> ((s, d) => seasonal(Tables.events(s, d))),
     "ev_rolling_hll"-> ((s, d) => rollingActiveHll(Tables.events(s, d))),
     "ev_dwell"      -> ((s, d) => dwell(Tables.events(s, d))),
   )
@@ -1577,6 +1617,23 @@ object Events {
          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
          |  RANGE BETWEEN $RangeFrameUs PRECEDING AND CURRENT ROW)
          |ORDER BY user_id, ts, event_id""".stripMargin,
+    // the same cents-exact profile, one 6dp division per cell, one 6dp
+    // residual subtraction, (|residual| desc, event_id) total order
+    "ev_seasonal" ->
+      s"""WITH keyed AS (
+         |  SELECT event_id, event_type, value,
+         |    hour(CAST(ts AS TIMESTAMP)) AS hr,
+         |    CAST(round(value * 100, 0) AS BIGINT) AS c
+         |  FROM events),
+         |profile AS (
+         |  SELECT event_type, hr,
+         |    round(CAST(sum(c) AS DOUBLE) / (count(*) * 100), 6) AS mean_v
+         |  FROM keyed GROUP BY 1, 2)
+         |SELECT k.event_id, k.event_type, k.hr,
+         |  round(k.value - p.mean_v, 6) AS residual
+         |FROM keyed k JOIN profile p USING (event_type, hr)
+         |ORDER BY abs(round(k.value - p.mean_v, 6)) DESC, k.event_id
+         |LIMIT $SeasonalTopN""".stripMargin,
     // exact-cents moments in DECIMAL(38,0), one cast+divide+round(6)
     // per ratio, the same fixed θ-adjustment chain — mirrors cuped()
     "ev_cuped" ->

@@ -927,6 +927,54 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** LPA rounds over the k-NN graph — fixed (the wc_lpa
+    * static-plan-depth rule), so the key gates the 2-round partition. */
+  val GraphLpaRounds = 2
+
+  /** EMBEDDING CLUSTERS VIA GRAPH COMMUNITIES (`ann_graph_cluster`,
+    * r10b) — label propagation over the [[knnGraph]] edge list: the
+    * graph-based clustering route vector pipelines take when k-means'
+    * sphericity assumption fails (diversity sampling, cluster-balanced
+    * data selection, near-dup group discovery all run exactly this —
+    * cluster the NEighborhood graph, not the raw space). Edges are the
+    * k-NN graph's, symmetrized; two synchronous LPA rounds (Raghavan et
+    * al. 2007, the `wc_lpa` machinery on numeric vertices): every
+    * vector starts as its own label, adopts the most frequent neighbor
+    * label each round (tie → max label — total order). Output: top-20
+    * communities by (size desc, label) with min/max member.
+    *
+    * Scale: the edge frame is KnnK-bounded (≤ 2kn rows) — orders of
+    * magnitude narrower than the vectors, which never enter this
+    * operator at all (the graph IS the index); per round one
+    * edge-keyed join + two combiner aggregates + one argmax join, all
+    * id-width; rounds fixed. Composition: knnGraph builds per-cell,
+    * `ann_nn_descent` refines across cells, THIS clusters the result —
+    * three gated operators, one shared edge list. */
+  def graphClusters(em: DataFrame): DataFrame = {
+    val g = knnEdges(em).select(col("vec_id"), col("neighbor_id"))
+    val edges = g.unionAll(
+        g.select(col("neighbor_id").as("vec_id"), col("vec_id").as("neighbor_id")))
+      .distinct()
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .persist()
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to GraphLpaRounds) {
+      val c = edges.join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val m = c.groupBy("node").agg(max("cnt").as("mc"))
+      val pick = c.join(m, "node").where(col("cnt") === col("mc"))
+        .groupBy("node").agg(max("label").as("nl"))
+      labels = labels.join(pick, Seq("node"), "left")
+        .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
+    }
+    labels.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), min("node").as("v_min"), max("node").as("v_max"))
+      .orderBy(col("n_vecs").desc, col("label"))
+      .limit(20)
+  }
+
   // ---- Product quantization (`ann_pq`) ----
 
   val PqM = 4     // subspaces
@@ -1360,6 +1408,7 @@ object Similarity {
     "ann_ivf"        -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
     "ann_knn_graph"  -> ((s, d) => knnGraph(Tables.embeddings(s, d))),
     "ann_nn_descent" -> ((s, d) => nnDescent(Tables.embeddings(s, d))),
+    "ann_graph_cluster" -> ((s, d) => graphClusters(Tables.embeddings(s, d))),
     "ann_ivf_trained"-> ((s, d) => ivfTrained(s, d)),
     "ann_ivf_upsert" -> ((s, d) => ivfUpsert(s, d)),
     "dedup_semantic" -> ((s, d) => semanticDedup(s, d)),
@@ -1817,6 +1866,48 @@ object Similarity {
          |  JOIN embeddings q ON q.vec_id = a.vec_id
          |  JOIN embeddings n ON n.vec_id = b.vec_id) t
          |WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin,
+    // the wc_lpa oracle shape over the knn-graph CTE: two unrolled
+    // rounds, argmax as max-count-then-max-label (no arg_max tie-break)
+    "ann_graph_cluster" -> {
+      def round(i: Int) = {
+        val prev = s"l${i - 1}"
+        s"""c$i AS (
+           |  SELECT e.src AS node, l.label, count(*) AS cnt
+           |  FROM e JOIN $prev l ON l.node = e.dst GROUP BY 1, 2),
+           |m$i AS (SELECT node, max(cnt) AS mc FROM c$i GROUP BY 1),
+           |p$i AS (SELECT c$i.node, max(c$i.label) AS nl
+           |  FROM c$i JOIN m$i USING (node) WHERE cnt = mc GROUP BY 1),
+           |l$i AS (SELECT l.node, coalesce(p$i.nl, l.label) AS label
+           |  FROM $prev l LEFT JOIN p$i USING (node))""".stripMargin
+      }
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, $V AS cv FROM embeddings
+         |  WHERE vec_id % $CentroidStride = 0),
+         |assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.$V, c.cv) DESC, c.cent_id) AS crn
+         |    FROM embeddings e, cents c) a WHERE crn = 1),
+         |g AS (
+         |  SELECT vec_id, neighbor_id FROM (
+         |    SELECT a.vec_id, b.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, b.vec_id) AS rank
+         |    FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |    JOIN embeddings q ON q.vec_id = a.vec_id
+         |    JOIN embeddings n ON n.vec_id = b.vec_id) t
+         |  WHERE rank <= $KnnK),
+         |e AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT vec_id AS src, neighbor_id AS dst FROM g
+         |    UNION ALL SELECT neighbor_id, vec_id FROM g) u),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         |${(1 to GraphLpaRounds).map(round).mkString(",\n")}
+         |SELECT label, count(*) AS n_vecs, min(node) AS v_min, max(node) AS v_max
+         |FROM l$GraphLpaRounds GROUP BY 1
+         |ORDER BY n_vecs DESC, label LIMIT 20""".stripMargin
+    },
     // one NN-descent round over the seed graph CTE (cell edges ∪
     // deterministic random edges): candidates = forward ∪ reverse ∪
     // 2-hop edges, deduped, re-ranked by exact cosine

@@ -372,6 +372,27 @@ class EventsSpec extends SparkSpec {
     assert(r(5L) == 16.0 * 0.5)                           // user 20 unaffected
   }
 
+  test("seasonal: residuals measured against the hour-of-day profile, ranked by magnitude") {
+    val sp = spark
+    import sp.implicits._
+    def at(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val d = Seq(
+      (1L, 1L, at(9, 0), "view", 10.0),
+      (2L, 1L, at(9, 30), "view", 20.0),   // hour-9 view mean = 60
+      (3L, 1L, at(9, 40), "view", 150.0),  // residual +90 — the spike
+      (4L, 2L, at(14, 0), "click", 100.0)) // alone in its cell: residual 0
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val r = Events.seasonal(d).collect()
+      .map(x => (x.getLong(0), x.getDouble(3)))
+    assert(r.head == ((3L, 90.0)), s"top residual wrong: ${r.toSeq}") // 150 − 60
+    assert(r.map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+    assert(r.find(_._1 == 4L).get._2 == 0.0)
+    // magnitudes non-increasing, ties by event_id
+    val mags = r.map { case (id, res) => (math.abs(res), id) }
+    assert(mags.sliding(2).forall {
+      case Array((a, i), (b, j)) => a > b || (a == b && i < j); case _ => true })
+  }
+
   test("rollingActive: trailing-7 coverage, zero-coverage gap days kept as 0") {
     val s = spark
     import s.implicits._

@@ -78,6 +78,31 @@ class SimilaritySpec extends SparkSpec {
     info(s"refinement changed $changed of ${g0.size} neighbor lists")
   }
 
+  test("graphClusters: matches an independent 2-round LPA replay over the knn graph") {
+    val g = Similarity.knnGraph(em).collect().map(r => (r.getLong(0), r.getLong(2)))
+    val edges = (g ++ g.map(_.swap)).distinct
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    var labels = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to Similarity.GraphLpaRounds) {
+      val next = labels.map { case (node, lab) =>
+        val counts = adj(node).map(labels).groupBy(identity).view.mapValues(_.size).toMap
+        if (counts.isEmpty) node -> lab
+        else {
+          val mc = counts.values.max
+          node -> counts.filter(_._2 == mc).keys.max
+        }
+      }
+      labels = next
+    }
+    val want = labels.groupBy(_._2).map { case (lab, m) =>
+      (lab, m.size.toLong, m.keys.min, m.keys.max) }.toSeq
+      .sortBy { case (lab, n, _, _) => (-n, lab) }.take(20)
+    val got = Similarity.graphClusters(em).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, s"got ${got.take(5)}...\nwant ${want.take(5)}...")
+    assert(got.size > 1, "degenerate single community")
+  }
+
   test("cosine of a vector with itself is 1") {
     val s = spark
     import s.implicits._
