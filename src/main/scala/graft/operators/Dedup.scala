@@ -772,6 +772,52 @@ object Dedup {
       .selectExpr("doc_id", "graft_simhash32(text) AS simhash").orderBy("doc_id")
   }
 
+  /** ppm per signature component — 10⁶/[[NumHashes]], exact. */
+  val PpmPerComponent: Long = 1000000L / NumHashes
+
+  /** b-BIT MINHASH (`dedup_minhash_bbit`) — Li & König's
+    * space-optimal variant (WWW 2010, b = 1): store only the LOWEST
+    * BIT of each of the [[NumHashes]] signature minima — 16 bits ≈ 2
+    * bytes per doc where the full signature is 128 — and correct the
+    * estimator for the random bit collisions: a non-matching component
+    * still agrees on its low bit half the time, so
+    * E[m₁/16] = ½ + J/2 ⇒ Ĵ₁ = 2·(m₁/16 − ½). Per LSH candidate pair:
+    * the full-signature agreement m_full (the `dedup_minhash_est`
+    * gauge), the 1-bit agreement m_1bit, and both estimates as EXACT
+    * ppm integers — j16_ppm = m_full·62500,
+    * j1_ppm = (2·m₁ − 16)·62500 (the corrected estimator is unbiased,
+    * not non-negative: a below-random bit agreement legitimately goes
+    * negative, and the gate keeps it).
+    *
+    * Scale: the whole point — at 10¹⁰ documents the full signature
+    * store is 1.28 TB, the 1-bit store 20 GB (fits one broadcast tier
+    * higher in the memory hierarchy); candidates come from the SAME
+    * band join (the index is unchanged — b-bit compresses the
+    * VERIFICATION payload, not the LSH); the pair frame rides two
+    * 16-component signature joins, skinny either way at sketch widths.
+    * Spec pins |Ĵ₁ − Ĵ₁₆| ≤ ½ on average (the b = 1 variance cost,
+    * measured) and Ĵ₁ = Ĵ₁₆ = 1 on identical signatures. */
+  def minhashBbit(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs).localCheckpoint(true)
+    val pairs = minhashCandidates(docs)
+    val sa = sig.select(col("doc_id").as("doc_a") +:
+      (0 until NumHashes).map(j => col(s"s$j").as(s"a$j")): _*)
+    val sb = sig.select(col("doc_id").as("doc_b") +:
+      (0 until NumHashes).map(j => col(s"s$j").as(s"b$j")): _*)
+    val mFull = (0 until NumHashes)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val m1 = (0 until NumHashes)
+      .map(j => when(col(s"a$j") % 2 === col(s"b$j") % 2, 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        mFull.as("m_full"), m1.as("m_1bit"),
+        (mFull * PpmPerComponent).as("j16_ppm"),
+        ((m1 * 2L - NumHashes) * PpmPerComponent).as("j1_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Bloom sizing: bits per stored key (m = 16·n) and hash count. At
     * 16 bits/key with k = 4 the fill is 1−e^(−1/4) ≈ 22 % and the
     * false-positive rate ≈ 0.22⁴ ≈ 0.24 % — and because m DERIVES from
@@ -842,6 +888,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "dedup_exact"          -> ((s, d) => exact(Tables.documents(s, d))),
     "dedup_bloom"          -> ((s, d) => bloomDedup(Tables.documents(s, d))),
+    "dedup_minhash_bbit"   -> ((s, d) => minhashBbit(Tables.documents(s, d))),
     "dedup_minhash"        -> ((s, d) => minhashBands(Tables.documents(s, d))),
     "dedup_minhash_pairs"  -> ((s, d) => minhashPairs(Tables.documents(s, d))),
     "dedup_minhash_est"    -> ((s, d) => minhashEstimate(Tables.documents(s, d))),
@@ -1031,6 +1078,26 @@ object Dedup {
          |  CAST(n_common AS BIGINT) AS n_common, CAST(n_union AS BIGINT) AS n_union,
          |  round(est_matches * 1.0 / $NumHashes, 6) AS est_jaccard,
          |  round(n_common * 1.0 / n_union, 6) AS jaccard
+         |FROM base ORDER BY doc_a, doc_b""".stripMargin
+    },
+    // same candidates, same signatures — the 1-bit agreement and the
+    // bias-corrected estimator as exact ppm integers
+    "dedup_minhash_bbit" -> {
+      val matchSum = (0 until NumHashes)
+        .map(j => s"CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END").mkString(" + ")
+      val bitSum = (0 until NumHashes)
+        .map(j => s"CASE WHEN sa.s$j % 2 = sb.s$j % 2 THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH pairs AS (${bandPairsSql("documents")}),
+         |sig AS (${sigSql("documents")}),
+         |base AS (SELECT p.doc_a, p.doc_b,
+         |    CAST($matchSum AS BIGINT) AS m_full,
+         |    CAST($bitSum AS BIGINT) AS m_1bit
+         |  FROM pairs p
+         |  JOIN sig sa ON sa.doc_id = p.doc_a
+         |  JOIN sig sb ON sb.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, m_full, m_1bit,
+         |  m_full * $PpmPerComponent AS j16_ppm,
+         |  (m_1bit * 2 - $NumHashes) * $PpmPerComponent AS j1_ppm
          |FROM base ORDER BY doc_a, doc_b""".stripMargin
     },
     // same candidates, same signatures — thresholded at the sketch, no

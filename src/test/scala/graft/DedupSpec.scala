@@ -129,6 +129,34 @@ class DedupSpec extends SparkSpec {
     assert(fp <= math.max(2L, nsh / 100), s"$fp false positives over $nsh shingles")
   }
 
+  test("minhashBbit: identical docs estimate 1.0 under both widths; b=1 tracks the full signature") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),  // identical → same signature
+      (3L, "zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val r = Dedup.minhashBbit(d).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), (x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))))
+      .toMap
+    assert(r.contains((1L, 2L)))
+    assert(r((1L, 2L)) == ((16L, 16L, 1000000L, 1000000L)))
+    // corpus invariants: m_1bit ≥ m_full (a matching component always
+    // matches on its bit), ppm algebra exact, and the b=1 estimator
+    // stays within its variance envelope of the full one on average
+    val c = Dedup.minhashBbit(docs).collect()
+      .map(x => (x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))
+    assert(c.nonEmpty)
+    c.foreach { case (mf, m1, j16, j1) =>
+      assert(m1 >= mf, s"bit agreement $m1 below full agreement $mf")
+      assert(j16 == mf * Dedup.PpmPerComponent)
+      assert(j1 == (m1 * 2 - Dedup.NumHashes) * Dedup.PpmPerComponent)
+    }
+    val meanAbs = c.map(t => math.abs(t._4 - t._3)).sum.toDouble / c.length
+    assert(meanAbs <= 500000.0, s"b=1 estimator drifted: mean |Δ| = $meanAbs ppm")
+  }
+
   test("h32 is a stable unsigned 32-bit value") {
     val s = spark
     import s.implicits._
