@@ -724,7 +724,12 @@ object Dedup {
     * just that run arithmetic agrees.
     *
     * Scale: never all-pairs — candidates come only from shared-digest
-    * postings, capped at [[SpanPostCap]] occurrences; the islands
+    * postings, capped at [[SpanPostCap]] occurrences, and the cap's
+    * document-frequency count is a map-side-combinable groupBy + semi-
+    * join (NOT a partitionBy(digest) window, which would shuffle a
+    * 10⁸-occurrence boilerplate shingle's every row into one partition
+    * before the cap could filter it — the straggler the cap exists to
+    * avoid); the islands
     * window partitions by (pair, diagonal), bounded by the shorter
     * doc's length; shingles shuffle as fixed-width digests; final
     * top-K is a sort-limit (TakeOrdered), and the 20-row result joins
@@ -735,9 +740,16 @@ object Dedup {
     val pg = dw
       .select(col("doc_id"), posexplode(grams(col("ws"), SpanK)).as(Seq("p0", "g")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), md5(col("g")).as("gh"))
-    val capped = pg
-      .withColumn("post", count(lit(1)).over(Window.partitionBy("gh")))
-      .where(col("post") <= SpanPostCap)
+    // digest document-frequency via a map-side-combinable groupBy, NOT a
+    // partitionBy("gh") window: a boilerplate shingle repeated 10⁸ times
+    // at 100 TB would otherwise shuffle ALL its occurrences into one
+    // window partition BEFORE the cap filters them — the straggler the
+    // cap exists to avoid. The combiner collapses hot digests map-side;
+    // only (gh, count) pairs ride the shuffle, and the ≤cap survivors
+    // semi-join back.
+    val rare = pg.groupBy("gh").agg(count(lit(1)).as("post"))
+      .where(col("post") <= SpanPostCap).select("gh")
+    val capped = pg.join(rare, Seq("gh"), "left_semi")
     val a = capped.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"), col("gh"))
     val b = capped.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"), col("gh"))
     val wDiag = Window

@@ -900,7 +900,15 @@ object Similarity {
     * 100 TB this is the standard NN-descent shard shape: the edge frame
     * is orders of magnitude narrower than the vectors, and each round
     * is two self-joins of it. */
-  def nnDescent(em: DataFrame): DataFrame = {
+  def nnDescent(em: DataFrame): DataFrame =
+    nnDescentEdges(em)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"))
+      .orderBy("vec_id", "rank")
+
+  /** The refined ranked edge list (vec_id, rank, neighbor_id) —
+    * [[nnDescent]] without the output sort, shared with the
+    * query-time graph traversal [[graphSearch]]. */
+  private[graft] def nnDescentEdges(em: DataFrame): DataFrame = {
     val cell = knnEdges(em).select(col("vec_id"), col("neighbor_id"))
     val nRow = broadcast(em.agg(count(lit(1)).as("n_corpus")))
     val rnd = em.select(col("vec_id")).crossJoin(nRow)
@@ -923,8 +931,104 @@ object Similarity {
       .join(qv.select(col("vec_id").as("neighbor_id"), col("v").as("nv")), "neighbor_id")
       .select(col("vec_id"), col("neighbor_id"), cosine(col("v"), col("nv")).as("cos"))
     graft.plans.TopKPlans.topKPerKey(scored, "vec_id", "cos", "neighbor_id", KnnK, "rank")
-      .select(col("vec_id"), col("rank"), col("neighbor_id"))
-      .orderBy("vec_id", "rank")
+  }
+
+  /** Beam width kept per query per traversal round — must clear
+    * [[TopK]] + 1 so the self-match occupying a beam slot never
+    * starves the output. */
+  val Beam = 8
+  /** Fixed traversal rounds — the [[GraphLpaRounds]]/`wc_bfs`
+    * static-plan-depth rule: the key gates the 4-round beam expansion,
+    * not a converged search. */
+  val BeamRounds = 4
+  /** Deterministic traversal entry vertex (HNSW keeps one global entry
+    * point; vec_id 0 exists in every corpus the suite reads). */
+  val EntryId = 0L
+
+  /** GRAPH-ANN QUERY-TIME SEARCH (`ann_graph_search`, r11) — the
+    * primitive the graph indexes exist for, closing the family's
+    * build/search gap: `ann_knn_graph` BUILDS the neighbor lists and
+    * `ann_nn_descent` REFINES them, but until now every query-path key
+    * probed IVF cells — this key ANSWERS QUERIES by traversing the
+    * refined graph, the greedy/beam-search primitive of the HNSW class
+    * (Malkov & Yashunin 2016; HNSW's layer 0 search IS beam search
+    * with ef = beam width). From the single deterministic entry vertex
+    * [[EntryId]] (HNSW keeps one global entry point), every query runs
+    * [[BeamRounds]] synchronous beam rounds over the SYMMETRIZED
+    * refined edge set (HNSW links are traversed both ways): each round
+    * the candidate set is beam ∪ neighbors(beam), re-ranked by exact
+    * query cosine, top-[[Beam]] kept (ties by cand_id — total order;
+    * beam ⊆ candidates makes per-query best-so-far monotone, the
+    * visited-set-free bounded-round form of best-first search). Output:
+    * the final beam minus the query itself, top-[[TopK]] as
+    * (query_id, rank, neighbor_id) — the ann family's id-only gate.
+    *
+    * Scale: the iteration is the `wc_bfs` frontier shape on a
+    * CANDIDATE-BOUNDED frontier — per round ONE equi-join of the beam
+    * (|Q|·[[Beam]] id pairs) against the (k+[[NndRndInit]])·2n-bounded
+    * edge frame, producing ≤ |Q|·Beam·(deg+1) skinny candidates, then
+    * one vector attach by id and the native grouped top-k cut; the
+    * corpus is NEVER scanned per query (the whole point vs
+    * `ann_bruteforce`'s n·q); rounds fixed → static plan depth; each
+    * round persists and releases its predecessor (the `wc_lpa` cache
+    * rule). The oracle unrolls the identical rounds as CTEs over the
+    * shared NN-descent graph chain. Recall vs exact is a dial of
+    * (Beam, BeamRounds, graph degree) — measured in the spec, not
+    * gated (the gate pins the traversal itself). */
+  def graphSearch(em: DataFrame): DataFrame = {
+    // persist the refined lists BEFORE symmetrizing: the union's two
+    // branches otherwise each re-execute the whole nn-descent build
+    // (Spark reuses no common subtree across union branches — measured
+    // 2× the build cost at 100×)
+    val g = nnDescentEdges(em).select(col("vec_id"), col("neighbor_id")).persist()
+    val ge = g.unionAll(
+        g.select(col("neighbor_id").as("vec_id"), col("vec_id").as("neighbor_id")))
+      .distinct()
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .persist()
+    // the candidate-side vectors, hash-partitioned on the join key and
+    // CACHED once: every round's re-rank then shuffles only its skinny
+    // candidate frame into this partitioning — without the cache each
+    // of the BeamRounds+1 re-ranks re-scanned and re-shuffled the full
+    // corpus vector table (measured 54 s vs 22 s at 100×)
+    val cvc = corpusVecs(em)
+      .select(col("vec_id").as("cand_id"), col("v"))
+      .repartition(col("cand_id"))
+      .persist()
+    val qv = corpusVecs(em).where(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .persist()
+    def rerank(cand: DataFrame, k: Int): DataFrame = {
+      // SHUFFLE_HASH, not sort-merge: SMJ would re-SORT the wide
+      // cached vector side every round (64-double rows × 32 competing
+      // sort buffers = spill thrash); a per-partition hash map of
+      // ~n/parallelism vectors builds in memory trivially
+      val scored = cand
+        .join(cvc.hint("SHUFFLE_HASH"), "cand_id")
+        .join(qv, "query_id")
+        .select(col("query_id"), col("cand_id"), cosine(col("qv"), col("v")).as("cos"))
+      graft.plans.TopKPlans.topKPerKey(scored, "query_id", "cos", "cand_id", k, "rank")
+    }
+    // localCheckpoint, not persist: each round references the beam
+    // TWICE (beam ∪ beam⋈edges), so a persist-only loop doubles the
+    // LOGICAL plan per round — by round 4 Catalyst re-analyzes a
+    // 450k-line tree and the driver, not the data, is the bottleneck
+    // (measured 22 s for a 32k-row round). The checkpoint truncates
+    // lineage to a LogicalRDD: constant plan depth, constant round
+    // cost (the `dedup_cluster` iteration rule applied to search).
+    var beam = qv.select(col("query_id"), lit(EntryId).as("cand_id"))
+      .localCheckpoint(true)
+    for (_ <- 1 to BeamRounds) {
+      val expanded = beam.unionAll(
+          beam.join(ge, beam("cand_id") === ge("src"))
+            .select(beam("query_id"), col("dst").as("cand_id")))
+        .distinct()
+      beam = rerank(expanded, Beam).select("query_id", "cand_id")
+        .localCheckpoint(true)
+    }
+    rerank(beam.where(col("cand_id") =!= col("query_id")), TopK)
+      .select(col("query_id"), col("rank"), col("cand_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
   }
 
   /** LPA rounds over the k-NN graph — fixed (the wc_lpa
@@ -951,7 +1055,9 @@ object Similarity {
     * `ann_nn_descent` refines across cells, THIS clusters the result —
     * three gated operators, one shared edge list. */
   def graphClusters(em: DataFrame): DataFrame = {
-    val g = knnEdges(em).select(col("vec_id"), col("neighbor_id"))
+    // persisted before the symmetrizing union — its two branches would
+    // otherwise each re-execute the graph build (the graphSearch lesson)
+    val g = knnEdges(em).select(col("vec_id"), col("neighbor_id")).persist()
     val edges = g.unionAll(
         g.select(col("neighbor_id").as("vec_id"), col("vec_id").as("neighbor_id")))
       .distinct()
@@ -1408,6 +1514,7 @@ object Similarity {
     "ann_ivf"        -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
     "ann_knn_graph"  -> ((s, d) => knnGraph(Tables.embeddings(s, d))),
     "ann_nn_descent" -> ((s, d) => nnDescent(Tables.embeddings(s, d))),
+    "ann_graph_search" -> ((s, d) => graphSearch(Tables.embeddings(s, d))),
     "ann_graph_cluster" -> ((s, d) => graphClusters(Tables.embeddings(s, d))),
     "ann_ivf_trained"-> ((s, d) => ivfTrained(s, d)),
     "ann_ivf_upsert" -> ((s, d) => ivfUpsert(s, d)),
@@ -1423,6 +1530,59 @@ object Similarity {
   // ---- DuckDB oracles ----
 
   private val V = "embedding::DOUBLE[]"
+
+  /** The NN-descent refined-graph CTE chain (→ CTE `refined(vec_id,
+    * rank, neighbor_id)`): stride centroids → 1-probe assignment →
+    * cell edges → deterministic random seed edges → forward ∪ reverse
+    * ∪ 2-hop candidates → exact-cosine top-[[KnnK]]. Shared verbatim by
+    * the `ann_nn_descent` gate and the `ann_graph_search` traversal —
+    * the graph the search walks IS the graph the refinement gate
+    * proves. */
+  private def nndRefinedCtesSql: String =
+    s"""cents AS (
+       |  SELECT vec_id AS cent_id, $V AS cv FROM embeddings
+       |  WHERE vec_id % $CentroidStride = 0),
+       |assign AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.$V, c.cv) DESC, c.cent_id) AS crn
+       |    FROM embeddings e, cents c) a WHERE crn = 1),
+       |cellg AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, b.vec_id) AS rank
+       |    FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |    JOIN embeddings q ON q.vec_id = a.vec_id
+       |    JOIN embeddings n ON n.vec_id = b.vec_id) t
+       |  WHERE rank <= $KnnK),
+       |rnd AS (
+       |  SELECT e.vec_id,
+       |    ('0x' || substr(md5('nnd:' || e.vec_id::VARCHAR || ':' || j::VARCHAR), 1, 8))::BIGINT
+       |      % (SELECT count(*) FROM embeddings) AS neighbor_id
+       |  FROM embeddings e, generate_series(1, $NndRndInit) t(j)),
+       |g AS MATERIALIZED (
+       |  SELECT DISTINCT vec_id, neighbor_id FROM (
+       |    SELECT vec_id, neighbor_id FROM cellg
+       |    UNION ALL SELECT vec_id, neighbor_id FROM rnd) s
+       |  WHERE vec_id <> neighbor_id),
+       |cand AS (
+       |  SELECT DISTINCT vec_id, neighbor_id FROM (
+       |    SELECT vec_id, neighbor_id FROM g
+       |    UNION ALL SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM g
+       |    UNION ALL SELECT g1.vec_id, g2.neighbor_id
+       |      FROM g g1 JOIN g g2 ON g2.vec_id = g1.neighbor_id) u
+       |  WHERE vec_id <> neighbor_id),
+       |refined AS MATERIALIZED (
+       |  SELECT vec_id, rank, neighbor_id FROM (
+       |    SELECT c.vec_id, c.neighbor_id,
+       |      row_number() OVER (PARTITION BY c.vec_id
+       |        ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, c.neighbor_id) AS rank
+       |    FROM cand c
+       |    JOIN embeddings q ON q.vec_id = c.vec_id
+       |    JOIN embeddings n ON n.vec_id = c.neighbor_id) t
+       |  WHERE rank <= $KnnK)""".stripMargin
 
   /** Unrolled `±v[1] ±v[2] …` for one plane — literal signs, same
     * left-to-right fold as [[signedSum]]. */
@@ -1910,51 +2070,51 @@ object Similarity {
     },
     // one NN-descent round over the seed graph CTE (cell edges ∪
     // deterministic random edges): candidates = forward ∪ reverse ∪
-    // 2-hop edges, deduped, re-ranked by exact cosine
+    // 2-hop edges, deduped, re-ranked by exact cosine — the shared
+    // `refined` chain, so the traversal oracle composes it verbatim
     "ann_nn_descent" ->
-      s"""WITH cents AS (
-         |  SELECT vec_id AS cent_id, $V AS cv FROM embeddings
-         |  WHERE vec_id % $CentroidStride = 0),
-         |assign AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT e.vec_id, c.cent_id AS cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY list_cosine_similarity(e.$V, c.cv) DESC, c.cent_id) AS crn
-         |    FROM embeddings e, cents c) a WHERE crn = 1),
-         |cellg AS (
-         |  SELECT vec_id, neighbor_id FROM (
-         |    SELECT a.vec_id, b.vec_id AS neighbor_id,
-         |      row_number() OVER (PARTITION BY a.vec_id
-         |        ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, b.vec_id) AS rank
-         |    FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
-         |    JOIN embeddings q ON q.vec_id = a.vec_id
-         |    JOIN embeddings n ON n.vec_id = b.vec_id) t
-         |  WHERE rank <= $KnnK),
-         |rnd AS (
-         |  SELECT e.vec_id,
-         |    ('0x' || substr(md5('nnd:' || e.vec_id::VARCHAR || ':' || j::VARCHAR), 1, 8))::BIGINT
-         |      % (SELECT count(*) FROM embeddings) AS neighbor_id
-         |  FROM embeddings e, generate_series(1, $NndRndInit) t(j)),
-         |g AS (
-         |  SELECT DISTINCT vec_id, neighbor_id FROM (
-         |    SELECT vec_id, neighbor_id FROM cellg
-         |    UNION ALL SELECT vec_id, neighbor_id FROM rnd) s
-         |  WHERE vec_id <> neighbor_id),
-         |cand AS (
-         |  SELECT DISTINCT vec_id, neighbor_id FROM (
-         |    SELECT vec_id, neighbor_id FROM g
-         |    UNION ALL SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM g
-         |    UNION ALL SELECT g1.vec_id, g2.neighbor_id
-         |      FROM g g1 JOIN g g2 ON g2.vec_id = g1.neighbor_id) u
-         |  WHERE vec_id <> neighbor_id)
-         |SELECT vec_id, rank, neighbor_id FROM (
-         |  SELECT c.vec_id, c.neighbor_id,
-         |    row_number() OVER (PARTITION BY c.vec_id
-         |      ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, c.neighbor_id) AS rank
-         |  FROM cand c
-         |  JOIN embeddings q ON q.vec_id = c.vec_id
-         |  JOIN embeddings n ON n.vec_id = c.neighbor_id) t
-         |WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin,
+      s"""WITH $nndRefinedCtesSql
+         |SELECT vec_id, rank, neighbor_id FROM refined
+         |ORDER BY vec_id, rank""".stripMargin,
+    // the SAME refined-graph chain, symmetrized, then BeamRounds beam
+    // rounds unrolled as CTEs: candidates = beam ∪ neighbors(beam),
+    // re-ranked by exact query cosine, top-Beam kept; final beam minus
+    // the query itself cut at TopK
+    "ann_graph_search" -> {
+      def round(i: Int) =
+        s"""x$i AS MATERIALIZED (
+           |  SELECT DISTINCT query_id, cand_id FROM (
+           |    SELECT query_id, cand_id FROM b${i - 1}
+           |    UNION ALL SELECT b.query_id, e.dst AS cand_id
+           |      FROM b${i - 1} b JOIN ge e ON e.src = b.cand_id) u),
+           |b$i AS MATERIALIZED (
+           |  SELECT query_id, cand_id FROM (
+           |    SELECT x.query_id, x.cand_id,
+           |      row_number() OVER (PARTITION BY x.query_id
+           |        ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, x.cand_id) AS rn
+           |    FROM x$i x
+           |    JOIN embeddings q ON q.vec_id = x.query_id
+           |    JOIN embeddings n ON n.vec_id = x.cand_id) t
+           |  WHERE rn <= $Beam)""".stripMargin
+      s"""WITH $nndRefinedCtesSql,
+         |ge AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT vec_id AS src, neighbor_id AS dst FROM refined
+         |    UNION ALL SELECT neighbor_id, vec_id FROM refined) u),
+         |b0 AS MATERIALIZED (
+         |  SELECT vec_id AS query_id, CAST($EntryId AS BIGINT) AS cand_id
+         |  FROM embeddings WHERE vec_id % $QueryStride = 0),
+         |${(1 to BeamRounds).map(round).mkString(",\n")}
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT b.query_id, b.cand_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY b.query_id
+         |      ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, b.cand_id) AS rank
+         |  FROM b$BeamRounds b
+         |  JOIN embeddings q ON q.vec_id = b.query_id
+         |  JOIN embeddings n ON n.vec_id = b.cand_id
+         |  WHERE b.cand_id <> b.query_id) t
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+    },
     "ann_ivf" -> ivfSql(
       s"""SELECT vec_id AS cent_id, $V AS cv FROM embeddings
          |  WHERE vec_id % $CentroidStride = 0""".stripMargin),

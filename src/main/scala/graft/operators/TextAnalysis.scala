@@ -601,6 +601,56 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("n_subwords").as("n_tokens")),
       broadcastOffs = docs.count() <= PackBroadcastMaxDocs)
 
+  /** Documents per training shard. */
+  val ShardSize = 256L
+
+  /** SEEDED DETERMINISTIC SHARD SHUFFLE (`text_shard`, r11) — the last
+    * step between [[packing]] and a training run: a training corpus is
+    * globally SHUFFLED (so every shard is an unbiased sample and data
+    * order doesn't correlate with ingestion order) and packed into
+    * fixed-size shards a dataloader can address as (shard_id,
+    * shard_pos). The permutation is the h32 discipline every gated
+    * sampler uses — key = h32("shard", doc_id), a seeded hash so the
+    * shuffle is REPRODUCIBLE (same seed ⇒ same training order, the
+    * property experiment reruns depend on) — and the global position is
+    * the rank in (key, doc_id) order (doc_id breaks hash collisions:
+    * a total order, so both engines produce the identical permutation).
+    * Output: (doc_id, position, shard_id, shard_pos), all integer.
+    *
+    * Scale: global rank is the `Sources.globalOffsets` two-phase
+    * DISTRIBUTED SCAN transposed onto the hash-key order — never a
+    * single-task global rank: (1) range-partition by (key, doc_id), so
+    * each shuffle partition holds a contiguous run of the permutation
+    * (h32 is uniform, so ranges are balanced — no skew salt needed);
+    * (2) local row_number per partition (parallel); (3) per-partition
+    * counts → a PARTITION-COUNT-sized bases frame whose own prefix scan
+    * is one tiny single-task window — O(#partitions) scalars, cluster
+    * topology not data volume, always broadcastable back. Partition
+    * boundaries are pure implementation: base + local rank is the same
+    * global rank wherever the range sampler cuts — so the oracle
+    * mirrors only the permutation arithmetic (one row_number over
+    * (key, doc_id)). */
+  def sharding(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.select(col("doc_id"),
+        Dedup.h32(lit("shard"), col("doc_id").cast("string")).as("k"))
+      .repartitionByRange(col("k"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val wLoc = Window.partitionBy("pid").orderBy("k", "doc_id")
+    val wBases = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val bases = keyed.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("base", coalesce(sum("cnt").over(wBases), lit(0L)))
+      .select("pid", "base")
+    keyed
+      .withColumn("rn", row_number().over(wLoc).cast("long"))
+      .join(broadcast(bases), "pid")
+      .withColumn("position", col("base") + col("rn") - 1)
+      .select(col("doc_id"), col("position"),
+        expr(s"position div $ShardSize").as("shard_id"),
+        (col("position") % ShardSize).as("shard_pos"))
+      .orderBy("position")
+  }
+
   /** Core packing over a precomputed (doc_id, lang, n_tokens) frame.
     * `broadcastOffs` is the size gate ([[PackBroadcastMaxDocs]]): the
     * callers decide it from a footer-count of the source table, so the
@@ -1466,6 +1516,7 @@ object TextAnalysis {
     "text_gopher"      -> ((s, d) => gopherRules(Tables.documents(s, d))),
     "text_decontam"    -> ((s, d) => decontaminate(Tables.documents(s, d))),
     "text_pack"        -> ((s, d) => packing(Tables.documents(s, d))),
+    "text_shard"       -> ((s, d) => sharding(Tables.documents(s, d))),
     "text_chunks"      -> ((s, d) => chunk(Tables.documents(s, d))),
     "text_bpe"         -> ((s, d) => bpeTokens(Tables.documents(s, d))),
     "text_bpe_train"   -> ((s, d) => bpeTrain(Tables.documents(s, d))),
@@ -1945,6 +1996,20 @@ object TextAnalysis {
          |  (start_off + n_tokens - 1) // $PackSeqLen AS last_seq,
          |  (start_off + n_tokens - 1) // $PackSeqLen - start_off // $PackSeqLen + 1 AS n_seqs
          |FROM o ORDER BY lang, doc_id""".stripMargin,
+    // the oracle mirrors only the PERMUTATION arithmetic (seeded hash
+    // key, rank over the (key, doc_id) total order) — the two-level
+    // bucket scan is implementation, invisible in the output
+    "text_shard" ->
+      s"""SELECT doc_id, position,
+         |  position // $ShardSize AS shard_id,
+         |  position % $ShardSize AS shard_pos
+         |FROM (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY
+         |      ('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 8))::BIGINT,
+         |      doc_id) - 1 AS position
+         |  FROM documents) t
+         |ORDER BY position""".stripMargin,
     "text_gopher" ->
       s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
          |           FROM documents),

@@ -798,15 +798,18 @@ object WordCount {
     * engines pick the identical edge, and the distinct collapse (both
     * endpoints choosing the same edge) is exact.
     *
-    * Scale: per round one vocab-keyed argmin (row_number over
-    * vocabulary-sized keys — never a global window), the contraction is
+    * Scale: per round one vocab-keyed argmin as min(struct(w, a, b)) —
+    * commutative/associative, MAP-SIDE COMBINABLE, so a Zipf hub's or a
+    * giant component's edge fan-in collapses in the combiner (the same
+    * argument the `wc_sssp` scaladoc makes for its MIN; an argmin
+    * WINDOW would shuffle the key's whole edge list into one
+    * partition) — the contraction is
     * the O(log²)-round star machinery already gated on billion-node
     * dedup graphs, and all frames are vocabulary/distinct-bigram
     * bounded (Zipf: ≪ corpus). The oracle mirrors round 1 and 2
     * verbatim with the recursive min-reachable closure standing in for
     * the contraction. */
   def mst(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ws = filter(split(col("text"), TokenRe), w => w =!= "")
     val n1 = greatest(size(ws) - 1, lit(0))
     val und = docs.select(explode(zip_with(
@@ -820,13 +823,18 @@ object WordCount {
       .withColumn("w", (lit(1) + Dedup.h32(lit("sssp"),
         concat(col("a"), lit(" "), col("b"))) % SsspWgtMod).cast("long"))
       .persist()
-    // argmin edge per key by the total order (w, a, b); both endpoints
-    // picking the same edge collapse in the distinct
-    def pick(keyed: DataFrame): DataFrame = {
-      val win = Window.partitionBy("k").orderBy(col("w"), col("a"), col("b"))
-      keyed.withColumn("rn", row_number().over(win)).where(col("rn") === 1)
-        .select("a", "b", "w").distinct()
-    }
+    // argmin edge per key by the total order (w, a, b): min(struct) is
+    // commutative/associative → MAP-SIDE COMBINABLE, so a Zipf hub's
+    // (round 1) or a giant component's (round 2) full edge fan-in
+    // collapses in the combiner instead of shuffling into one
+    // row_number window partition — identical winner under the same
+    // total order (struct comparison is lexicographic by field). Both
+    // endpoints picking the same edge collapse in the distinct.
+    def pick(keyed: DataFrame): DataFrame =
+      keyed.groupBy("k")
+        .agg(min(struct(col("w"), col("a"), col("b"))).as("m"))
+        .select(col("m.a").as("a"), col("m.b").as("b"), col("m.w").as("w"))
+        .distinct()
     val inc = edges.select(col("a").as("k"), col("a"), col("b"), col("w"))
       .unionAll(edges.select(col("b").as("k"), col("a"), col("b"), col("w")))
     val f1 = pick(inc).persist()

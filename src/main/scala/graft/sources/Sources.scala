@@ -106,6 +106,42 @@ object Sources {
     integrity(s.read.schema(DocSchema).orc(dir))
   }
 
+  /** Driver-gated AVRO read path (`src_avro`, r11) — the ROW-oriented
+    * binary interchange format next to the columnar pair (parquet/ORC):
+    * what Kafka pipelines and schema registries ship, and the one
+    * mainstream format that was missing from the source matrix. Spark 4
+    * bundles the avro datasource implementation (`org.apache.spark.sql
+    * .avro`, inside spark-sql — addressed by class name, see
+    * [[AvroFormat]]); the
+    * fixture round-trips the corpus through the Avro writer/reader with
+    * the same byte-exact integrity contract as the CSV/JSONL/ORC/XML
+    * keys. Avro-specific hazards the gate proves out: the
+    * Catalyst↔Avro type mapping (long/string nullability maps to Avro
+    * unions with null) and UTF-8 round-tripping through Avro's own
+    * string encoding.
+    *
+    * Scale note: Avro files are splittable on block boundaries (the
+    * sync-marker design), so the scan parallelizes like the text
+    * sources — but it is a ROW format: no column pruning, no predicate
+    * pushdown, every byte decodes even for a 2-column projection. The
+    * production rule this key documents: ingest Avro once, convert to
+    * parquet/ORC for the analytic path (`sinks`), never scan Avro
+    * repeatedly. */
+  def avroRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = Fixtures.dirFor("src_avro", d, "documents")
+    if (!Fixtures.ready(dir))
+      graft.Tables.documents(s, d).select("doc_id", "lang", "text")
+        .write.mode("overwrite").format(AvroFormat).save(dir)
+    integrity(s.read.schema(DocSchema).format(AvroFormat).load(dir))
+  }
+
+  /** The avro FileFormat by fully-qualified class name: this Spark
+    * distribution ships the complete implementation inside spark-sql
+    * but not the spark-avro module's META-INF service registration, so
+    * the "avro" SHORT name fails `lookupDataSource` while the class
+    * itself loads and runs fine. */
+  private val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
   /** Driver-gated XML read path (`src_xml`, r10) — the semi-structured
     * source Spark 4 ships NATIVELY (the spark-xml datasource graduated
     * into core): corpus staged as one <doc> element per record, read
@@ -144,7 +180,10 @@ object Sources {
     * NULL-fill itself is free (missing columns never materialize). */
   def evolveRoundtrip(s: SparkSession, d: String): DataFrame = {
     val dir = Fixtures.dirFor("src_evolve", d, "documents")
-    if (!Fixtures.ready(dir)) {
+    // the generations live in subdirs, so readiness gates on BOTH
+    // (dir root never gets a _SUCCESS; gating on it would rewrite the
+    // fixture on every invocation)
+    if (!(Fixtures.ready(dir + "/gen1") && Fixtures.ready(dir + "/gen2"))) {
       val docs = graft.Tables.documents(s, d)
       docs.where(pmod(col("doc_id"), lit(2)) === 0).select("doc_id", "text")
         .write.mode("overwrite").parquet(dir + "/gen1")
@@ -167,6 +206,7 @@ object Sources {
     "src_jsonl" -> ((s, d) => jsonlRoundtrip(s, d)),
     "src_orc"   -> ((s, d) => orcRoundtrip(s, d)),
     "src_xml"   -> ((s, d) => xmlRoundtrip(s, d)),
+    "src_avro"  -> ((s, d) => avroRoundtrip(s, d)),
   )
 
   private val integritySql =
@@ -189,6 +229,7 @@ object Sources {
     "src_jsonl" -> integritySql,
     "src_orc"   -> integritySql,
     "src_xml"   -> integritySql,
+    "src_avro"  -> integritySql,
   )
 
   /** Fixed-size chunking of a (doc_id, text) corpus — the reference's

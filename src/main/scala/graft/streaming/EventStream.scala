@@ -349,8 +349,12 @@ object EventStream {
           for (e <- ripe.sortBy(t => (t._1, t._2))) {
             val vals = e._3 :: hist
             var acc = java.math.BigDecimal.ZERO
+            // BigDecimal.valueOf (shortest-decimal, what Spark's Round
+            // uses), NOT new BigDecimal(double) (exact binary expansion):
+            // the two disagree at 10dp HALF_UP ties, so only valueOf
+            // keeps the batch/stream bit-exactness general
             for ((v, j) <- vals.take(graft.operators.Events.EwmaLags).zipWithIndex)
-              acc = acc.add(new java.math.BigDecimal(v * math.pow(0.5, j + 1))
+              acc = acc.add(java.math.BigDecimal.valueOf(v * math.pow(0.5, j + 1))
                 .setScale(10, java.math.RoundingMode.HALF_UP))
             out += EwmaPoint(e._2, userId, acc.doubleValue)
             hist = vals.take(graft.operators.Events.EwmaLags - 1)

@@ -341,9 +341,13 @@ class PlanShapeSpec extends SparkSpec {
     // wc_place embeds the same prefix-sum shape (via concatChunked) and
     // adds a ≤3-row binding window (reducer count — cluster topology,
     // not data volume)
+    // text_shard is the same two-phase scan transposed onto the
+    // permutation-key order: its global window runs over the
+    // per-partition COUNT frame — O(#partitions) scalars, topology
+    // not data
     val boundedCardinality =
       Set("q28_running", "q29_movavg", "wc_concat", "wc_chunked_n",
-        "wc_place", "ann_hybrid", "text_wsample")
+        "wc_place", "ann_hybrid", "text_wsample", "text_shard")
     val offenders = SparkEntry.queries.toSeq
       .filterNot { case (name, _) => boundedCardinality(name) }
       .flatMap { case (name, fn) =>

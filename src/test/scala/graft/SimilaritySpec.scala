@@ -78,6 +78,51 @@ class SimilaritySpec extends SparkSpec {
     info(s"refinement changed $changed of ${g0.size} neighbor lists")
   }
 
+  test("graphSearch: matches an independent beam replay; recall vs brute force measured") {
+    val vecs = em.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    // the graph the search walks IS the gated nn-descent output,
+    // symmetrized — replay the whole traversal in Scala from it
+    val g = Similarity.nnDescent(em).collect().map(r => (r.getLong(0), r.getLong(2)))
+    val adj = (g ++ g.map(_.swap)).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val queries = vecs.keys.filter(_ % Similarity.QueryStride == 0).toSeq.sorted
+    def replay(q: Long): Seq[Long] = {
+      var beam = Seq(Similarity.EntryId)
+      for (_ <- 1 to Similarity.BeamRounds) {
+        val cand = (beam ++ beam.flatMap(v => adj.getOrElse(v, Set.empty))).distinct
+        beam = cand.map(c => (c, cos(vecs(q), vecs(c))))
+          .sortBy { case (c, s) => (-s, c) }.take(Similarity.Beam).map(_._1)
+      }
+      beam.filter(_ != q).map(c => (c, cos(vecs(q), vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(Similarity.TopK).map(_._1)
+    }
+    val got = Similarity.graphSearch(em).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(got.keySet == queries.toSet)
+    for (q <- queries)
+      assert(got(q) == replay(q), s"query $q: got ${got(q)} want ${replay(q)}")
+    // no self-matches; ranks contiguous
+    assert(got.forall { case (q, ns) => !ns.contains(q) })
+    // recall vs exact — a DIAL of (Beam, BeamRounds, graph degree), so
+    // measured (and floored loosely), not tightly gated: from one global
+    // entry over a degree-~6 graph, 4 rounds reach a neighborhood, not
+    // the whole corpus
+    val exact = Similarity.bruteForce(em).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = queries.map(q => (got(q).toSet & exact(q)).size).sum.toDouble
+    val recall = hits / (queries.size * Similarity.TopK)
+    info(f"graph-search recall@${Similarity.TopK} vs brute force: $recall%.3f")
+    assert(recall > 0.05, f"traversal never reaches true neighbors ($recall%.3f)")
+  }
+
   test("graphClusters: matches an independent 2-round LPA replay over the knn graph") {
     val g = Similarity.knnGraph(em).collect().map(r => (r.getLong(0), r.getLong(2)))
     val edges = (g ++ g.map(_.swap)).distinct

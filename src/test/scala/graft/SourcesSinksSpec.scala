@@ -85,6 +85,26 @@ class SourcesSinksSpec extends SparkSpec {
     assert(asSet(back) == asSet(tricky))
   }
 
+  test("avro reader round-trips UTF-8 and nullable columns byte-exactly") {
+    val sp = spark
+    import sp.implicits._
+    // the avro hazards the source gate exists for: the union-with-null
+    // type mapping (a NULL lang must survive) and Avro's own UTF-8
+    // string codec (multi-byte chars must round-trip)
+    val tricky = Seq(
+      (1L, "en", "plain ascii"),
+      (2L, null.asInstanceOf[String], "null lang survives the union"),
+      (3L, "ja", "日本語 ünïcødé 🎯"))
+      .toDF("doc_id", "lang", "text")
+    val dir = Files.createTempDirectory("graft-avro").toString + "/a"
+    tricky.write.format("org.apache.spark.sql.avro.AvroFileFormat").save(dir)
+    val back = spark.read.schema(tricky.schema)
+      .format("org.apache.spark.sql.avro.AvroFileFormat").load(dir)
+    val asSet = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(asSet(back) == asSet(tricky))
+  }
+
   test("bucketed tables join with no shuffle exchange on either side") {
     val s = spark
     val whA = Files.createTempDirectory("graft-ba").toString

@@ -308,6 +308,35 @@ class TextAnalysisSpec extends SparkSpec {
 
   private def docs = Tables.documents(spark, sf)
 
+  test("sharding: matches a driver-side replay of the seeded permutation; shards fill in order") {
+    val got = TextAnalysis.sharding(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent replay: md5-derived key, rank over (key, doc_id)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(id: Long): Long = {
+      val hex = md.digest(s"shard:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val want = ids.map(id => (h32(id), id)).sortBy(identity).zipWithIndex
+      .map { case ((_, id), pos) =>
+        (id, pos.toLong, pos / TextAnalysis.ShardSize, pos % TextAnalysis.ShardSize) }
+    assert(got.sortBy(_._2).toSeq == want.toSeq)
+    // positions are a permutation 0..n-1; every shard except the last
+    // is exactly full, and shard order is position order
+    assert(got.map(_._2).sorted.toSeq == (0L until ids.length).toSeq)
+    val byShard = got.groupBy(_._3).toSeq.sortBy(_._1)
+    assert(byShard.dropRight(1).forall(_._2.length == TextAnalysis.ShardSize))
+    // deterministic: a rerun produces the identical assignment
+    val again = TextAnalysis.sharding(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.sortBy(_._2).toSeq == got.sortBy(_._2).toSeq)
+    // and the permutation genuinely shuffles: ingestion order broken
+    val byPos = got.sortBy(_._2).map(_._1)
+    assert(byPos.zip(byPos.tail).exists { case (a, b) => a > b })
+  }
+
   test("tfidf: top-k per doc, ranks contiguous, score consistent with tf/df") {
     val docs = Tables.documents(spark, sf)
     val t = TextAnalysis.tfidf(docs)
