@@ -1015,6 +1015,50 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Holt 8-lag kernel, ×65536 (= 4^8, the common denominator): with
+    * α = β = ½ the state recursion s_t = A·s_{t−1} + g·x_t has
+    * A = [[½,½],[−¼,¾]], g = [½,¼], forecast ŷ = l + b = h·s (h=[1,1]);
+    * the x_{t−j} coefficient is h·Aʲ·g — an exact dyadic rational with
+    * denominator 4^{j+1}, so scaling by 4^8 makes every coefficient an
+    * exact INTEGER. Derived by exact integer matrix powers (A·4, g·4);
+    * the j=3+ coefficients go negative — that is the trend term
+    * extrapolating PAST the recent mean, the behavior that separates
+    * Holt from EWMA (spec-pinned on a ramp). */
+  val HoltK: Seq[Long] =
+    Seq(49152L, 28672L, 11264L, -256L, -5952L, -7312L, -6164L, -4049L)
+
+  /** HOLT LINEAR (double-exponential) smoothing (`ev_holt`, r11) — the
+    * TREND-aware member of the smoothing family: [[ewma]] tracks level
+    * only and lags behind any ramp; Holt (1957) carries (level, trend)
+    * state and its one-step forecast l+b extrapolates — the default
+    * upgrade every monitoring/forecasting stack makes when metrics
+    * drift. Recursive form is window-inexpressible (per-row sequential
+    * state); the gated form is the [[ewma]] move one order up: unroll
+    * to the fixed [[EwmaLags]]-term kernel ŷ_t = Σ_j (k_j/4^8)·x_{t−j}
+    * with [[HoltK]] the EXACT integer dyadic coefficients — and emit
+    * the ×65536-scaled value as a pure INTEGER (cents in, scaled cents
+    * out; the `ev_abtest` all-integer discipline): zero floats anywhere,
+    * both engines bit-equal by construction. Zero-padded warm-up and
+    * dropped tail mass exactly as [[ewma]] (the kernel IS the gated
+    * object). Output (event_id, user_id, holt_x64k) over the purchase
+    * sub-stream.
+    *
+    * Scale: ONE user_id shuffle + per-partition sort, 8 codegen'd lags
+    * in a single window pass — the [[ewma]] class. */
+  def holt(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val cents = round(col("value") * 100, 0).cast("long")
+    val terms = HoltK.zipWithIndex.map { case (k, j) =>
+      val src = if (j == 0) cents else lag(cents, j).over(w)
+      coalesce(src, lit(0L)) * lit(k)
+    }
+    ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("holt_x64k", terms.reduce(_ + _))
+      .select(col("event_id"), col("user_id"), col("holt_x64k"))
+      .orderBy("event_id")
+  }
+
   /** Two-step MARKOV transition matrix (`ev_markov2`) — P² of the
     * session-local event-type chain: for each (src, dst) type pair, the
     * probability of sitting at dst exactly TWO within-session steps
@@ -1201,6 +1245,49 @@ object Events {
 
   def abTest(ev: DataFrame): DataFrame = abTest(ev, AbMaxUsers)
 
+  /** SRM χ² threshold ×100: the standard sample-ratio-mismatch alarm
+    * fires at p < 0.001 ⟺ χ²(1 df) > 10.83. */
+  val SrmChi2x100 = 1083L
+
+  /** SAMPLE RATIO MISMATCH check (`ev_srm`, r11) — the FIRST gate a
+    * trustworthy experimentation platform runs, BEFORE any readout
+    * (Fabijan et al. 2019; Kohavi's trustworthy-A/B rule: an arm-size
+    * imbalance beyond randomization noise means the assignment or
+    * logging pipeline is broken and `ev_abtest`/`ev_cuped` readouts
+    * over the same data are garbage). For the 50/50 parity split the
+    * χ² statistic with 1 df collapses to (na−nb)²/N — evaluated
+    * DIVISION-FREE in exact integers (the `ev_abtest` discipline):
+    * chi2_ppm = (na−nb)²·10⁶ div N by exact integer floor-division,
+    * and the alarm is the integer comparison
+    * (na−nb)²·100 > [[SrmChi2x100]]·N (χ² > 10.83 ⟺ p < 0.001, the
+    * industry-standard SRM threshold — deliberately stricter than the
+    * readout's α because a false SRM alarm only costs a re-check while
+    * a missed one poisons every metric). Headroom: (na−nb)²·10⁶ ≤
+    * N²·10⁶ < 2⁶³ for N < 3·10⁶ and the DECIMAL(38,0) form holds to
+    * 10¹⁶ users — no guard needed at any real experiment size.
+    *
+    * Scale: one distinct-user aggregate (combiner-collapsed) and a
+    * 2-group rollup — like the readout keys, SRM costs the same at
+    * 100 TB as at sf0.001. */
+  def srm(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val big = DecimalType(38, 0)
+    val arms = ev.select("user_id").distinct()
+      .groupBy((col("user_id") % 2).as("arm"))
+      .agg(count(lit(1)).as("n"))
+    arms.agg(
+        coalesce(sum(when(col("arm") === 0, col("n"))), lit(0L)).cast("long").as("na"),
+        coalesce(sum(when(col("arm") === 1, col("n"))), lit(0L)).cast("long").as("nb"))
+      .withColumn("d", (col("na") - col("nb")).cast(big))
+      .withColumn("nn", (col("na") + col("nb")).cast(big))
+      .select(col("na"), col("nb"),
+        when(col("nn") === 0, lit(0L))
+          .otherwise(expr("(d * d * 1000000) div nn")).cast("long").as("chi2_ppm"),
+        when(col("nn") === 0, lit(0L))
+          .otherwise((col("d") * col("d") * lit(100L) >
+            col("nn") * lit(SrmChi2x100)).cast("long")).as("srm_alarm"))
+  }
+
   private[graft] def abTest(ev: DataFrame, maxUsers: Long): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val big = DecimalType(38, 0)
@@ -1269,12 +1356,14 @@ object Events {
     "ev_seqmatch"   -> ((s, d) => seqMatch(Tables.events(s, d))),
     "ev_features"   -> ((s, d) => features(Tables.events(s, d))),
     "ev_abtest"     -> ((s, d) => abTest(Tables.events(s, d))),
+    "ev_srm"        -> ((s, d) => srm(Tables.events(s, d))),
     "ev_anomaly"    -> ((s, d) => anomalies(Tables.events(s, d))),
     "ev_hopping"    -> ((s, d) => hopping(Tables.events(s, d))),
     "ev_cohort"     -> ((s, d) => cohort(Tables.events(s, d))),
     "ev_rolling"    -> ((s, d) => rollingActive(Tables.events(s, d))),
     "ev_rolling_range" -> ((s, d) => rollingRange(Tables.events(s, d))),
     "ev_ewma" -> ((s, d) => ewma(Tables.events(s, d))),
+    "ev_holt" -> ((s, d) => holt(Tables.events(s, d))),
     "ev_cuped" -> ((s, d) => cuped(Tables.events(s, d))),
     "ev_seasonal" -> ((s, d) => seasonal(Tables.events(s, d))),
     "ev_rolling_hll"-> ((s, d) => rollingActiveHll(Tables.events(s, d))),
@@ -1672,6 +1761,23 @@ object Events {
          |FROM arms, gv ORDER BY arm""".stripMargin,
     // the unrolled dyadic kernel, term-by-term: round(x·2^-(j+1), 10)
     // into DECIMAL, exact 8-term sum — mirrors ewma()'s expression tree
+    // identical integer kernel: cents = round(value*100), 8 lags, the
+    // exact 4^8-scaled dyadic coefficients — all-integer, no floats
+    "ev_holt" -> {
+      val terms = HoltK.zipWithIndex.map { case (k, j) =>
+        val src = if (j == 0) "c" else s"lag(c, $j) OVER w"
+        s"coalesce($src, 0) * ($k)"
+      }.mkString("\n         |    + ")
+      s"""WITH p AS (
+         |  SELECT event_id, user_id, ts,
+         |    CAST(round(value * 100, 0) AS BIGINT) AS c
+         |  FROM events WHERE event_type = 'purchase')
+         |SELECT event_id, user_id,
+         |  CAST($terms AS BIGINT) AS holt_x64k
+         |FROM p
+         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+         |ORDER BY event_id""".stripMargin
+    },
     "ev_ewma" -> {
       val terms = (0 until EwmaLags).map { j =>
         val src = if (j == 0) "value" else s"lag(value, $j) OVER w"
@@ -1727,6 +1833,24 @@ object Events {
          |FROM ex e JOIN est ON est.t = e.t
          |ORDER BY day""".stripMargin
     },
+    // the same division-free integer algebra: chi2_ppm by exact floor
+    // division, alarm by integer comparison at the 10.83 threshold
+    "ev_srm" ->
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |a AS (SELECT user_id % 2 AS arm, count(*) AS n FROM u GROUP BY 1),
+         |t AS (SELECT
+         |  CAST(COALESCE(sum(CASE WHEN arm = 0 THEN n END), 0) AS BIGINT) AS na,
+         |  CAST(COALESCE(sum(CASE WHEN arm = 1 THEN n END), 0) AS BIGINT) AS nb
+         |  FROM a),
+         |w AS (SELECT na, nb, CAST(na AS HUGEINT) - nb AS d,
+         |  CAST(na AS HUGEINT) + nb AS nn FROM t)
+         |SELECT na, nb,
+         |  CAST(CASE WHEN nn = 0 THEN 0
+         |    ELSE (d * d * 1000000) // nn END AS BIGINT) AS chi2_ppm,
+         |  CAST(CASE WHEN nn = 0 THEN 0
+         |    WHEN d * d * 100 > nn * $SrmChi2x100 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS srm_alarm
+         |FROM w""".stripMargin,
     // identical integer algebra on HUGEINT (DuckDB's 128-bit twin of
     // the Spark side's DECIMAL(38,0)); `//` is DuckDB's floor division
     "ev_abtest" ->

@@ -941,9 +941,6 @@ object Similarity {
     * static-plan-depth rule: the key gates the 4-round beam expansion,
     * not a converged search. */
   val BeamRounds = 4
-  /** Deterministic traversal entry vertex (HNSW keeps one global entry
-    * point; vec_id 0 exists in every corpus the suite reads). */
-  val EntryId = 0L
 
   /** GRAPH-ANN QUERY-TIME SEARCH (`ann_graph_search`, r11) — the
     * primitive the graph indexes exist for, closing the family's
@@ -952,8 +949,12 @@ object Similarity {
     * probed IVF cells — this key ANSWERS QUERIES by traversing the
     * refined graph, the greedy/beam-search primitive of the HNSW class
     * (Malkov & Yashunin 2016; HNSW's layer 0 search IS beam search
-    * with ef = beam width). From the single deterministic entry vertex
-    * [[EntryId]] (HNSW keeps one global entry point), every query runs
+    * with ef = beam width). Entry is IVF-SEEDED: each query enters at
+    * its nearest stride centroid — the coarse-quantizer-picks-the-
+    * entry-point hybrid production graph systems run (SPANN/DiskANN
+    * sharding; HNSW's upper layers serve exactly this role), reusing
+    * the SAME [[nearestCells]] pass (and tie order) as the graph
+    * build's cell assignment. From there every query runs
     * [[BeamRounds]] synchronous beam rounds over the SYMMETRIZED
     * refined edge set (HNSW links are traversed both ways): each round
     * the candidate set is beam ∪ neighbors(beam), re-ranked by exact
@@ -1009,6 +1010,14 @@ object Similarity {
         .select(col("query_id"), col("cand_id"), cosine(col("qv"), col("v")).as("cos"))
       graft.plans.TopKPlans.topKPerKey(scored, "query_id", "cos", "cand_id", k, "rank")
     }
+    // IVF-seeded entry: the query's 1-probe stride cell — the same
+    // broadcast pass (and tie order) as the graph build's assignment,
+    // so the entry vertex is always a graph member
+    val cents = em.where(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), vec(col("embedding")).as("cv"))
+    val entry = nearestCells(
+        qv.select(col("query_id").as("vec_id"), col("qv").as("v")), cents, 1)
+      .select(col("vec_id").as("query_id"), col("cell").as("cand_id"))
     // localCheckpoint, not persist: each round references the beam
     // TWICE (beam ∪ beam⋈edges), so a persist-only loop doubles the
     // LOGICAL plan per round — by round 4 Catalyst re-analyzes a
@@ -1016,8 +1025,7 @@ object Similarity {
     // (measured 22 s for a 32k-row round). The checkpoint truncates
     // lineage to a LogicalRDD: constant plan depth, constant round
     // cost (the `dedup_cluster` iteration rule applied to search).
-    var beam = qv.select(col("query_id"), lit(EntryId).as("cand_id"))
-      .localCheckpoint(true)
+    var beam = entry.localCheckpoint(true)
     for (_ <- 1 to BeamRounds) {
       val expanded = beam.unionAll(
           beam.join(ge, beam("cand_id") === ge("src"))
@@ -2031,25 +2039,25 @@ object Similarity {
     "ann_graph_cluster" -> {
       def round(i: Int) = {
         val prev = s"l${i - 1}"
-        s"""c$i AS (
+        s"""c$i AS MATERIALIZED (
            |  SELECT e.src AS node, l.label, count(*) AS cnt
            |  FROM e JOIN $prev l ON l.node = e.dst GROUP BY 1, 2),
            |m$i AS (SELECT node, max(cnt) AS mc FROM c$i GROUP BY 1),
            |p$i AS (SELECT c$i.node, max(c$i.label) AS nl
            |  FROM c$i JOIN m$i USING (node) WHERE cnt = mc GROUP BY 1),
-           |l$i AS (SELECT l.node, coalesce(p$i.nl, l.label) AS label
+           |l$i AS MATERIALIZED (SELECT l.node, coalesce(p$i.nl, l.label) AS label
            |  FROM $prev l LEFT JOIN p$i USING (node))""".stripMargin
       }
       s"""WITH cents AS (
          |  SELECT vec_id AS cent_id, $V AS cv FROM embeddings
          |  WHERE vec_id % $CentroidStride = 0),
-         |assign AS (
+         |assign AS MATERIALIZED (
          |  SELECT vec_id, cell FROM (
          |    SELECT e.vec_id, c.cent_id AS cell,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY list_cosine_similarity(e.$V, c.cv) DESC, c.cent_id) AS crn
          |    FROM embeddings e, cents c) a WHERE crn = 1),
-         |g AS (
+         |g AS MATERIALIZED (
          |  SELECT vec_id, neighbor_id FROM (
          |    SELECT a.vec_id, b.vec_id AS neighbor_id,
          |      row_number() OVER (PARTITION BY a.vec_id
@@ -2058,11 +2066,11 @@ object Similarity {
          |    JOIN embeddings q ON q.vec_id = a.vec_id
          |    JOIN embeddings n ON n.vec_id = b.vec_id) t
          |  WHERE rank <= $KnnK),
-         |e AS (
+         |e AS MATERIALIZED (
          |  SELECT DISTINCT src, dst FROM (
          |    SELECT vec_id AS src, neighbor_id AS dst FROM g
          |    UNION ALL SELECT neighbor_id, vec_id FROM g) u),
-         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e),
          |${(1 to GraphLpaRounds).map(round).mkString(",\n")}
          |SELECT label, count(*) AS n_vecs, min(node) AS v_min, max(node) AS v_max
          |FROM l$GraphLpaRounds GROUP BY 1
@@ -2102,8 +2110,8 @@ object Similarity {
          |    SELECT vec_id AS src, neighbor_id AS dst FROM refined
          |    UNION ALL SELECT neighbor_id, vec_id FROM refined) u),
          |b0 AS MATERIALIZED (
-         |  SELECT vec_id AS query_id, CAST($EntryId AS BIGINT) AS cand_id
-         |  FROM embeddings WHERE vec_id % $QueryStride = 0),
+         |  SELECT vec_id AS query_id, cell AS cand_id
+         |  FROM assign WHERE vec_id % $QueryStride = 0),
          |${(1 to BeamRounds).map(round).mkString(",\n")}
          |SELECT query_id, rank, neighbor_id FROM (
          |  SELECT b.query_id, b.cand_id AS neighbor_id,

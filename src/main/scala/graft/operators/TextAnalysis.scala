@@ -601,6 +601,66 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("n_subwords").as("n_tokens")),
       broadcastOffs = docs.count() <= PackBroadcastMaxDocs)
 
+  /** Words per pseudo-line for [[lineDedup]] — aligned (non-sliding)
+    * blocks, the analog of a text line in this unpunctuated corpus. */
+  val LineWords = 8
+
+  /** LINE-LEVEL KEEP-FIRST DEDUP (`text_linededup`, r11) — the C4 rule
+    * (Raffel et al. 2020: discard every repeated line, keeping one
+    * occurrence; RefinedWeb runs the same pass) at a granularity this
+    * suite did not yet gate: `dedup_*` keys dedup DOCUMENTS and
+    * `dedup_substring`/`dedup_lcs` FLAG spans, but the production
+    * cleaning pass REMOVES repeated lines while keeping the documents —
+    * boilerplate headers/footers/navigation chrome die, the prose
+    * survives. The corpus is unpunctuated word streams, so a "line" is
+    * an ALIGNED [[LineWords]]-word block (non-overlapping — unlike
+    * `dedup_substring`'s sliding windows, a word belongs to exactly ONE
+    * line, which is what makes removal well-defined). Keep-first: an
+    * occurrence survives iff its digest is corpus-unique OR it is the
+    * (doc_id, block)-minimal occurrence — a total order, so both
+    * engines keep the identical set. Output per doc: line count, kept
+    * count, kept word volume, and an order-insensitive kept-digest hash
+    * sum (the gate pins exactly WHICH lines survived, not just counts).
+    *
+    * Scale: NO windows anywhere — lines shuffle as fixed-width digests
+    * (never text), the corpus-frequency count and the keep-first argmin
+    * (min(struct(doc_id, blk))) are both commutative/associative ⇒
+    * map-side combinable (a boilerplate line repeated 10⁸ times
+    * collapses in the combiner), the digest-sized freq/argmin frames
+    * join back on the already-shuffled digest key, and the per-doc
+    * rollup is one combinable aggregate. This IS the C4 pass shape at
+    * 100 TB. */
+  /** The aligned-block frame (doc_id, blk, dig, wl) [[lineDedup]] and
+    * its streaming twin share — one explode, digests fixed-width. */
+  private[graft] def lineBlocks(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), filter(split(col("text"), " "), w => w =!= "").as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, CAST((size(ws) + ${LineWords - 1}) DIV $LineWords AS INT)),
+           |  i -> struct(
+           |    concat_ws(' ', slice(ws, (i-1)*$LineWords + 1, $LineWords)) AS line,
+           |    CAST(least(size(ws) - (i-1)*$LineWords, $LineWords) AS BIGINT) AS wl))"""
+          .stripMargin)).as(Seq("p", "s")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("blk"),
+        md5(col("s.line")).as("dig"), col("s.wl").as("wl"))
+
+  def lineDedup(docs: DataFrame): DataFrame = {
+    val b = lineBlocks(docs)
+    val f = b.groupBy("dig").agg(count(lit(1)).as("cnt"))
+    val k = b.groupBy("dig").agg(min(struct(col("doc_id"), col("blk"))).as("m"))
+      .select(col("dig"), col("m.doc_id").as("kd"), col("m.blk").as("kb"))
+    val kept = (col("cnt") === 1) ||
+      (col("doc_id") === col("kd") && col("blk") === col("kb"))
+    b.join(f, "dig").join(k, "dig")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(kept, col("wl")).otherwise(0L)).as("words_kept"),
+        sum(when(kept, Dedup.h32(lit("ld"), col("dig"))).otherwise(0L)).as("sum_h"))
+      .orderBy("doc_id")
+  }
+
   /** Documents per training shard. */
   val ShardSize = 256L
 
@@ -1517,6 +1577,7 @@ object TextAnalysis {
     "text_decontam"    -> ((s, d) => decontaminate(Tables.documents(s, d))),
     "text_pack"        -> ((s, d) => packing(Tables.documents(s, d))),
     "text_shard"       -> ((s, d) => sharding(Tables.documents(s, d))),
+    "text_linededup"   -> ((s, d) => lineDedup(Tables.documents(s, d))),
     "text_chunks"      -> ((s, d) => chunk(Tables.documents(s, d))),
     "text_bpe"         -> ((s, d) => bpeTokens(Tables.documents(s, d))),
     "text_bpe_train"   -> ((s, d) => bpeTrain(Tables.documents(s, d))),
@@ -2010,6 +2071,34 @@ object TextAnalysis {
          |      doc_id) - 1 AS position
          |  FROM documents) t
          |ORDER BY position""".stripMargin,
+    // keep-first over aligned LineWords-word blocks: the two-stage
+    // argmin (min doc, then min blk within it) equals Spark's
+    // min(struct(doc_id, blk)) under the same lexicographic order
+    "text_linededup" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, i AS blk,
+         |    md5(array_to_string(ws[(i-1)*$LineWords+1 : i*$LineWords], ' ')) AS dig,
+         |    least(len(ws) - (i-1)*$LineWords, $LineWords) AS wl
+         |  FROM w, LATERAL (SELECT unnest(generate_series(1,
+         |    (len(ws) + ${LineWords - 1}) // $LineWords)) AS i) t),
+         |f AS (SELECT dig, count(*) AS cnt FROM b GROUP BY 1),
+         |k1 AS (SELECT dig, min(doc_id) AS kd FROM b GROUP BY 1),
+         |k AS (SELECT b.dig AS dig, k1.kd, min(b.blk) AS kb
+         |      FROM b JOIN k1 ON b.dig = k1.dig AND b.doc_id = k1.kd
+         |      GROUP BY 1, 2)
+         |SELECT b.doc_id, count(*) AS n_lines,
+         |  CAST(sum(CASE WHEN cnt = 1 OR (b.doc_id = kd AND b.blk = kb)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN cnt = 1 OR (b.doc_id = kd AND b.blk = kb)
+         |    THEN wl ELSE 0 END) AS BIGINT) AS words_kept,
+         |  CAST(sum(CASE WHEN cnt = 1 OR (b.doc_id = kd AND b.blk = kb)
+         |    THEN ('0x' || substr(md5('ld:' || b.dig), 1, 8))::BIGINT
+         |    ELSE 0 END) AS BIGINT) AS sum_h
+         |FROM b JOIN f ON b.dig = f.dig JOIN k ON b.dig = k.dig
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_gopher" ->
       s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
          |           FROM documents),

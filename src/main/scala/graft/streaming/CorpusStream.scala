@@ -303,4 +303,68 @@ object CorpusStream {
     freshDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       clustersBatch(batch, batchId, indexPath, labelsPath, pairsPath)
     }
+
+  /** Seed the stored line-digest index from the existing corpus (the
+    * `batch_id=-1` convention): one row per DISTINCT line digest —
+    * membership is all the keep-first rule needs from history. */
+  def seedLineIndex(existing: DataFrame, indexPath: String): Unit =
+    graft.operators.TextAnalysis.lineBlocks(existing)
+      .select("dig").distinct().withColumn("batch_id", lit(-1L))
+      .write.partitionBy("batch_id").mode(SaveMode.Overwrite).parquet(indexPath)
+
+  /** The line-dedup sink's micro-batch body (exposed for the replay
+    * spec): a line occurrence is KEPT iff its digest is absent from
+    * every EARLIER batch's index partition AND it is the batch's
+    * (doc_id, blk)-minimal occurrence of that digest. With doc_id-
+    * ordered ingestion the first batch containing a digest contains its
+    * global minimum, so full replay is BIT-EXACT against the batch
+    * [[graft.operators.TextAnalysis.lineDedup]] (spec-verified over
+    * every 3-way split). Replay idempotence: `seen` reads only
+    * partitions with batch_id < this one — re-delivering a batch sees
+    * the exact pre-batch membership even though its own fold already
+    * landed — and both folds overwrite their own partition. */
+  private[graft] def lineDedupBatch(batch: DataFrame, batchId: Long,
+                                    indexPath: String, statsPath: String): Unit = batchLock.synchronized {
+    import graft.operators.{Dedup, TextAnalysis}
+    val spark = batch.sparkSession
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet
+    val b = TextAnalysis.lineBlocks(batch).localCheckpoint(true)
+    try {
+      // explicit schema: a fresh pipeline's seed may be EMPTY (zero
+      // stored digests writes no parquet footer to infer from)
+      val seen = spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "dig STRING, batch_id BIGINT"))
+        .parquet(indexPath)
+        .where(col("batch_id") < batchId).select("dig").distinct()
+      val firsts = b.groupBy("dig")
+        .agg(min(struct(col("doc_id"), col("blk"))).as("m"))
+        .select(col("dig"), col("m.doc_id").as("kd"), col("m.blk").as("kb"))
+      val keep = col("seen").isNull &&
+        col("doc_id") === col("kd") && col("blk") === col("kb")
+      val stats = b.join(firsts, "dig")
+        .join(seen.withColumn("seen", lit(1L)), Seq("dig"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(keep, col("wl")).otherwise(0L)).as("words_kept"),
+          sum(when(keep, Dedup.h32(lit("ld"), col("dig"))).otherwise(0L)).as("sum_h"))
+      foldBatch(stats, batchId, statsPath)
+      foldBatch(b.select("dig").distinct(), batchId, indexPath)
+    } finally releaseSince(spark, pinned)
+  }
+
+  /** Streaming LINE-LEVEL KEEP-FIRST DEDUP — the C4 cleaning pass
+    * (`text_linededup`) running as the corpus INGESTS instead of as a
+    * terminal batch job: each micro-batch's lines probe the stored
+    * digest membership (skinny — one fixed-width digest per distinct
+    * line ever seen), kept/removed stats land per doc, and the batch's
+    * digests fold in for every later arrival. Per-batch cost ∝ batch
+    * lines + one membership anti-probe; the stored index is the
+    * digest vocabulary, never the corpus. */
+  def incrementalLineDedup(freshDocs: DataFrame, indexPath: String,
+                           statsPath: String): DataStreamWriter[Row] =
+    freshDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      lineDedupBatch(batch, batchId, indexPath, statsPath)
+    }
 }

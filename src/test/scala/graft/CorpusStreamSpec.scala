@@ -56,6 +56,51 @@ class CorpusStreamSpec extends SparkSpec {
     assert(again == Dedup.minhashBanded(docs).select("doc_id").distinct().count())
   }
 
+  test("streaming line dedup replay is BIT-EXACT against the batch keep-first pass") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf)
+    // batch expectation over the WHOLE corpus
+    val expected = graft.operators.TextAnalysis.lineDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val tmp = Files.createTempDirectory("graft_linededup_stream").toString
+    val indexPath = s"$tmp/digests"
+    val statsPath = s"$tmp/stats"
+    // empty seed (whole corpus arrives through the stream) — doc_id-
+    // ordered batches, the convergence precondition the scaladoc states
+    CorpusStream.seedLineIndex(docs.where(lit(false)), indexPath)
+    val ordered = docs.select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id").as[Doc].collect().toSeq
+    val splits = ordered.grouped(math.max(1, ordered.size / 3 + 1)).toSeq
+    val input = MemoryStream[Doc](s)
+    val q = CorpusStream.incrementalLineDedup(input.toDF(), indexPath, statsPath)
+      .start()
+    try {
+      for (chunk <- splits) {
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.read.parquet(statsPath)
+      .select("doc_id", "n_lines", "n_kept", "words_kept", "sum_h").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected,
+      s"stream/batch divergence: missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    // restart idempotence: re-delivering the LAST batch changes nothing
+    // (seen reads only batch_id < this one, folds overwrite in place)
+    // partition columns read back as int — cast before the unbox
+    val lastId = spark.read.parquet(statsPath)
+      .agg(max(col("batch_id")).cast("long")).collect()(0).getLong(0)
+    CorpusStream.lineDedupBatch(splits.last.toDF(), lastId, indexPath, statsPath)
+    val again = spark.read.parquet(statsPath)
+      .select("doc_id", "n_lines", "n_kept", "words_kept", "sum_h").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(again == expected, "replayed micro-batch changed the stats table")
+  }
+
   test("streaming incremental clustering folds every batch into labels that match from-scratch") {
     val s = spark
     import s.implicits._

@@ -547,6 +547,66 @@ class EventsSpec extends SparkSpec {
     assert(msgs(boom).exists(_.contains("exact-integer headroom")), boom.toString)
   }
 
+  test("holt: kernel matches exact-rational recursion coefficients; trend beats ewma on a ramp") {
+    val s = spark
+    import s.implicits._
+    // re-derive HoltK independently: integer matrix powers of 4A on 4g,
+    // coefficient j = (h·A^j·g)·4^8 with h=[1,1]
+    var v = (2L, 1L) // 4g, units 4^(j+1)
+    val want = (0 until 8).map { j =>
+      val k = (v._1 + v._2) * math.round(math.pow(4, 7 - j))
+      v = (2 * v._1 + 2 * v._2, -v._1 + 3 * v._2) // 4A · v
+      k
+    }
+    assert(Events.HoltK == want, s"${Events.HoltK} vs $want")
+    // on a pure ramp x_t = t the Holt forecast extrapolates ABOVE the
+    // latest value while EWMA lags BELOW it — the trend term at work
+    def t(min: Long) = new java.sql.Timestamp(1704067200000L + min * 60000)
+    val ramp = (1 to 20).map(i => (i.toLong, t(i), 1L, "purchase", i * 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val h = Events.holt(ramp).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // event 20: value 20.00 = 2000 cents; forecast scaled by 65536
+    assert(h(20L) > 2000L * 65536L,
+      s"Holt must extrapolate past the ramp head: ${h(20L)} vs ${2000L * 65536L}")
+    val e = Events.ewma(ramp).collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(e(20L) < 20.0, s"EWMA lags the ramp: ${e(20L)}")
+    // warm-up is zero-padded: the first event's forecast is k_0·cents
+    assert(h(1L) == 100L * Events.HoltK.head)
+    // all-integer: a constant series forecasts sum(k)·cents exactly
+    val const = (1 to 12).map(i => (i.toLong, t(i), 1L, "purchase", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val hc = Events.holt(const).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(hc(12L) == 500L * Events.HoltK.sum)
+  }
+
+  test("srm: exact chi2 ppm; planted imbalance alarms at 10.83, randomization noise does not") {
+    val s = spark
+    import s.implicits._
+    def t(min: Long) = new java.sql.Timestamp(1704067200000L + min * 60000)
+    def corpus(evens: Int, odds: Int) =
+      ((1 to evens).map(i => (i.toLong, t(i), i * 2L, "view", 0.0)) ++
+       (1 to odds).map(i => (1000L + i, t(i), i * 2L + 1, "view", 0.0)))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // 100 vs 60: chi2 = 40²/160 = 10.0 < 10.83 → no alarm (and this is
+    // already a 25% imbalance — the threshold is deliberately strict)
+    val ok = Events.srm(corpus(100, 60)).as[(Long, Long, Long, Long)].collect().toSeq
+    assert(ok == Seq((100L, 60L, 10000000L, 0L)), ok.toString)
+    // 100 vs 55: chi2 = 45²/155 = 13.06 > 10.83 → alarm
+    val bad = Events.srm(corpus(100, 55)).as[(Long, Long, Long, Long)].collect().toSeq
+    assert(bad == Seq((100L, 55L, 13064516L, 1L)), bad.toString)
+    // duplicate events don't double-count users (distinct-user basis)
+    val dup = Events.srm(corpus(10, 10).unionAll(corpus(10, 10)))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(dup == Seq((10L, 10L, 0L, 0L)), dup.toString)
+    // empty corpus short-circuits, no division
+    val z = Events.srm(corpus(0, 0)).as[(Long, Long, Long, Long)].collect().toSeq
+    assert(z == Seq((0L, 0L, 0L, 0L)), z.toString)
+    // the driver corpus's parity split must NOT alarm — if it does, the
+    // abtest/cuped keys upstream are reading a broken assignment
+    val c = Events.srm(ev).collect()(0)
+    assert(c.getLong(3) == 0L, s"corpus SRM alarm: ${c}")
+  }
+
   test("markov2: P² composes 1-step edges through mid, exact paths + floored ppm") {
     val s = spark
     import s.implicits._

@@ -308,6 +308,38 @@ class TextAnalysisSpec extends SparkSpec {
 
   private def docs = Tables.documents(spark, sf)
 
+  test("lineDedup: keep-first removal — planted duplicate blocks die everywhere but their first site") {
+    val s = spark
+    import s.implicits._
+    val eight = "w1 w2 w3 w4 w5 w6 w7 w8" // one aligned block
+    val other = "x1 x2 x3 x4 x5 x6 x7 x8"
+    val d = Seq(
+      (1L, s"$eight $other"),       // blocks 1,2 — both first occurrences
+      (2L, s"$eight $eight"),       // both blocks duplicate doc 1's block 1
+      (3L, s"$other tail"),         // block 1 dups doc 1's block 2; "tail" unique short block
+      (4L, "short")                 // single 1-word block, unique
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.lineDedup(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    // doc 1: 2 lines, both kept (first occurrences), 16 words kept
+    assert(r(1L) == (2L, 2L, 16L))
+    // doc 2: 2 lines, both removed (doc 1 block 1 is the keeper)
+    assert(r(2L) == (2L, 0L, 0L))
+    // doc 3: "other" removed, "tail" kept (unique) — 1 word survives
+    assert(r(3L) == (2L, 1L, 1L))
+    // doc 4: unique short block kept
+    assert(r(4L) == (1L, 1L, 1L))
+    // within-doc duplicates ALSO dedup: doc 2's two identical blocks
+    // both lose to doc 1, but if doc 1 didn't exist the first would win
+    val r2 = TextAnalysis.lineDedup(d.where(col("doc_id") =!= 1L)).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r2(2L) == (2L, 1L), "first of the two identical blocks must survive")
+    // and the real corpus genuinely loses lines to the pass
+    val c = TextAnalysis.lineDedup(docs)
+      .agg(sum("n_lines"), sum("n_kept")).collect()(0)
+    assert(c.getLong(1) < c.getLong(0), "corpus has no duplicated lines to remove")
+  }
+
   test("sharding: matches a driver-side replay of the seeded permutation; shards fill in order") {
     val got = TextAnalysis.sharding(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
