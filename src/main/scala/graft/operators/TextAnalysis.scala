@@ -711,6 +711,59 @@ object TextAnalysis {
       .orderBy("position")
   }
 
+  /** Curriculum upper threshold: quality ≥ this ⇒ phase 0 (cleanest
+    * data first); [[QualityMin]] splits phases 1/2. */
+  val CurriculumHi = 0.62
+
+  /** CURRICULUM ORDERING (`text_curriculum`, r11) — the quality-phased
+    * variant of [[sharding]]: curriculum training presents data in
+    * quality tiers (cleanest first is the common warm-up recipe;
+    * Bengio et al. 2009 for the principle, data-mixing/annealing
+    * pipelines for current practice), so the global training order is
+    * PHASE-MAJOR — all of phase 0's shards, then phase 1's, then
+    * phase 2's — with the seeded shuffle applied WITHIN each phase
+    * (unbiased order inside a tier, deterministic across reruns).
+    * Phases cut the same 6dp-stable quality score the pipeline's
+    * filter stages gate (≥ [[CurriculumHi]] → 0, ≥ [[QualityMin]] → 1,
+    * else 2; a letterless doc's NULL score falls to 2 identically in
+    * both engines). Output (doc_id, phase, position, shard_id,
+    * shard_pos) — position is the phase-major global rank.
+    *
+    * Scale: [[sharding]]'s two-phase distributed scan with phase as a
+    * leading range key — local ranks per (partition, phase) in
+    * parallel, a per-(partition, phase) counts frame (O(P·phases),
+    * topology-bounded) seeds within-phase bases, and the phase offsets
+    * are a PHASE-COUNT-sized window (3 rows — constant, the `wc_place`
+    * bounded class). The quality score evaluates inline in the scan
+    * (zero joins, the pipeline's row-local-filter rule). */
+  def curriculum(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = qualityScoreCol
+    val keyed = docs.select(col("doc_id"),
+        when(q >= CurriculumHi, 0L).when(q >= QualityMin, 1L).otherwise(2L).as("phase"),
+        Dedup.h32(lit("shard"), col("doc_id").cast("string")).as("k"))
+      .repartitionByRange(col("phase"), col("k"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val wLoc = Window.partitionBy("pid", "phase").orderBy("k", "doc_id")
+    val wBase = Window.partitionBy("phase").orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = keyed.groupBy("pid", "phase").agg(count(lit(1)).as("cnt"))
+      .withColumn("base", coalesce(sum("cnt").over(wBase), lit(0L)))
+    val wOff = Window.orderBy("phase").rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bases.groupBy("phase").agg(sum("cnt").as("n"))
+      .withColumn("poff", coalesce(sum("n").over(wOff), lit(0L)))
+      .select("phase", "poff")
+    keyed
+      .withColumn("rn", row_number().over(wLoc).cast("long"))
+      .join(broadcast(bases.select("pid", "phase", "base")), Seq("pid", "phase"))
+      .join(broadcast(offs), Seq("phase"))
+      .withColumn("position", col("poff") + col("base") + col("rn") - 1)
+      .select(col("doc_id"), col("phase"), col("position"),
+        expr(s"position div $ShardSize").as("shard_id"),
+        (col("position") % ShardSize).as("shard_pos"))
+      .orderBy("position")
+  }
+
   /** Core packing over a precomputed (doc_id, lang, n_tokens) frame.
     * `broadcastOffs` is the size gate ([[PackBroadcastMaxDocs]]): the
     * callers decide it from a footer-count of the source table, so the
@@ -1578,6 +1631,7 @@ object TextAnalysis {
     "text_pack"        -> ((s, d) => packing(Tables.documents(s, d))),
     "text_shard"       -> ((s, d) => sharding(Tables.documents(s, d))),
     "text_linededup"   -> ((s, d) => lineDedup(Tables.documents(s, d))),
+    "text_curriculum"  -> ((s, d) => curriculum(Tables.documents(s, d))),
     "text_chunks"      -> ((s, d) => chunk(Tables.documents(s, d))),
     "text_bpe"         -> ((s, d) => bpeTokens(Tables.documents(s, d))),
     "text_bpe_train"   -> ((s, d) => bpeTrain(Tables.documents(s, d))),
@@ -2071,6 +2125,29 @@ object TextAnalysis {
          |      doc_id) - 1 AS position
          |  FROM documents) t
          |ORDER BY position""".stripMargin,
+    // phase-major rank: within-phase row_number over (key, doc_id),
+    // phase offsets from the 3-row phase-count frame; NULL quality
+    // (letterless doc) falls through both CASE arms to phase 2
+    "text_curriculum" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN quality >= $CurriculumHi THEN 0
+         |              WHEN quality >= $QualityMin THEN 1
+         |              ELSE 2 END AS BIGINT) AS phase,
+         |    ('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 8))::BIGINT AS k
+         |  FROM ($QualitySql) q),
+         |r AS (
+         |  SELECT doc_id, phase,
+         |    row_number() OVER (PARTITION BY phase ORDER BY k, doc_id) - 1 AS ppos
+         |  FROM p),
+         |o AS (SELECT phase, count(*) AS n FROM p GROUP BY 1),
+         |f AS (SELECT phase, CAST(coalesce(sum(n) OVER (ORDER BY phase
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS poff
+         |  FROM o)
+         |SELECT r.doc_id, r.phase, CAST(poff + ppos AS BIGINT) AS position,
+         |  CAST((poff + ppos) // $ShardSize AS BIGINT) AS shard_id,
+         |  CAST((poff + ppos) % $ShardSize AS BIGINT) AS shard_pos
+         |FROM r JOIN f USING (phase) ORDER BY position""".stripMargin,
     // keep-first over aligned LineWords-word blocks: the two-stage
     // argmin (min doc, then min blk within it) equals Spark's
     // min(struct(doc_id, blk)) under the same lexicographic order

@@ -94,6 +94,22 @@ object TrainingPipeline {
   /** The cleaned corpus itself (last stage's rows). */
   def corpus(docs: DataFrame): DataFrame = stages(docs).last._2
 
+  /** PIPELINE PACKAGING stage (`pipe_shard`, r11) — the last mile of a
+    * corpus build: the seven-stage cleaned corpus goes through the
+    * seeded deterministic shard shuffle ([[TextAnalysis.sharding]] —
+    * the same h32 permutation and two-phase distributed rank) and rolls
+    * up per shard (count, id range). Composition is the point: clean →
+    * shuffle → shard is what actually lands on disk for a training run,
+    * and the gate checks the WHOLE chain end to end (any drift in any
+    * of the seven stages or in the permutation arithmetic moves some
+    * doc across a shard boundary and fails the hash). */
+  def shardSummary(docs: DataFrame): DataFrame =
+    TextAnalysis.sharding(corpus(docs))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("d_min"), max("doc_id").as("d_max"))
+      .orderBy("shard_id")
+
   /** Release a finished [[stages]] result's persisted intermediates.
     * Unpersisting a never-persisted frame is a no-op, so this is safe on
     * every stage; the clustering loop's internal caches are session-
@@ -110,26 +126,47 @@ object TrainingPipeline {
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "pipe_summary" -> ((s, d) => summary(Tables.documents(s, d))),
+    "pipe_shard"   -> ((s, d) => shardSummary(Tables.documents(s, d))),
   )
 
+  /** The seven-stage survivor CTE chain (→ CTE `s6`, the cleaned
+    * corpus) — shared by the `pipe_summary` gate and the `pipe_shard`
+    * packaging stage, so both oracles read the IDENTICAL pipeline. */
+  private def survivorCtesSql: String =
+    s"""lg AS (SELECT doc_id FROM (${TextAnalysis.oracle("text_langid")}) x
+       |            WHERE agree = 1),
+       |ql AS (SELECT doc_id FROM (${TextAnalysis.oracle("text_quality")}) x
+       |       WHERE quality >= $QualityMin),
+       |s1 AS (SELECT d.* FROM documents d JOIN lg USING (doc_id)),
+       |s2 AS (SELECT s1.* FROM s1 JOIN ql USING (doc_id)),
+       |gp AS (SELECT doc_id FROM ${TextAnalysis.gopherPassSqlFor("s2")} g),
+       |s3 AS (SELECT s2.* FROM s2 JOIN gp USING (doc_id)),
+       |ct AS (SELECT doc_id FROM ${TextAnalysis.contamSqlFor("s3")} c),
+       |s4 AS (SELECT s3.* FROM s3
+       |       WHERE NOT EXISTS (SELECT 1 FROM ct WHERE ct.doc_id = s3.doc_id)),
+       |s5 AS (SELECT * FROM s4
+       |       QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))),
+       |s6 AS (SELECT s5.* FROM s5
+       |       JOIN (${Dedup.clusterSqlFor("s5")}) c
+       |         ON c.doc_id = s5.doc_id AND c.is_canonical = 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // the cleaned corpus through the seeded shard shuffle: the oracle
+    // mirrors only the permutation arithmetic over s6 (text_shard's
+    // contract), rolled up per shard
+    "pipe_shard" ->
+      s"""WITH $survivorCtesSql,
+         |sh AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY
+         |      ('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 8))::BIGINT,
+         |      doc_id) - 1 AS position
+         |  FROM s6)
+         |SELECT position // ${TextAnalysis.ShardSize} AS shard_id,
+         |  count(*) AS n_docs, min(doc_id) AS d_min, max(doc_id) AS d_max
+         |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin,
     "pipe_summary" ->
-      s"""WITH lg AS (SELECT doc_id FROM (${TextAnalysis.oracle("text_langid")}) x
-         |            WHERE agree = 1),
-         |ql AS (SELECT doc_id FROM (${TextAnalysis.oracle("text_quality")}) x
-         |       WHERE quality >= $QualityMin),
-         |s1 AS (SELECT d.* FROM documents d JOIN lg USING (doc_id)),
-         |s2 AS (SELECT s1.* FROM s1 JOIN ql USING (doc_id)),
-         |gp AS (SELECT doc_id FROM ${TextAnalysis.gopherPassSqlFor("s2")} g),
-         |s3 AS (SELECT s2.* FROM s2 JOIN gp USING (doc_id)),
-         |ct AS (SELECT doc_id FROM ${TextAnalysis.contamSqlFor("s3")} c),
-         |s4 AS (SELECT s3.* FROM s3
-         |       WHERE NOT EXISTS (SELECT 1 FROM ct WHERE ct.doc_id = s3.doc_id)),
-         |s5 AS (SELECT * FROM s4
-         |       QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))),
-         |s6 AS (SELECT s5.* FROM s5
-         |       JOIN (${Dedup.clusterSqlFor("s5")}) c
-         |         ON c.doc_id = s5.doc_id AND c.is_canonical = 1)
+      s"""WITH $survivorCtesSql
          |SELECT stage, n_docs FROM (
          |  SELECT 'p0_input' AS stage, count(*) AS n_docs FROM documents
          |  UNION ALL SELECT 'p1_langid', count(*) FROM s1

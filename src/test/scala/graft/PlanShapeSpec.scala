@@ -345,9 +345,14 @@ class PlanShapeSpec extends SparkSpec {
     // permutation-key order: its global window runs over the
     // per-partition COUNT frame — O(#partitions) scalars, topology
     // not data
+    // text_curriculum adds one more global window over the PHASE-count
+    // frame (3 rows — a program constant, the wc_place class); its
+    // bases window is phase-partitioned. pipe_shard embeds text_shard's
+    // scan (same O(#partitions) bases frame) over the cleaned corpus.
     val boundedCardinality =
       Set("q28_running", "q29_movavg", "wc_concat", "wc_chunked_n",
-        "wc_place", "ann_hybrid", "text_wsample", "text_shard")
+        "wc_place", "ann_hybrid", "text_wsample", "text_shard",
+        "text_curriculum", "pipe_shard")
     val offenders = SparkEntry.queries.toSeq
       .filterNot { case (name, _) => boundedCardinality(name) }
       .flatMap { case (name, fn) =>

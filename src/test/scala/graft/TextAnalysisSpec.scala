@@ -308,6 +308,44 @@ class TextAnalysisSpec extends SparkSpec {
 
   private def docs = Tables.documents(spark, sf)
 
+  test("curriculum: phase-major positions, within-phase order matches the seeded permutation") {
+    val got = TextAnalysis.curriculum(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // positions are a permutation 0..n-1
+    assert(got.map(_._3).sorted.toSeq == (0L until got.length).toSeq)
+    // phase-major: every phase-p position precedes every phase-(p+1) one
+    val byPhase = got.groupBy(_._2)
+    for (p <- byPhase.keys; q <- byPhase.keys; if p < q)
+      assert(byPhase(p).map(_._3).max < byPhase(q).map(_._3).min,
+        s"phase $p positions overlap phase $q")
+    // phase assignment matches the gated quality arithmetic (NULL → 2)
+    val quality = TextAnalysis.quality(docs).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(7)) None else Some(r.getDouble(7)))).toMap
+    for ((id, ph, _, _, _) <- got) {
+      val want = quality(id) match {
+        case Some(s) if s >= TextAnalysis.CurriculumHi => 0L
+        case Some(s) if s >= TextAnalysis.QualityMin   => 1L
+        case _                                         => 2L
+      }
+      assert(ph == want, s"doc $id phase $ph want $want (q=${quality(id)})")
+    }
+    // within-phase order is the seeded h32 permutation (same key as
+    // text_shard — replay it)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(id: Long): Long = java.lang.Long.parseLong(
+      md.digest(s"shard:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8), 16)
+    for ((p, rows) <- byPhase) {
+      val inOrder = rows.sortBy(_._3).map(_._1).toSeq
+      val want = rows.map(_._1).sortBy(id => (h32(id), id)).toSeq
+      assert(inOrder == want, s"phase $p within-phase order diverges")
+    }
+    // shard arithmetic from position
+    assert(got.forall { case (_, _, pos, sid, spos) =>
+      sid == pos / TextAnalysis.ShardSize && spos == pos % TextAnalysis.ShardSize })
+    // all three phases actually populated on the corpus
+    assert(byPhase.keySet == Set(0L, 1L, 2L), s"phases: ${byPhase.keySet}")
+  }
+
   test("lineDedup: keep-first removal — planted duplicate blocks die everywhere but their first site") {
     val s = spark
     import s.implicits._
