@@ -62,6 +62,16 @@ case class EwmaPoint(event_id: Long, user_id: Long, ewma: Double)
 private case class EwmaState(hist: List[Double],
                              pending: List[(Long, Long, Double)])
 
+/** One Holt level+trend forecast of the purchase stream (the `ev_holt`
+  * point — ×4⁸-scaled integer over cents, the batch key's exact unit). */
+case class HoltPoint(event_id: Long, user_id: Long, holt_x64k: Long)
+
+/** Per-user Holt state: the last ≤ 7 SEALED purchase values in exact
+  * integer CENTS (most-recent first) plus buffered in-horizon events
+  * (tsUs, eventId, cents). */
+private case class HoltState(hist: List[Long],
+                             pending: List[(Long, Long, Long)])
+
 /** Per-user transition state: the last SEALED event (tsUs, type) if its
   * session can still continue, plus buffered in-horizon events
   * (tsUs, eventId, type). */
@@ -363,6 +373,54 @@ object EventStream {
           else {
             state.update(EwmaState(hist, still))
             if (still.nonEmpty) // wake when the oldest buffered event seals
+              state.setTimeoutTimestamp(
+                Math.floorDiv(still.map(_._1).min, 1000) + 1)
+          }
+          out.result().iterator
+      }
+  }
+
+  /** Streaming HOLT smoothing — the keyed-state face of `ev_holt`: per
+    * sealed purchase event, the 8-lag level+trend forecast as a
+    * ×4⁸-scaled INTEGER over exact cents — pure integer multiply-adds
+    * against [[graft.operators.Events.HoltK]], so the batch/stream
+    * equivalence is bit-exact by construction with no rounding
+    * discipline needed at all (the `ev_ewma` twin one integer further:
+    * EWMA needed the 10dp HALF_UP decimal-sum rules; Holt's all-integer
+    * kernel has nothing to round). Cents via `BigDecimal.valueOf`
+    * HALF_UP — Spark's own Round semantics, the EWMA-twin lesson.
+    * Events seal under the watermark and process in (ts, event_id)
+    * order; state is the semantic floor: the last ≤ 7 sealed cents
+    * values per user plus the in-horizon buffer. */
+  def holt(events: Dataset[Event]): Dataset[HoltPoint] = {
+    import events.sparkSession.implicits._
+    val K = graft.operators.Events.HoltK
+    events
+      .filter(_.event_type == "purchase")
+      .withWatermark("ts", WatermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[HoltState, HoltPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[HoltState]) =>
+          val st = state.getOption.getOrElse(HoltState(Nil, Nil))
+          val pending = st.pending ++ batch.map(e => (toMicros(e.ts), e.event_id,
+            java.math.BigDecimal.valueOf(e.value * 100)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValue))
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          val (ripe, still) = pending.partition(_._1 < wmUs)
+          var hist = st.hist
+          val out = List.newBuilder[HoltPoint]
+          for (e <- ripe.sortBy(t => (t._1, t._2))) {
+            val vals = e._3 :: hist
+            var acc = 0L
+            for ((v, j) <- vals.take(K.length).zipWithIndex) acc += K(j) * v
+            out += HoltPoint(e._2, userId, acc)
+            hist = vals.take(K.length - 1)
+          }
+          if (still.isEmpty && hist.isEmpty) state.remove()
+          else {
+            state.update(HoltState(hist, still))
+            if (still.nonEmpty)
               state.setTimeoutTimestamp(
                 Math.floorDiv(still.map(_._1).min, 1000) + 1)
           }

@@ -120,6 +120,34 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming holt replaying the purchase stream converges to batch bit-exactly") {
+    val s = spark
+    import s.implicits._
+    val batchDf = Tables.events(spark, sf)
+    val want = graft.operators.Events.holt(batchDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val evs = batchDf
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val input = MemoryStream[Event](s)
+    val q = EventStream.holt(input.toDS())
+      .writeStream.format("memory").queryName("sholt").outputMode("append").start()
+    try {
+      evs.grouped((evs.size + 2) / 3).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      input.addData(Event(-1L, ts(400000000L), -1L, "purchase", 0.0))
+      q.processAllAvailable()
+      val got = s.sql("SELECT event_id, user_id, holt_x64k FROM sholt")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // integer ⇒ set equality IS bit-exactness — no tolerance anywhere
+      assert(got == want,
+        s"holt stream diverged: ${got.size} vs ${want.size} points; " +
+          s"sample diff ${(got diff want).take(3)} / ${(want diff got).take(3)}")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming ewma: a late within-horizon purchase re-sorts into kernel order before sealing") {
     val s = spark
     import s.implicits._
