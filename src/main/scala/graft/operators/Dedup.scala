@@ -32,13 +32,23 @@ object Dedup {
   private def wordsCol: Column =
     filter(split(col("text"), WordCount.TokenRe), w => w =!= "")
 
-  /** Exact dedup: canonical doc (min doc_id) per content hash. */
+  /** Exact dedup: canonical doc (min doc_id) per content hash.
+    *
+    * Scale: the canonical id is a map-side-combinable
+    * `groupBy(content_hash).agg(min(doc_id))` joined back on the
+    * already-shuffled hash — NOT a `min().over(partitionBy(hash))`
+    * window. Exact dups are precisely where hot keys live (10⁸ copies
+    * of a boilerplate page or the empty string share ONE hash); the
+    * window form funnels every copy into one partition and SORTS it
+    * before emitting, while the combiner collapses the hot hash to one
+    * (hash, min) pair map-side and the join back streams — and AQE can
+    * skew-split the probe side, which it can never do for a window. */
   def exact(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("content_hash")
-    docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
-      .withColumn("keep_id", min("doc_id").over(w))
-      .withColumn("is_dup", (col("doc_id") =!= col("keep_id")).cast("long"))
+    val hashed = docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
+    val keep = hashed.groupBy("content_hash").agg(min("doc_id").as("keep_id"))
+    hashed.join(keep, Seq("content_hash"))
+      .select(col("doc_id"), col("content_hash"), col("keep_id"),
+        (col("doc_id") =!= col("keep_id")).cast("long").as("is_dup"))
       .orderBy("doc_id")
   }
 
@@ -506,8 +516,9 @@ object Dedup {
     * [[minhashClustersLS]] (the scale-path clustering); the quality
     * score is [[TextAnalysis.qualityScoreCol]] evaluated inline in the
     * scan (no metric-table join); ties break on doc_id for determinism.
-    * One window over the cluster key picks the argmax — cluster-sized
-    * partitions, never corpus-wide. */
+    * A map-side-combinable min(struct) argmax over the cluster key picks
+    * the representative — hot clusters collapse in the combiner, never
+    * in one window partition. */
   def bestRepresentatives(docs: DataFrame): DataFrame =
     representatives(
       minhashClustersLS(docs),
@@ -521,15 +532,22 @@ object Dedup {
     * double the corpus cost. `scored` is any (doc_id, quality) relation;
     * ties break on doc_id for determinism. */
   def representatives(clusters: DataFrame, scored: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // explicit NULLS LAST (a letterless doc has NULL quality): Spark and
-    // DuckDB agree on this default for DESC, but pin it on both sides
-    val w = Window.partitionBy("cluster_id")
-      .orderBy(col("quality").desc_nulls_last, col("doc_id"))
-    clusters
-      .join(scored, "doc_id")
-      .withColumn("best_id", first(col("doc_id")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // argmax(quality desc NULLS LAST, tie doc_id asc) per cluster as a
+    // map-side-combinable min(struct(...)) — NOT a partitionBy(
+    // cluster_id) window: cluster size is data-frequency-unbounded (the
+    // empty-string / boilerplate cluster holds 10⁸ docs at 100 TB), and
+    // the window form would shuffle-and-SORT that whole cluster in one
+    // partition. NULL quality maps to +Inf on the negated key = last,
+    // matching the oracle's DESC NULLS LAST; the combiner collapses hot
+    // clusters map-side and the join back streams (AQE-skew-splittable).
+    val joined = clusters.join(scored, "doc_id")
+    val negq = when(col("quality").isNull, lit(Double.PositiveInfinity))
+      .otherwise(-col("quality"))
+    val best = joined
+      .groupBy("cluster_id")
+      .agg(min(struct(negq.as("nq"), col("doc_id").as("doc_id"))).as("m"))
+      .select(col("cluster_id"), col("m.doc_id").as("best_id"))
+    joined.join(best, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("best_id"),
         (col("doc_id") === col("best_id")).cast("long").as("is_best"))
       .orderBy("doc_id")
@@ -581,16 +599,22 @@ object Dedup {
     * capped (discriminative-bigram) universe on both engines. */
   def ngramJaccard(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // DF cap and per-doc set size as WINDOW counts over the one bigram
-    // table — the aggregate-then-rejoin form recomputed the exploded
-    // distinct bigrams ~6× through its join chain; here each self-join
-    // side derives it once and na/nb ride through the join as columns
-    val kept = docs
+    // The DF cap is a map-side-combinable groupBy + semi-join, NOT a
+    // partitionBy(source, bigram) window: a stop-bigram held by 10⁸
+    // docs would otherwise shuffle its every posting into ONE window
+    // partition (and sort it) BEFORE the cap could drop it — the
+    // straggler the cap exists to avoid. The combiner collapses hot
+    // bigrams map-side, only (source, bigram, count) pairs ride the
+    // shuffle, and the ≤cap survivors semi-join back on the same key.
+    // The per-doc set size stays a window: partitionBy(doc_id) is
+    // bounded by document length, never by corpus frequency.
+    val bi = docs
       .select(col("doc_id"), col("source"), wordsCol.as("ws"))
       .select(col("doc_id"), col("source"), explode(grams(col("ws"), 2)).as("bigram"))
       .distinct()
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("source", "bigram")))
-      .where(col("df") <= MaxBigramDf)
+    val rare = bi.groupBy("source", "bigram").agg(count(lit(1)).as("df"))
+      .where(col("df") <= MaxBigramDf).select("source", "bigram")
+    val kept = bi.join(rare, Seq("source", "bigram"), "left_semi")
       .withColumn("nset", count(lit(1)).over(Window.partitionBy("doc_id")))
     val a = kept.select(col("doc_id").as("doc_a"), col("source"), col("bigram"),
       col("nset").as("na"))
@@ -638,12 +662,17 @@ object Dedup {
     * single integer division, IEEE754-identical cross-engine. */
   def containmentPairs(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val kept = docs
+    // DF cap = groupBy + semi-join, same reasoning (and same shape) as
+    // [[ngramJaccard]]: the hot stop-bigram must die map-side, never in
+    // a single window partition. The nset window stays: doc_id
+    // partitions are bounded by document length.
+    val bi = docs
       .select(col("doc_id"), col("source"), wordsCol.as("ws"))
       .select(col("doc_id"), col("source"), explode(grams(col("ws"), 2)).as("bigram"))
       .distinct()
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("source", "bigram")))
-      .where(col("df") <= MaxBigramDf)
+    val rare = bi.groupBy("source", "bigram").agg(count(lit(1)).as("df"))
+      .where(col("df") <= MaxBigramDf).select("source", "bigram")
+    val kept = bi.join(rare, Seq("source", "bigram"), "left_semi")
       .withColumn("nset", count(lit(1)).over(Window.partitionBy("doc_id")))
       .where(col("nset") >= MinContainSet)
     val a = kept.select(col("doc_id").as("doc_a"), col("source"), col("bigram"),
@@ -669,20 +698,23 @@ object Dedup {
     * cleaning pass (or the mask for span-level excision).
     *
     * Scale: spans shuffle as fixed-width md5 digests, never gram text;
-    * the document frequency is a WINDOW count over the one (doc, span)
-    * table — one corpus pass, no self-join, no AQE double-scan. Hot
-    * boilerplate spans concentrate in single buckets by design (they ARE
-    * the signal); a DF cap like [[MaxBigramDf]]'s bounds any one bucket
-    * if a pathological corpus needs it. */
+    * the duplicated-span set is a map-side-combinable
+    * `groupBy(gh).count()` filtered to df ≥ 2 and joined back — NOT a
+    * `partitionBy(gh)` window: a boilerplate span repeated 10⁸ times
+    * corpus-wide would funnel every occurrence into one window
+    * partition and sort it, while the combiner collapses it to one
+    * (gh, count) pair map-side and the mark-join back streams (and is
+    * AQE-skew-splittable, which a window never is). */
   val SubstrN = 8
   def duplicatedSpans(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    TextAnalysis.gramsOf(docs, SubstrN)
+    val spans = TextAnalysis.gramsOf(docs, SubstrN)
       .select(col("doc_id"), md5(col("g")).as("gh")).distinct()
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("gh")))
+    val dup = spans.groupBy("gh").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2).select(col("gh"), lit(1L).as("isdup"))
+    spans.join(dup, Seq("gh"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
-        coalesce(sum(when(col("df") >= 2, 1L)), lit(0L)).as("n_dup"))
+        coalesce(sum(col("isdup")), lit(0L)).as("n_dup"))
       .select(col("doc_id"), col("n_spans"), col("n_dup"),
         round(col("n_dup").cast("double") / col("n_spans"), 4).as("dup_frac"),
         (col("n_dup") > 0).cast("long").as("flagged"))

@@ -364,6 +364,51 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty, s"partition-less windows in:\n${offenders.mkString("\n")}")
   }
 
+  test("no query in the suite plans a frequency-unbounded window key") {
+    // The r10-r12 straggler family: count()/min()/first() over
+    // Window.partitionBy(<content-derived key>) funnels EVERY
+    // occurrence of a hot key (a 10⁸-copy boilerplate page's
+    // content_hash, a stop-bigram, a hot span digest, the empty-string
+    // dup cluster) into ONE window partition and sorts it — before the
+    // cap/filter that exists to bound it can run. The fixed form is a
+    // map-side-combinable groupBy(key).agg joined back on the
+    // already-shuffled key (dedup_exact, dedup_ngram,
+    // dedup_containment, dedup_substring, dedup_best, dedup_lcs,
+    // wc_mst). This sweep pins the invariant suite-wide: no WindowExec
+    // may partition by a content-derived key — a digest/hash, an
+    // n-gram/shingle, or a dup-cluster label, whose per-key cardinality
+    // grows with corpus frequency rather than with an entity (doc,
+    // query, user, order) or the topology (partition, phase, bucket).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case r: ReusedExchangeExec    => Seq(r.child)
+        case _                        => p.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    val bannedExact = Set("gh", "bigram", "shingle", "cluster_id", "sig", "band")
+    def banned(n: String): Boolean =
+      bannedExact(n.toLowerCase) || n.toLowerCase.contains("hash")
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      nodes(fn(spark, sf).queryExecution.executedPlan).flatMap {
+        case w: WindowExec =>
+          w.partitionSpec.flatMap(_.references).map(_.name).filter(banned)
+            .map(k => s"$name: window partitioned by content-derived '$k'")
+        case w: WindowGroupLimitExec =>
+          w.partitionSpec.flatMap(_.references).map(_.name).filter(banned)
+            .map(k => s"$name: group-limit partitioned by content-derived '$k'")
+        case _ => Nil
+      }
+    }
+    assert(offenders.isEmpty, s"frequency-unbounded window keys:\n${offenders.mkString("\n")}")
+  }
+
   test("iterative operators leave no storage behind after releaseAll") {
     // the caller-must-clear contract's other half: after a composed
     // pipeline run, one releaseAll returns the session to zero cached
