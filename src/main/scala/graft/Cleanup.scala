@@ -28,4 +28,17 @@ object Cleanup {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     System.gc()
   }
+
+  /** Free the storage blocks behind a `localCheckpoint(true)`-produced
+    * frame. A checkpointed Dataset is backed by a `LogicalRDD` holding
+    * the persisted RDD; unpersisting it directly releases the blocks NOW
+    * instead of whenever the ContextCleaner's next driver GC notices the
+    * dropped reference (which across a long suite may be never — the
+    * round-2 bench-contamination root cause). Non-blocking: the
+    * executors reclaim asynchronously while the next round runs. */
+  def freeCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

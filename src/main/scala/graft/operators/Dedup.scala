@@ -424,18 +424,9 @@ object Dedup {
   def minhashClustersLS(docs: DataFrame): DataFrame =
     connectedComponents(docs.select(col("doc_id")), minhashCandidates(docs))
 
-  /** Free the storage blocks behind a `localCheckpoint(true)`-produced
-    * frame. A checkpointed Dataset is backed by a `LogicalRDD` holding
-    * the persisted RDD; unpersisting it directly releases the blocks NOW
-    * instead of whenever the ContextCleaner's next driver GC notices the
-    * dropped reference (which across a long suite may be never — this
-    * was the round-2 bench-contamination root cause). Non-blocking: the
-    * executors reclaim asynchronously while the next round runs. */
-  private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+  /** See [[graft.Cleanup.freeCheckpoint]] — shared by every iterative
+    * operator that supersedes `localCheckpoint(true)` rounds. */
+  private def freeCheckpoint(df: DataFrame): Unit = graft.Cleanup.freeCheckpoint(df)
 
   /** Large-star/small-star connected components over ANY pair relation
     * (doc_a, doc_b) — reusable for whatever candidate generator produced

@@ -1031,12 +1031,25 @@ object Similarity {
           beam.join(ge, beam("cand_id") === ge("src"))
             .select(beam("query_id"), col("dst").as("cand_id")))
         .distinct()
-      beam = rerank(expanded, Beam).select("query_id", "cand_id")
+      val next = rerank(expanded, Beam).select("query_id", "cand_id")
         .localCheckpoint(true)
+      // superseded round's blocks, freed eagerly (the dedup_cluster /
+      // wc_lpa release rule — checkpoints are not CacheManager-tracked)
+      graft.Cleanup.freeCheckpoint(beam)
+      beam = next
     }
-    rerank(beam.where(col("cand_id") =!= col("query_id")), TopK)
+    // checkpoint the |Q|·TopK result, then release EVERYTHING behind it:
+    // the corpus-sized cvc cache, the edge frames, the query vectors,
+    // and the last beam would otherwise stay pinned across the rest of
+    // a 206-key session (nothing re-reads them once the result rows are
+    // materialized)
+    val res = rerank(beam.where(col("cand_id") =!= col("query_id")), TopK)
       .select(col("query_id"), col("rank"), col("cand_id").as("neighbor_id"))
       .orderBy("query_id", "rank")
+      .localCheckpoint(true)
+    graft.Cleanup.freeCheckpoint(beam)
+    Seq(g, ge, cvc, qv).foreach(_.unpersist(false))
+    res
   }
 
   /** LPA rounds over the k-NN graph — fixed (the wc_lpa
@@ -1083,10 +1096,17 @@ object Similarity {
       labels = labels.join(pick, Seq("node"), "left")
         .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
     }
-    labels.groupBy("label")
+    // checkpoint the 20-row result, then release the edge caches — same
+    // rule as graphSearch: nothing re-reads them once the result rows
+    // are materialized, and an unreleased edge frame survives the key
+    // across a long session
+    val res = labels.groupBy("label")
       .agg(count(lit(1)).as("n_vecs"), min("node").as("v_min"), max("node").as("v_max"))
       .orderBy(col("n_vecs").desc, col("label"))
       .limit(20)
+      .localCheckpoint(true)
+    Seq(g, edges).foreach(_.unpersist(false))
+    res
   }
 
   // ---- Product quantization (`ann_pq`) ----

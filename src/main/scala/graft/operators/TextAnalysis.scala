@@ -692,10 +692,20 @@ object TextAnalysis {
     * (key, doc_id)). */
   def sharding(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // localCheckpoint(true): the bases branch and the rank branch BOTH
+    // consume keyed — un-pinned, each subtree would carry its own
+    // repartitionByRange of the same input, and global-position
+    // correctness would rest on ReuseExchange producing identical range
+    // boundaries and pids in both (an AQE re-plan or a reuse miss would
+    // silently corrupt positions with duplicates/gaps). The eager
+    // checkpoint freezes the (k, doc_id, pid) assignment in ONE
+    // materialization that both branches read; the skinny frame stays
+    // cached under the session contract (Cleanup.releaseAll drops it).
     val keyed = docs.select(col("doc_id"),
         Dedup.h32(lit("shard"), col("doc_id").cast("string")).as("k"))
       .repartitionByRange(col("k"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
     val wLoc = Window.partitionBy("pid").orderBy("k", "doc_id")
     val wBases = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     val bases = keyed.groupBy("pid").agg(count(lit(1)).as("cnt"))
@@ -739,11 +749,14 @@ object TextAnalysis {
   def curriculum(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = qualityScoreCol
+    // same pid-pinning checkpoint as [[sharding]]: three branches
+    // (bases, offs via bases, ranks) must see ONE range partitioning
     val keyed = docs.select(col("doc_id"),
         when(q >= CurriculumHi, 0L).when(q >= QualityMin, 1L).otherwise(2L).as("phase"),
         Dedup.h32(lit("shard"), col("doc_id").cast("string")).as("k"))
       .repartitionByRange(col("phase"), col("k"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
     val wLoc = Window.partitionBy("pid", "phase").orderBy("k", "doc_id")
     val wBase = Window.partitionBy("phase").orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, -1)

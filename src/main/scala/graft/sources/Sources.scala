@@ -131,16 +131,33 @@ object Sources {
     val dir = Fixtures.dirFor("src_avro", d, "documents")
     if (!Fixtures.ready(dir))
       graft.Tables.documents(s, d).select("doc_id", "lang", "text")
-        .write.mode("overwrite").format(AvroFormat).save(dir)
-    integrity(s.read.schema(DocSchema).format(AvroFormat).load(dir))
+        .write.mode("overwrite").format(avroFormat).save(dir)
+    integrity(s.read.schema(DocSchema).format(avroFormat).load(dir))
   }
 
   /** The avro FileFormat by fully-qualified class name: this Spark
     * distribution ships the complete implementation inside spark-sql
     * but not the spark-avro module's META-INF service registration, so
     * the "avro" SHORT name fails `lookupDataSource` while the class
-    * itself loads and runs fine. */
-  private val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+    * itself loads and runs fine. The class is `private[sql]`
+    * implementation, not public API — it can move or change visibility
+    * across Spark upgrades, and the raw failure mode would be an
+    * unexplained ClassNotFound on every src_avro run. Resolve it ONCE,
+    * eagerly, with a self-diagnosing error naming the workaround. */
+  private lazy val avroFormat: String = {
+    val cls = "org.apache.spark.sql.avro.AvroFileFormat"
+    try { Class.forName(cls); cls }
+    catch {
+      case e: Throwable => throw new IllegalStateException(
+        s"avro datasource class $cls not loadable on this Spark " +
+          "distribution — the src_avro path addresses the FileFormat by " +
+          "internal class name because the 'avro' short-name service " +
+          "registration (META-INF DataSourceRegister) is absent here; " +
+          "after a Spark upgrade, re-point this constant at the moved " +
+          "class or switch to format(\"avro\") if the registration now " +
+          "ships", e)
+    }
+  }
 
   /** Driver-gated XML read path (`src_xml`, r10) — the semi-structured
     * source Spark 4 ships NATIVELY (the spark-xml datasource graduated

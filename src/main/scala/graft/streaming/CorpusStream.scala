@@ -330,6 +330,35 @@ object CorpusStream {
     val pinned = spark.sparkContext.getPersistentRDDs.keySet
     val b = TextAnalysis.lineBlocks(batch).localCheckpoint(true)
     try {
+      // PRECONDITION GUARD: bit-exactness vs the terminal batch
+      // lineDedup rests on doc_id-ordered ingestion — the first batch
+      // containing a digest must contain its global (doc_id, blk)
+      // minimum. An out-of-order producer must fail LOUD here, not
+      // silently diverge from the keep-first result: the batch's min
+      // doc_id must exceed every earlier batch's max, read as a
+      // high-water mark from the stored per-doc stats (batch_id <
+      // batchId only, the `seen` convention — a re-delivered batch
+      // sees the exact pre-batch high-water, so replay stays
+      // idempotent).
+      val statsP = new org.apache.hadoop.fs.Path(statsPath)
+      val statsFs = statsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hwRow = if (!statsFs.exists(statsP)) null // first batch: no history
+      else spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, n_lines BIGINT, n_kept BIGINT, " +
+            "words_kept BIGINT, sum_h BIGINT, batch_id BIGINT"))
+        .parquet(statsPath)
+        .where(col("batch_id") < batchId)
+        .agg(max(col("doc_id")).as("hw")).head()
+      val batchMin = b.agg(min(col("doc_id"))).head()
+      if (hwRow != null && !hwRow.isNullAt(0) && !batchMin.isNullAt(0) &&
+          batchMin.getLong(0) <= hwRow.getLong(0))
+        throw new IllegalStateException(
+          s"incrementalLineDedup batch $batchId violates doc_id-ordered " +
+            s"ingestion: batch min doc_id ${batchMin.getLong(0)} <= stored " +
+            s"high-water ${hwRow.getLong(0)} — keep-first results would " +
+            "silently diverge from the batch lineDedup; ingest in doc_id " +
+            "order (or re-seed the index from the full corpus)")
       // explicit schema: a fresh pipeline's seed may be EMPTY (zero
       // stored digests writes no parquet footer to infer from)
       val seen = spark.read

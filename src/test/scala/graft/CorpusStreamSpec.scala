@@ -101,6 +101,22 @@ class CorpusStreamSpec extends SparkSpec {
     assert(again == expected, "replayed micro-batch changed the stats table")
   }
 
+  test("streaming line dedup rejects out-of-order ingestion loud (high-water guard)") {
+    // the bit-exact-vs-batch claim rests on doc_id-ordered batches (the
+    // first batch containing a digest must hold its global (doc_id, blk)
+    // minimum); an out-of-order producer must fail, not silently diverge
+    val docs = Tables.documents(spark, sf)
+    val tmp = Files.createTempDirectory("graft_linededup_guard").toString
+    val indexPath = s"$tmp/digests"
+    val statsPath = s"$tmp/stats"
+    CorpusStream.seedLineIndex(docs.where(lit(false)), indexPath)
+    CorpusStream.lineDedupBatch(docs.where(col("doc_id") >= 100), 0L, indexPath, statsPath)
+    val e = intercept[IllegalStateException] {
+      CorpusStream.lineDedupBatch(docs.where(col("doc_id") < 100), 1L, indexPath, statsPath)
+    }
+    assert(e.getMessage.contains("doc_id-ordered"), e.getMessage)
+  }
+
   test("streaming incremental clustering folds every batch into labels that match from-scratch") {
     val s = spark
     import s.implicits._
