@@ -661,6 +661,70 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Minimum words for an extracted block to count as prose. */
+  val ExtractMinWords = 5
+
+  /** RAW-WEB TEXT EXTRACTION (`text_extract`, r12) — the HTML →
+    * clean-text boilerplate stage every real 100 TB corpus build STARTS
+    * with (C4's extraction pass, trafilatura's block rules): the
+    * pipeline's other text keys begin at clean `documents.text`; this
+    * key begins at staged single-line HTML pages
+    * ([[graft.sources.Sources.htmlCorpusDir]]) and recovers the prose.
+    * Per page: (1) segment into block elements (p/nav/footer/div) by
+    * tag-matched regex; (2) per block, strip tags, unescape entities,
+    * and compute the two density integers the keep rule needs — word
+    * count and LINK-TEXT chars; (3) keep a block iff it has ≥
+    * [[ExtractMinWords]] words AND link text is at most a third of its
+    * chars (`3·link_chars ≤ chars` — integer arithmetic, the h32
+    * discipline, so the oracle mirrors it exactly). Nav/menu chrome
+    * dies on min-words, the link-stuffed footer dies on link density
+    * (it PASSES min-words — density does real work), prose survives.
+    * Output per doc (id parsed from the page itself): total/kept block
+    * counts, kept word volume, and the h32 digest of the extracted
+    * text — the gate pins exactly WHICH bytes were recovered.
+    *
+    * Honest simplifications, named: regex block segmentation assumes
+    * non-nested block tags (true of the staged corpus; real HTML wants
+    * a DOM walk — a per-partition CPU task with identical Spark-side
+    * plumbing), and the density rule is the flat two-signal core of
+    * trafilatura's scoring, not its full rule set.
+    *
+    * Scale: extraction is ROW-LOCAL — whole-stage-codegen'd regex over
+    * each page, zero joins, zero shuffles before the boundary sort; the
+    * exact shape that saturates a 1000-executor scan of a WARC dump.
+    * The per-block loop is an array transform/filter INSIDE the row,
+    * so a page never explodes into per-block rows on the wire. */
+  def extractText(pages: DataFrame): DataFrame =
+    pages
+      .selectExpr(
+        "CAST(regexp_extract(value, '<title>Doc ([0-9]+)</title>', 1) AS BIGINT) AS doc_id",
+        """transform(
+          |  regexp_extract_all(value, '<(p|nav|footer|div)[^>]*>(.*?)</\\1>', 2),
+          |  b -> named_struct(
+          |    'txt', regexp_replace(regexp_replace(regexp_replace(
+          |             regexp_replace(b, '<[^>]+>', ''),
+          |             '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+          |    'lc',  aggregate(regexp_extract_all(b, '<a[^>]*>([^<]*)</a>', 1),
+          |             CAST(0 AS BIGINT), (a, t) -> a + length(t)))) AS bs"""
+          .stripMargin)
+      .selectExpr(
+        "doc_id",
+        "CAST(size(bs) AS BIGINT) AS n_blocks",
+        s"""filter(bs, s ->
+           |  size(filter(split(s.txt, ' '), w -> w <> '')) >= $ExtractMinWords
+           |  AND 3 * s.lc <= length(s.txt)) AS ks""".stripMargin)
+      .selectExpr(
+        "doc_id",
+        "n_blocks",
+        "CAST(size(ks) AS BIGINT) AS n_kept",
+        """CAST(aggregate(ks, CAST(0 AS BIGINT),
+          |  (a, s) -> a + size(filter(split(s.txt, ' '), w -> w <> '')))
+          |  AS BIGINT) AS words_kept""".stripMargin,
+        """CAST(conv(substr(md5(concat('ex:',
+          |  concat_ws(' ', transform(ks, s -> s.txt)))), 1, 8), 16, 10)
+          |  AS BIGINT) AS text_h""".stripMargin)
+      .orderBy("doc_id")
+
   /** Documents per training shard. */
   val ShardSize = 256L
 
@@ -1643,6 +1707,8 @@ object TextAnalysis {
     "text_decontam"    -> ((s, d) => decontaminate(Tables.documents(s, d))),
     "text_pack"        -> ((s, d) => packing(Tables.documents(s, d))),
     "text_shard"       -> ((s, d) => sharding(Tables.documents(s, d))),
+    "text_extract"     -> ((s, d) =>
+      extractText(s.read.text(graft.sources.Sources.htmlCorpusDir(s, d)))),
     "text_linededup"   -> ((s, d) => lineDedup(Tables.documents(s, d))),
     "text_curriculum"  -> ((s, d) => curriculum(Tables.documents(s, d))),
     "text_chunks"      -> ((s, d) => chunk(Tables.documents(s, d))),
@@ -2164,6 +2230,32 @@ object TextAnalysis {
     // keep-first over aligned LineWords-word blocks: the two-stage
     // argmin (min doc, then min blk within it) equals Spark's
     // min(struct(doc_id, blk)) under the same lexicographic order
+    // mirrors the staged-page construction arithmetic: the kept set is
+    // exactly the prose chunks with >= ExtractMinWords words (all three
+    // chrome blocks are built to fail — nav/div on min-words, footer on
+    // link density), so the oracle re-derives counts and the extracted
+    // digest straight from the source words, while Spark re-derives
+    // them from the actual HTML. Any extractor bug (segmentation,
+    // tag-strip, unescape, density arithmetic) breaks the hash.
+    "text_extract" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, len(ws) AS n, len(ws) % ${graft.sources.Sources.HtmlBlockWords} AS tail, ws
+         |  FROM w),
+         |k AS (
+         |  SELECT doc_id, n, tail,
+         |    n - CASE WHEN tail BETWEEN 1 AND ${ExtractMinWords - 1} THEN tail ELSE 0 END AS kw,
+         |    ws
+         |  FROM s)
+         |SELECT doc_id,
+         |  CAST((n + ${graft.sources.Sources.HtmlBlockWords - 1}) // ${graft.sources.Sources.HtmlBlockWords} + 3 AS BIGINT) AS n_blocks,
+         |  CAST(n // ${graft.sources.Sources.HtmlBlockWords}
+         |    + CASE WHEN tail >= $ExtractMinWords THEN 1 ELSE 0 END AS BIGINT) AS n_kept,
+         |  CAST(kw AS BIGINT) AS words_kept,
+         |  CAST(('0x' || substr(md5('ex:' || array_to_string(ws[1:kw], ' ')), 1, 8))::BIGINT AS BIGINT) AS text_h
+         |FROM k ORDER BY doc_id""".stripMargin,
     "text_linededup" ->
       s"""WITH w AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -214,6 +214,64 @@ object Sources {
         sum(length(col("text")).cast("long")).as("sum_chars"),
         sum(col("n_chars")).as("sum_n"))
       .orderBy(col("lang").asc_nulls_first)
+  }
+
+  /** Words per planted prose paragraph in the [[htmlCorpusDir]] pages —
+    * shared with `text_extract`'s oracle, which re-derives the kept
+    * block set from the same chunk arithmetic. */
+  val HtmlBlockWords = 40
+
+  /** HTML entity escape for element text — &amp; first on escape, last
+    * on unescape (the standard order; reversed it double-decodes). A
+    * no-op on this corpus (no &<> in documents.text) but the honest
+    * staging step for real web text, mirrored by the extractor's
+    * unescape so the recovered words are byte-identical to the source. */
+  private def escapeHtml(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+
+  /** One deterministic single-line HTML page per document — the
+    * RAW-WEB staging fixture `text_extract` ingests (the first stage of
+    * a real corpus build: WARC/HTML, not clean text). Layout per page:
+    * a <nav> link bar, the document's words as <p> paragraphs of
+    * [[HtmlBlockWords]] words, a next/prev link <div>, and a <footer>
+    * whose text is link-dominated — nav/div fail the extractor's
+    * min-words rule, the footer passes min-words but fails LINK DENSITY
+    * (that's the planted case proving density does real work), and
+    * every prose paragraph of ≥ min words survives. Single-line pages
+    * (one page per text record) keep the read splittable and the
+    * record boundary trivial — the WARC-extracted-record shape. */
+  def htmlPage: Column = {
+    val ws = filter(split(col("text"), " "), w => w =!= "")
+    val nb = floor((size(ws) + lit(HtmlBlockWords - 1)) / lit(HtmlBlockWords)).cast("int")
+    val idx = when(nb > 0, sequence(lit(1), nb)).otherwise(array().cast("array<int>"))
+    val prose = transform(idx, i => concat(lit("<p>"),
+      escapeHtml(concat_ws(" ",
+        slice(ws, (i - 1) * HtmlBlockWords + 1, lit(HtmlBlockWords)))),
+      lit("</p>")))
+    concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title></head><body><nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> <a href=\"/s/"),
+      col("source"), lit("\">"), escapeHtml(col("source")), lit("</a></nav>"),
+      concat_ws("", prose),
+      lit("<div><a href=\"/d/"), (col("doc_id") + 1).cast("string"),
+      lit("\">Next "), (col("doc_id") + 1).cast("string"),
+      lit("</a> <a href=\"/d/"), (col("doc_id") - 1).cast("string"),
+      lit("\">Prev</a></div><footer>Copyright <a href=\"/t\">"),
+      escapeHtml(col("source")),
+      lit("</a> <a href=\"/c\">contact</a> <a href=\"/a\">admin</a> team</footer></body></html>"))
+  }
+
+  /** Fixture dir of the single-line HTML corpus (one page per line,
+    * written once from the documents table — the src_xml pattern). */
+  def htmlCorpusDir(s: SparkSession, d: String): String = {
+    val dir = Fixtures.dirFor("src_html", d, "documents")
+    if (!Fixtures.ready(dir)) {
+      val docs = graft.Tables.documents(s, d)
+      Fixtures.requireLineSafe(docs, "src_html")
+      docs.select(htmlPage.as("value")).write.mode("overwrite").text(dir)
+    }
+    dir
   }
 
   type Q = (SparkSession, String) => DataFrame

@@ -28,7 +28,7 @@ class PlanShapeSpec extends SparkSpec {
     // these claim "zero shuffles before the query-boundary sort"
     val mapOnly = Seq("dedup_minhash", "dedup_simhash_native", "ann_lsh",
       "text_langid", "text_quality", "text_tokencount", "text_fingerprint",
-      "text_sample")
+      "text_sample", "text_extract")
     for (name <- mapOnly) {
       val p = plan(SparkEntry.queries(name)(spark, sf))
       assert(exchanges(p) <= 1, s"$name should be map-only + one sort, got:\n$p")

@@ -690,4 +690,52 @@ class TextAnalysisSpec extends SparkSpec {
     val c = TextAnalysis.knBigram(docs).select("pkn").as[Double].collect()
     assert(c.nonEmpty && c.forall(p => p > 0.0 && p <= 1.0))
   }
+
+  test("extractText: prose survives, nav dies on min-words, footer dies on link density") {
+    val s = spark
+    import s.implicits._
+    // hand-built pages, NOT the generator — the extractor must stand on
+    // its own against adversarial block layouts
+    val prose = (1 to 12).map(i => s"word$i").mkString(" ") // 12 words, no links
+    val pages = Seq(
+      // nav chrome (3 link words < 5), one prose <p>, link-stuffed
+      // footer: its text "Copyright acme contact admin team" is 5 words
+      // (PASSES min-words) but 3·link_chars > chars → density kills it
+      s"""<html><head><title>Doc 7</title></head><body><nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">acme</a></nav><p>$prose</p><footer>Copyright <a href="/t">acme</a> <a href="/c">contact</a> <a href="/a">admin</a> team</footer></body></html>""",
+      // entity-escaped prose: extraction must UNESCAPE before hashing;
+      // a 4-word <p> fails min-words; a link-bearing prose block whose
+      // text dwarfs its one link passes density
+      s"""<html><head><title>Doc 9</title></head><body><p>x &lt;tag&gt; y &amp; z plus more words here now</p><p>too few words here</p><div>$prose with one <a href="/x">tiny</a> link inside</div></body></html>""")
+    val r = TextAnalysis.extractText(pages.toDF("value"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // Doc 7: blocks nav+p+footer=3; only the prose kept
+    assert(r(7L).getLong(1) == 3L && r(7L).getLong(2) == 1L, r(7L).toString)
+    assert(r(7L).getLong(3) == 12L, r(7L).toString)
+    val h7 = graft.functions.Md5Hash.prefix32(s"ex:$prose")
+    assert(r(7L).getLong(4) == h7, r(7L).toString)
+    // Doc 9: 3 blocks; the escaped <p> (9 words) and the link-light div
+    // (15 words) survive, the 4-word <p> dies
+    assert(r(9L).getLong(1) == 3L && r(9L).getLong(2) == 2L, r(9L).toString)
+    val kept9 = s"x <tag> y & z plus more words here now $prose with one tiny link inside"
+    assert(r(9L).getLong(4) == graft.functions.Md5Hash.prefix32(s"ex:$kept9"), r(9L).toString)
+    // and over the staged fixture corpus: every doc surfaces, chrome is
+    // never kept (n_kept = prose-chunk arithmetic from the source words)
+    val dir = graft.sources.Sources.htmlCorpusDir(spark, sf)
+    val got = TextAnalysis.extractText(spark.read.text(dir))
+    val n = Tables.documents(spark, sf).count()
+    assert(got.count() == n)
+    val bw = graft.sources.Sources.HtmlBlockWords
+    val expected = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.filter(
+            split(col("text"), " "), w => w =!= "")).cast("long").as("nw"))
+      .select(col("doc_id"),
+        ((col("nw") / bw).cast("long") +
+          when(pmod(col("nw"), lit(bw)) >= TextAnalysis.ExtractMinWords, 1L)
+            .otherwise(0L)).as("want"))
+    val joined = got.join(expected, "doc_id")
+      .where(col("n_kept") =!= col("want")).count()
+    assert(joined == 0L, "kept-block count diverged from the chunk arithmetic")
+  }
 }
