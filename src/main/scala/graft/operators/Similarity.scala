@@ -843,7 +843,7 @@ object Similarity {
   /** The k-NN graph's ranked edge list (vec_id, rank, neighbor_id) —
     * [[knnGraph]] without the output sort, shared with the NN-descent
     * refinement round. */
-  private[graft] def knnEdges(em: DataFrame): DataFrame = {
+  private[graft] def knnEdges(em: DataFrame, k: Int = KnnK): DataFrame = {
     graft.plans.GraftFunctions.register(em.sparkSession)
     val cents = em.where(col("vec_id") % CentroidStride === 0)
       .select(col("vec_id").as("cent_id"), vec(col("embedding")).as("cv"))
@@ -863,7 +863,7 @@ object Similarity {
     // bounded heaps, the exchange carries ≤ keys·k survivors instead of
     // sorting the full pair stream per partition; tie contract
     // (cos desc, neighbor_id asc_nulls_last) = the window form's
-    graft.plans.TopKPlans.topKPerKey(scored, "vec_id", "cos", "neighbor_id", KnnK, "rank")
+    graft.plans.TopKPlans.topKPerKey(scored, "vec_id", "cos", "neighbor_id", k, "rank")
   }
 
   /** Deterministic random out-degree seeding the NN-descent round. */
@@ -908,8 +908,8 @@ object Similarity {
   /** The refined ranked edge list (vec_id, rank, neighbor_id) —
     * [[nnDescent]] without the output sort, shared with the
     * query-time graph traversal [[graphSearch]]. */
-  private[graft] def nnDescentEdges(em: DataFrame): DataFrame = {
-    val cell = knnEdges(em).select(col("vec_id"), col("neighbor_id"))
+  private[graft] def nnDescentEdges(em: DataFrame, k: Int = KnnK): DataFrame = {
+    val cell = knnEdges(em, k).select(col("vec_id"), col("neighbor_id"))
     val nRow = broadcast(em.agg(count(lit(1)).as("n_corpus")))
     val rnd = em.select(col("vec_id")).crossJoin(nRow)
       .select(col("vec_id"), explode(array((1 to NndRndInit).map(j =>
@@ -930,7 +930,7 @@ object Similarity {
     val scored = cand.join(qv, "vec_id")
       .join(qv.select(col("vec_id").as("neighbor_id"), col("v").as("nv")), "neighbor_id")
       .select(col("vec_id"), col("neighbor_id"), cosine(col("v"), col("nv")).as("cos"))
-    graft.plans.TopKPlans.topKPerKey(scored, "vec_id", "cos", "neighbor_id", KnnK, "rank")
+    graft.plans.TopKPlans.topKPerKey(scored, "vec_id", "cos", "neighbor_id", k, "rank")
   }
 
   /** Beam width kept per query per traversal round — must clear
@@ -976,12 +976,13 @@ object Similarity {
     * shared NN-descent graph chain. Recall vs exact is a dial of
     * (Beam, BeamRounds, graph degree) — measured in the spec, not
     * gated (the gate pins the traversal itself). */
-  def graphSearch(em: DataFrame): DataFrame = {
+  def graphSearch(em: DataFrame, beam: Int = Beam, rounds: Int = BeamRounds,
+                  degree: Int = KnnK): DataFrame = {
     // persist the refined lists BEFORE symmetrizing: the union's two
     // branches otherwise each re-execute the whole nn-descent build
     // (Spark reuses no common subtree across union branches — measured
     // 2× the build cost at 100×)
-    val g = nnDescentEdges(em).select(col("vec_id"), col("neighbor_id")).persist()
+    val g = nnDescentEdges(em, degree).select(col("vec_id"), col("neighbor_id")).persist()
     val ge = g.unionAll(
         g.select(col("neighbor_id").as("vec_id"), col("vec_id").as("neighbor_id")))
       .distinct()
@@ -1025,29 +1026,29 @@ object Similarity {
     // (measured 22 s for a 32k-row round). The checkpoint truncates
     // lineage to a LogicalRDD: constant plan depth, constant round
     // cost (the `dedup_cluster` iteration rule applied to search).
-    var beam = entry.localCheckpoint(true)
-    for (_ <- 1 to BeamRounds) {
-      val expanded = beam.unionAll(
-          beam.join(ge, beam("cand_id") === ge("src"))
-            .select(beam("query_id"), col("dst").as("cand_id")))
+    var front = entry.localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val expanded = front.unionAll(
+          front.join(ge, front("cand_id") === ge("src"))
+            .select(front("query_id"), col("dst").as("cand_id")))
         .distinct()
-      val next = rerank(expanded, Beam).select("query_id", "cand_id")
+      val next = rerank(expanded, beam).select("query_id", "cand_id")
         .localCheckpoint(true)
       // superseded round's blocks, freed eagerly (the dedup_cluster /
       // wc_lpa release rule — checkpoints are not CacheManager-tracked)
-      graft.Cleanup.freeCheckpoint(beam)
-      beam = next
+      graft.Cleanup.freeCheckpoint(front)
+      front = next
     }
     // checkpoint the |Q|·TopK result, then release EVERYTHING behind it:
     // the corpus-sized cvc cache, the edge frames, the query vectors,
     // and the last beam would otherwise stay pinned across the rest of
     // a 206-key session (nothing re-reads them once the result rows are
     // materialized)
-    val res = rerank(beam.where(col("cand_id") =!= col("query_id")), TopK)
+    val res = rerank(front.where(col("cand_id") =!= col("query_id")), TopK)
       .select(col("query_id"), col("rank"), col("cand_id").as("neighbor_id"))
       .orderBy("query_id", "rank")
       .localCheckpoint(true)
-    graft.Cleanup.freeCheckpoint(beam)
+    graft.Cleanup.freeCheckpoint(front)
     Seq(g, ge, cvc, qv).foreach(_.unpersist(false))
     res
   }
