@@ -21,7 +21,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 object LshImpl {
   val Dim = 64       // embedding model dimension (fixed per deployment)
   val Bits = 8       // default bits per hash table → 2^8 buckets
-  val MaxBits = 16   // planes materialized for the corpus-density dial
+  /** Planes materialized for the corpus-density dial. Raised 16 → 24
+    * (r12): the §5d 1000× tier showed bucket width growing with n once
+    * the derived bits hit the old ceiling (~3.2 M vectors at the
+    * 50-occupancy target); 24 bits holds the target occupancy to
+    * ~800 M vectors. Plane constants are prefix-stable (bucket_b =
+    * bucket_{b+k} mod 2^b), so every gate below the old ceiling is
+    * byte-identical — only corpora big enough to derive >16 bits plan
+    * differently, which is the point. Cost: the Signs constant grows to
+    * 4×24×64 doubles — still trivially broadcast as part of codegen. */
+  val MaxBits = 24
   val NumTables = 4  // OR-amplified tables
 
   private def planeSign(t: Int, j: Int, i: Int): Double =

@@ -239,26 +239,43 @@ object Dedup {
     * `dedup_minhash_est`'s output. */
   def minhashThresholded(docs: DataFrame): DataFrame = {
     val sig = minhashSignatures(docs).localCheckpoint(true)
-    val bandCols = (0 until Bands).map { b =>
-      val sigs = (0 until RowsPerBand).map(r => col(s"s${b * RowsPerBand + r}").cast("string"))
-      md5(concat_ws(",", sigs: _*)).as(s"bh$b")
-    }
-    val stackExpr = (0 until Bands).map(b => s"$b, bh$b").mkString(", ")
-    val sigCols = (0 until NumHashes).map(j => s"s$j")
-    val banded = sig.select(col("doc_id") +: (sigCols.map(col) ++ bandCols): _*)
-      .selectExpr(("doc_id" +: sigCols) :+
-        s"stack($Bands, $stackExpr) AS (band, band_hash)": _*)
-    val l = banded.select(col("doc_id").as("doc_a") +: col("band") +: col("band_hash") +:
-      (0 until NumHashes).map(j => col(s"s$j").as(s"a$j")): _*)
-    val r = banded.select(col("doc_id").as("doc_b") +: col("band") +: col("band_hash") +:
-      (0 until NumHashes).map(j => col(s"s$j").as(s"b$j")): _*)
     val estM = (0 until NumHashes)
       .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
       .reduce(_ + _)
-    l.join(r, Seq("band", "band_hash"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), estM.as("est_matches"))
-      .where(col("est_matches") >= ThreshMatches)
+    // BAND-SEQUENTIAL execution (r12): the r11 single-job form stacked
+    // all 4 bands into one self-join, so one shuffle staged EVERY
+    // band's both-sides signature-fat rows at once — at the 1000× tier
+    // (5 M docs) that footprint overran this box's ~53 GB scratch disk.
+    // Each band now runs as its OWN eager job (the checkpoint forces
+    // it), bounding peak shuffle scratch to ~¼: one band's join in
+    // flight at a time, and only its PASSING pairs (post-threshold,
+    // tiny) survive as checkpointed rows. The per-band GC hint lets the
+    // ContextCleaner delete the superseded band's shuffle files before
+    // the next band stages. This is also the real cluster shape — the
+    // per-band stages pipeline, and a production run would write the
+    // banded index bucketed by band_hash and join band partitions
+    // independently. Result rows and hash gate unchanged: union of
+    // per-band passing pairs → distinct is the same set the stacked
+    // join produced.
+    val passing = (0 until Bands).map { b =>
+      val sigs = (0 until RowsPerBand)
+        .map(r => col(s"s${b * RowsPerBand + r}").cast("string"))
+      val bandb = sig.select(col("doc_id") +:
+        (0 until NumHashes).map(j => col(s"s$j")) :+
+        md5(concat_ws(",", sigs: _*)).as("band_hash"): _*)
+      val l = bandb.select(col("doc_id").as("doc_a") +: col("band_hash") +:
+        (0 until NumHashes).map(j => col(s"s$j").as(s"a$j")): _*)
+      val r = bandb.select(col("doc_id").as("doc_b") +: col("band_hash") +:
+        (0 until NumHashes).map(j => col(s"s$j").as(s"b$j")): _*)
+      val p = l.join(r, Seq("band_hash"))
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), estM.as("est_matches"))
+        .where(col("est_matches") >= ThreshMatches)
+        .localCheckpoint(true)
+      System.gc() // free the superseded band's shuffle files now
+      p
+    }
+    passing.reduce(_ unionAll _)
       .distinct()
       .orderBy("doc_a", "doc_b")
   }

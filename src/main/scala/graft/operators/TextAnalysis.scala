@@ -810,14 +810,27 @@ object TextAnalysis {
     * are a PHASE-COUNT-sized window (3 rows — constant, the `wc_place`
     * bounded class). The quality score evaluates inline in the scan
     * (zero joins, the pipeline's row-local-filter rule). */
-  def curriculum(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The row-local curriculum key triple (doc_id, phase, k) — the
+    * map-only stage shared by the batch ordering and its streaming
+    * twin ([[graft.streaming.CorpusStream.incrementalCurriculum]]),
+    * which folds exactly this frame per micro-batch. */
+  private[graft] def curriculumKeys(docs: DataFrame): DataFrame = {
     val q = qualityScoreCol
+    docs.select(col("doc_id"),
+      when(q >= CurriculumHi, 0L).when(q >= QualityMin, 1L).otherwise(2L).as("phase"),
+      Dedup.h32(lit("shard"), col("doc_id").cast("string")).as("k"))
+  }
+
+  def curriculum(docs: DataFrame): DataFrame = curriculumOf(curriculumKeys(docs))
+
+  /** Phase-major ordering over a precomputed (doc_id, phase, k) key
+    * frame — the rank machinery alone, so a stored/streamed key index
+    * orders identically to the inline batch path. */
+  private[graft] def curriculumOf(keys: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // same pid-pinning checkpoint as [[sharding]]: three branches
     // (bases, offs via bases, ranks) must see ONE range partitioning
-    val keyed = docs.select(col("doc_id"),
-        when(q >= CurriculumHi, 0L).when(q >= QualityMin, 1L).otherwise(2L).as("phase"),
-        Dedup.h32(lit("shard"), col("doc_id").cast("string")).as("k"))
+    val keyed = keys
       .repartitionByRange(col("phase"), col("k"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint(true)

@@ -383,6 +383,48 @@ object CorpusStream {
     } finally releaseSince(spark, pinned)
   }
 
+  /** The streaming curriculum's per-batch fold (exposed for the replay
+    * spec): the batch's row-local (doc_id, phase, k) key triple lands in
+    * its own batch_id partition — overwrite-in-place, so re-delivery is
+    * idempotent. Cost per batch ∝ batch rows (one map-only pass, the
+    * quality score and hash key evaluate inline). */
+  private[graft] def curriculumBatch(batch: DataFrame, batchId: Long,
+                                     indexPath: String): Unit = batchLock.synchronized {
+    val spark = batch.sparkSession
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet
+    try foldBatch(graft.operators.TextAnalysis.curriculumKeys(batch), batchId, indexPath)
+    finally releaseSince(spark, pinned)
+  }
+
+  /** STREAMING CURRICULUM twin (`text_curriculum`'s ingest-time form) —
+    * the corpus streams in, each micro-batch folds only its own
+    * (doc_id, phase, k) key triple into the stored index, and the
+    * phase-major training order derives from the index ON DEMAND via
+    * [[curriculumFromIndex]] (a dataloader reads positions at epoch
+    * start, not mid-ingest — the order is a function of the FULL key
+    * set, so materializing it per batch would be wasted work that the
+    * next batch invalidates). Unlike [[incrementalLineDedup]], NO
+    * ingestion-order precondition exists: positions derive from the
+    * stored keys alone, so any batch split, any arrival order, and any
+    * replay converge bit-exactly to the batch `curriculum` (the
+    * spec ingests a SHUFFLED corpus to pin exactly this). */
+  def incrementalCurriculum(freshDocs: DataFrame,
+                            indexPath: String): DataStreamWriter[Row] =
+    freshDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      curriculumBatch(batch, batchId, indexPath)
+    }
+
+  /** Phase-major ordering from the streamed key index — bit-exact to
+    * `TextAnalysis.curriculum` over the same documents (same rank
+    * machinery, [[graft.operators.TextAnalysis.curriculumOf]]). */
+  def curriculumFromIndex(spark: SparkSession, indexPath: String): DataFrame =
+    graft.operators.TextAnalysis.curriculumOf(
+      spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, phase BIGINT, k BIGINT, batch_id BIGINT"))
+        .parquet(indexPath)
+        .select("doc_id", "phase", "k"))
+
   /** Streaming LINE-LEVEL KEEP-FIRST DEDUP — the C4 cleaning pass
     * (`text_linededup`) running as the corpus INGESTS instead of as a
     * terminal batch job: each micro-batch's lines probe the stored

@@ -101,6 +101,36 @@ class CorpusStreamSpec extends SparkSpec {
     assert(again == expected, "replayed micro-batch changed the stats table")
   }
 
+  test("streaming curriculum: shuffled out-of-order ingest still derives the batch order bit-exactly") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf)
+    val expected = graft.operators.TextAnalysis.curriculum(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val tmp = Files.createTempDirectory("graft_curriculum_stream").toString
+    val indexPath = s"$tmp/keys"
+    // SHUFFLED ingest — the twin claims NO ordering precondition (the
+    // order derives from the full stored key set, not arrival order)
+    val shuffled = docs.select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy(pmod(col("doc_id") * 2654435761L, lit(997L)), col("doc_id"))
+      .as[Doc].collect().toSeq
+    val splits = shuffled.grouped(math.max(1, shuffled.size / 3 + 1)).toSeq
+    val input = MemoryStream[Doc](s)
+    val q = CorpusStream.incrementalCurriculum(input.toDF(), indexPath).start()
+    try {
+      for (chunk <- splits) { input.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+    val got = CorpusStream.curriculumFromIndex(spark, indexPath).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.sameElements(expected),
+      s"stream/batch divergence: got ${got.take(3).toSeq} vs ${expected.take(3).toSeq}")
+    // replay idempotence: re-delivering the last batch changes nothing
+    CorpusStream.curriculumBatch(splits.last.toDF(), (splits.size - 1).toLong, indexPath)
+    val again = CorpusStream.curriculumFromIndex(spark, indexPath).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(again.sameElements(expected), "replayed micro-batch changed the ordering")
+  }
+
   test("streaming line dedup rejects out-of-order ingestion loud (high-water guard)") {
     // the bit-exact-vs-batch claim rests on doc_id-ordered batches (the
     // first batch containing a digest must hold its global (doc_id, blk)
