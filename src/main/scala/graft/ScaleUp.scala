@@ -48,14 +48,25 @@ object ScaleUp {
     }
 
     replicate("documents") { (df, i) =>
+      // LETTERS-ONLY salt (r12): the first cut salted with s"x$i" —
+      // but the digit characters are TOKEN SEPARATORS to the dedup
+      // family's letters-only tokenizer ([^\p{L}]+), so every copy
+      // i ≥ 1 tokenized "wordx$i" to the same "wordx": copies 1..N-1
+      // were token-IDENTICAL, every LSH band bucket held N-1 docs, and
+      // candidate pairs went QUADRATIC in copies (measured: 2.7G
+      // band-0 pairs at ×1000, 4 573 buckets of 999 — the r11 "disk
+      // wall" was this artifact, not the operator). Digits map to
+      // letters (0→a … 9→j) so the salt survives EVERY tokenizer and
+      // copies stay pairwise shingle-disjoint as intended.
+      val letterSalt = "x" + i.toString.map(c => ('a' + (c - '0')).toChar)
       val salted =
         if (i == 0) df.withColumn("text", col("text"))
         else df.withColumn("text",
           // drop empty tokens (consecutive/leading/trailing spaces) so a
-          // salted copy never materializes bare "x$i" words — keeps the
+          // salted copy never materializes bare salt words — keeps the
           // within-copy token counts and n-grams IDENTICAL to copy 0
           array_join(transform(filter(split(col("text"), " "), w => w =!= ""),
-            w => concat(w, lit(s"x$i"))), " "))
+            w => concat(w, lit(letterSalt))), " "))
       salted
         .withColumn("doc_id", col("doc_id") + lit(i * IdOffset))
         .withColumn("n_chars", length(col("text")).cast("long"))
