@@ -694,10 +694,17 @@ object TextAnalysis {
     * exact shape that saturates a 1000-executor scan of a WARC dump.
     * The per-block loop is an array transform/filter INSIDE the row,
     * so a page never explodes into per-block rows on the wire. */
-  def extractText(pages: DataFrame): DataFrame =
+  /** Shared page parse: doc metadata recovered from the page itself
+    * (id from <title>, declared language from the <html lang> attribute,
+    * source from the nav link — the metadata a WARC record carries) plus
+    * the per-block (txt, link_chars) structs, all row-local. `ks` is
+    * the density-kept block array. */
+  private def extractParsed(pages: DataFrame): DataFrame =
     pages
       .selectExpr(
         "CAST(regexp_extract(value, '<title>Doc ([0-9]+)</title>', 1) AS BIGINT) AS doc_id",
+        "regexp_extract(value, '<html lang=\"([^\"]*)\"', 1) AS lang",
+        "regexp_extract(value, 'href=\"/s/([^\"]*)\"', 1) AS source",
         """transform(
           |  regexp_extract_all(value, '<(p|nav|footer|div)[^>]*>(.*?)</\\1>', 2),
           |  b -> named_struct(
@@ -708,11 +715,14 @@ object TextAnalysis {
           |             CAST(0 AS BIGINT), (a, t) -> a + length(t)))) AS bs"""
           .stripMargin)
       .selectExpr(
-        "doc_id",
+        "doc_id", "lang", "source",
         "CAST(size(bs) AS BIGINT) AS n_blocks",
         s"""filter(bs, s ->
            |  size(filter(split(s.txt, ' '), w -> w <> '')) >= $ExtractMinWords
            |  AND 3 * s.lc <= length(s.txt)) AS ks""".stripMargin)
+
+  def extractText(pages: DataFrame): DataFrame =
+    extractParsed(pages)
       .selectExpr(
         "doc_id",
         "n_blocks",
@@ -724,6 +734,21 @@ object TextAnalysis {
           |  concat_ws(' ', transform(ks, s -> s.txt)))), 1, 8), 16, 10)
           |  AS BIGINT) AS text_h""".stripMargin)
       .orderBy("doc_id")
+
+  /** The extracted corpus as a documents-shaped frame (doc_id, text,
+    * lang, source, n_chars) — what the downstream pipeline actually
+    * consumes from a raw-web ingest: extracted prose plus the metadata
+    * the page itself carries. Row-local like [[extractText]]; the
+    * `pipe_web` key feeds this straight into
+    * [[TrainingPipeline.summary]], gating raw HTML → cleaned corpus end
+    * to end. */
+  def extractedCorpus(pages: DataFrame): DataFrame =
+    extractParsed(pages)
+      .selectExpr(
+        "doc_id",
+        "concat_ws(' ', transform(ks, s -> s.txt)) AS text",
+        "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
 
   /** Documents per training shard. */
   val ShardSize = 256L

@@ -127,6 +127,18 @@ object TrainingPipeline {
   val queries: Map[String, Q] = Map(
     "pipe_summary" -> ((s, d) => summary(Tables.documents(s, d))),
     "pipe_shard"   -> ((s, d) => shardSummary(Tables.documents(s, d))),
+    // RAW-WEB INGEST CHAIN (`pipe_web`, r12): the staged single-line
+    // HTML pages through boilerplate extraction
+    // (TextAnalysis.extractedCorpus — id/lang/source recovered from the
+    // page itself, prose from the density rules) and then the SAME
+    // seven-stage cleaning pipeline — raw HTML → cleaned corpus, gated
+    // end to end. The oracle shadows `documents` with a CTE deriving
+    // the extracted corpus from the source words (the text_extract
+    // arithmetic), so the whole survivor chain reads the extracted
+    // text on both engines; any drift in extraction OR any stage moves
+    // a survivor count and fails the gate.
+    "pipe_web"     -> ((s, d) => summary(TextAnalysis.extractedCorpus(
+      s.read.text(graft.sources.Sources.htmlCorpusDir(s, d))))),
   )
 
   /** The seven-stage survivor CTE chain (→ CTE `s6`, the cleaned
@@ -167,6 +179,36 @@ object TrainingPipeline {
          |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin,
     "pipe_summary" ->
       s"""WITH $survivorCtesSql
+         |SELECT stage, n_docs FROM (
+         |  SELECT 'p0_input' AS stage, count(*) AS n_docs FROM documents
+         |  UNION ALL SELECT 'p1_langid', count(*) FROM s1
+         |  UNION ALL SELECT 'p2_quality', count(*) FROM s2
+         |  UNION ALL SELECT 'p3_gopher', count(*) FROM s3
+         |  UNION ALL SELECT 'p4_decontam', count(*) FROM s4
+         |  UNION ALL SELECT 'p5_exact', count(*) FROM s5
+         |  UNION ALL SELECT 'p6_neardup', count(*) FROM s6) t
+         |ORDER BY stage""".stripMargin,
+    // `documents` SHADOWED by the extracted corpus (DuckDB: a CTE takes
+    // precedence over the view; the base table is reachable as
+    // main.documents inside the CTE body) — every survivor-chain
+    // subquery referencing `documents`, including the decontamination
+    // benchmark slice, then reads the extracted text, mirroring Spark's
+    // summary(extractedCorpus(...)) exactly.
+    "pipe_web" ->
+      s"""WITH documents AS (
+         |  SELECT doc_id,
+         |    array_to_string(ws[1:kw], ' ') AS text,
+         |    lang, source,
+         |    CAST(length(array_to_string(ws[1:kw], ' ')) AS BIGINT) AS n_chars
+         |  FROM (
+         |    SELECT doc_id, lang, source, ws,
+         |      len(ws) - CASE WHEN len(ws) % ${graft.sources.Sources.HtmlBlockWords}
+         |        BETWEEN 1 AND ${TextAnalysis.ExtractMinWords - 1}
+         |        THEN len(ws) % ${graft.sources.Sources.HtmlBlockWords} ELSE 0 END AS kw
+         |    FROM (SELECT doc_id, lang, source,
+         |            list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |          FROM main.documents) w) k),
+         |$survivorCtesSql
          |SELECT stage, n_docs FROM (
          |  SELECT 'p0_input' AS stage, count(*) AS n_docs FROM documents
          |  UNION ALL SELECT 'p1_langid', count(*) FROM s1

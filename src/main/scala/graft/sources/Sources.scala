@@ -250,7 +250,8 @@ object Sources {
         slice(ws, (i - 1) * HtmlBlockWords + 1, lit(HtmlBlockWords)))),
       lit("</p>")))
     concat(
-      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("<html lang=\""), col("lang"),
+      lit("\"><head><title>Doc "), col("doc_id").cast("string"),
       lit("</title></head><body><nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> <a href=\"/s/"),
       col("source"), lit("\">"), escapeHtml(col("source")), lit("</a></nav>"),
       concat_ws("", prose),
@@ -265,7 +266,9 @@ object Sources {
   /** Fixture dir of the single-line HTML corpus (one page per line,
     * written once from the documents table — the src_xml pattern). */
   def htmlCorpusDir(s: SparkSession, d: String): String = {
-    val dir = Fixtures.dirFor("src_html", d, "documents")
+    // "src_html2": layout version key — r12 added the lang attribute
+    // (the `pipe_web` chain recovers declared language from the page)
+    val dir = Fixtures.dirFor("src_html2", d, "documents")
     if (!Fixtures.ready(dir)) {
       val docs = graft.Tables.documents(s, d)
       Fixtures.requireLineSafe(docs, "src_html")

@@ -738,4 +738,15 @@ class TextAnalysisSpec extends SparkSpec {
       .where(col("n_kept") =!= col("want")).count()
     assert(joined == 0L, "kept-block count diverged from the chunk arithmetic")
   }
+
+  test("extractedCorpus: page metadata (lang, source) recovers byte-exactly from the HTML") {
+    val dir = graft.sources.Sources.htmlCorpusDir(spark, sf)
+    val ex = TextAnalysis.extractedCorpus(spark.read.text(dir))
+      .select(col("doc_id"), col("lang").as("x_lang"), col("source").as("x_source"))
+    val mismatches = Tables.documents(spark, sf).join(ex, "doc_id")
+      .where(col("lang") =!= col("x_lang") || col("source") =!= col("x_source"))
+      .count()
+    assert(mismatches == 0L, "lang/source did not round-trip through the page")
+    assert(ex.count() == Tables.documents(spark, sf).count())
+  }
 }
