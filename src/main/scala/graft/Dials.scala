@@ -43,6 +43,7 @@ object Dials {
   val TargetOccupancy = 50L
 
   @volatile private var nVectors: Option[Long] = None
+  @volatile private var nFactRows: Option[Long] = None
   @volatile private var dir: Option[String] = None
 
   /** Record the gated corpus's vector count (parquet footer count —
@@ -51,6 +52,7 @@ object Dials {
     * follows the most recent). */
   def init(spark: SparkSession, sfDir: String): Unit = {
     nVectors = Some(Tables.embeddings(spark, sfDir).count())
+    nFactRows = Some(Tables.lineitem(spark, sfDir).count())
     dir = Some(sfDir)
   }
 
@@ -78,4 +80,29 @@ object Dials {
   def ivfStride: Long =
     sys.env.get("SPARK_GRAFT_IVF_STRIDE").map(_.toLong).getOrElse(
       nVectors.fold(37L)(n => math.max(1L, math.sqrt(n.toDouble).toLong)))
+
+  /** Target fact rows per bucket in the default bucketed fact layout.
+    * Sized so the in-bucket per-key hash aggregations the layout exists
+    * to serve (q18's per-order group being the canonical one) keep
+    * their state within one executor's memory: ~8 M fact rows ≈ 2 M
+    * order groups per bucket. */
+  val FactRowsPerBucket = 8000000L
+
+  /** Bucket count for the co-located fact layouts: corpus-derived
+    * power of two (Spark coalesces power-of-two bucket ratios without a
+    * shuffle), floored at the gated 8 (every gate scale derives the
+    * floor — behavior byte-identical), capped at 1024. A FIXED bucket
+    * count is the same class of bug as a fixed LSH bits dial: at 1000×
+    * (600 M fact rows) 8 buckets put ~19 M aggregation groups in one
+    * in-bucket hash-agg partition and spilled (§5d-r12, q18's 133×);
+    * deriving 64 buckets there holds per-bucket state constant as the
+    * corpus grows. The count rides the fixture dir key, so a changed
+    * derivation rewrites the layout instead of silently mismatching. */
+  def joinBuckets: Int =
+    sys.env.get("SPARK_GRAFT_JOIN_BUCKETS").map(_.toInt).getOrElse(
+      nFactRows.fold(8) { n =>
+        val want = (n + FactRowsPerBucket - 1) / FactRowsPerBucket
+        val p2 = 1 << ceilLog2(math.max(1L, want))
+        math.min(1024, math.max(8, p2))
+      })
 }

@@ -55,7 +55,10 @@ object Sinks {
   def writeSorted(df: DataFrame, path: String, sortCol: String): Unit =
     df.sortWithinPartitions(sortCol).write.mode(SaveMode.Overwrite).parquet(path)
 
-  val JoinBuckets = 8
+  /** Corpus-derived (Dials.joinBuckets): 8 at every gate scale, grows
+    * with the fact table past ~64 M rows so per-bucket agg state stays
+    * bounded (§5d-r12). Env override SPARK_GRAFT_JOIN_BUCKETS wins. */
+  def JoinBuckets: Int = graft.Dials.joinBuckets
 
   /** Bucketed layout of one fact table, written once per (sf dir, source
     * stamp) and reused: the catalog entry is re-created per session (each

@@ -42,6 +42,25 @@ class DialsSpec extends AnyFunSuite {
     }
   }
 
+  test("join buckets: gate scales stay at the floor of 8; 600M rows derives 128; cap holds") {
+    def buckets(n: Long): Int = {
+      val want = (n + Dials.FactRowsPerBucket - 1) / Dials.FactRowsPerBucket
+      val cl2 = if (want <= 1) 0
+        else 64 - java.lang.Long.numberOfLeadingZeros(want - 1)
+      math.min(1024, math.max(8, 1 << cl2))
+    }
+    assert(buckets(6000L) == 8)         // sf0.001
+    assert(buckets(600000L) == 8)       // sf0.1 — gate layouts byte-identical
+    assert(buckets(600000000L) == 128)  // the §5d 1000x tier
+    assert(buckets(600000000000L) == 1024) // cap far out
+    // per-bucket rows stay within 2x of target once derivation engages
+    for (n <- Seq(100000000L, 600000000L, 5000000000L)) {
+      val b = buckets(n)
+      assert(b == 1024 || n.toDouble / b <= 2.0 * Dials.FactRowsPerBucket,
+        s"per-bucket rows ${n / b} exceed 2x target at n=$n, buckets=$b")
+    }
+  }
+
   test("uninitialized dials fall back to the r5 gated constants (spec fixtures stable)") {
     // specs never run a main, so unless a main initialized this JVM the
     // getters must return the constants synthetic fixtures were built on
