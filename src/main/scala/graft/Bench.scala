@@ -127,7 +127,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // SPARK_GRAFT_SHUFFLE_PARTITIONS: scale-tier override (a cluster
+      // sizes this to total cores; local[32] defaults to 32) — used by
+      // the §5d experiments to measure partition-granularity effects
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
