@@ -66,20 +66,29 @@ object Dials {
   private def ceilLog2(v: Long): Int =
     if (v <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(v - 1)
 
+  /** The pure derivation behind [[lshBits]] — exposed so DialsSpec
+    * asserts the PRODUCTION formula at known counts instead of
+    * re-implementing it (a drifted re-implementation asserts nothing). */
+  private[graft] def lshBitsFor(n: Long): Int = {
+    val buckets = (n + TargetOccupancy - 1) / TargetOccupancy
+    math.min(LshImpl.MaxBits, math.max(LshImpl.Bits, ceilLog2(buckets)))
+  }
+
   /** Bits per LSH table: env override, else corpus-derived, else the
     * gated constant. */
   def lshBits: Int =
     sys.env.get("SPARK_GRAFT_LSH_BITS").map(_.toInt).getOrElse(
-      nVectors.fold(LshImpl.Bits) { n =>
-        val buckets = (n + TargetOccupancy - 1) / TargetOccupancy
-        math.min(LshImpl.MaxBits, math.max(LshImpl.Bits, ceilLog2(buckets)))
-      })
+      nVectors.fold(LshImpl.Bits)(lshBitsFor))
+
+  /** The pure derivation behind [[ivfStride]]. */
+  private[graft] def ivfStrideFor(n: Long): Long =
+    math.max(1L, math.sqrt(n.toDouble).toLong)
 
   /** IVF centroid stride: env override, else floor(sqrt(n)), else the
     * gated constant. */
   def ivfStride: Long =
     sys.env.get("SPARK_GRAFT_IVF_STRIDE").map(_.toLong).getOrElse(
-      nVectors.fold(37L)(n => math.max(1L, math.sqrt(n.toDouble).toLong)))
+      nVectors.fold(37L)(ivfStrideFor))
 
   /** Target fact rows per bucket in the default bucketed fact layout.
     * Sized so the in-bucket per-key hash aggregations the layout exists
@@ -95,14 +104,71 @@ object Dials {
     * count is the same class of bug as a fixed LSH bits dial: at 1000×
     * (600 M fact rows) 8 buckets put ~19 M aggregation groups in one
     * in-bucket hash-agg partition and spilled (§5d-r12, q18's 133×);
-    * deriving 64 buckets there holds per-bucket state constant as the
-    * corpus grows. The count rides the fixture dir key, so a changed
-    * derivation rewrites the layout instead of silently mismatching. */
+    * deriving 128 buckets there (ceil(600 M / 8 M) = 75 → next power of
+    * two) holds per-bucket state constant as the corpus grows. The
+    * count rides the fixture dir key, so a changed derivation rewrites
+    * the layout instead of silently mismatching. */
   def joinBuckets: Int =
     sys.env.get("SPARK_GRAFT_JOIN_BUCKETS").map(_.toInt).getOrElse(
-      nFactRows.fold(8) { n =>
-        val want = (n + FactRowsPerBucket - 1) / FactRowsPerBucket
-        val p2 = 1 << ceilLog2(math.max(1L, want))
-        math.min(1024, math.max(8, p2))
-      })
+      nFactRows.fold(8)(joinBucketsFor))
+
+  /** The pure derivation behind [[joinBuckets]] — exposed for DialsSpec
+    * (see [[lshBitsFor]]'s rationale). */
+  private[graft] def joinBucketsFor(n: Long): Int = {
+    val want = (n + FactRowsPerBucket - 1) / FactRowsPerBucket
+    val p2 = 1 << ceilLog2(math.max(1L, want))
+    math.min(1024, math.max(8, p2))
+  }
+
+  /** Graph-ANN traversal dials (`ann_graph_search`) — the §5c-r12
+    * recall sweep's measured rule promoted into derived defaults, so a
+    * user gets the ≥0.95-recall operating point without reading the
+    * survey. Two findings drive the formulas:
+    *
+    *  - At the sf0.1 gate corpus (2 000 vectors) the measured
+    *    production point is (beam 48, rounds 6, degree 16) ⇒
+    *    recall@5 = 0.955 for the same wall cost as the old
+    *    0.15-recall demo dial (the graph build dominates; beam/degree
+    *    only widen the skinny candidate frames).
+    *  - Recall at FIXED dials decays as the corpus grows (32/6/8:
+    *    0.96 at 500 vectors → 0.655 at 2 000) — the HNSW rule that
+    *    graph degree must grow ~log n (M-sizing, Malkov & Yashunin
+    *    2016). Anchored at the measured point: degree =
+    *    ceil([[GraphDegreeC]]·log₂ n), which lands exactly 16 at
+    *    n = 2 000 and 25 at the 200 k ×100 corpus; beam stays at the
+    *    measured 3× ratio ([[GraphBeamFactor]]).
+    *
+    * FLOORED at the sf0.1 operating point, so every gate corpus
+    * (500–2 000 vectors) derives the SAME (48, 6, 16) dial — one
+    * oracle unroll depth across all gate dirs, and recall at the floor
+    * is ≥0.95 everywhere it was measured (1.00 at 500 vectors for the
+    * weaker 48/6/12). Rounds stay fixed at 6: the beam walk's reach is
+    * degree^rounds, so the log-n growth rides degree (the measured
+    * lever), keeping the unrolled oracle CTE chain and plan depth
+    * static. Env overrides for deployment-tuned values, as with the
+    * other dials; uninitialized falls back to the floor. */
+  val GraphDegreeFloor = 16
+  val GraphDegreeC = 1.4
+  val GraphBeamFactor = 3
+  val GraphRoundsDefault = 6
+
+  /** The pure derivation behind [[graphDegree]]. */
+  private[graft] def graphDegreeFor(n: Long): Int =
+    math.max(GraphDegreeFloor,
+      math.ceil(GraphDegreeC * math.log(math.max(2L, n).toDouble) / math.log(2.0)).toInt)
+
+  /** Graph out-degree kept per vector in the refined k-NN graph. */
+  def graphDegree: Int =
+    sys.env.get("SPARK_GRAFT_GRAPH_DEGREE").map(_.toInt).getOrElse(
+      nVectors.fold(GraphDegreeFloor)(graphDegreeFor))
+
+  /** Beam width kept per query per traversal round. */
+  def graphBeam: Int =
+    sys.env.get("SPARK_GRAFT_GRAPH_BEAM").map(_.toInt)
+      .getOrElse(GraphBeamFactor * graphDegree)
+
+  /** Fixed traversal rounds (static plan depth / oracle unroll). */
+  def graphRounds: Int =
+    sys.env.get("SPARK_GRAFT_GRAPH_ROUNDS").map(_.toInt)
+      .getOrElse(GraphRoundsDefault)
 }

@@ -42,12 +42,103 @@ object Dedup {
     * window form funnels every copy into one partition and SORTS it
     * before emitting, while the combiner collapses the hot hash to one
     * (hash, min) pair map-side and the join back streams — and AQE can
-    * skew-split the probe side, which it can never do for a window. */
+    * skew-split the probe side, which it can never do for a window.
+    *
+    * NULL text hashes as the empty string (`md5(coalesce(text, ''))`,
+    * mirrored verbatim in the oracle): a NULL key would silently DROP
+    * the row from the inner join back, while a crawl corpus treats an
+    * empty fetch as a (highly duplicated) document — the keep-first
+    * semantics must see it. */
   def exact(docs: DataFrame): DataFrame = {
-    val hashed = docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
+    val hashed = docs.select(col("doc_id"),
+      md5(coalesce(col("text"), lit(""))).as("content_hash"))
     val keep = hashed.groupBy("content_hash").agg(min("doc_id").as("keep_id"))
     hashed.join(keep, Seq("content_hash"))
       .select(col("doc_id"), col("content_hash"), col("keep_id"),
+        (col("doc_id") =!= col("keep_id")).cast("long").as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** URL CANONICALIZATION (`dedup_url`, r13) — the cheapest dedup every
+    * crawl pipeline runs FIRST, before any content is even hashed: two
+    * fetches of the same page under different URL spellings collapse
+    * when the URL is normalized. The rules are the standard RFC 3986
+    * syntax-based set (case-insensitive scheme/host, default-port
+    * elision) plus the two crawl conventions every frontier applies
+    * (trailing-slash strip, query-parameter sort, fragment drop —
+    * fragments never reach the server):
+    *
+    *  1. drop the fragment (`#...`);
+    *  2. lowercase scheme and host;
+    *  3. strip the scheme's default port (`:443` for https, `:80` for
+    *     http);
+    *  4. strip trailing slashes from the path (empty path → `/`);
+    *  5. sort query parameters (`&`-split, lexicographic — parameter
+    *     order is almost never semantic, and sorting is what makes
+    *     `?a=1&b=2` meet `?b=2&a=1`).
+    *
+    * Pure row-local string ops (regex extracts + one bounded in-row
+    * array sort) — zero shuffles; mirrored op for op by
+    * [[canonicalUrlSqlFor]] so the gate hash pins each rule. */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hp = lower(regexp_extract(noFrag, "^[^:/?#]+://([^/?#]*)", 1))
+    val host = when(scheme === "https", regexp_replace(hp, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hp, ":80$", ""))
+      .otherwise(hp)
+    val rawPath = regexp_replace(
+      regexp_extract(noFrag, "^[^:/?#]+://[^/?#]*([^?#]*)", 1), "/+$", "")
+    val path = when(rawPath === "", "/").otherwise(rawPath)
+    val q = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val qs = array_join(sort_array(filter(split(q, "&"), x => x =!= "")), "&")
+    concat(scheme, lit("://"), host, path,
+      when(qs === "", "").otherwise(concat(lit("?"), qs)))
+  }
+
+  /** [[canonicalUrl]]'s DuckDB mirror over a URL-valued SQL expression
+    * (same regexes, same rule order). The fragment-stripped form is
+    * inlined at every use site — a plain expression composes anywhere
+    * (no lateral/CTE plumbing at the call site). */
+  def canonicalUrlSqlFor(expr: String): String = {
+    val nf = s"regexp_replace(($expr), '#.*$$', '')"
+    val scheme = s"lower(regexp_extract($nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    val hp = s"lower(regexp_extract($nf, '^[^:/?#]+://([^/?#]*)', 1))"
+    val path = s"regexp_replace(regexp_extract($nf, '^[^:/?#]+://[^/?#]*([^?#]*)', 1), '/+$$', '')"
+    val qs = s"array_to_string(list_sort(list_filter(string_split(" +
+      s"regexp_extract($nf, '\\?([^#]*)', 1), '&'), x -> x <> ''))," + " '&')"
+    s"""($scheme || '://' ||
+       |  CASE $scheme
+       |    WHEN 'https' THEN regexp_replace($hp, ':443$$', '')
+       |    WHEN 'http'  THEN regexp_replace($hp, ':80$$', '')
+       |    ELSE $hp END ||
+       |  CASE WHEN $path = '' THEN '/' ELSE $path END ||
+       |  CASE WHEN $qs = '' THEN '' ELSE '?' || $qs END)""".stripMargin
+  }
+
+  /** Keep-first by canonical URL over a frame carrying a `url` column:
+    * the [[exact]] shape (map-side-combinable groupBy + join back —
+    * never a URL-keyed window; hot keys are the POINT of this operator,
+    * a boilerplate URL fetched 10⁸ times collapses in the combiner).
+    * Returns the survivors with the input's columns. */
+  def urlFirst(docs: DataFrame): DataFrame = {
+    val canon = docs.withColumn("g_canon", canonicalUrl(col("url")))
+    val keep = canon.groupBy("g_canon").agg(min("doc_id").as("g_keep"))
+    canon.join(keep, Seq("g_canon"))
+      .where(col("doc_id") === col("g_keep"))
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** The `dedup_url` gate frame: every doc with its raw URL, canonical
+    * URL, keep-first winner, and dup flag — the [[exact]] output shape
+    * on the URL plane. */
+  def urlDedup(docs: DataFrame): DataFrame = {
+    val withUrl = docs.select(col("doc_id"),
+      graft.sources.Sources.docUrl.as("url"))
+      .withColumn("canon_url", canonicalUrl(col("url")))
+    val keep = withUrl.groupBy("canon_url").agg(min("doc_id").as("keep_id"))
+    withUrl.join(keep, Seq("canon_url"))
+      .select(col("doc_id"), col("url"), col("canon_url"), col("keep_id"),
         (col("doc_id") =!= col("keep_id")).cast("long").as("is_dup"))
       .orderBy("doc_id")
   }
@@ -939,6 +1030,7 @@ object Dedup {
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "dedup_exact"          -> ((s, d) => exact(Tables.documents(s, d))),
+    "dedup_url"            -> ((s, d) => urlDedup(Tables.documents(s, d))),
     "dedup_bloom"          -> ((s, d) => bloomDedup(Tables.documents(s, d))),
     "dedup_minhash_bbit"   -> ((s, d) => minhashBbit(Tables.documents(s, d))),
     "dedup_minhash"        -> ((s, d) => minhashBands(Tables.documents(s, d))),
@@ -1054,10 +1146,23 @@ object Dedup {
     * after the running main's `Dials.init`, not at class load. */
   def oracle: Map[String, String] = Map(
     "dedup_exact" ->
-      """SELECT doc_id, md5(text) AS content_hash,
-        |  min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
-        |  (doc_id <> min(doc_id) OVER (PARTITION BY md5(text)))::BIGINT AS is_dup
+      """SELECT doc_id, md5(coalesce(text, '')) AS content_hash,
+        |  min(doc_id) OVER (PARTITION BY md5(coalesce(text, ''))) AS keep_id,
+        |  (doc_id <> min(doc_id) OVER (PARTITION BY md5(coalesce(text, ''))))::BIGINT AS is_dup
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the synthesized raw URL (docUrlSql) through the independent DuckDB
+    // implementation of the same canonicalization rules, keep-first per
+    // canonical — each planted variant (case, port, slash, query order,
+    // fragment) must normalize identically in both engines or the
+    // string-valued canon_url column hash-mismatches
+    "dedup_url" ->
+      s"""SELECT doc_id, url,
+         |  ${canonicalUrlSqlFor("url")} AS canon_url,
+         |  min(doc_id) OVER (PARTITION BY ${canonicalUrlSqlFor("url")}) AS keep_id,
+         |  (doc_id <> min(doc_id) OVER (PARTITION BY ${canonicalUrlSqlFor("url")}))::BIGINT AS is_dup
+         |FROM (SELECT doc_id, ${graft.sources.Sources.docUrlSql} AS url
+         |      FROM documents) u
+         |ORDER BY doc_id""".stripMargin,
     // the filter arithmetic mirrored bit for bit: same md5 positions,
     // same m = 16·S sizing, same distinct-bit hit counting per shingle
     "dedup_bloom" ->

@@ -933,14 +933,22 @@ object Similarity {
     graft.plans.TopKPlans.topKPerKey(scored, "vec_id", "cos", "neighbor_id", k, "rank")
   }
 
-  /** Beam width kept per query per traversal round — must clear
-    * [[TopK]] + 1 so the self-match occupying a beam slot never
-    * starves the output. */
-  val Beam = 8
+  /** Traversal dials — CORPUS-DERIVED since r13 ([[graft.Dials]]): the
+    * §5c-r12 recall sweep measured that recall at fixed dials decays as
+    * the corpus grows (the HNSW M-sizing rule), so degree grows
+    * ~1.4·log₂ n floored at the measured sf0.1 production point
+    * (beam 48, rounds 6, degree 16 ⇒ recall@5 = 0.955), beam stays at
+    * 3× degree, rounds stay fixed (static plan depth / oracle unroll).
+    * Every gate corpus derives the floor — one oracle shape across all
+    * gate dirs; beam ≥ 48 always clears [[TopK]] + 1, so the self-match
+    * occupying a beam slot never starves the output. */
+  def Beam: Int = graft.Dials.graphBeam
   /** Fixed traversal rounds — the [[GraphLpaRounds]]/`wc_bfs`
-    * static-plan-depth rule: the key gates the 4-round beam expansion,
-    * not a converged search. */
-  val BeamRounds = 4
+    * static-plan-depth rule: the key gates the fixed-round beam
+    * expansion, not a converged search. */
+  def BeamRounds: Int = graft.Dials.graphRounds
+  /** Graph out-degree for the refined lists the search walks. */
+  def GraphDegree: Int = graft.Dials.graphDegree
 
   /** GRAPH-ANN QUERY-TIME SEARCH (`ann_graph_search`, r11) — the
     * primitive the graph indexes exist for, closing the family's
@@ -974,10 +982,13 @@ object Similarity {
     * round persists and releases its predecessor (the `wc_lpa` cache
     * rule). The oracle unrolls the identical rounds as CTEs over the
     * shared NN-descent graph chain. Recall vs exact is a dial of
-    * (Beam, BeamRounds, graph degree) — measured in the spec, not
-    * gated (the gate pins the traversal itself). */
+    * (Beam, BeamRounds, graph degree) — measured in the spec AND in
+    * `graft.RecallSweep` (§5c-r12); the defaults are the corpus-derived
+    * [[graft.Dials]] operating point (≥0.95 recall@5 at every measured
+    * gate corpus), so a caller gets the production dial without reading
+    * the survey. */
   def graphSearch(em: DataFrame, beam: Int = Beam, rounds: Int = BeamRounds,
-                  degree: Int = KnnK): DataFrame = {
+                  degree: Int = GraphDegree): DataFrame = {
     // persist the refined lists BEFORE symmetrizing: the union's two
     // branches otherwise each re-execute the whole nn-descent build
     // (Spark reuses no common subtree across union branches — measured
@@ -1563,11 +1574,11 @@ object Similarity {
   /** The NN-descent refined-graph CTE chain (→ CTE `refined(vec_id,
     * rank, neighbor_id)`): stride centroids → 1-probe assignment →
     * cell edges → deterministic random seed edges → forward ∪ reverse
-    * ∪ 2-hop candidates → exact-cosine top-[[KnnK]]. Shared verbatim by
-    * the `ann_nn_descent` gate and the `ann_graph_search` traversal —
-    * the graph the search walks IS the graph the refinement gate
-    * proves. */
-  private def nndRefinedCtesSql: String =
+    * ∪ 2-hop candidates → exact-cosine top-`k`. Shared verbatim by
+    * the `ann_nn_descent` gate (at [[KnnK]]) and the `ann_graph_search`
+    * traversal (at the [[graft.Dials.graphDegree]] production degree) —
+    * the same chain, so a drift in either arm fails its gate. */
+  private def nndRefinedCtesSql(k: Int = KnnK): String =
     s"""cents AS (
        |  SELECT vec_id AS cent_id, $V AS cv FROM embeddings
        |  WHERE vec_id % $CentroidStride = 0),
@@ -1585,7 +1596,7 @@ object Similarity {
        |    FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
        |    JOIN embeddings q ON q.vec_id = a.vec_id
        |    JOIN embeddings n ON n.vec_id = b.vec_id) t
-       |  WHERE rank <= $KnnK),
+       |  WHERE rank <= $k),
        |rnd AS (
        |  SELECT e.vec_id,
        |    ('0x' || substr(md5('nnd:' || e.vec_id::VARCHAR || ':' || j::VARCHAR), 1, 8))::BIGINT
@@ -1611,7 +1622,7 @@ object Similarity {
        |    FROM cand c
        |    JOIN embeddings q ON q.vec_id = c.vec_id
        |    JOIN embeddings n ON n.vec_id = c.neighbor_id) t
-       |  WHERE rank <= $KnnK)""".stripMargin
+       |  WHERE rank <= $k)""".stripMargin
 
   /** Unrolled `±v[1] ±v[2] …` for one plane — literal signs, same
     * left-to-right fold as [[signedSum]]. */
@@ -2102,7 +2113,7 @@ object Similarity {
     // 2-hop edges, deduped, re-ranked by exact cosine — the shared
     // `refined` chain, so the traversal oracle composes it verbatim
     "ann_nn_descent" ->
-      s"""WITH $nndRefinedCtesSql
+      s"""WITH ${nndRefinedCtesSql()}
          |SELECT vec_id, rank, neighbor_id FROM refined
          |ORDER BY vec_id, rank""".stripMargin,
     // the SAME refined-graph chain, symmetrized, then BeamRounds beam
@@ -2125,7 +2136,7 @@ object Similarity {
            |    JOIN embeddings q ON q.vec_id = x.query_id
            |    JOIN embeddings n ON n.vec_id = x.cand_id) t
            |  WHERE rn <= $Beam)""".stripMargin
-      s"""WITH $nndRefinedCtesSql,
+      s"""WITH ${nndRefinedCtesSql(GraphDegree)},
          |ge AS MATERIALIZED (
          |  SELECT DISTINCT src, dst FROM (
          |    SELECT vec_id AS src, neighbor_id AS dst FROM refined

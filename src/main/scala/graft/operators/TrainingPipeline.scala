@@ -157,7 +157,7 @@ object TrainingPipeline {
        |s4 AS (SELECT s3.* FROM s3
        |       WHERE NOT EXISTS (SELECT 1 FROM ct WHERE ct.doc_id = s3.doc_id)),
        |s5 AS (SELECT * FROM s4
-       |       QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))),
+       |       QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(coalesce(text, '')))),
        |s6 AS (SELECT s5.* FROM s5
        |       JOIN (${Dedup.clusterSqlFor("s5")}) c
        |         ON c.doc_id = s5.doc_id AND c.is_canonical = 1)""".stripMargin

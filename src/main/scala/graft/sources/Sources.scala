@@ -221,6 +221,47 @@ object Sources {
     * block set from the same chunk arithmetic. */
   val HtmlBlockWords = 40
 
+  /** Deterministic per-document page URL with PLANTED NON-CANONICAL
+    * VARIANTS — the fixture behind `dedup_url` and the raw-web chain's
+    * stage-0 URL dedup. Every crawl frontier sees the same page under
+    * many spellings; this synthesizes the five standard ones from
+    * doc_id arithmetic (integer/string ops both engines mirror, the
+    * h32 discipline):
+    *
+    *  - host case: every 3rd doc spells the host `WWW.Example.COM`;
+    *  - explicit default port: every 5th doc carries `:443`;
+    *  - trailing slash: every odd doc;
+    *  - query-parameter order: odd docs swap to `?b=2&a=1`;
+    *  - fragment: every 7th doc carries `#sec2`.
+    *
+    * The PATH is shared in pairs — doc 8k+1 reuses doc 8k's path (a
+    * ~12.5 % duplicate-URL rate, the order real crawl frontiers see) —
+    * and the paired docs NEVER agree on the raw string (opposite
+    * parity ⇒ slash and query order always differ), so the pair
+    * collides only through [[graft.operators.Dedup.canonicalUrl]]:
+    * every canonicalization rule is load-bearing for the gate hash. */
+  def docUrl: Column = concat(
+    lit("https://"),
+    when(pmod(col("doc_id"), lit(3)) === 0, "WWW.Example.COM")
+      .otherwise("www.example.com"),
+    when(pmod(col("doc_id"), lit(5)) === 0, ":443").otherwise(""),
+    lit("/d/"),
+    when(pmod(col("doc_id"), lit(8)) === 1, col("doc_id") - 1)
+      .otherwise(col("doc_id")).cast("string"),
+    when(pmod(col("doc_id"), lit(2)) === 1, "/").otherwise(""),
+    when(pmod(col("doc_id"), lit(2)) === 0, "?a=1&b=2").otherwise("?b=2&a=1"),
+    when(pmod(col("doc_id"), lit(7)) === 0, "#sec2").otherwise(""))
+
+  /** [[docUrl]]'s DuckDB mirror (same arithmetic, same literals). */
+  val docUrlSql: String =
+    """'https://' ||
+      |  CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM' ELSE 'www.example.com' END ||
+      |  CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END || '/d/' ||
+      |  (CASE WHEN doc_id % 8 = 1 THEN doc_id - 1 ELSE doc_id END)::VARCHAR ||
+      |  CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END ||
+      |  CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '?b=2&a=1' END ||
+      |  CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END""".stripMargin
+
   /** HTML entity escape for element text — &amp; first on escape, last
     * on unescape (the standard order; reversed it double-decodes). A
     * no-op on this corpus (no &<> in documents.text) but the honest

@@ -336,20 +336,33 @@ object CorpusStream {
       // minimum. An out-of-order producer must fail LOUD here, not
       // silently diverge from the keep-first result: the batch's min
       // doc_id must exceed every earlier batch's max, read as a
-      // high-water mark from the stored per-doc stats (batch_id <
-      // batchId only, the `seen` convention — a re-delivered batch
-      // sees the exact pre-batch high-water, so replay stays
-      // idempotent).
+      // high-water mark (batch_id < batchId only, the `seen`
+      // convention — a re-delivered batch sees the exact pre-batch
+      // high-water, so replay stays idempotent). The mark is read from
+      // the LATEST earlier batch's partition alone, never a scan of
+      // the whole stats history: every committed batch already passed
+      // this guard, so the store's doc_ids are monotone across
+      // batch_ids and the newest earlier partition holds the global
+      // max — per-batch guard cost stays O(latest batch), constant as
+      // ingest history grows (directory listing is names-only).
       val statsP = new org.apache.hadoop.fs.Path(statsPath)
       val statsFs = statsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val hwRow = if (!statsFs.exists(statsP)) null // first batch: no history
-      else spark.read
-        .schema(org.apache.spark.sql.types.StructType.fromDDL(
-          "doc_id BIGINT, n_lines BIGINT, n_kept BIGINT, " +
-            "words_kept BIGINT, sum_h BIGINT, batch_id BIGINT"))
-        .parquet(statsPath)
-        .where(col("batch_id") < batchId)
-        .agg(max(col("doc_id")).as("hw")).head()
+      val latestEarlier: Option[Long] =
+        if (!statsFs.exists(statsP)) None // first batch: no history
+        else statsFs.listStatus(statsP).iterator
+          .map(_.getPath.getName)
+          .filter(_.startsWith("batch_id="))
+          .map(_.stripPrefix("batch_id=").toLong)
+          .filter(_ < batchId)
+          .reduceOption(_ max _)
+      val hwRow = latestEarlier.map { bid =>
+        spark.read
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, n_lines BIGINT, n_kept BIGINT, " +
+              "words_kept BIGINT, sum_h BIGINT"))
+          .parquet(s"$statsPath/batch_id=$bid")
+          .agg(max(col("doc_id")).as("hw")).head()
+      }.orNull
       val batchMin = b.agg(min(col("doc_id"))).head()
       if (hwRow != null && !hwRow.isNullAt(0) && !batchMin.isNullAt(0) &&
           batchMin.getLong(0) <= hwRow.getLong(0))

@@ -374,4 +374,52 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.minhashThresholded(twins)
       .as[(Long, Long, Long)].head() == ((1L, 2L, 16L)))
   }
+
+  test("canonicalUrl: each RFC/crawl rule pinned on a literal case") {
+    val sp = spark
+    import sp.implicits._
+    val cases = Seq(
+      // fragment dropped
+      ("https://example.com/a#sec2", "https://example.com/a"),
+      // scheme + host case-folded; path case PRESERVED
+      ("HTTPS://WWW.Example.COM/A/B", "https://www.example.com/A/B"),
+      // default port stripped per scheme
+      ("https://example.com:443/a", "https://example.com/a"),
+      ("http://example.com:80/a", "http://example.com/a"),
+      // non-default port kept
+      ("https://example.com:8443/a", "https://example.com:8443/a"),
+      // http's default is NOT https's: :443 on http stays
+      ("http://example.com:443/a", "http://example.com:443/a"),
+      // trailing slashes stripped; bare root normalizes to '/'
+      ("https://example.com/a/b//", "https://example.com/a/b"),
+      ("https://example.com", "https://example.com/"),
+      ("https://example.com/", "https://example.com/"),
+      // query params sorted; empty query dropped
+      ("https://example.com/a?b=2&a=1", "https://example.com/a?a=1&b=2"),
+      ("https://example.com/a?", "https://example.com/a"),
+      // query survives slash-strip ordering (path rule sees path only)
+      ("https://example.com/a/?b=2&a=1#x", "https://example.com/a?a=1&b=2"),
+      // all five rules at once (the planted-variant worst case)
+      ("HTTPS://WWW.Example.COM:443/d/8/?b=2&a=1#sec2",
+       "https://www.example.com/d/8?a=1&b=2"))
+    val got = cases.map(_._1).toDF("url")
+      .select(Dedup.canonicalUrl(col("url")).as("c")).as[String].collect()
+    for (((in, want), g) <- cases.zip(got))
+      assert(g == want, s"canonicalUrl($in) = $g, want $want")
+  }
+
+  test("urlDedup: planted variants collide only through canonicalization; keep-first holds") {
+    val r = Dedup.urlDedup(docs).collect()
+    val byId = r.map(x => x.getLong(0) -> x).toMap
+    // every 8k+1 doc is a dup of 8k; everything else is canonical
+    for ((id, row) <- byId) {
+      val expectDup = id % 8 == 1 && byId.contains(id - 1)
+      assert(row.getLong(4) == (if (expectDup) 1L else 0L), s"doc $id dup flag")
+      if (expectDup) assert(row.getLong(3) == id - 1, s"doc $id keep_id")
+    }
+    // the paired docs never agree on the RAW url (canonicalization is
+    // load-bearing, not a string equality in disguise)
+    for ((id, row) <- byId if id % 8 == 1 && byId.contains(id - 1))
+      assert(row.getString(1) != byId(id - 1).getString(1), s"doc $id raw url")
+  }
 }
