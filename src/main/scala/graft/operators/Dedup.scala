@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.Pin.PinOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -259,7 +260,7 @@ object Dedup {
     * est_matches and SKIPS the exact branch — it exists here to
     * measure the estimator against truth, per-pair. */
   def minhashEstimate(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(docs).localCheckpoint(true)
+    val sig = minhashSignatures(docs).pinned
     val pairs = minhashCandidates(docs)
     val sa = sig.select(col("doc_id").as("doc_a") +:
       (0 until NumHashes).map(j => col(s"s$j").as(s"a$j")): _*)
@@ -281,7 +282,7 @@ object Dedup {
     // array_intersect has set semantics, matching shingles()'s distinct.
     val shArr = shingles(docs).select(col("doc_id"), md5(col("shingle")).as("dig"))
       .groupBy("doc_id").agg(collect_set(col("dig")).as("digs"))
-      .localCheckpoint(true)
+      .pinned
     pairs
       .join(shArr.select(col("doc_id").as("doc_a"), col("digs").as("da")), "doc_a")
       .join(shArr.select(col("doc_id").as("doc_b"), col("digs").as("db")), "doc_b")
@@ -329,7 +330,7 @@ object Dedup {
     * separately: DedupSpec pins est-vs-exact MAE ≤ 0.25 via
     * `dedup_minhash_est`'s output. */
   def minhashThresholded(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(docs).localCheckpoint(true)
+    val sig = minhashSignatures(docs).pinned
     val estM = (0 until NumHashes)
       .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
       .reduce(_ + _)
@@ -362,8 +363,14 @@ object Dedup {
         .where(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"), estM.as("est_matches"))
         .where(col("est_matches") >= ThreshMatches)
-        .localCheckpoint(true)
-      System.gc() // free the superseded band's shuffle files now
+        .pinned
+      // LOCAL-MODE aid only: a driver GC lets the ContextCleaner's
+      // weak-ref queue notice the superseded band's shuffle dependency
+      // and delete its files before the next band stages — on one box
+      // that bounds scratch disk. On a cluster the driver GC merely
+      // accelerates cleanup RPCs; not wrong, but not this JVM's disk,
+      // so the single-box idiom is scoped to local masters.
+      if (sig.sparkSession.sparkContext.isLocal) System.gc()
       p
     }
     passing.reduce(_ unionAll _)
@@ -372,7 +379,7 @@ object Dedup {
   }
 
   private def minhashCandidates(docs: DataFrame): DataFrame = {
-    val b = minhashBanded(docs).localCheckpoint(true)
+    val b = minhashBanded(docs).pinned
     val l = b.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
     val r = b.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
     l.join(r, Seq("band", "band_hash"))
@@ -398,7 +405,7 @@ object Dedup {
         .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(indexPath)
     val index = existing.sparkSession.read.parquet(indexPath)
     // computed once, probed twice (index join + self-join)
-    val nb = minhashBanded(fresh).localCheckpoint(true)
+    val nb = minhashBanded(fresh).pinned
     val crossPairs = broadcast(nb.select(col("doc_id").as("new_id"), col("band"), col("band_hash")))
       .join(index.select(col("doc_id").as("old_id"), col("band"), col("band_hash")),
         Seq("band", "band_hash"))
@@ -585,11 +592,11 @@ object Dedup {
         Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
     }
     var edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .localCheckpoint(true)
+      .pinned
     var prevStats = edgeStats(edges)
     var stable = prevStats._1 == 0L // no edges: already converged
     while (!stable) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = smallStar(largeStar(edges)).pinned
       val nextStats = edgeStats(next)
       freeCheckpoint(edges) // superseded round's blocks, freed eagerly
       edges = next
@@ -941,7 +948,7 @@ object Dedup {
     * Spec pins |Ĵ₁ − Ĵ₁₆| ≤ ½ on average (the b = 1 variance cost,
     * measured) and Ĵ₁ = Ĵ₁₆ = 1 on identical signatures. */
   def minhashBbit(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(docs).localCheckpoint(true)
+    val sig = minhashSignatures(docs).pinned
     val pairs = minhashCandidates(docs)
     val sa = sig.select(col("doc_id").as("doc_a") +:
       (0 until NumHashes).map(j => col(s"s$j").as(s"a$j")): _*)

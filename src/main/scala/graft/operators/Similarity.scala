@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.Pin.PinOps
 import graft.functions.LshImpl
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -643,7 +644,7 @@ object Similarity {
         .groupBy("cent_id")
         .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("sm"))
         .select(col("cent_id"), transform(col("sm"), e => e.getField("m")).as("cv"))
-        .localCheckpoint(true) // truncate the per-iteration lineage
+        .pinned // truncate the per-iteration lineage
     }
     cents
   }
@@ -1037,14 +1038,14 @@ object Similarity {
     // (measured 22 s for a 32k-row round). The checkpoint truncates
     // lineage to a LogicalRDD: constant plan depth, constant round
     // cost (the `dedup_cluster` iteration rule applied to search).
-    var front = entry.localCheckpoint(true)
+    var front = entry.pinned
     for (_ <- 1 to rounds) {
       val expanded = front.unionAll(
           front.join(ge, front("cand_id") === ge("src"))
             .select(front("query_id"), col("dst").as("cand_id")))
         .distinct()
       val next = rerank(expanded, beam).select("query_id", "cand_id")
-        .localCheckpoint(true)
+        .pinned
       // superseded round's blocks, freed eagerly (the dedup_cluster /
       // wc_lpa release rule — checkpoints are not CacheManager-tracked)
       graft.Cleanup.freeCheckpoint(front)
@@ -1058,7 +1059,7 @@ object Similarity {
     val res = rerank(front.where(col("cand_id") =!= col("query_id")), TopK)
       .select(col("query_id"), col("rank"), col("cand_id").as("neighbor_id"))
       .orderBy("query_id", "rank")
-      .localCheckpoint(true)
+      .pinned
     graft.Cleanup.freeCheckpoint(front)
     Seq(g, ge, cvc, qv).foreach(_.unpersist(false))
     res
@@ -1116,7 +1117,7 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"), min("node").as("v_min"), max("node").as("v_max"))
       .orderBy(col("n_vecs").desc, col("label"))
       .limit(20)
-      .localCheckpoint(true)
+      .pinned
     Seq(g, edges).foreach(_.unpersist(false))
     res
   }

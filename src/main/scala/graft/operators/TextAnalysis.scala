@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.Pin.PinOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -794,7 +795,7 @@ object TextAnalysis {
         Dedup.h32(lit("shard"), col("doc_id").cast("string")).as("k"))
       .repartitionByRange(col("k"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint(true)
+      .pinned
     val wLoc = Window.partitionBy("pid").orderBy("k", "doc_id")
     val wBases = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     val bases = keyed.groupBy("pid").agg(count(lit(1)).as("cnt"))
@@ -858,7 +859,7 @@ object TextAnalysis {
     val keyed = keys
       .repartitionByRange(col("phase"), col("k"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint(true)
+      .pinned
     val wLoc = Window.partitionBy("pid", "phase").orderBy("k", "doc_id")
     val wBase = Window.partitionBy("phase").orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -989,7 +990,7 @@ object TextAnalysis {
         array_join(transform(sequence(lit(1), length(col("word"))),
           i => col("word").substr(i, lit(1))), sep + sep),
         lit(sep)).as("seq"))
-      .localCheckpoint(true)
+      .pinned
     def syms = split(trim(col("seq"), sep), "\\|\\|")
     var merges: DataFrame = null
     for (step <- 1 to rounds) {
@@ -1006,7 +1007,7 @@ object TextAnalysis {
         .limit(1)
         .select(lit(step.toLong).as("step"), col("merge_left"),
           col("merge_right"), col("pair_count"))
-        .localCheckpoint(true)
+        .pinned
       // LEFT join, not cross: when training exhausts early (best is
       // EMPTY — every word already one symbol), the vocab must survive
       // unchanged so the learned segmentation stays usable
@@ -1019,7 +1020,7 @@ object TextAnalysis {
                 col("merge_right"), lit(sep)),
               concat(lit(sep), col("merge_left"), col("merge_right"), lit(sep))))
             .as("seq"))
-        .localCheckpoint(true)
+        .pinned
       merges = if (merges == null) best else merges.unionAll(best)
     }
     (merges, vocab)

@@ -139,6 +139,33 @@ object TrainingPipeline {
     // a survivor count and fails the gate.
     "pipe_web"     -> ((s, d) => summary(TextAnalysis.extractedCorpus(
       s.read.text(graft.sources.Sources.htmlCorpusDir(s, d))))),
+    // THE FULL CRAWL HEAD (`pipe_warc`, r13): WARC-framed fetch records
+    // through the three stages every production crawl pipeline runs in
+    // this exact order — (w0) framed record parse, (w1) URL-canonicalized
+    // keep-first dedup on WARC-Target-URI (the cheapest dedup there is:
+    // one skinny groupBy on a header field, BEFORE any payload is even
+    // parsed — Dedup.urlFirst), then boilerplate extraction and the SAME
+    // seven-stage cleaning chain. "First" = min doc_id (the fixture's
+    // fetch order). The parsed record frame is persisted: the two w-stage
+    // counts and the downstream chain all read it, and re-running the
+    // framed parse per consumer would multiply the scan cost
+    // (Cleanup.releaseAll drops it under the session contract).
+    "pipe_warc"    -> ((s, d) => {
+      val recs = graft.sources.Sources
+        .readWarc(s, graft.sources.Sources.warcDir(s, d))
+        .withColumn("doc_id",
+          regexp_extract(col("value"), "<title>Doc ([0-9]+)</title>", 1)
+            .cast("long"))
+        .persist()
+      val kept = Dedup.urlFirst(recs).persist()
+      val wStages = recs.agg(count(lit(1)).as("n_docs"))
+        .select(lit("w0_fetched").as("stage"), col("n_docs"))
+        .unionAll(kept.agg(count(lit(1)).as("n_docs"))
+          .select(lit("w1_url").as("stage"), col("n_docs")))
+      wStages
+        .unionAll(summary(TextAnalysis.extractedCorpus(kept.select("value"))))
+        .orderBy("stage")
+    }),
   )
 
   /** The seven-stage survivor CTE chain (→ CTE `s6`, the cleaned
@@ -211,6 +238,45 @@ object TrainingPipeline {
          |$survivorCtesSql
          |SELECT stage, n_docs FROM (
          |  SELECT 'p0_input' AS stage, count(*) AS n_docs FROM documents
+         |  UNION ALL SELECT 'p1_langid', count(*) FROM s1
+         |  UNION ALL SELECT 'p2_quality', count(*) FROM s2
+         |  UNION ALL SELECT 'p3_gopher', count(*) FROM s3
+         |  UNION ALL SELECT 'p4_decontam', count(*) FROM s4
+         |  UNION ALL SELECT 'p5_exact', count(*) FROM s5
+         |  UNION ALL SELECT 'p6_neardup', count(*) FROM s6) t
+         |ORDER BY stage""".stripMargin,
+    // pipe_web's shadowed-documents chain with the URL keep-first stage
+    // in front: uf = the canonical-URL keep-first survivors over the
+    // docUrl mirror (the same five canonicalization rules, re-derived in
+    // SQL), and the extracted-corpus CTE reads only uf docs — so both
+    // engines run URL dedup on the record header BEFORE extraction, and
+    // any drift in the canonicalizer, the keep-first, the WARC framing,
+    // the extractor, or any of the seven stages moves a survivor count.
+    "pipe_warc" ->
+      s"""WITH uf AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY
+         |      ${Dedup.canonicalUrlSqlFor(graft.sources.Sources.docUrlSql)}) AS k
+         |    FROM main.documents) t
+         |  WHERE doc_id = k),
+         |documents AS (
+         |  SELECT doc_id,
+         |    array_to_string(ws[1:kw], ' ') AS text,
+         |    lang, source,
+         |    CAST(length(array_to_string(ws[1:kw], ' ')) AS BIGINT) AS n_chars
+         |  FROM (
+         |    SELECT doc_id, lang, source, ws,
+         |      len(ws) - CASE WHEN len(ws) % ${graft.sources.Sources.HtmlBlockWords}
+         |        BETWEEN 1 AND ${TextAnalysis.ExtractMinWords - 1}
+         |        THEN len(ws) % ${graft.sources.Sources.HtmlBlockWords} ELSE 0 END AS kw
+         |    FROM (SELECT d.doc_id, d.lang, d.source,
+         |            list_filter(string_split(d.text, ' '), x -> x <> '') AS ws
+         |          FROM main.documents d JOIN uf USING (doc_id)) w) k),
+         |$survivorCtesSql
+         |SELECT stage, n_docs FROM (
+         |  SELECT 'w0_fetched' AS stage, count(*) AS n_docs FROM main.documents
+         |  UNION ALL SELECT 'w1_url', count(*) FROM uf
+         |  UNION ALL SELECT 'p0_input', count(*) FROM documents
          |  UNION ALL SELECT 'p1_langid', count(*) FROM s1
          |  UNION ALL SELECT 'p2_quality', count(*) FROM s2
          |  UNION ALL SELECT 'p3_gopher', count(*) FROM s3

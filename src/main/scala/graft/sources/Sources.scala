@@ -318,6 +318,162 @@ object Sources {
     dir
   }
 
+  /** Fixed WARC-Date for the staged records — deterministic fixtures. */
+  private val WarcDate = "2026-01-01T00:00:00Z"
+
+  /** One serialized WARC/1.0 record (ISO 28500 framing: a CRLF-joined
+    * header block, a blank line, exactly `Content-Length` payload
+    * bytes, then the two-CRLF record separator). Content-Length counts
+    * BYTES of the UTF-8 payload — the framing that makes WARC safe for
+    * payloads containing newlines, binary runs, or anything else (the
+    * property the line-oriented text staging can never have, which is
+    * why [[htmlCorpusDir]] needs [[Fixtures.requireLineSafe]] and this
+    * writer does not). */
+  private def warcRecord(typ: String, uri: String, id: String,
+                         payload: Array[Byte]): Array[Byte] = {
+    val uriLine = if (uri == null) "" else s"WARC-Target-URI: $uri\r\n"
+    val ct = if (typ == "response") "text/html" else "application/warc-fields"
+    val hdr =
+      s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Record-ID: <urn:graft:$id>\r\n" +
+        s"WARC-Date: $WarcDate\r\n$uriLine" +
+        s"Content-Type: $ct\r\nContent-Length: ${payload.length}\r\n\r\n"
+    hdr.getBytes(java.nio.charset.StandardCharsets.UTF_8) ++ payload ++
+      "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Fixture dir of the WARC-framed web corpus — the byte layout a real
+    * crawl delivers (Common Crawl's WARC/1.0, ISO 28500): each file
+    * opens with a `warcinfo` record (which a correct reader must SKIP)
+    * followed by one `response` record per page, each carrying the
+    * page's URL (with [[docUrl]]'s planted non-canonical variants) in
+    * `WARC-Target-URI` and the single-line HTML page as its payload,
+    * framed by `Content-Length`. Files are written per task partition —
+    * at 100 TB the unit of parallelism for WARC is the FILE (the format
+    * is sequentially framed, not block-splittable; every production
+    * crawl pipeline sizes ~1 GB .warc.gz files and parallelizes across
+    * them), so fixture file count stands in for the crawler's file
+    * sizing. */
+  def warcDir(s: SparkSession, d: String): String = {
+    val dir = Fixtures.dirFor("src_warc", d, "documents")
+    if (!Fixtures.ready(dir)) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      graft.Tables.documents(s, d)
+        .select(col("doc_id"), docUrl.as("url"), htmlPage.as("page"))
+        .repartition(8)
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val out = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(s"$dir/part_$pid.warc"))
+          try {
+            out.write(warcRecord("warcinfo", null, s"info:$pid",
+              "software: graft\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            rows.foreach { r =>
+              out.write(warcRecord("response", r.getString(1),
+                r.getLong(0).toString,
+                r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            }
+          } finally out.close()
+        }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "_SUCCESS"), Array[Byte]())
+    }
+    dir
+  }
+
+  /** Content-Length-framed WARC record walk over one file's bytes —
+    * never a delimiter scan (a payload may legally CONTAIN the
+    * `\r\n\r\nWARC/1.0` byte sequence; only the declared length decides
+    * where a record ends). Yields (WARC-Target-URI, payload-as-UTF-8)
+    * for `response` records; all other record types (warcinfo, request,
+    * metadata, revisit) are skipped after being length-framed past.
+    * Fail-loud on malformed framing — a truncated record means a
+    * corrupt fetch, and silently resyncing would hide it. */
+  private[graft] def parseWarc(bytes: Array[Byte]): Iterator[(String, String)] =
+    new Iterator[(String, String)] {
+      private var pos = 0
+      private var nextRec: (String, String) = null
+      private def indexOfHdrEnd(from: Int): Int = {
+        var i = from
+        while (i + 3 < bytes.length) {
+          if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
+              bytes(i + 2) == '\r' && bytes(i + 3) == '\n') return i
+          i += 1
+        }
+        -1
+      }
+      private def advance(): Unit = {
+        nextRec = null
+        while (nextRec == null && pos < bytes.length) {
+          // tolerate inter-record CRLF runs (the two-CRLF separator)
+          while (pos + 1 < bytes.length &&
+                 bytes(pos) == '\r' && bytes(pos + 1) == '\n') pos += 2
+          if (pos >= bytes.length) return
+          val he = indexOfHdrEnd(pos)
+          require(he >= 0, s"WARC: unterminated header block at byte $pos")
+          val header = new String(bytes, pos, he - pos,
+            java.nio.charset.StandardCharsets.UTF_8)
+          val lines = header.split("\r\n")
+          require(lines.head.startsWith("WARC/"),
+            s"WARC: record at byte $pos does not start with a WARC version line")
+          val fields = lines.tail.flatMap { l =>
+            val i = l.indexOf(':')
+            if (i < 0) None else Some(l.take(i).trim -> l.drop(i + 1).trim)
+          }.toMap
+          val len = fields.getOrElse("Content-Length",
+            sys.error(s"WARC: record at byte $pos missing Content-Length")).toInt
+          val body = he + 4
+          require(body + len <= bytes.length,
+            s"WARC: truncated payload at byte $body (declared $len)")
+          if (fields.getOrElse("WARC-Type", "") == "response")
+            nextRec = (fields.getOrElse("WARC-Target-URI", ""),
+              new String(bytes, body, len,
+                java.nio.charset.StandardCharsets.UTF_8))
+          pos = body + len
+        }
+      }
+      advance()
+      override def hasNext: Boolean = nextRec != null
+      override def next(): (String, String) = {
+        val r = nextRec; advance(); r
+      }
+    }
+
+  /** The WARC corpus as a (url, value) frame: `binaryFile` per-file
+    * reads (locality and split granularity from the storage layer, the
+    * [[graft.operators.Multimodal]] `src_binary` pattern) with the
+    * record walk inside the scan's mapPartitions — map-only, zero
+    * shuffles; a 1000-executor cluster saturates on file count exactly
+    * as every production WARC pipeline does. */
+  def readWarc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.format("binaryFile").load(dir)
+      .where(col("path").endsWith(".warc"))
+      .select(col("content")).as[Array[Byte]]
+      .mapPartitions(_.flatMap(parseWarc))
+      .toDF("url", "value")
+  }
+
+  /** `src_warc` gate: read the WARC corpus back through the framed
+    * parser and run the raw-web extraction over every response payload,
+    * joined with the record's own `WARC-Target-URI`. The oracle
+    * re-derives the extraction columns from the source words
+    * (`text_extract`'s chunk arithmetic) and the URL from [[docUrlSql]]
+    * — so a hash match proves the Content-Length framing returned every
+    * payload byte-exactly (any framing slip corrupts a page and its
+    * `text_h`), the warcinfo skip is right (an extra record forges a
+    * doc_id-NULL row), and the header parse recovered each URI. */
+  def warcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val recs = readWarc(s, warcDir(s, d))
+    val urls = recs.select(
+      regexp_extract(col("value"), "<title>Doc ([0-9]+)</title>", 1)
+        .cast("long").as("doc_id"),
+      col("url"))
+    graft.operators.TextAnalysis.extractText(recs.select("value"))
+      .join(urls, Seq("doc_id"))
+      .select("doc_id", "url", "n_blocks", "n_kept", "words_kept", "text_h")
+      .orderBy("doc_id")
+  }
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "src_evolve" -> ((s, d) => evolveRoundtrip(s, d)),
@@ -326,6 +482,7 @@ object Sources {
     "src_orc"   -> ((s, d) => orcRoundtrip(s, d)),
     "src_xml"   -> ((s, d) => xmlRoundtrip(s, d)),
     "src_avro"  -> ((s, d) => avroRoundtrip(s, d)),
+    "src_warc"  -> ((s, d) => warcRoundtrip(s, d)),
   )
 
   private val integritySql =
@@ -334,7 +491,13 @@ object Sources {
       |  CAST(SUM(('0x' || substr(md5('rt:' || text), 1, 8))::BIGINT) AS BIGINT) AS sum_h
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  // LAZY is load-bearing: src_warc's oracle composes
+  // TextAnalysis.oracle("text_extract"), and TextAnalysis's own init
+  // reads Sources.HtmlBlockWords — an eager val here would re-enter
+  // TextAnalysis mid-<clinit> and read a null map. Deferring to first
+  // access (SparkEntry.oracleSql, after both objects exist) breaks the
+  // cycle.
+  lazy val oracle: Map[String, String] = Map(
     // the merged-scan semantics derived straight from the source table:
     // even doc_ids are the gen1 (narrow-schema) rows → lang NULL,
     // n_chars NULL; an all-NULL group sums to NULL in both engines
@@ -349,6 +512,15 @@ object Sources {
     "src_orc"   -> integritySql,
     "src_xml"   -> integritySql,
     "src_avro"  -> integritySql,
+    // the text_extract arithmetic rederivation (Spark extracts from the
+    // ACTUAL framed payloads; the oracle from source-word chunk math)
+    // joined with the docUrl mirror for the WARC-Target-URI header
+    "src_warc" ->
+      s"""SELECT e.doc_id, u.url, e.n_blocks, e.n_kept, e.words_kept, e.text_h
+         |FROM (${graft.operators.TextAnalysis.oracle("text_extract")}) e
+         |JOIN (SELECT doc_id, $docUrlSql AS url FROM documents) u
+         |  USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
   )
 
   /** Fixed-size chunking of a (doc_id, text) corpus — the reference's

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.operators.{Dedup, Similarity}
+import graft.Pin.PinOps
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
@@ -175,7 +176,7 @@ object CorpusStream {
     val spark = batch.sparkSession
     val pinned = spark.sparkContext.getPersistentRDDs.keySet
     // computed once, used three times (probe, self-join, index fold)
-    val bands = Dedup.minhashBanded(batch).localCheckpoint(true)
+    val bands = Dedup.minhashBanded(batch).pinned
     try {
       foldBatch(probePairs(bands, spark.read.parquet(indexPath)), batchId, pairsPath)
       // fold the batch into the corpus AFTER probing (probe-then-fold
@@ -197,10 +198,10 @@ object CorpusStream {
                                    labelsPath: String, pairsPath: String): Unit = batchLock.synchronized {
     val spark = batch.sparkSession
     val pinned = spark.sparkContext.getPersistentRDDs.keySet
-    val bands = Dedup.minhashBanded(batch).localCheckpoint(true)
+    val bands = Dedup.minhashBanded(batch).pinned
     try {
       val pairs = probePairs(bands, spark.read.parquet(indexPath))
-        .localCheckpoint(true)
+        .pinned
       foldBatch(pairs, batchId, pairsPath)
       foldBatch(bands, batchId, indexPath)
       // on replay this reads the replay's OWN committed fold — the star
@@ -214,7 +215,7 @@ object CorpusStream {
       // the version written are the SAME directory (v_<batchId>)
       Dedup.connectedComponents(
           ids, stars.unionAll(pairs.select("doc_a", "doc_b")).distinct())
-        .localCheckpoint(true)
+        .pinned
         .write.mode(SaveMode.Overwrite).parquet(s"$labelsPath/v_$batchId")
       pruneLabels(labelsPath, batchId)
     } finally releaseSince(spark, pinned)
@@ -260,7 +261,7 @@ object CorpusStream {
     val pinned = spark.sparkContext.getPersistentRDDs.keySet
     val corpus = Similarity.corpusVecs(batch)
     val withV = Similarity.cellAssign(corpus, cents).join(corpus, "vec_id")
-      .localCheckpoint(true)
+      .pinned
     try {
       foldBatch(probeSemantic(withV, spark.read.parquet(indexPath)), batchId, pairsPath)
       foldBatch(withV, batchId, indexPath)
@@ -328,7 +329,7 @@ object CorpusStream {
     import graft.operators.{Dedup, TextAnalysis}
     val spark = batch.sparkSession
     val pinned = spark.sparkContext.getPersistentRDDs.keySet
-    val b = TextAnalysis.lineBlocks(batch).localCheckpoint(true)
+    val b = TextAnalysis.lineBlocks(batch).pinned
     try {
       // PRECONDITION GUARD: bit-exactness vs the terminal batch
       // lineDedup rests on doc_id-ordered ingestion — the first batch

@@ -29,6 +29,10 @@ def time_query(sql: str) -> float:
     best = math.inf
     for _ in range(2):
         con = duckdb.connect()  # fresh engine: no cached results/plans
+        # capped pool: the 32-thread/80%-RAM defaults intermittently fail
+        # tiny allocations in this sandbox (see tools/check.py)
+        con.execute("SET threads=8")
+        con.execute("SET memory_limit='32GB'")
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")

@@ -9,6 +9,12 @@ import pandas as pd
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+# cap DuckDB: with the 32-thread / 80%-of-RAM defaults this sandbox
+# intermittently fails tiny (1-4 KB) allocations with "Out of Memory
+# Error" even with >100 GB free — a capped pool is reliable and the
+# oracles are small enough that 8 threads cost nothing measurable
+con.execute("SET threads=8")
+con.execute("SET memory_limit='32GB'")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
