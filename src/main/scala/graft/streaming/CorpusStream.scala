@@ -439,6 +439,56 @@ object CorpusStream {
         .parquet(indexPath)
         .select("doc_id", "phase", "k"))
 
+  /** The extraction head's per-batch fold (exposed for the replay
+    * spec): the batch's raw HTML pages run through
+    * [[graft.operators.TextAnalysis.extractedCorpus]] — boilerplate
+    * extraction is entirely ROW-LOCAL (regex segmentation + in-row
+    * density arithmetic, zero cross-batch state) — and the extracted
+    * rows land in their own batch_id partition, overwrite-in-place, so
+    * re-delivery is idempotent and ANY batch split or arrival order
+    * stores the same row set. Cost per batch ∝ batch pages (one
+    * map-only pass). */
+  private[graft] def extractBatch(batch: DataFrame, batchId: Long,
+                                  corpusPath: String): Unit = batchLock.synchronized {
+    val spark = batch.sparkSession
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet
+    try foldBatch(graft.operators.TextAnalysis.extractedCorpus(batch), batchId, corpusPath)
+    finally releaseSince(spark, pinned)
+  }
+
+  /** STREAMING INGEST TWIN of `pipe_web`'s extraction head — raw web
+    * pages arrive as a stream (one single-line HTML page per row, the
+    * [[graft.sources.Sources.htmlCorpusDir]] shape; a WARC reader's
+    * record payloads feed the same column) and each micro-batch folds
+    * its own extracted prose into the stored corpus. Extraction is
+    * row-local, so — like [[incrementalCurriculum]], and unlike
+    * [[incrementalLineDedup]] — NO ingestion-order precondition exists:
+    * any split, any order, any replay converges to the batch
+    * `extractedCorpus` bit-exactly. The seven-stage CLEANING chain is
+    * corpus-dependent (its dedup/cluster stages see all survivors at
+    * once), so it is NOT folded per batch; it runs on demand over the
+    * stored corpus via [[extractedSummary]] — a dataloader cleans at
+    * corpus-build boundaries, not mid-ingest — and the result is
+    * bit-exact to `pipe_web`'s batch chain over the same pages
+    * (CorpusStreamSpec). */
+  def incrementalExtract(freshPages: DataFrame,
+                         corpusPath: String): DataStreamWriter[Row] =
+    freshPages.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      extractBatch(batch, batchId, corpusPath)
+    }
+
+  /** `pipe_web`'s per-stage survivor counts over the streamed store —
+    * the on-demand cleaning face of [[incrementalExtract]]. Explicit
+    * schema: a seeded-empty store has no footer to infer from. */
+  def extractedSummary(spark: SparkSession, corpusPath: String): DataFrame =
+    graft.operators.TrainingPipeline.summary(
+      spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+            "n_chars BIGINT, batch_id BIGINT"))
+        .parquet(corpusPath)
+        .select("doc_id", "text", "lang", "source", "n_chars"))
+
   /** Streaming LINE-LEVEL KEEP-FIRST DEDUP — the C4 cleaning pass
     * (`text_linededup`) running as the corpus INGESTS instead of as a
     * terminal batch job: each micro-batch's lines probe the stored

@@ -131,6 +131,53 @@ class CorpusStreamSpec extends SparkSpec {
     assert(again.sameElements(expected), "replayed micro-batch changed the ordering")
   }
 
+  test("streaming extraction head replay-converges to pipe_web's batch chain") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.{TextAnalysis, TrainingPipeline}
+    val pages = spark.read.text(graft.sources.Sources.htmlCorpusDir(spark, sf))
+    // batch expectations: the extracted corpus itself, bit-exact, AND
+    // the seven-stage cleaning summary over it (pipe_web's gate frame)
+    val expectedCorpus = TextAnalysis.extractedCorpus(pages).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSet
+    val expectedSummary = TrainingPipeline.summary(TextAnalysis.extractedCorpus(pages))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    Cleanup.releaseAll(spark)
+
+    val tmp = Files.createTempDirectory("graft_extract_stream").toString
+    val corpusPath = s"$tmp/corpus"
+    // SHUFFLED ingest — extraction is row-local, so the twin claims NO
+    // ordering precondition (same contract as the curriculum twin)
+    val shuffled = pages.as[String].collect().toSeq.zipWithIndex
+      .sortBy { case (_, i) => ((i * 2654435761L) % 997, i) }.map(_._1)
+    val splits = shuffled.grouped(math.max(1, shuffled.size / 3 + 1)).toSeq
+    val input = MemoryStream[String](s)
+    val q = CorpusStream.incrementalExtract(input.toDF(), corpusPath).start()
+    try {
+      for (chunk <- splits) { input.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+
+    val got = spark.read.parquet(corpusPath)
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSet
+    assert(got == expectedCorpus,
+      s"stream/batch corpus divergence: missing=${(expectedCorpus -- got).take(2)} extra=${(got -- expectedCorpus).take(2)}")
+    val gotSummary = CorpusStream.extractedSummary(spark, corpusPath)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(gotSummary == expectedSummary,
+      s"stream/batch summary divergence: $gotSummary vs $expectedSummary")
+    Cleanup.releaseAll(spark)
+    // replay idempotence: re-delivering the last batch changes nothing
+    CorpusStream.extractBatch(splits.last.toDF("value"), (splits.size - 1).toLong, corpusPath)
+    val again = spark.read.parquet(corpusPath)
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSet
+    assert(again == expectedCorpus, "replayed micro-batch changed the stored corpus")
+  }
+
   test("streaming line dedup rejects out-of-order ingestion loud (high-water guard)") {
     // the bit-exact-vs-batch claim rests on doc_id-ordered batches (the
     // first batch containing a digest must hold its global (doc_id, blk)
