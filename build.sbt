@@ -50,4 +50,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 executor threads keep JNI critical sections (LZ4 shuffle write,
+  // parquet read-ahead) holding the GCLocker almost continuously under
+  // load; JDK 17's default GCLockerRetryAllocationCount=2 then throws
+  // spurious "Java heap space" OOMs on WORD-sized allocations with a
+  // near-empty heap (JDK-8192647 family — observed killing the ×100
+  // graph build: "Retried waiting for GCLocker too often allocating 4
+  // words"). Raising the retry budget is the standard Spark-on-JDK17
+  // mitigation; a genuinely full heap still OOMs.
+  "-XX:+UnlockDiagnosticVMOptions", "-XX:GCLockerRetryAllocationCount=64",
 )

@@ -813,6 +813,11 @@ object Similarity {
   /** Out-degree of the k-NN graph. */
   val KnnK = 3
 
+  /** Cells each vector's BUILD candidates span (SPANN's closure
+    * assignment; see [[knnEdges]]) — distinct from [[NProbe]], which is
+    * cells probed per QUERY on the IVF answer path. */
+  val BuildProbes = 2
+
   /** CORPUS k-NN GRAPH (`ann_knn_graph`, r10) — EVERY vector's
     * [[KnnK]] nearest neighbors, not just the query stride's: the
     * building block graph-based vector systems construct first
@@ -848,7 +853,20 @@ object Similarity {
     graft.plans.GraftFunctions.register(em.sparkSession)
     val cents = em.where(col("vec_id") % CentroidStride === 0)
       .select(col("vec_id").as("cent_id"), vec(col("embedding")).as("cv"))
-    val assign = nearestCells(corpusVecs(em), cents, 1)
+    // CLOSURE (multi-probe) assignment, not 1-probe (r13): each vector's
+    // candidates span its [[BuildProbes]] nearest cells — SPANN's
+    // closure-clustering rule (Chen et al., NeurIPS 2021: boundary
+    // vectors are assigned to multiple nearby posting lists precisely so
+    // neighbors split by a cell boundary still meet). With 1-probe
+    // assignment EVERY candidate pair was same-cell, so the graph had no
+    // within-manifold cross-cell edge at all and the only bridges were
+    // the uniform random seeds — on a clustered corpus those land
+    // out-of-cluster almost surely and the re-rank prunes them
+    // (measured, ×100 ScaleUp corpus: recall@5 0.153 at the production
+    // dial; 2-probe closure: see §5c-r13). Candidate volume doubles —
+    // the honest price of boundary recall, same as SPANN's replication
+    // factor.
+    val assign = nearestCells(corpusVecs(em), cents, BuildProbes)
     // vectors ride the (corpus-sized) cell shuffle ONCE per side and the
     // cosine evaluates in the projection right after the join, so the
     // n·(cell width) pair stream reduces to skinny (id, id, cos) rows
@@ -860,6 +878,10 @@ object Similarity {
     val scored = av.join(bv, "cell")
       .where(col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"), cosine(col("v"), col("nv")).as("cos"))
+      // a pair sharing BOTH probed cells arises twice with an identical
+      // cosine — dedupe before ranking (map-side-combining distinct on
+      // skinny triples) so the top-k never lists a neighbor twice
+      .distinct()
     // native partial/final grouped top-k (the q44 exec): per-partition
     // bounded heaps, the exchange carries ≤ keys·k survivors instead of
     // sorting the full pair stream per partition; tie contract
@@ -912,11 +934,33 @@ object Similarity {
   private[graft] def nnDescentEdges(em: DataFrame, k: Int = KnnK): DataFrame = {
     val cell = knnEdges(em, k).select(col("vec_id"), col("neighbor_id"))
     val nRow = broadcast(em.agg(count(lit(1)).as("n_corpus")))
+    // the random draw lands in RANK space [0, n) and maps to an id
+    // through the rank→id table — NOT used as an id directly (r13): the
+    // first cut drew `h32 % n` as the neighbor_id itself, which assumes
+    // vec_ids are dense 0..n-1; on a sparse-id corpus (any production
+    // table — found by the ×100 ScaleUp corpus, ids shifted per copy)
+    // nearly every random edge then pointed at a NONEXISTENT vertex,
+    // silently dropped in the re-rank join on BOTH engines, leaving the
+    // seed graph cell-local — nn-descent a no-op and beam search unable
+    // to escape the entry cell (recall@5 at the ×100 corpus: 0.064
+    // broken → 0.153 with this fix alone → 0.544 with closure
+    // assignment on top, §5c-r13).
+    // At the dense-id gate corpora rank r ↔ vec_id r, so gate hashes
+    // are byte-identical. The ids frame is skinny (one long per
+    // vector); production at 10¹⁰ vectors would swap the single global
+    // window for the text_shard two-phase rank.
+    val ranked = em
+      .select(col("vec_id").as("neighbor_id"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("neighbor_id"))
+        .cast("long") - 1L)
     val rnd = em.select(col("vec_id")).crossJoin(nRow)
       .select(col("vec_id"), explode(array((1 to NndRndInit).map(j =>
         Dedup.h32(lit("nnd"),
           concat(col("vec_id").cast("string"), lit(":"), lit(j.toString)))
-          % col("n_corpus")): _*)).as("neighbor_id"))
+          % col("n_corpus")): _*)).as("rnk"))
+      .join(ranked, "rnk")
+      .select(col("vec_id"), col("neighbor_id"))
     val g = cell.unionAll(rnd)
       .where(col("vec_id") =!= col("neighbor_id"))
       .distinct().persist()
@@ -928,8 +972,16 @@ object Similarity {
       .where(col("vec_id") =!= col("neighbor_id"))
       .distinct()
     val qv = corpusVecs(em)
-    val scored = cand.join(qv, "vec_id")
-      .join(qv.select(col("vec_id").as("neighbor_id"), col("v").as("nv")), "neighbor_id")
+    // SHUFFLE_HASH on the corpus-vector build sides (the rerank lesson,
+    // [[graphSearch]]): SMJ here would sort the PAIR frame — and the
+    // second join's sort input is the pair frame FAT (first vector
+    // already attached, ~0.5 kB/row), which at the ×100 corpus under
+    // the derived degree is an ~87 GB external sort that filled the
+    // box's disk (measured r13). The hash build side is the skinny
+    // per-partition vector slice — megabytes.
+    val scored = cand.join(qv.hint("SHUFFLE_HASH"), "vec_id")
+      .join(qv.select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
+        .hint("SHUFFLE_HASH"), "neighbor_id")
       .select(col("vec_id"), col("neighbor_id"), cosine(col("v"), col("nv")).as("cos"))
     graft.plans.TopKPlans.topKPerKey(scored, "vec_id", "cos", "neighbor_id", k, "rank")
   }
@@ -1588,21 +1640,28 @@ object Similarity {
        |    SELECT e.vec_id, c.cent_id AS cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY list_cosine_similarity(e.$V, c.cv) DESC, c.cent_id) AS crn
-       |    FROM embeddings e, cents c) a WHERE crn = 1),
+       |    FROM embeddings e, cents c) a WHERE crn <= $BuildProbes),
        |cellg AS (
        |  SELECT vec_id, neighbor_id FROM (
-       |    SELECT a.vec_id, b.vec_id AS neighbor_id,
-       |      row_number() OVER (PARTITION BY a.vec_id
-       |        ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, b.vec_id) AS rank
-       |    FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
-       |    JOIN embeddings q ON q.vec_id = a.vec_id
-       |    JOIN embeddings n ON n.vec_id = b.vec_id) t
+       |    SELECT p.vec_id, p.neighbor_id,
+       |      row_number() OVER (PARTITION BY p.vec_id
+       |        ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, p.neighbor_id) AS rank
+       |    FROM (SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
+       |          FROM assign a JOIN assign b
+       |            ON a.cell = b.cell AND a.vec_id <> b.vec_id) p
+       |    JOIN embeddings q ON q.vec_id = p.vec_id
+       |    JOIN embeddings n ON n.vec_id = p.neighbor_id) t
        |  WHERE rank <= $k),
+       |ranked AS (
+       |  SELECT vec_id AS neighbor_id,
+       |    row_number() OVER (ORDER BY vec_id) - 1 AS rnk FROM embeddings),
        |rnd AS (
-       |  SELECT e.vec_id,
-       |    ('0x' || substr(md5('nnd:' || e.vec_id::VARCHAR || ':' || j::VARCHAR), 1, 8))::BIGINT
-       |      % (SELECT count(*) FROM embeddings) AS neighbor_id
-       |  FROM embeddings e, generate_series(1, $NndRndInit) t(j)),
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT e.vec_id,
+       |      ('0x' || substr(md5('nnd:' || e.vec_id::VARCHAR || ':' || j::VARCHAR), 1, 8))::BIGINT
+       |        % (SELECT count(*) FROM embeddings) AS rnk
+       |    FROM embeddings e, generate_series(1, $NndRndInit) t(j)) d
+       |  JOIN ranked USING (rnk)),
        |g AS MATERIALIZED (
        |  SELECT DISTINCT vec_id, neighbor_id FROM (
        |    SELECT vec_id, neighbor_id FROM cellg
@@ -2047,8 +2106,10 @@ object Similarity {
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
     },
     // the full-corpus neighbor list under the same stride centroid set:
-    // assign top-1 per vector, pairs within a cell, top-KnnK by
-    // (cosine desc, neighbor_id) — a singleton cell emits no edges
+    // closure assignment (top-BuildProbes cells per vector, the SPANN
+    // rule), DISTINCT pairs within shared cells, top-KnnK by
+    // (cosine desc, neighbor_id) — a vector alone in both its cells
+    // emits no edges
     "ann_knn_graph" ->
       s"""WITH cents AS (
          |  SELECT vec_id AS cent_id, $V AS cv FROM embeddings
@@ -2058,14 +2119,16 @@ object Similarity {
          |    SELECT e.vec_id, c.cent_id AS cell,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY list_cosine_similarity(e.$V, c.cv) DESC, c.cent_id) AS crn
-         |    FROM embeddings e, cents c) a WHERE crn = 1)
+         |    FROM embeddings e, cents c) a WHERE crn <= $BuildProbes)
          |SELECT vec_id, rank, neighbor_id FROM (
-         |  SELECT a.vec_id, b.vec_id AS neighbor_id,
-         |    row_number() OVER (PARTITION BY a.vec_id
-         |      ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, b.vec_id) AS rank
-         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
-         |  JOIN embeddings q ON q.vec_id = a.vec_id
-         |  JOIN embeddings n ON n.vec_id = b.vec_id) t
+         |  SELECT p.vec_id, p.neighbor_id,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, p.neighbor_id) AS rank
+         |  FROM (SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
+         |        FROM assign a JOIN assign b
+         |          ON a.cell = b.cell AND a.vec_id <> b.vec_id) p
+         |  JOIN embeddings q ON q.vec_id = p.vec_id
+         |  JOIN embeddings n ON n.vec_id = p.neighbor_id) t
          |WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin,
     // the wc_lpa oracle shape over the knn-graph CTE: two unrolled
     // rounds, argmax as max-count-then-max-label (no arg_max tie-break)
@@ -2089,15 +2152,17 @@ object Similarity {
          |    SELECT e.vec_id, c.cent_id AS cell,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY list_cosine_similarity(e.$V, c.cv) DESC, c.cent_id) AS crn
-         |    FROM embeddings e, cents c) a WHERE crn = 1),
+         |    FROM embeddings e, cents c) a WHERE crn <= $BuildProbes),
          |g AS MATERIALIZED (
          |  SELECT vec_id, neighbor_id FROM (
-         |    SELECT a.vec_id, b.vec_id AS neighbor_id,
-         |      row_number() OVER (PARTITION BY a.vec_id
-         |        ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, b.vec_id) AS rank
-         |    FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
-         |    JOIN embeddings q ON q.vec_id = a.vec_id
-         |    JOIN embeddings n ON n.vec_id = b.vec_id) t
+         |    SELECT p.vec_id, p.neighbor_id,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, p.neighbor_id) AS rank
+         |    FROM (SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
+         |          FROM assign a JOIN assign b
+         |            ON a.cell = b.cell AND a.vec_id <> b.vec_id) p
+         |    JOIN embeddings q ON q.vec_id = p.vec_id
+         |    JOIN embeddings n ON n.vec_id = p.neighbor_id) t
          |  WHERE rank <= $KnnK),
          |e AS MATERIALIZED (
          |  SELECT DISTINCT src, dst FROM (

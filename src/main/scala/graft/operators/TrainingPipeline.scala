@@ -170,22 +170,29 @@ object TrainingPipeline {
 
   /** The seven-stage survivor CTE chain (→ CTE `s6`, the cleaned
     * corpus) — shared by the `pipe_summary` gate and the `pipe_shard`
-    * packaging stage, so both oracles read the IDENTICAL pipeline. */
+    * packaging stage, so both oracles read the IDENTICAL pipeline.
+    * Every stage CTE is pinned MATERIALIZED (r13): each sN is
+    * referenced at least twice (the next stage's chain AND the
+    * summary's count), and DuckDB's default inlining re-executes a CTE
+    * per reference — the re-execution compounds down the chain, so the
+    * unpinned `pipe_summary` oracle read 127 s where the pinned one
+    * reads 1.3 s at sf0.1 (identical results; the ann round-chain
+    * oracles learned the same lesson in r11). */
   private def survivorCtesSql: String =
-    s"""lg AS (SELECT doc_id FROM (${TextAnalysis.oracle("text_langid")}) x
+    s"""lg AS MATERIALIZED (SELECT doc_id FROM (${TextAnalysis.oracle("text_langid")}) x
        |            WHERE agree = 1),
-       |ql AS (SELECT doc_id FROM (${TextAnalysis.oracle("text_quality")}) x
+       |ql AS MATERIALIZED (SELECT doc_id FROM (${TextAnalysis.oracle("text_quality")}) x
        |       WHERE quality >= $QualityMin),
-       |s1 AS (SELECT d.* FROM documents d JOIN lg USING (doc_id)),
-       |s2 AS (SELECT s1.* FROM s1 JOIN ql USING (doc_id)),
-       |gp AS (SELECT doc_id FROM ${TextAnalysis.gopherPassSqlFor("s2")} g),
-       |s3 AS (SELECT s2.* FROM s2 JOIN gp USING (doc_id)),
-       |ct AS (SELECT doc_id FROM ${TextAnalysis.contamSqlFor("s3")} c),
-       |s4 AS (SELECT s3.* FROM s3
+       |s1 AS MATERIALIZED (SELECT d.* FROM documents d JOIN lg USING (doc_id)),
+       |s2 AS MATERIALIZED (SELECT s1.* FROM s1 JOIN ql USING (doc_id)),
+       |gp AS MATERIALIZED (SELECT doc_id FROM ${TextAnalysis.gopherPassSqlFor("s2")} g),
+       |s3 AS MATERIALIZED (SELECT s2.* FROM s2 JOIN gp USING (doc_id)),
+       |ct AS MATERIALIZED (SELECT doc_id FROM ${TextAnalysis.contamSqlFor("s3")} c),
+       |s4 AS MATERIALIZED (SELECT s3.* FROM s3
        |       WHERE NOT EXISTS (SELECT 1 FROM ct WHERE ct.doc_id = s3.doc_id)),
-       |s5 AS (SELECT * FROM s4
+       |s5 AS MATERIALIZED (SELECT * FROM s4
        |       QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(coalesce(text, '')))),
-       |s6 AS (SELECT s5.* FROM s5
+       |s6 AS MATERIALIZED (SELECT s5.* FROM s5
        |       JOIN (${Dedup.clusterSqlFor("s5")}) c
        |         ON c.doc_id = s5.doc_id AND c.is_canonical = 1)""".stripMargin
 

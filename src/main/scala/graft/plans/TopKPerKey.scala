@@ -118,6 +118,26 @@ case class TopKPerKeyExec(
     val isPartial = partial
     val out = output
     val rank = rankAttr
+    // PARTIAL-STATE CAP (r13): the partial phase's bounded-heap state is
+    // O(keys-per-partition · k) — bounded in ROWS RETAINED but not in
+    // KEY CARDINALITY, and a high-cardinality key under a large k blows
+    // the heap (found by measurement: the ×100 knn-graph build at the
+    // corpus-derived degree 25 holds 200 k keys × 25 copied rows in
+    // EVERY one of 32 concurrent map tasks — OOM at 16 GB). When a
+    // partition's retained-entry count passes the cap, the current
+    // survivors FLUSH to the exchange and the state restarts — the
+    // ObjectHashAggregate fallback discipline: correctness is untouched
+    // (the FINAL exec re-heaps everything per key; a flush only makes
+    // the partial filter less selective on the flushed keys), memory is
+    // truly bounded, and below the cap the plan is byte-identical to
+    // the unflushed form. The final phase never flushes: it must see
+    // every candidate of a key before ranking, and its post-exchange
+    // state is keys-per-REDUCE-partition · k — the cap rides the
+    // shuffle partition count there, the standard aggregate story.
+    val maxEntries: Long =
+      if (!isPartial) Long.MaxValue
+      else session.sessionState.conf
+        .getConfString("spark.graft.topk.maxPartialEntries", (1L << 18).toString).toLong
     child.execute().mapPartitions({ iter =>
       val keyB = BindReferences.bindReference(key: Expression, childOut)
       val ordB = BindReferences.bindReference(order: Expression, childOut)
@@ -160,9 +180,10 @@ case class TopKPerKeyExec(
       // with "absent"
       val NullKey = new AnyRef
       // per-key bounded min-heap: head = least good retained entry
-      val heaps = new java.util.HashMap[Any, java.util.PriorityQueue[Entry]]()
-      while (iter.hasNext) {
-        val r = iter.next()
+      var heaps = new java.util.HashMap[Any, java.util.PriorityQueue[Entry]]()
+      var entries = 0L // rows currently retained across all heaps
+
+      def insert(r: InternalRow): Unit = {
         val kv0 = keyB.eval(r)
         val kv = if (kv0 == null) NullKey else normK(kv0)
         val ov = normO(ordB.eval(r))
@@ -175,45 +196,71 @@ case class TopKPerKeyExec(
           heaps.put(if (kv.asInstanceOf[AnyRef] eq NullKey) kv
             else InternalRow.copyValue(kv), h)
         }
-        if (h.size < kk) h.offer(Entry(InternalRow.copyValue(ov), InternalRow.copyValue(iv), r.copy()))
-        else if (better.compare(Entry(ov, iv, null), h.peek()) > 0) {
+        if (h.size < kk) {
+          h.offer(Entry(InternalRow.copyValue(ov), InternalRow.copyValue(iv), r.copy()))
+          entries += 1L
+        } else if (better.compare(Entry(ov, iv, null), h.peek()) > 0) {
           h.poll()
           h.offer(Entry(InternalRow.copyValue(ov), InternalRow.copyValue(iv), r.copy()))
         }
       }
-      val keys = new java.util.ArrayList[Any](heaps.keySet())
-      // deterministic emit order, null-key group last (useful locally; the
-      // gated query adds its own global orderBy over the keys·k-row result)
-      java.util.Collections.sort(keys, new java.util.Comparator[Any] {
-        override def compare(a: Any, b: Any): Int = {
-          val an = a.asInstanceOf[AnyRef] eq NullKey
-          val bn = b.asInstanceOf[AnyRef] eq NullKey
-          if (an && bn) 0 else if (an) 1 else if (bn) -1
-          else keyOrd.compare(a, b)
-        }
-      })
-      val joined = new JoinedRow
-      val rankRow = new GenericInternalRow(1)
-      val resultProj =
-        if (isPartial) null
-        else UnsafeProjection.create(out: Seq[Expression], childOut :+ rank)
-      val it = keys.iterator()
-      new Iterator[InternalRow] {
-        private var buf: Array[Entry] = Array.empty
-        private var pos = 0
-        override def hasNext: Boolean = pos < buf.length || it.hasNext
-        override def next(): InternalRow = {
-          if (pos >= buf.length) {
-            val h = heaps.get(it.next())
-            buf = new Array[Entry](h.size)
-            var i = buf.length - 1
-            while (i >= 0) { buf(i) = h.poll(); i -= 1 } // poll worst-first → best-first
-            pos = 0
+
+      // snapshot-and-reset emit of the current state (ranked in final
+      // mode); the snapshot owns its map so a concurrent refill of
+      // `heaps` during the next consume phase can't disturb it
+      def drain(): Iterator[InternalRow] = {
+        val snap = heaps
+        heaps = new java.util.HashMap[Any, java.util.PriorityQueue[Entry]]()
+        entries = 0L
+        val keys = new java.util.ArrayList[Any](snap.keySet())
+        // deterministic emit order, null-key group last (useful locally;
+        // the gated query adds its own global orderBy over the
+        // keys·k-row result)
+        java.util.Collections.sort(keys, new java.util.Comparator[Any] {
+          override def compare(a: Any, b: Any): Int = {
+            val an = a.asInstanceOf[AnyRef] eq NullKey
+            val bn = b.asInstanceOf[AnyRef] eq NullKey
+            if (an && bn) 0 else if (an) 1 else if (bn) -1
+            else keyOrd.compare(a, b)
           }
-          val e = buf(pos); pos += 1
-          if (isPartial) e.row
-          else { rankRow.update(0, pos.toLong); resultProj(joined(e.row, rankRow)) }
+        })
+        val joined = new JoinedRow
+        val rankRow = new GenericInternalRow(1)
+        val resultProj =
+          if (isPartial) null
+          else UnsafeProjection.create(out: Seq[Expression], childOut :+ rank)
+        val it = keys.iterator()
+        new Iterator[InternalRow] {
+          private var buf: Array[Entry] = Array.empty
+          private var pos = 0
+          override def hasNext: Boolean = pos < buf.length || it.hasNext
+          override def next(): InternalRow = {
+            if (pos >= buf.length) {
+              val h = snap.get(it.next())
+              buf = new Array[Entry](h.size)
+              var i = buf.length - 1
+              while (i >= 0) { buf(i) = h.poll(); i -= 1 } // poll worst-first → best-first
+              pos = 0
+            }
+            val e = buf(pos); pos += 1
+            if (isPartial) e.row
+            else { rankRow.update(0, pos.toLong); resultProj(joined(e.row, rankRow)) }
+          }
         }
+      }
+
+      // consume-until-cap / drain cycles; the final phase's cap is
+      // infinite, so it runs exactly one cycle (pre-r13 behavior)
+      new Iterator[InternalRow] {
+        private var cur: Iterator[InternalRow] = Iterator.empty
+        private def advance(): Unit = {
+          while (!cur.hasNext && (iter.hasNext || !heaps.isEmpty)) {
+            while (iter.hasNext && entries < maxEntries) insert(iter.next())
+            if (!heaps.isEmpty) cur = drain()
+          }
+        }
+        override def hasNext: Boolean = { advance(); cur.hasNext }
+        override def next(): InternalRow = { advance(); cur.next() }
       }
     }, preservesPartitioning = true)
   }

@@ -72,6 +72,28 @@ class TopKPerKeySpec extends SparkSpec {
     assert(fr == Seq(1L))
   }
 
+  test("topKPerKey: partial-state cap flushes mid-partition without changing the answer") {
+    val s = spark
+    import s.implicits._
+    // many interleaved keys in few partitions, so a tiny cap forces
+    // several flush cycles per partition (same key spans cycles — the
+    // final exec must merge its flushed candidate sets correctly)
+    val d = (0 until 2000).map { i =>
+      (i % 97L, i.toLong, ((i * 2654435761L) % 1009).toDouble)
+    }.toDF("k", "id", "v").repartition(3)
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("id").asc_nulls_last)
+    val expected = d.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5).select("k", "rank", "id", "v")
+      .orderBy("k", "rank").as[(Long, Long, Long, Double)].collect().toSeq
+    spark.conf.set("spark.graft.topk.maxPartialEntries", "16")
+    try {
+      val r = TopKPlans.topKPerKey(d, "k", "v", "id", 5, "rank")
+        .select("k", "rank", "id", "v").orderBy("k", "rank")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(r == expected, s"flushed partial diverged from window form (${r.size} vs ${expected.size} rows)")
+    } finally spark.conf.unset("spark.graft.topk.maxPartialEntries")
+  }
+
   test("topKPerKey: partial/final split — two execs, the exchange sees only survivors") {
     val s = spark
     import s.implicits._
