@@ -25,13 +25,17 @@ spark_times = bench["queries"]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# capped pool by default: the 32-thread/80%-RAM defaults intermittently
+# fail tiny allocations in this sandbox (see tools/check.py); override
+# with GRAFT_DUCKDB_THREADS to quantify the cap's cost on heavy oracles
+import os
+DUCKDB_THREADS = int(os.environ.get("GRAFT_DUCKDB_THREADS", "8"))
+
 def time_query(sql: str) -> float:
     best = math.inf
     for _ in range(2):
         con = duckdb.connect()  # fresh engine: no cached results/plans
-        # capped pool: the 32-thread/80%-RAM defaults intermittently fail
-        # tiny allocations in this sandbox (see tools/check.py)
-        con.execute("SET threads=8")
+        con.execute(f"SET threads={DUCKDB_THREADS}")
         con.execute("SET memory_limit='32GB'")
         for t in TABLES:
             con.execute(
@@ -79,6 +83,11 @@ Caveats, stated honestly:
   sub-second queries are overhead, not algorithmic gaps.
 - Non-SQL-expressible components (streaming twins, sketches) have no
   oracle and are absent.
+- DuckDB runs at {DUCKDB_THREADS} threads (its 32-thread default
+  intermittently fails tiny allocations in this sandbox) while Spark
+  runs local[32] — DuckDB totals are therefore NOT comparable with
+  proxy regens from rounds that ran it at 32 threads, and parallel-
+  friendly heavy oracles read slower than the engine's best.
 
 **Totals: DuckDB {td:.1f} s, Spark {ts:.1f} s over {len(ok)} queries
 (ratio {ts/td:.2f}×; per-query geometric-mean ratio {geo:.2f}×).**
