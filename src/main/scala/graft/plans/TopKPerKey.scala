@@ -136,8 +136,23 @@ case class TopKPerKeyExec(
     // shuffle partition count there, the standard aggregate story.
     val maxEntries: Long =
       if (!isPartial) Long.MaxValue
-      else session.sessionState.conf
-        .getConfString("spark.graft.topk.maxPartialEntries", (1L << 18).toString).toLong
+      else {
+        val raw = session.sessionState.conf
+          .getConfString("spark.graft.topk.maxPartialEntries", (1L << 18).toString)
+        // validate LOUD at plan time: a value ≤ 0 would make the consume
+        // loop below spin forever (entries < maxEntries never holds, so
+        // nothing inserts, drain() never fires, hasNext stays true — an
+        // executor-side hang instead of a config error), and a
+        // non-numeric value would surface as a raw NumberFormatException
+        // mid-task (ADVICE r13)
+        val parsed = try raw.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.topk.maxPartialEntries must be a positive integer, got '$raw'")
+        }
+        require(parsed > 0,
+          s"spark.graft.topk.maxPartialEntries must be > 0, got $parsed")
+        parsed
+      }
     child.execute().mapPartitions({ iter =>
       val keyB = BindReferences.bindReference(key: Expression, childOut)
       val ordB = BindReferences.bindReference(order: Expression, childOut)

@@ -387,6 +387,54 @@ object Sources {
     dir
   }
 
+  /** Fixture dir of the GZIPPED WARC corpus (`.warc.gz`) — the layout
+    * real Common Crawl segments actually ship: ONE GZIP MEMBER PER
+    * RECORD, members concatenated into the file. The member boundary IS
+    * the record boundary — that is what keeps the compressed format
+    * per-file parallel (and range-seekable in production; this reader
+    * streams whole files, so it only relies on concatenated members
+    * inflating to the plain byte stream). Same records as [[warcDir]]
+    * (warcinfo head + one response per page), same file-count dial. */
+  def warcGzDir(s: SparkSession, d: String): String = {
+    val dir = Fixtures.dirFor("src_warcgz", d, "documents")
+    if (!Fixtures.ready(dir)) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val docs = graft.Tables.documents(s, d)
+      val nFiles = math.max(8, (docs.count() / 50000L).toInt)
+      docs
+        .select(col("doc_id"), docUrl.as("url"), htmlPage.as("page"))
+        .repartition(nFiles)
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val out = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(s"$dir/part_$pid.warc.gz"))
+          // one gzip member per record: a fresh GZIPOutputStream per
+          // record over the SHARED file stream, finished (trailer
+          // written) but never closed (close would close the file);
+          // the member's Deflater is ended explicitly — finish() alone
+          // leaves native zlib state to the finalizer
+          def member(rec: Array[Byte]): Unit = {
+            val gz = new java.util.zip.GZIPOutputStream(out, 1 << 16) {
+              def endMember(): Unit = { finish(); `def`.end() }
+            }
+            gz.write(rec); gz.endMember()
+          }
+          try {
+            member(warcRecord("warcinfo", null, s"info:$pid",
+              "software: graft\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            rows.foreach { r =>
+              member(warcRecord("response", r.getString(1),
+                r.getLong(0).toString,
+                r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            }
+          } finally out.close()
+        }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "_SUCCESS"), Array[Byte]())
+    }
+    dir
+  }
+
   /** Content-Length-framed WARC record walk over one file's bytes —
     * never a delimiter scan (a payload may legally CONTAIN the
     * `\r\n\r\nWARC/1.0` byte sequence; only the declared length decides
@@ -405,6 +453,12 @@ object Sources {
     * scan — and non-response payloads are still consumed so the walk
     * stays frame-aligned. Fails loud on truncation (readNBytes short)
     * and on a missing version line or Content-Length. */
+  /** Per-record payload cap for [[parseWarcStream]] — the reader
+    * materializes each payload as one in-memory String, so this is its
+    * stated memory contract, not an arbitrary limit. 1 GiB covers any
+    * real crawl record (Common Crawl truncates response bodies at 1 MiB). */
+  private[graft] val MaxRecordBytes: Long = 1L << 30
+
   private[graft] def parseWarcStream(in: java.io.InputStream): Iterator[(String, String)] =
     new Iterator[(String, String)] {
       private var nextRec: (String, String) = null
@@ -450,8 +504,18 @@ object Sources {
             val i = l.indexOf(':')
             if (i < 0) None else Some(l.take(i).trim -> l.drop(i + 1).trim)
           }.toMap
-          val len = fields.getOrElse("Content-Length",
-            sys.error(s"WARC: record $recNo missing Content-Length")).toInt
+          // toLong, not toInt: a legal WARC Content-Length may exceed
+          // 2 GiB, and .toInt would overflow NEGATIVE and fail the
+          // readNBytes require with a confusing message. Records above
+          // [[MaxRecordBytes]] fail loud with the real reason instead
+          // (this reader materializes the payload as one String, so an
+          // explicit cap IS the memory contract).
+          val lenL = fields.getOrElse("Content-Length",
+            sys.error(s"WARC: record $recNo missing Content-Length")).toLong
+          require(lenL >= 0 && lenL <= MaxRecordBytes,
+            s"WARC: record $recNo declares $lenL payload bytes — " +
+              s"outside this reader's per-record cap ($MaxRecordBytes)")
+          val len = lenL.toInt
           val body = in.readNBytes(len)
           require(body.length == len,
             s"WARC: truncated payload in record $recNo (declared $len, got ${body.length})")
@@ -489,26 +553,51 @@ object Sources {
       s.sparkContext.hadoopConfiguration)
     val bconf = s.sparkContext.broadcast(conf)
     s.read.format("binaryFile").load(dir)
-      .where(col("path").endsWith(".warc"))
+      .where(col("path").endsWith(".warc") || col("path").endsWith(".warc.gz"))
       .select(col("path")).as[String]
       .mapPartitions { paths =>
         paths.flatMap { p =>
           val uri = new java.net.URI(p)
           val fs = org.apache.hadoop.fs.FileSystem.get(uri, bconf.value.value)
-          val in = new java.io.BufferedInputStream(
+          val raw = new java.io.BufferedInputStream(
             fs.open(new org.apache.hadoop.fs.Path(uri)), 1 << 16)
-          // the iterator is consumed fully within the task; close rides
-          // a completion wrapper so a failed task doesn't leak a stream
-          new Iterator[(String, String)] {
-            private val it = parseWarcStream(in)
-            override def hasNext: Boolean = {
-              val h = it.hasNext; if (!h) in.close(); h
-            }
-            override def next(): (String, String) = it.next()
-          }
+          // .warc.gz is the Common Crawl layout — ONE gzip member per
+          // record, members concatenated, so the member boundary IS the
+          // record boundary (what keeps the format per-file parallel and
+          // lets a range request start at any member). GZIPInputStream
+          // reads concatenated members natively, so the inflated stream
+          // is byte-identical to the plain .warc and the framed walk is
+          // shared verbatim.
+          val in: java.io.InputStream =
+            if (p.endsWith(".warc.gz"))
+              new java.util.zip.GZIPInputStream(raw, 1 << 16)
+            else raw
+          warcRecords(in)
         }
       }
       .toDF("url", "value")
+  }
+
+  /** The framed walk with its close contract: close is REGISTERED ON
+    * THE TASK LIFECYCLE, not only on iterator exhaustion — a parse
+    * require-failure (the fail-loud truncation path), a task kill, or a
+    * downstream limit/take that stops consuming the iterator would
+    * otherwise strand the open stream until executor death; on an
+    * object store that is a held connection per file (r13 shipped with
+    * exhaustion-only close and a comment claiming a wrapper that didn't
+    * exist; ADVICE r13). Eager close on exhaustion stays (close is
+    * idempotent) so a fully-drained file frees its handle before the
+    * task ends. GZIPInputStream.close closes the wrapped raw stream. */
+  private[graft] def warcRecords(in: java.io.InputStream): Iterator[(String, String)] = {
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+    new Iterator[(String, String)] {
+      private val it = parseWarcStream(in)
+      override def hasNext: Boolean = {
+        val h = it.hasNext; if (!h) in.close(); h
+      }
+      override def next(): (String, String) = it.next()
+    }
   }
 
   /** `src_warc` gate: read the WARC corpus back through the framed
@@ -520,8 +609,18 @@ object Sources {
     * payload byte-exactly (any framing slip corrupts a page and its
     * `text_h`), the warcinfo skip is right (an extra record forges a
     * doc_id-NULL row), and the header parse recovered each URI. */
-  def warcRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val recs = readWarc(s, warcDir(s, d))
+  def warcRoundtrip(s: SparkSession, d: String): DataFrame =
+    warcRoundtripOver(readWarc(s, warcDir(s, d)))
+
+  /** `src_warcgz` gate: the IDENTICAL roundtrip over the gzipped twin —
+    * same oracle text as `src_warc`, so a hash match proves the
+    * member-per-record inflation returns the exact plain byte stream
+    * (any member misalignment or trailer slip corrupts a record's
+    * framing and fails loud or hash-mismatches). */
+  def warcGzRoundtrip(s: SparkSession, d: String): DataFrame =
+    warcRoundtripOver(readWarc(s, warcGzDir(s, d)))
+
+  private def warcRoundtripOver(recs: DataFrame): DataFrame = {
     val urls = recs.select(
       regexp_extract(col("value"), "<title>Doc ([0-9]+)</title>", 1)
         .cast("long").as("doc_id"),
@@ -541,6 +640,7 @@ object Sources {
     "src_xml"   -> ((s, d) => xmlRoundtrip(s, d)),
     "src_avro"  -> ((s, d) => avroRoundtrip(s, d)),
     "src_warc"  -> ((s, d) => warcRoundtrip(s, d)),
+    "src_warcgz" -> ((s, d) => warcGzRoundtrip(s, d)),
   )
 
   private val integritySql =
@@ -573,13 +673,18 @@ object Sources {
     // the text_extract arithmetic rederivation (Spark extracts from the
     // ACTUAL framed payloads; the oracle from source-word chunk math)
     // joined with the docUrl mirror for the WARC-Target-URI header
-    "src_warc" ->
-      s"""SELECT e.doc_id, u.url, e.n_blocks, e.n_kept, e.words_kept, e.text_h
-         |FROM (${graft.operators.TextAnalysis.oracle("text_extract")}) e
-         |JOIN (SELECT doc_id, $docUrlSql AS url FROM documents) u
-         |  USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
+    "src_warc" -> warcOracleSql,
+    // the gz twin answers from the SAME source-table rederivation: the
+    // compressed layout must be observationally invisible
+    "src_warcgz" -> warcOracleSql,
   )
+
+  private lazy val warcOracleSql: String =
+    s"""SELECT e.doc_id, u.url, e.n_blocks, e.n_kept, e.words_kept, e.text_h
+       |FROM (${graft.operators.TextAnalysis.oracle("text_extract")}) e
+       |JOIN (SELECT doc_id, $docUrlSql AS url FROM documents) u
+       |  USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** Fixed-size chunking of a (doc_id, text) corpus — the reference's
     * chunkization (`core/utils.go:320-343`) as a per-row transform:

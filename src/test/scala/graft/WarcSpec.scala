@@ -53,6 +53,61 @@ class WarcSpec extends SparkSpec {
       List("https://a/1" -> multi, "https://a/2" -> "next"))
   }
 
+  private def gzMember(rec: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(rec); gz.close()
+    bos.toByteArray
+  }
+
+  test("warc.gz: one gzip member per record, members concatenated — inflates to the plain byte stream") {
+    val recs = Seq(rec("warcinfo", null, "software: t\r\n"),
+      rec("response", "https://a/1", "first body"),
+      rec("response", "https://a/2", "second body"))
+    val concatenated = recs.map(gzMember).reduce(_ ++ _)
+    // the member boundary IS the record boundary (Common Crawl layout):
+    // a multi-member file must read WHOLE, identical to the plain form
+    val got = Sources.parseWarcStream(new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(concatenated))).toList
+    assert(got == Sources.parseWarc(recs.reduce(_ ++ _)).toList)
+    assert(got == List("https://a/1" -> "first body", "https://a/2" -> "second body"))
+  }
+
+  test("warcRecords: a downstream limit that stops consuming does not strand the stream (task-lifecycle close)") {
+    val bytes = rec("response", "https://a/1", "one") ++
+      rec("response", "https://a/2", "two") ++
+      rec("response", "https://a/3", "three")
+    val closedAcc = spark.sparkContext.longAccumulator("warc_closed")
+    val taken = spark.sparkContext.parallelize(Seq(bytes), 1)
+      .mapPartitions { bs =>
+        bs.flatMap { b =>
+          val in = new java.io.ByteArrayInputStream(b) {
+            override def close(): Unit = { closedAcc.add(1); super.close() }
+          }
+          // take(1) leaves the iterator UNEXHAUSTED, so the eager
+          // close-on-exhaustion path never fires — only the
+          // TaskContext completion listener can close the stream
+          Sources.warcRecords(in).take(1)
+        }
+      }.collect()
+    assert(taken.toList == List("https://a/1" -> "one"))
+    assert(closedAcc.value == 1L)
+  }
+
+  test("parseWarc: an oversized Content-Length fails with the cap message, not an overflow artifact") {
+    val huge = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://a/1\r\n" +
+      s"Content-Length: ${3L * Int.MaxValue}\r\n\r\n").getBytes(UTF_8)
+    val e = intercept[IllegalArgumentException](Sources.parseWarc(huge).toList)
+    assert(e.getMessage.contains("per-record cap"))
+  }
+
+  test("src_warcgz roundtrip: gz and plain stagings answer identically") {
+    val viaGz = Sources.warcGzRoundtrip(spark, sf)
+    val viaPlain = Sources.warcRoundtrip(spark, sf)
+    assert(viaGz.collect().toSeq == viaPlain.collect().toSeq)
+  }
+
   test("src_warc roundtrip: extraction through WARC framing matches extraction over the text staging") {
     val viaWarc = Sources.warcRoundtrip(spark, sf)
     val viaText = TextAnalysis.extractText(
