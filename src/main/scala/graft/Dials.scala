@@ -152,6 +152,29 @@ object Dials {
   val GraphBeamFactor = 3
   val GraphRoundsDefault = 6
 
+  /** Per-cell CANDIDATE cap for the k-NN graph build (r14, VERDICT r13
+    * #1) — the one superlinear component left: with K ≈ √n cells of
+    * ~√n members each (and SPANN closure assignment doubling
+    * occupancy), uncapped within-cell pair enumeration is n^1.5
+    * candidate rows — at 10¹⁰ vectors that is 10¹⁵ pairs, an exponent
+    * no cluster shape saves. The cap bounds each vector's candidate
+    * list at a CONSTANT budget (per probed cell, the `knncap`-hashed
+    * hub sample of the cell's members — the dedup family's DF-cap
+    * discipline applied to cells), making total build candidates
+    * ≤ n·BuildProbes·cap — linear. Edges the cap drops are recovered
+    * by NN-descent (already gated, O(n·degree·iter)) — the published
+    * way this graph is built at scale (Dong et al., WWW 2011).
+    *
+    * CONSTANT, deliberately not n-derived: a growing cap re-smuggles
+    * the exponent in. Floored ABOVE every gate corpus's measured max
+    * 2-probe cell occupancy (55/61/116 at sf0.001/0.01/0.1), so at
+    * every gate corpus the hub sample IS the whole cell and behavior
+    * is byte-identical to the uncapped build. */
+  val KnnCellCapFloor = 192
+
+  def knnCellCap: Int =
+    sys.env.get("SPARK_GRAFT_KNN_CELL_CAP").map(_.toInt).getOrElse(KnnCellCapFloor)
+
   /** The pure derivation behind [[graphDegree]]. */
   private[graft] def graphDegreeFor(n: Long): Int =
     math.max(GraphDegreeFloor,
@@ -162,10 +185,29 @@ object Dials {
     sys.env.get("SPARK_GRAFT_GRAPH_DEGREE").map(_.toInt).getOrElse(
       nVectors.fold(GraphDegreeFloor)(graphDegreeFor))
 
-  /** Beam width kept per query per traversal round. */
+  /** Two-point calibration of the beam width against the ADVERSARIAL
+    * ladder corpus (§5c-r14): with the α-diversified graph, recall at
+    * ×100 (200 k vectors, 100 orthogonal isometric islands) is a pure
+    * function of beam — 75→0.604, 150→0.762, 300→0.894, 600→0.960 at
+    * fixed (rounds 6, degree 25) — while doubling ROUNDS buys nothing
+    * (75-beam/12-rounds: 0.611) and query cost is nearly flat in beam
+    * (the build dominates; 600-beam searched at the same wall the r13
+    * 75-beam build did). 0.96-recall beam grows ≈ √n on this geometry
+    * (48@2 k → 600@200 k), NOT log n: when clusters share no boundary
+    * structure, the beam must hold a cluster-sized working set. A real
+    * manifold needs only the log-n HNSW sizing (the 3·degree floor),
+    * so √n here is the honest adversarial-geometry price, env-tunable
+    * away by deployments that know their corpus. */
+  val BeamRecallC = 1.34
+
+  /** Beam width kept per query per traversal round:
+    * max(3·degree, ceil([[BeamRecallC]]·√n)) — the log-n HNSW floor
+    * with the measured √n adversarial-recall term above it. Every
+    * ≤500-vector gate corpus stays at the 48 floor. */
   def graphBeam: Int =
     sys.env.get("SPARK_GRAFT_GRAPH_BEAM").map(_.toInt)
-      .getOrElse(GraphBeamFactor * graphDegree)
+      .getOrElse(math.max(GraphBeamFactor * graphDegree,
+        nVectors.fold(0)(n => math.ceil(BeamRecallC * math.sqrt(n.toDouble)).toInt)))
 
   /** Fixed traversal rounds (static plan depth / oracle unroll). */
   def graphRounds: Int =

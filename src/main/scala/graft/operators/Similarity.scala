@@ -849,7 +849,8 @@ object Similarity {
   /** The k-NN graph's ranked edge list (vec_id, rank, neighbor_id) —
     * [[knnGraph]] without the output sort, shared with the NN-descent
     * refinement round. */
-  private[graft] def knnEdges(em: DataFrame, k: Int = KnnK): DataFrame = {
+  private[graft] def knnEdges(em: DataFrame, k: Int = KnnK,
+                              cellCap: Int = graft.Dials.knnCellCap): DataFrame = {
     graft.plans.GraftFunctions.register(em.sparkSession)
     val cents = em.where(col("vec_id") % CentroidStride === 0)
       .select(col("vec_id").as("cent_id"), vec(col("embedding")).as("cv"))
@@ -867,6 +868,26 @@ object Similarity {
     // the honest price of boundary recall, same as SPANN's replication
     // factor.
     val assign = nearestCells(corpusVecs(em), cents, BuildProbes)
+    // PER-CELL CANDIDATE CAP (r14): the candidate (neighbor) side of
+    // each cell is the [[graft.Dials.knnCellCap]]-member HUB SAMPLE —
+    // cell members ranked by h32("knncap", id) (ties by id; a total
+    // order both engines share) — so each vector meets ≤ probes·cap
+    // candidates and total build candidates are ≤ n·probes·cap, LINEAR
+    // in n. Uncapped, the ~√n-wide cells made the build n^1.5 — the
+    // one superlinear component left at r13 (≈10¹⁵ pairs at 10¹⁰
+    // vectors). The QUERY side stays uncapped: every vector still gets
+    // a neighbor list; edges to capped-away members are recovered by
+    // NN-descent's reverse/2-hop rounds ([[nnDescentEdges]]). The cap
+    // is floored above every gate corpus's max cell occupancy, so gate
+    // behavior is byte-identical to the uncapped build; the per-cell
+    // rank window partitions on cell — never a global sort.
+    val cap = cellCap
+    val hubs = assign
+      .withColumn("hrn", row_number().over(
+        Window.partitionBy("cell").orderBy(
+          Dedup.h32(lit("knncap"), col("vec_id").cast("string")), col("vec_id"))))
+      .where(col("hrn") <= cap)
+      .select(col("vec_id"), col("cell"))
     // vectors ride the (corpus-sized) cell shuffle ONCE per side and the
     // cosine evaluates in the projection right after the join, so the
     // n·(cell width) pair stream reduces to skinny (id, id, cos) rows
@@ -874,7 +895,8 @@ object Similarity {
     // re-attached both vectors by id, shuffling the PAIR-sized frame fat
     // twice (160 s at 100×; this shape + the native top-k: 8.4 s, 19×)
     val av = assign.join(corpusVecs(em), "vec_id")
-    val bv = av.select(col("vec_id").as("neighbor_id"), col("cell"), col("v").as("nv"))
+    val bv = hubs.join(corpusVecs(em), "vec_id")
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("v").as("nv"))
     val scored = av.join(bv, "cell")
       .where(col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"), cosine(col("v"), col("nv")).as("cos"))
@@ -891,6 +913,32 @@ object Similarity {
 
   /** Deterministic random out-degree seeding the NN-descent round. */
   val NndRndInit = 3
+
+  /** α-RNG edge-diversification dial (DiskANN/Vamana's α, Subramanya
+    * et al., NeurIPS 2019; α = 1.2 is the published default): candidate
+    * c is OCCLUDED by a closer-ranked neighbor r when c sits (much)
+    * nearer to r than to the vector itself — keeping c then buys no new
+    * reach, it re-points at r's neighborhood. In cosine distance the
+    * Vamana rule α·d(r,c) ≤ d(q,c) becomes
+    * cos(r,c) ≥ 1 − (1 − cos(q,c))/α.
+    *
+    * OPT-IN, default OFF — a measured decision (§5c-r14): at the
+    * UNDER-SIZED r13 beam the prune genuinely helps the adversarial
+    * ×100 corpus (recall@5 0.544 → 0.598 at beam 75), but once the
+    * beam derives from the measured √n calibration
+    * ([[graft.Dials.BeamRecallC]]) the diversified and plain graphs
+    * search identically (0.960 vs 0.960 at ×100, 0.970 vs 0.970 at
+    * sf0.1) while the prune's pair pass costs ~2× build wall at the
+    * production degree. A deployment that must run a NARROW beam
+    * (latency-bound serving) sets `SPARK_GRAFT_ALPHA_RNG=1.2` and both
+    * engines derive the α chain together (the oracle is built in the
+    * running JVM, after the env is visible — the Dials contract). */
+  def AlphaRng: Option[Double] =
+    sys.env.get("SPARK_GRAFT_ALPHA_RNG").map(_.toDouble)
+
+  /** Candidate-list width the α-prune selects from, as a multiple of
+    * the kept degree: top-2k by cosine, diversified down to k. */
+  val AlphaCandFactor = 2
 
   /** NN-DESCENT refinement (`ann_nn_descent`, r10) — one synchronous
     * round of the graph-improvement iteration every graph-based vector
@@ -909,10 +957,14 @@ object Similarity {
     * top-[[KnnK]]: the "a neighbor of my neighbor is likely my
     * neighbor" step, crossing cell boundaries through the random edges
     * (rounds are a dial; each further round is this operator over its
-    * own output ∪ fresh random edges). Output shape = the graph's
-    * (vec_id, rank, neighbor_id); since cand ⊇ the cell edges, every
-    * vector's rank-1 cosine is ≥ the unrefined graph's (spec-pinned,
-    * improvement count measured).
+    * own output ∪ fresh random edges). The keep step is [[alphaPrune]]:
+    * plain exact-cosine top-k by default, the DiskANN/Vamana α-RNG
+    * occlusion prune under the opt-in [[AlphaRng]] dial (see the dial's
+    * measured rationale). Output shape = the graph's
+    * (vec_id, rank, neighbor_id); since cand ⊇ the cell edges and
+    * rank-1 is never occluded on either path, every vector's rank-1
+    * cosine is ≥ the unrefined graph's (spec-pinned, improvement
+    * count measured).
     *
     * Scale: G is (k + [[NndRndInit]])-out-bounded — |G| ≤ 6n, so
     * reverse edges and the 2-hop self-join cost ≤ n·36 skinny id-pair
@@ -946,14 +998,28 @@ object Similarity {
     // broken → 0.153 with this fix alone → 0.544 with closure
     // assignment on top, §5c-r13).
     // At the dense-id gate corpora rank r ↔ vec_id r, so gate hashes
-    // are byte-identical. The ids frame is skinny (one long per
-    // vector); production at 10¹⁰ vectors would swap the single global
-    // window for the text_shard two-phase rank.
-    val ranked = em
-      .select(col("vec_id").as("neighbor_id"))
-      .withColumn("rnk", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("neighbor_id"))
-        .cast("long") - 1L)
+    // are byte-identical. The rank is DISTRIBUTED (r14, ADVICE r13):
+    // the globalOffsets two-phase scan — range-partition by id, local
+    // row_number per partition, per-partition COUNTS prefix-summed in
+    // one O(#partitions) single-task window and broadcast back — the
+    // r13 form was a single global row_number window, which collapses
+    // the whole frame into one partition (a Spark WARN per run) on the
+    // exact ×100 path this build runs. RangePartitioner orders
+    // partitions by key, so base+local ≡ the global rank.
+    val ranked = {
+      val ids = em.select(col("vec_id").as("neighbor_id"))
+        .repartitionByRange(col("neighbor_id"))
+        .withColumn("pid", spark_partition_id())
+      val wLocal = Window.partitionBy("pid").orderBy("neighbor_id")
+      val wBases = Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bases = ids.groupBy("pid").agg(count(lit(1)).as("pn"))
+        .withColumn("base", coalesce(sum("pn").over(wBases), lit(0L)))
+        .select("pid", "base")
+      ids.withColumn("lrn", row_number().over(wLocal).cast("long"))
+        .join(broadcast(bases), "pid")
+        .select(col("neighbor_id"), (col("base") + col("lrn") - 1L).as("rnk"))
+    }
     val rnd = em.select(col("vec_id")).crossJoin(nRow)
       .select(col("vec_id"), explode(array((1 to NndRndInit).map(j =>
         Dedup.h32(lit("nnd"),
@@ -964,26 +1030,114 @@ object Similarity {
     val g = cell.unionAll(rnd)
       .where(col("vec_id") =!= col("neighbor_id"))
       .distinct().persist()
-    val rev = g.select(col("neighbor_id").as("vec_id"), col("vec_id").as("neighbor_id"))
-    val hop2 = g.select(col("vec_id"), col("neighbor_id").as("mid"))
-      .join(g.select(col("vec_id").as("mid"), col("neighbor_id")), "mid")
-      .select(col("vec_id"), col("neighbor_id"))
-    val cand = g.unionAll(rev).unionAll(hop2)
-      .where(col("vec_id") =!= col("neighbor_id"))
-      .distinct()
     val qv = corpusVecs(em)
-    // SHUFFLE_HASH on the corpus-vector build sides (the rerank lesson,
-    // [[graphSearch]]): SMJ here would sort the PAIR frame — and the
-    // second join's sort input is the pair frame FAT (first vector
-    // already attached, ~0.5 kB/row), which at the ×100 corpus under
-    // the derived degree is an ~87 GB external sort that filled the
-    // box's disk (measured r13). The hash build side is the skinny
-    // per-partition vector slice — megabytes.
-    val scored = cand.join(qv.hint("SHUFFLE_HASH"), "vec_id")
+    // VECTORS ATTACH TO THE DEGREE-BOUNDED EDGE FRAME, NEVER TO THE
+    // CANDIDATE PAIR FRAME (r14). The r13 form materialized cand =
+    // (G ∪ G⁻¹ ∪ G∘G).distinct() — n·(k+3)² pairs — then attached both
+    // endpoint vectors by id; the second attach had to SHUFFLE the pair
+    // frame with the first 64-double vector already aboard (~87 GB of
+    // shuffle write at ×100/degree-25 — r13 swapped its SORT for a hash
+    // join but kept the fat exchange, and the α-prune's added scratch
+    // pushed the total past this box's disk wall). Here both endpoint
+    // vectors ride gv — G with v and nv attached, |G| ≤ (k+3)·n rows —
+    // so every cosine evaluates in a projection: direct edges from gv
+    // itself, REVERSE edges by cosine symmetry (no join at all), and
+    // 2-hop edges from gv ⋈ gv on the middle vertex, which shuffles two
+    // degree-bounded fat frames instead of one candidate-bounded one.
+    // Dedupe moves AFTER scoring, onto skinny (id, id, cos) triples —
+    // identical pairs score identically, so distinct-after ≡
+    // distinct-before (duplicate cosines cost ~1.3× map CPU and buy
+    // the fat candidate exchange away entirely).
+    val gv = g.join(qv.hint("SHUFFLE_HASH"), "vec_id")
       .join(qv.select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
         .hint("SHUFFLE_HASH"), "neighbor_id")
+      .persist()
+    val direct = gv.select(col("vec_id"), col("neighbor_id"),
+      cosine(col("v"), col("nv")).as("cos"))
+    val rev = gv.select(col("neighbor_id").as("vec_id"),
+      col("vec_id").as("neighbor_id"), cosine(col("v"), col("nv")).as("cos"))
+    val hop2 = gv.select(col("vec_id"), col("neighbor_id").as("mid"), col("v"))
+      .join(gv.select(col("vec_id").as("mid"), col("neighbor_id"), col("nv")), "mid")
       .select(col("vec_id"), col("neighbor_id"), cosine(col("v"), col("nv")).as("cos"))
-    graft.plans.TopKPlans.topKPerKey(scored, "vec_id", "cos", "neighbor_id", k, "rank")
+    val scored = direct.unionAll(rev).unionAll(hop2)
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .distinct()
+    alphaPrune(scored, qv, k)
+  }
+
+  /** The KEEP step over a scored candidate frame
+    * (vec_id, neighbor_id, cos) with vectors `qv` (vec_id, v). Default
+    * ([[AlphaRng]] unset): plain exact-cosine top-k through the native
+    * grouped top-k exec. Under the opt-in α dial: α-RNG EDGE
+    * DIVERSIFICATION (DiskANN/Vamana's RobustPrune) — a plain cosine
+    * top-k keeps k near-parallel edges, all pointing INTO the vector's
+    * own cell on a clustered corpus, and the far candidates (the
+    * cross-cell / random-bridge edges beam search needs) are exactly
+    * what the re-rank prunes. The α path takes the
+    * top-[[AlphaCandFactor]]·k candidate list and OCCLUDES any
+    * candidate much nearer to a closer-ranked candidate than to the
+    * vector itself: survivors are direction-diverse, and a far
+    * candidate pointing somewhere genuinely new (cos(r,c) ≈ 0 to every
+    * closer neighbor) is UNOCCLUDABLE — bridges survive structurally.
+    * Relaxation vs the sequential greedy: occlusion tests against ALL
+    * closer-RANKED candidates (order-free, one relational pass) rather
+    * than only already-KEPT ones. Kept degree stays exactly k
+    * (survivors first, occluded backfill); rank-1 has no closer-ranked
+    * candidate, so the nearest neighbor is never displaced (the
+    * nnDescent monotonicity contract holds on both paths).
+    *
+    * Scale (α path): the pair frame is per-vector L·(L−1)/2 with
+    * L = 2k — CONSTANT per vector (≤ n·2k² skinny rows; never
+    * cell-width² and never corpus×corpus); the candidate vector
+    * attaches to the n·L topl frame once and pairs form by a vec_id
+    * self-join whose cosine evaluates in the projection, so nothing
+    * pair-sized ever shuffles fat. */
+  private[graft] def alphaPrune(scored: DataFrame, qv: DataFrame, k: Int,
+                                alpha: Option[Double] = AlphaRng): DataFrame = {
+    if (alpha.isEmpty)
+      return graft.plans.TopKPlans.topKPerKey(scored, "vec_id", "cos", "neighbor_id", k, "rank")
+        .select(col("vec_id"), col("rank"), col("neighbor_id"))
+    val L = AlphaCandFactor * k
+    // persisted: referenced three times below (both pair sides + the
+    // final keep) — unpersisted it would recompute the full candidate
+    // re-rank each time; freed by the suite-level releaseAll, the same
+    // contract as the seed graph `g` above
+    val topl = graft.plans.TopKPlans
+      .topKPerKey(scored, "vec_id", "cos", "neighbor_id", L, "crank")
+      .select(col("vec_id"), col("neighbor_id"), col("cos"), col("crank"))
+      .persist()
+    // the candidate VECTOR attaches to the L-bounded topl ONCE (n·L fat
+    // rows), and the occlusion pairs come from a self-join on vec_id
+    // whose cosine evaluates in the projection RIGHT AFTER the join —
+    // so the n·L²/2 pair stream never materializes fat in a shuffle
+    // (the first cut attached vectors to the PAIR frame by id; its
+    // second join shuffled 245M rows carrying a 64-double vector each
+    // at the ×100/degree-25 build — ~137 GB of shuffle write, the
+    // §5c-r13 #5 fat-frame mistake repeated and caught by the same
+    // disk wall). Both join sides of a (vec_id) group co-locate, so
+    // the occlusion max combines map-side before its skinny exchange.
+    val tv = topl.join(
+      qv.select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
+        .hint("SHUFFLE_HASH"), "neighbor_id")
+    val cside = tv.select(col("vec_id"), col("neighbor_id"),
+      col("cos"), col("crank"), col("nv").as("cv"))
+    val rsideV = tv.select(col("vec_id"),
+      col("crank").as("r_crank"), col("nv").as("rv"))
+    val occ = cside.join(rsideV, "vec_id")
+      .where(col("r_crank") < col("crank"))
+      .select(col("vec_id"), col("neighbor_id"),
+        (cosine(col("rv"), col("cv")) >=
+          lit(1.0) - (lit(1.0) - col("cos")) / lit(alpha.get))
+          .cast("int").as("o"))
+      .groupBy("vec_id", "neighbor_id").agg(max("o").as("occl"))
+    // survivors-then-backfill in ONE total order: ordv descends through
+    // (unoccluded, candidate rank) — unique cranks make ties impossible
+    val ranked2 = topl.join(occ, Seq("vec_id", "neighbor_id"), "left")
+      .select(col("vec_id"), col("neighbor_id"),
+        (-(coalesce(col("occl"), lit(0)).cast("long") * (L + 1) + col("crank")))
+          .as("ordv"))
+    graft.plans.TopKPlans.topKPerKey(ranked2, "vec_id", "ordv", "neighbor_id", k, "rank")
+      .select(col("vec_id"), col("rank"), col("neighbor_id"))
   }
 
   /** Traversal dials — CORPUS-DERIVED since r13 ([[graft.Dials]]): the
@@ -1002,6 +1156,19 @@ object Similarity {
   def BeamRounds: Int = graft.Dials.graphRounds
   /** Graph out-degree for the refined lists the search walks. */
   def GraphDegree: Int = graft.Dials.graphDegree
+
+  /** Entry seeds per query (r14): the query enters the traversal at its
+    * [[EntryProbes]] nearest stride centroids, not one — SPANN searches
+    * multiple posting lists per query for exactly this reason (Chen et
+    * al. 2021), and HNSW's ef-seeded layer-0 search starts wide. On a
+    * clustered corpus the entry cell covers only ~1/cells-per-cluster
+    * of the query's cluster; beam expansion can only walk edges that
+    * exist, so when cross-cell edges are sparse the ENTRY is the
+    * binding coverage lever (measured, ×100 ScaleUp corpus: recall@5
+    * 0.598 1-seeded → see §5c-r14). Cost: the beam's round-0 frontier
+    * is [[EntryProbes]] ids instead of 1 — nothing else changes. */
+  def EntryProbes: Int =
+    sys.env.get("SPARK_GRAFT_ENTRY_PROBES").map(_.toInt).getOrElse(4)
 
   /** GRAPH-ANN QUERY-TIME SEARCH (`ann_graph_search`, r11) — the
     * primitive the graph indexes exist for, closing the family's
@@ -1075,13 +1242,13 @@ object Similarity {
         .select(col("query_id"), col("cand_id"), cosine(col("qv"), col("v")).as("cos"))
       graft.plans.TopKPlans.topKPerKey(scored, "query_id", "cos", "cand_id", k, "rank")
     }
-    // IVF-seeded entry: the query's 1-probe stride cell — the same
-    // broadcast pass (and tie order) as the graph build's assignment,
-    // so the entry vertex is always a graph member
+    // IVF-seeded entry at the query's [[EntryProbes]] nearest stride
+    // centroids — the same broadcast pass (and tie order) as the graph
+    // build's assignment, so every entry vertex is a graph member
     val cents = em.where(col("vec_id") % CentroidStride === 0)
       .select(col("vec_id").as("cent_id"), vec(col("embedding")).as("cv"))
     val entry = nearestCells(
-        qv.select(col("query_id").as("vec_id"), col("qv").as("v")), cents, 1)
+        qv.select(col("query_id").as("vec_id"), col("qv").as("v")), cents, EntryProbes)
       .select(col("vec_id").as("query_id"), col("cell").as("cand_id"))
     // localCheckpoint, not persist: each round references the beam
     // TWICE (beam ∪ beam⋈edges), so a persist-only loop doubles the
@@ -1389,6 +1556,51 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** EMBEDDING-SPACE DECONTAMINATION (`text_decontam_embed`, r14) —
+    * the SemDeDup discipline (Abbas et al. 2023) applied to EVAL
+    * CONTAMINATION: `text_decontam`'s n-gram overlap filter provably
+    * misses a PARAPHRASED benchmark item (zero shared 4-grams, same
+    * meaning — spec-pinned plant), but in embedding space a paraphrase
+    * sits at high cosine to its source. Benchmark stand-in = the
+    * vec_id % [[graft.operators.TextAnalysis.BenchMod]] slice (the same
+    * external-eval-file convention as the n-gram key); every other
+    * vector reports its bench exposure: (vec_id, cell, n_bench = bench
+    * vectors sharing its cell, is_contam = any bench cellmate at
+    * cosine ≥ [[DupCosine]]). Anti-joining `is_contam = 1` is the
+    * corpus-cleaning step, exactly as with the n-gram key.
+    *
+    * Scale: [[semanticDedup]]'s cell confinement verbatim — assignment
+    * is the broadcast n·K pass over the persisted trained codebook
+    * (the `ann_ivf_trained` fixture, so both engines read the SAME
+    * centroids), the probe join is cell-keyed with a benchmark side
+    * that is tiny BY DEFINITION (an eval file), and nothing is ever
+    * corpus×corpus. At 100 TB this is one broadcast map pass plus a
+    * bench-sized hash join. */
+  def embedDecontam(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val em = Tables.embeddings(s, d)
+    val dir = codebookPath(d)
+    if (!graft.sources.Fixtures.ready(dir)) persistCodebook(em, dir)
+    embedDecontamOver(corpusVecs(em), readCodebook(s, dir))
+  }
+
+  /** The testable core of [[embedDecontam]] over explicit
+    * (vec_id, v) corpus and (cent_id, cv) centroid frames. */
+  private[graft] def embedDecontamOver(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    val bm = graft.operators.TextAnalysis.BenchMod
+    val assign = cellAssign(corpus, cents)
+    val withV = assign.join(corpus, "vec_id")
+    val bench = withV.where(col("vec_id") % bm === 0)
+      .select(col("vec_id").as("b_id"), col("cell"), col("v").as("bv"))
+    withV.where(col("vec_id") % bm =!= 0)
+      .join(bench, Seq("cell"), "left")
+      .groupBy("vec_id", "cell")
+      .agg(count(col("b_id")).as("n_bench"),
+        coalesce(max((cosine(col("v"), col("bv")) >= DupCosine).cast("long")),
+          lit(0L)).as("is_contam"))
+      .orderBy("vec_id")
+  }
+
   /** Unsorted near-duplicate id pairs: LSH-bucketed candidates filtered
     * to cosine ≥ [[DupCosine]] — never all-pairs. The reusable core of
     * [[embedDup]], also consumed by multi-signal dedup
@@ -1612,6 +1824,7 @@ object Similarity {
     "ann_ivf_trained"-> ((s, d) => ivfTrained(s, d)),
     "ann_ivf_upsert" -> ((s, d) => ivfUpsert(s, d)),
     "dedup_semantic" -> ((s, d) => semanticDedup(s, d)),
+    "text_decontam_embed" -> ((s, d) => embedDecontam(s, d)),
     "ann_ivf_imi"    -> ((s, d) => ivfImi(s, d)),
     "ann_pq"         -> ((s, d) => pqTopK(s, d)),
     "ann_pq_rerank"  -> ((s, d) => pqRerank(s, d)),
@@ -1624,10 +1837,25 @@ object Similarity {
 
   private val V = "embedding::DOUBLE[]"
 
+  /** The per-cell candidate-cap CTE (→ `hubs(vec_id, cell)`) over an
+    * `assign(vec_id, cell)` CTE — the SQL mirror of [[knnEdges]]'s hub
+    * sample (h32("knncap", id) rank within cell, ties by id, cut at
+    * [[graft.Dials.knnCellCap]]). Shared by all three graph-build
+    * oracle sites so the cap cannot drift. */
+  private def hubsCteSql: String =
+    s"""hubs AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY cell
+       |        ORDER BY ('0x' || substr(md5('knncap:' || vec_id::VARCHAR), 1, 8))::BIGINT, vec_id) AS hrn
+       |    FROM assign) h WHERE hrn <= ${graft.Dials.knnCellCap})""".stripMargin
+
   /** The NN-descent refined-graph CTE chain (→ CTE `refined(vec_id,
-    * rank, neighbor_id)`): stride centroids → 1-probe assignment →
-    * cell edges → deterministic random seed edges → forward ∪ reverse
-    * ∪ 2-hop candidates → exact-cosine top-`k`. Shared verbatim by
+    * rank, neighbor_id)`): stride centroids → closure assignment →
+    * hub-capped cell edges → deterministic random seed edges → forward
+    * ∪ reverse ∪ 2-hop candidates → the keep step ([[refinedKeepSql]]:
+    * exact-cosine top-k by default; the α-RNG occlusion prune under
+    * the opt-in [[AlphaRng]] dial). Shared verbatim by
     * the `ann_nn_descent` gate (at [[KnnK]]) and the `ann_graph_search`
     * traversal (at the [[graft.Dials.graphDegree]] production degree) —
     * the same chain, so a drift in either arm fails its gate. */
@@ -1641,13 +1869,14 @@ object Similarity {
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY list_cosine_similarity(e.$V, c.cv) DESC, c.cent_id) AS crn
        |    FROM embeddings e, cents c) a WHERE crn <= $BuildProbes),
+       |$hubsCteSql,
        |cellg AS (
        |  SELECT vec_id, neighbor_id FROM (
        |    SELECT p.vec_id, p.neighbor_id,
        |      row_number() OVER (PARTITION BY p.vec_id
        |        ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, p.neighbor_id) AS rank
        |    FROM (SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
-       |          FROM assign a JOIN assign b
+       |          FROM assign a JOIN hubs b
        |            ON a.cell = b.cell AND a.vec_id <> b.vec_id) p
        |    JOIN embeddings q ON q.vec_id = p.vec_id
        |    JOIN embeddings n ON n.vec_id = p.neighbor_id) t
@@ -1674,15 +1903,52 @@ object Similarity {
        |    UNION ALL SELECT g1.vec_id, g2.neighbor_id
        |      FROM g g1 JOIN g g2 ON g2.vec_id = g1.neighbor_id) u
        |  WHERE vec_id <> neighbor_id),
-       |refined AS MATERIALIZED (
-       |  SELECT vec_id, rank, neighbor_id FROM (
-       |    SELECT c.vec_id, c.neighbor_id,
-       |      row_number() OVER (PARTITION BY c.vec_id
-       |        ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, c.neighbor_id) AS rank
-       |    FROM cand c
-       |    JOIN embeddings q ON q.vec_id = c.vec_id
-       |    JOIN embeddings n ON n.vec_id = c.neighbor_id) t
-       |  WHERE rank <= $k)""".stripMargin
+       |${refinedKeepSql(k)}""".stripMargin
+
+  /** The keep step of the refined chain: plain exact-cosine top-`k`
+    * when the α dial is unset (the default), the α-RNG
+    * occlusion-prune/backfill chain when it is — the SQL mirror of
+    * [[alphaPrune]]'s two paths, selected by the SAME dial in the same
+    * JVM. */
+  private def refinedKeepSql(k: Int): String = AlphaRng match {
+    case None =>
+      s"""refined AS MATERIALIZED (
+         |  SELECT vec_id, rank, neighbor_id FROM (
+         |    SELECT c.vec_id, c.neighbor_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, c.neighbor_id) AS rank
+         |    FROM cand c
+         |    JOIN embeddings q ON q.vec_id = c.vec_id
+         |    JOIN embeddings n ON n.vec_id = c.neighbor_id) t
+         |  WHERE rank <= $k)""".stripMargin
+    case Some(alpha) =>
+      s"""topl AS MATERIALIZED (
+         |  SELECT vec_id, neighbor_id, cos, crank FROM (
+         |    SELECT c.vec_id, c.neighbor_id,
+         |      list_cosine_similarity(q.$V, n.$V) AS cos,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, c.neighbor_id) AS crank
+         |    FROM cand c
+         |    JOIN embeddings q ON q.vec_id = c.vec_id
+         |    JOIN embeddings n ON n.vec_id = c.neighbor_id) t
+         |  WHERE crank <= ${AlphaCandFactor * k}),
+         |occ AS (
+         |  SELECT c.vec_id, c.neighbor_id,
+         |    max(CASE WHEN list_cosine_similarity(rv.$V, cv.$V)
+         |               >= 1.0 - (1.0 - c.cos) / $alpha THEN 1 ELSE 0 END) AS occl
+         |  FROM topl c JOIN topl r ON r.vec_id = c.vec_id AND r.crank < c.crank
+         |  JOIN embeddings rv ON rv.vec_id = r.neighbor_id
+         |  JOIN embeddings cv ON cv.vec_id = c.neighbor_id
+         |  GROUP BY 1, 2),
+         |refined AS MATERIALIZED (
+         |  SELECT vec_id, rank, neighbor_id FROM (
+         |    SELECT t.vec_id, t.neighbor_id,
+         |      row_number() OVER (PARTITION BY t.vec_id
+         |        ORDER BY coalesce(o.occl, 0), t.crank) AS rank
+         |    FROM topl t LEFT JOIN occ o
+         |      ON o.vec_id = t.vec_id AND o.neighbor_id = t.neighbor_id) z
+         |  WHERE rank <= $k)""".stripMargin
+  }
 
   /** Unrolled `±v[1] ±v[2] …` for one plane — literal signs, same
     * left-to-right fold as [[signedSum]]. */
@@ -2119,13 +2385,14 @@ object Similarity {
          |    SELECT e.vec_id, c.cent_id AS cell,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY list_cosine_similarity(e.$V, c.cv) DESC, c.cent_id) AS crn
-         |    FROM embeddings e, cents c) a WHERE crn <= $BuildProbes)
+         |    FROM embeddings e, cents c) a WHERE crn <= $BuildProbes),
+         |$hubsCteSql
          |SELECT vec_id, rank, neighbor_id FROM (
          |  SELECT p.vec_id, p.neighbor_id,
          |    row_number() OVER (PARTITION BY p.vec_id
          |      ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, p.neighbor_id) AS rank
          |  FROM (SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
-         |        FROM assign a JOIN assign b
+         |        FROM assign a JOIN hubs b
          |          ON a.cell = b.cell AND a.vec_id <> b.vec_id) p
          |  JOIN embeddings q ON q.vec_id = p.vec_id
          |  JOIN embeddings n ON n.vec_id = p.neighbor_id) t
@@ -2153,13 +2420,14 @@ object Similarity {
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY list_cosine_similarity(e.$V, c.cv) DESC, c.cent_id) AS crn
          |    FROM embeddings e, cents c) a WHERE crn <= $BuildProbes),
+         |$hubsCteSql,
          |g AS MATERIALIZED (
          |  SELECT vec_id, neighbor_id FROM (
          |    SELECT p.vec_id, p.neighbor_id,
          |      row_number() OVER (PARTITION BY p.vec_id
          |        ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, p.neighbor_id) AS rank
          |    FROM (SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
-         |          FROM assign a JOIN assign b
+         |          FROM assign a JOIN hubs b
          |            ON a.cell = b.cell AND a.vec_id <> b.vec_id) p
          |    JOIN embeddings q ON q.vec_id = p.vec_id
          |    JOIN embeddings n ON n.vec_id = p.neighbor_id) t
@@ -2208,8 +2476,12 @@ object Similarity {
          |    SELECT vec_id AS src, neighbor_id AS dst FROM refined
          |    UNION ALL SELECT neighbor_id, vec_id FROM refined) u),
          |b0 AS MATERIALIZED (
-         |  SELECT vec_id AS query_id, cell AS cand_id
-         |  FROM assign WHERE vec_id % $QueryStride = 0),
+         |  SELECT vec_id AS query_id, cell AS cand_id FROM (
+         |    SELECT e.vec_id, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.$V, c.cv) DESC, c.cent_id) AS crn
+         |    FROM embeddings e, cents c WHERE e.vec_id % $QueryStride = 0) s
+         |  WHERE crn <= $EntryProbes),
          |${(1 to BeamRounds).map(round).mkString(",\n")}
          |SELECT query_id, rank, neighbor_id FROM (
          |  SELECT b.query_id, b.cand_id AS neighbor_id,
@@ -2278,6 +2550,34 @@ object Similarity {
          |      AND list_cosine_similarity(ea.$V, eb.$V) >= $DupCosine))::BIGINT AS is_dup
          |FROM assign a JOIN embeddings ea ON ea.vec_id = a.vec_id
          |ORDER BY a.vec_id""".stripMargin,
+    // the dedup_semantic confinement with a benchmark-slice probe side:
+    // assignment over the SAME persisted codebook, bench = the
+    // vec_id % BenchMod slice, per-corpus-vector bench-cellmate count
+    // and the ≥ DupCosine contamination flag (CASE sees a NULL cosine
+    // on the no-bench LEFT JOIN row as not-contaminated, = the Spark
+    // side's null-max-coalesce)
+    "text_decontam_embed" ->
+      s"""WITH cents AS (
+         |  SELECT cent_id, cv::DOUBLE[] AS cv FROM read_parquet(
+         |    '${codebookPath(graft.Dials.sfDir.getOrElse("/root/testdata/sf0.001"))}/*.parquet')),
+         |assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.$V, c.cv) DESC, c.cent_id) AS crn
+         |    FROM embeddings e, cents c) a WHERE crn = 1),
+         |bench AS (
+         |  SELECT a.vec_id AS b_id, a.cell, e.$V AS bv
+         |  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+         |  WHERE a.vec_id % ${graft.operators.TextAnalysis.BenchMod} = 0)
+         |SELECT r.vec_id, r.cell,
+         |  CAST(count(b.b_id) AS BIGINT) AS n_bench,
+         |  CAST(coalesce(max(CASE WHEN list_cosine_similarity(er.$V, b.bv)
+         |    >= $DupCosine THEN 1 ELSE 0 END), 0) AS BIGINT) AS is_contam
+         |FROM assign r JOIN embeddings er ON er.vec_id = r.vec_id
+         |LEFT JOIN bench b ON b.cell = r.cell
+         |WHERE r.vec_id % ${graft.operators.TextAnalysis.BenchMod} <> 0
+         |GROUP BY 1, 2 ORDER BY r.vec_id""".stripMargin,
     "dedup_embed" ->
       s"""WITH bk AS ($indexSql),
          |cand AS (

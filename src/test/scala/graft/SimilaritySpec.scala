@@ -50,6 +50,116 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expect, s"probe $probe: got $got expected $expect")
   }
 
+  test("knnEdges: per-cell candidate cap confines neighbors to the hub sample; the floor doesn't bind at gate scale") {
+    def lists(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.select("vec_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // the production floor is ABOVE every gate cell's occupancy, so the
+    // default build must equal the genuinely uncapped one byte-for-byte
+    assert(lists(Similarity.knnEdges(em)) ==
+      lists(Similarity.knnEdges(em, Similarity.KnnK, Int.MaxValue)))
+    // a BINDING cap (4) keeps only hub-sample members as neighbors:
+    // recompute the hub sample independently (h32("knncap", id) rank
+    // within each 2-probe cell, ties by id)
+    val vecs = em.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val cents = vecs.keys.filter(_ % Similarity.CentroidStride == 0).toSeq.sorted
+    def cellsOf(v: Long): Seq[Long] = cents
+      .map(c => (c, cos(vecs(v), vecs(c))))
+      .sortBy { case (c, s) => (-s, c) }.take(Similarity.BuildProbes).map(_._1)
+    val assign = vecs.keys.toSeq.flatMap(v => cellsOf(v).map(c => (v, c)))
+    val cap = 4
+    val hubs: Map[Long, Set[Long]] = assign.groupBy(_._2).view.mapValues {
+      ms => ms.map(_._1).sortBy(v => (h32(s"knncap:$v"), v)).take(cap).toSet
+    }.toMap
+    val capped = lists(Similarity.knnEdges(em, Similarity.KnnK, cap))
+    for ((v, ns) <- capped; n <- ns) {
+      val shared = cellsOf(v).exists(c => hubs(c).contains(n) && cellsOf(n).contains(c))
+      assert(shared, s"vec $v neighbor $n is not a hub of any shared probed cell")
+    }
+    // coverage survives the cap: the query side is uncapped, so every
+    // vector whose probed cells hold ANY hub other than itself keeps a list
+    val covered = vecs.keys.count(v =>
+      cellsOf(v).exists(c => (hubs(c) - v).nonEmpty))
+    assert(capped.size == covered, s"${capped.size} lists vs $covered coverable")
+  }
+
+  test("text_decontam_embed: a paraphrased benchmark plant the n-gram filter provably misses is flagged in embedding space") {
+    val s0 = spark; import s0.implicits._
+    // doc 0 sits in the % BenchMod == 0 benchmark slice; doc 1 is a
+    // PARAPHRASE sharing ZERO 4-grams with it (every content word
+    // replaced); doc 2 is unrelated
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "a swift russet fox leaps above one sleepy hound"),
+      (2L, "completely unrelated text about spark plans entirely")
+    ).toDF("doc_id", "text")
+    val ngram = graft.operators.TextAnalysis.contaminatedIds(docs, docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(!ngram.contains(1L), "the plant must be invisible to the n-gram filter")
+    // in embedding space the paraphrase is nearly parallel to its
+    // benchmark source; the unrelated doc is orthogonal
+    val corpus = Seq(
+      (0L, Array(1.0, 0.0, 0.0)),
+      (1L, Array(0.99, 0.141, 0.0)),
+      (2L, Array(0.0, 0.0, 1.0))
+    ).toDF("vec_id", "v")
+    val cents = Seq((0L, Array(1.0, 0.0, 0.0)), (1L, Array(0.0, 0.0, 1.0)))
+      .toDF("cent_id", "cv")
+    val out = Similarity.embedDecontamOver(corpus, cents)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (1L, 1L), "plant: one bench cellmate, contaminated")
+    assert(out(2L) == (0L, 0L), "unrelated: no bench exposure")
+  }
+
+  test("alphaPrune: near-duplicate candidates demote, direction-diverse far candidates survive, degree stays k") {
+    val s0 = spark; import s0.implicits._
+    // directions in 3-space around query 0:
+    //   1 ≈ parallel to the query            (cos ≈ .995)
+    //   2 ≈ parallel to 1                    (occluded by 1)
+    //   3 ≈ orthogonal, slightly query-ward  (cos ≈ .119, survivor)
+    //   4 ≈ parallel to 3, ranked below it   (occluded by 3)
+    val vecs: Map[Long, Array[Double]] = Map(
+      0L -> Array(1.0, 0.0, 0.0),
+      1L -> Array(10.0, 1.0, 0.0),
+      2L -> Array(10.0, 1.2, 0.0),
+      3L -> Array(1.2, 10.0, 0.0),
+      4L -> Array(1.0, 10.0, 0.0))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    // independent replay of the relaxed rule: candidate c occluded iff
+    // SOME higher-cos candidate r has cos(r,c) >= 1 - (1-cos(q,c))/alpha
+    val cands = Seq(1L, 2L, 3L, 4L).map(i => (i, cos(vecs(0L), vecs(i))))
+      .sortBy(-_._2)
+    val occluded = cands.map { case (c, qc) =>
+      c -> cands.takeWhile(_._1 != c).exists { case (r, _) =>
+        cos(vecs(r), vecs(c)) >= 1.0 - (1.0 - qc) / 1.2 }
+    }.toMap
+    assert(occluded == Map(1L -> false, 2L -> true, 4L -> true, 3L -> false))
+    val scored = cands.map { case (c, qc) => (0L, c, qc) }
+      .toDF("vec_id", "neighbor_id", "cos")
+    val qv = vecs.toSeq.map { case (i, v) => (i, v) }.toDF("vec_id", "v")
+    val got = Similarity.alphaPrune(scored, qv, 2, Some(1.2))
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2)))
+    // k = 2 keeps the two SURVIVORS — the nearest neighbor (rank 1 is
+    // never occluded) and the direction-diverse far candidate — not the
+    // two highest cosines (2 outranks 3 by cosine but is occluded)
+    assert(got.toSeq == Seq((1L, 1L), (2L, 3L)))
+  }
+
   test("nnDescent: refinement is monotone (rank-1 cosine never drops) and actually improves lists") {
     val vecs = em.collect().map(r => (r.getLong(0),
       r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
@@ -96,14 +206,15 @@ class SimilaritySpec extends SparkSpec {
     val adj = (g ++ g.map(_.swap)).distinct
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val queries = vecs.keys.filter(_ % Similarity.QueryStride == 0).toSeq.sorted
-    // IVF-seeded entry: the query's nearest stride centroid, same tie
-    // order as the build's cell assignment
+    // IVF-seeded entry: the query's EntryProbes nearest stride
+    // centroids (r14 multi-seed), same tie order as the build's
+    // cell assignment
     val centIds = vecs.keys.filter(_ % Similarity.CentroidStride == 0).toSeq.sorted
-    def entryOf(q: Long): Long =
+    def entryOf(q: Long): Seq[Long] =
       centIds.map(c => (c, cos(vecs(q), vecs(c))))
-        .minBy { case (c, s) => (-s, c) }._1
+        .sortBy { case (c, s) => (-s, c) }.take(Similarity.EntryProbes).map(_._1)
     def replay(q: Long): Seq[Long] = {
-      var beam = Seq(entryOf(q))
+      var beam = entryOf(q)
       for (_ <- 1 to Similarity.BeamRounds) {
         val cand = (beam ++ beam.flatMap(v => adj.getOrElse(v, Set.empty))).distinct
         beam = cand.map(c => (c, cos(vecs(q), vecs(c))))
