@@ -150,9 +150,18 @@ object TrainingPipeline {
     // counts and the downstream chain all read it, and re-running the
     // framed parse per consumer would multiply the scan cost
     // (Cleanup.releaseAll drops it under the session contract).
+    // SPARK_GRAFT_WARC_GZ routes the head through the GZIPPED staging
+    // (one gzip member per record — the real Common Crawl layout) —
+    // result-INVISIBLE by construction (both stagings hold identical
+    // records; the inflated byte stream is the plain one), so the knob
+    // is a ladder measurement of the decode cost model, not a semantic
+    // dial
     "pipe_warc"    -> ((s, d) => {
       val recs = graft.sources.Sources
-        .readWarc(s, graft.sources.Sources.warcDir(s, d))
+        .readWarc(s,
+          if (sys.env.contains("SPARK_GRAFT_WARC_GZ"))
+            graft.sources.Sources.warcGzDir(s, d)
+          else graft.sources.Sources.warcDir(s, d))
         .withColumn("doc_id",
           regexp_extract(col("value"), "<title>Doc ([0-9]+)</title>", 1)
             .cast("long"))
