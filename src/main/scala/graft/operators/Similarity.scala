@@ -966,15 +966,18 @@ object Similarity {
     * cosine is ≥ the unrefined graph's (spec-pinned, improvement
     * count measured).
     *
-    * Scale: G is (k + [[NndRndInit]])-out-bounded — |G| ≤ 6n, so
-    * reverse edges and the 2-hop self-join cost ≤ n·36 skinny id-pair
-    * rows, never corpus×corpus and never cell-width²; the random init
-    * is a map-side hash (no global sort or shuffle); the re-rank
-    * attaches vectors by id to the bounded pair frame (two corpus-sized
-    * hash joins) and cuts through the native grouped top-k exec. At
-    * 100 TB this is the standard NN-descent shard shape: the edge frame
-    * is orders of magnitude narrower than the vectors, and each round
-    * is two self-joins of it. */
+    * Scale: G is (k + [[NndRndInit]])-out-bounded — |G| ≤ (k+3)·n, so
+    * reverse edges and the 2-hop self-join cost ≤ n·(k+3)² skinny
+    * scored rows, never corpus×corpus and never cell-width²; the
+    * random init is a map-side hash (no global sort or shuffle) whose
+    * rank→id table is a distributed two-phase scan; both endpoint
+    * VECTORS attach to the degree-bounded edge frame (never to the
+    * pair frame — the r14 fat-exchange rule, see the inline note), so
+    * every cosine evaluates in a projection and the candidate stream
+    * cuts through the native grouped top-k exec as skinny triples. At
+    * 100 TB this is the standard NN-descent shard shape: the edge
+    * frame is orders of magnitude narrower than the vectors, and each
+    * round is two self-joins of it. */
   def nnDescent(em: DataFrame): DataFrame =
     nnDescentEdges(em)
       .select(col("vec_id"), col("rank"), col("neighbor_id"))
