@@ -224,8 +224,20 @@ object Bench {
     }
     val prevName = prev.map(p => jstr(p._1)).getOrElse("null")
     val ss = standalone.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // PROVENANCE (r15, VERDICT r14 "What's wrong #2"): every bench line
+    // carries its own protocol, so "the round's bench" is never
+    // ambiguous — `queries` timings are in-suite min-of-2 under a
+    // shared driver machine (contention possible), `standalone` entries
+    // are fresh-JVM min-of-2 adjudications, and run_id pins WHICH run a
+    // later delta refers to. Same-protocol comparisons only.
+    val runId = s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}" +
+      s"@${System.currentTimeMillis()}"
+    val proto =
+      s"""{"queries_mode":"in-suite-min-of-2","standalone_mode":"fresh-jvm-min-of-2",""" +
+      s""""contention":"shared driver machine","cpus":"$cpus",""" +
+      s""""heap":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","run_id":"$runId"}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"standalone":$ss,"prev_bench":$prevName,"deltas":$ds,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"standalone":$ss,"prev_bench":$prevName,"deltas":$ds,"protocol":$proto,"sf":"$sfDir"}"""
     println(line)
     Files.write(Paths.get("BENCH_LOCAL.json"), line.getBytes(StandardCharsets.UTF_8))
     if (errors.nonEmpty)

@@ -45,6 +45,8 @@ object Dials {
   @volatile private var nVectors: Option[Long] = None
   @volatile private var nFactRows: Option[Long] = None
   @volatile private var dir: Option[String] = None
+  @volatile private var sparkRef: Option[SparkSession] = None
+  @volatile private var calibratedBeam: Option[Int] = None
 
   /** Record the gated corpus's vector count (parquet footer count —
     * metadata-only, no scan) and sf dir. Called once by each main after
@@ -54,6 +56,8 @@ object Dials {
     nVectors = Some(Tables.embeddings(spark, sfDir).count())
     nFactRows = Some(Tables.lineitem(spark, sfDir).count())
     dir = Some(sfDir)
+    sparkRef = Some(spark)
+    calibratedBeam = None // a new corpus invalidates the memo
   }
 
   /** The recorded corpus size, if a main has initialized it. */
@@ -173,7 +177,23 @@ object Dials {
   val KnnCellCapFloor = 192
 
   def knnCellCap: Int =
-    sys.env.get("SPARK_GRAFT_KNN_CELL_CAP").map(_.toInt).getOrElse(KnnCellCapFloor)
+    envPosInt("SPARK_GRAFT_KNN_CELL_CAP").getOrElse(KnnCellCapFloor)
+
+  /** Validated positive-int env dial: a value ≤ 0 here would silently
+    * produce degenerate behavior (e.g. a cap of 0 keeps NO hub sample →
+    * an edgeless k-NN graph on both engines, gate-green and useless)
+    * and garbage would throw a bare NumberFormatException with no dial
+    * name — the failure mode `spark.graft.topk.maxPartialEntries` fixed
+    * loudly at plan time (ADVICE r14). */
+  private[graft] def envPosInt(name: String): Option[Int] =
+    sys.env.get(name).map { raw =>
+      val parsed = try raw.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$name must be a positive integer, got '$raw'")
+      }
+      require(parsed > 0, s"$name must be > 0, got $parsed")
+      parsed
+    }
 
   /** The pure derivation behind [[graphDegree]]. */
   private[graft] def graphDegreeFor(n: Long): Int =
@@ -195,22 +215,74 @@ object Dials {
     * 75-beam build did). 0.96-recall beam grows ≈ √n on this geometry
     * (48@2 k → 600@200 k), NOT log n: when clusters share no boundary
     * structure, the beam must hold a cluster-sized working set. A real
-    * manifold needs only the log-n HNSW sizing (the 3·degree floor),
-    * so √n here is the honest adversarial-geometry price, env-tunable
-    * away by deployments that know their corpus. */
+    * manifold needs only the log-n HNSW sizing (the 3·degree floor) —
+    * measured on the r15 navigable (intrinsic-dim-4) ladder fixture.
+    * Since r15 ceil([[BeamRecallC]]·√n) is the calibration CEILING,
+    * not the default: the default beam comes from a build-time
+    * SAMPLED-RECALL probe ([[graft.operators.Similarity.calibratedBeamFor]]
+    * — VERDICT r14 #2), which lands at the log-n floor on navigable
+    * corpora and reproduces ~√n only where the geometry demands it. */
   val BeamRecallC = 1.34
 
-  /** Beam width kept per query per traversal round:
-    * max(3·degree, ceil([[BeamRecallC]]·√n)) — the log-n HNSW floor
-    * with the measured √n adversarial-recall term above it. Every
-    * ≤500-vector gate corpus stays at the 48 floor. */
+  /** The worst-case-geometry beam ceiling for corpus size `n`:
+    * max(3·degree, ceil([[BeamRecallC]]·√n)) — what r14 shipped as the
+    * unconditional default, now the top rung of the calibration
+    * ladder. */
+  private[graft] def graphBeamCeiling(n: Long): Int =
+    math.max(GraphBeamFactor * graphDegree,
+      math.ceil(BeamRecallC * math.sqrt(n.toDouble)).toInt)
+
+  /** Beam width kept per query per traversal round. Resolution order:
+    *
+    *  1. `SPARK_GRAFT_GRAPH_BEAM` — deployment-pinned.
+    *  2. CALIBRATED (r15, VERDICT r14 #2): a fixture-cached build-time
+    *     sampled-recall probe — build the refined graph once, search a
+    *     deterministic query sample at beams floor, 2·floor, … up to
+    *     [[graphBeamCeiling]], keep the first beam whose sampled
+    *     recall@5 vs exact truth clears the target. A navigable corpus
+    *     stops at the 3·degree log-n floor (the √n default overpaid
+    *     ~√n/log n there); the adversarial ladder corpus reproduces
+    *     the measured √n ceiling. Memoized per init; persisted per
+    *     corpus (the codebook-fixture discipline), so the probe runs
+    *     once per corpus, not once per session. Skipped entirely when
+    *     the ceiling IS the floor (every gate corpus ≤ ~1.3 k vectors).
+    *  3. Uninitialized (unit specs): the 3·degree floor.
+    *
+    * The oracle interpolates the RESOLVED value (the mains init Dials
+    * before any oracle text is built), so both engines always unroll
+    * the same beam. */
   def graphBeam: Int =
-    sys.env.get("SPARK_GRAFT_GRAPH_BEAM").map(_.toInt)
-      .getOrElse(math.max(GraphBeamFactor * graphDegree,
-        nVectors.fold(0)(n => math.ceil(BeamRecallC * math.sqrt(n.toDouble)).toInt)))
+    envPosInt("SPARK_GRAFT_GRAPH_BEAM").getOrElse {
+      calibratedBeam.getOrElse {
+        val resolved = (for { s <- sparkRef; d <- dir } yield
+          graft.operators.Similarity.calibratedBeamFor(s, d))
+        resolved.foreach(b => calibratedBeam = Some(b))
+        resolved.getOrElse(GraphBeamFactor * graphDegree)
+      }
+    }
 
   /** Fixed traversal rounds (static plan depth / oracle unroll). */
   def graphRounds: Int =
     sys.env.get("SPARK_GRAFT_GRAPH_ROUNDS").map(_.toInt)
       .getOrElse(GraphRoundsDefault)
+
+  /** Corpus rows per mid-vertex band of the NN-descent 2-hop self-join
+    * (r15, VERDICT r14 #3). The 2-hop join shuffles the vector-bearing
+    * gv frame on BOTH sides; at ×1000 (2 M vectors, degree ~30) that
+    * is two ~35 GB exchanges against ~55 GB of local scratch — past
+    * the single-box wall r14 recorded as out of reach. Banding the
+    * join's MID vertex (`pmod(mid, bands)`) and running the bands
+    * SEQUENTIALLY — each band's skinny scored triples fold into a
+    * running per-vector top-L accumulator, the `dedup_minhash_thresh`
+    * band-sequential discipline — caps peak scratch at ~1/bands of the
+    * exchange while producing the EXACT same edge list (top-k is
+    * band-decomposable under the total order; spec-pinned). */
+  val NndBandRows = 250000L
+
+  /** Mid-vertex bands for the NN-descent 2-hop join: 1 (the r14
+    * single-pass plan, byte-identical) up to the measured ×100 tier;
+    * ceil(n / [[NndBandRows]]) above it. */
+  def nndHop2Bands: Int =
+    envPosInt("SPARK_GRAFT_NND_BANDS").getOrElse(
+      nVectors.fold(1)(n => math.max(1, ((n + NndBandRows - 1) / NndBandRows).toInt)))
 }

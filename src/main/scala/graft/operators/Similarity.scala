@@ -568,38 +568,81 @@ object Similarity {
     * broadcast map pass. Callers cut top-1 (assignment) or
     * top-[[NProbe]] (probing) via [[topCells]]. */
   private[graft] def imiScored(em: DataFrame, cents: DataFrame,
-                               bits: Int): (DataFrame, DataFrame) = {
-    graft.plans.GraftFunctions.register(em.sparkSession)
+                               bits: Int): (DataFrame, DataFrame) =
+    imiScoredVecs(em.select(col("vec_id"), vec(col("embedding")).as("v")),
+      cents, bits)
+
+  /** [[imiScored]] over a generic (vec_id, v DOUBLE[]) frame — the form
+    * the GRAPH BUILD / semantic-dedup / decontamination assignment
+    * passes consume (r15, VERDICT r14 #1: those paths ran the broadcast
+    * n·K crossJoin scan while the n·√K prune served only the search
+    * family). The float cast inside the bucket call exactly reverses
+    * the read-side widening (float→double→float is identity), so the
+    * bucket bits equal `graft_lsh_buckets(embedding)` on corpus vectors
+    * and the oracle's unrolled DOUBLE sums on both sides. */
+  private[graft] def imiScoredVecs(vecs: DataFrame, cents: DataFrame,
+                                   bits: Int): (DataFrame, DataFrame) = {
+    graft.plans.GraftFunctions.register(vecs.sparkSession)
     val centIdx = cents.select(col("cent_id"),
         posexplode(call_function("graft_lsh_buckets",
             transform(col("cv"), x => x.cast("float")), lit(bits)))
           .as(Seq("tbl", "bucket")))
       .select(col("cent_id"), col("tbl").cast("long").as("tbl"), col("bucket"))
-    val scored = em.select(col("vec_id"), col("embedding"),
-        posexplode(call_function("graft_lsh_buckets", col("embedding"), lit(bits)))
+    val scored = vecs.select(col("vec_id"), col("v"),
+        posexplode(call_function("graft_lsh_buckets",
+            transform(col("v"), x => x.cast("float")), lit(bits)))
           .as(Seq("tbl", "bucket")))
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("v"),
         col("tbl").cast("long").as("tbl"), col("bucket"))
       .join(broadcast(centIdx), Seq("tbl", "bucket"))
       .join(broadcast(cents), "cent_id")
       .select(col("vec_id"), col("cent_id"),
-        cosine(vec(col("embedding")), col("cv")).as("ccos"))
+        cosine(col("v"), col("cv")).as("ccos"))
       .groupBy("vec_id", "cent_id").agg(max("ccos").as("ccos"))
-    val missedIds = em.select(col("vec_id"))
+    val missedIds = vecs.select(col("vec_id"))
       .join(scored.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
-    val fullScan = em.join(missedIds, "vec_id")
+    val fullScan = vecs.join(missedIds, "vec_id")
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
-        cosine(vec(col("embedding")), col("cv")).as("ccos"))
+        cosine(col("v"), col("cv")).as("ccos"))
     (scored, fullScan)
   }
 
   /** Top-n (vec_id, cell) cut over a (vec_id, cent_id, ccos) frame —
     * rank window over skinny triples, (ccos desc, cent_id) tie-break. */
-  private def topCells(side: DataFrame, n: Int): DataFrame = {
+  private def topCells(side: DataFrame, n: Int): DataFrame =
+    topCellsRanked(side, n).select("vec_id", "cell")
+
+  /** [[topCells]] keeping the rank — consumers that cut assignment
+    * (crn = 1) and probing (crn ≤ n) from the SAME scored frame
+    * ([[semanticDedup]], [[embedDecontamOver]]) read it once. */
+  private def topCellsRanked(side: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
     side.withColumn("crn", row_number().over(w)).where(col("crn") <= n)
-      .select(col("vec_id"), col("cent_id").as("cell"))
+      .select(col("vec_id"), col("cent_id").as("cell"), col("crn"))
+  }
+
+  /** IMI-PRUNED nearest cells (r15, VERDICT r14 #1) — [[nearestCells]]
+    * semantics through the [[imiScoredVecs]] coarse quantizer: each
+    * vector cosine-scores only the ≈ √K centroids sharing a coarse LSH
+    * bucket (full-codebook fallback for coarse misses, so no vector is
+    * dropped), then cuts its top-n cells. Output (vec_id, cell, crn).
+    *
+    * This is THE assignment pass of the k-NN graph build,
+    * [[semanticDedup]], and [[embedDecontamOver]]: with K ≈ √n, the
+    * broadcast n·K scan those paths ran through r14 is n^1.5 on its own
+    * — at 10¹⁰ vectors the same 10¹⁵-op class the per-cell candidate
+    * cap killed in the pair term. The prune drops it to ≈ n·√K
+    * (n^1.25), the identical machinery `ivfCandidates`/`ann_ivf_imi`
+    * have gated since r8, now shared by the build side. Approximation
+    * contract: the returned cell is the best of the BUCKET-MATCHED
+    * candidates (exact for fallback vectors) — the same contract the
+    * IMI search keys carry, mirrored exactly in every consumer's
+    * oracle. */
+  private[graft] def nearestCellsPruned(vecs: DataFrame, cents: DataFrame,
+                                        n: Int): DataFrame = {
+    val (scored, fullScan) = imiScoredVecs(vecs, cents, ImiBits(TrainedK))
+    topCellsRanked(scored, n).unionAll(topCellsRanked(fullScan, n))
   }
 
   /** Trained-codebook size: a MODEL input, baked into the persisted
@@ -867,7 +910,15 @@ object Similarity {
     // dial; 2-probe closure: see §5c-r13). Candidate volume doubles —
     // the honest price of boundary recall, same as SPANN's replication
     // factor.
-    val assign = nearestCells(corpusVecs(em), cents, BuildProbes)
+    // IMI-PRUNED (r15): the assignment pass was the build's LAST
+    // superlinear term — a broadcast n·K cosine scan with K ≈ √n is
+    // n^1.5 regardless of the (r14) pair-term cap. [[nearestCellsPruned]]
+    // scores each vector against only its ≈ √K coarse-bucket centroid
+    // candidates (exact full-scan fallback for coarse misses), the
+    // machinery `ann_ivf_imi` / the PQ chain gated since r8; the oracle
+    // mirrors the prune below, so approximation ≡ on both engines.
+    val assign = nearestCellsPruned(corpusVecs(em), cents, BuildProbes)
+      .select("vec_id", "cell")
     // PER-CELL CANDIDATE CAP (r14): the candidate (neighbor) side of
     // each cell is the [[graft.Dials.knnCellCap]]-member HUB SAMPLE —
     // cell members ranked by h32("knncap", id) (ties by id; a total
@@ -983,10 +1034,30 @@ object Similarity {
       .select(col("vec_id"), col("rank"), col("neighbor_id"))
       .orderBy("vec_id", "rank")
 
+  /** The published DiskANN/Vamana α default (Subramanya et al. 2019). */
+  val AlphaDefault = 1.2
+
+  /** `ann_nn_descent_alpha` (r15, ADVICE r14): the NN-descent round
+    * with the α-RNG occlusion keep step FORCED ON at [[AlphaDefault]] —
+    * not env-dependent, so the α arm (Spark prune AND its SQL mirror)
+    * is DuckDB-gated EVERY round. Until now the mirror was only
+    * generated when a deployment set `SPARK_GRAFT_ALPHA_RNG`, leaving
+    * the SQL side of an advertised dial unverified by the default gate
+    * run; this key closes that hole the same way every other dial is
+    * closed — with a standing oracle. The env dial is unchanged (it
+    * still switches the DEFAULT keys' keep step, both engines
+    * together). */
+  def nnDescentAlpha(em: DataFrame): DataFrame =
+    nnDescentEdges(em, KnnK, Some(AlphaDefault))
+      .select(col("vec_id"), col("rank"), col("neighbor_id"))
+      .orderBy("vec_id", "rank")
+
   /** The refined ranked edge list (vec_id, rank, neighbor_id) —
     * [[nnDescent]] without the output sort, shared with the
     * query-time graph traversal [[graphSearch]]. */
-  private[graft] def nnDescentEdges(em: DataFrame, k: Int = KnnK): DataFrame = {
+  private[graft] def nnDescentEdges(em: DataFrame, k: Int = KnnK,
+                                    alpha: Option[Double] = AlphaRng,
+                                    hop2Bands: Int = graft.Dials.nndHop2Bands): DataFrame = {
     val cell = knnEdges(em, k).select(col("vec_id"), col("neighbor_id"))
     val nRow = broadcast(em.agg(count(lit(1)).as("n_corpus")))
     // the random draw lands in RANK space [0, n) and maps to an id
@@ -1010,9 +1081,19 @@ object Similarity {
     // exact ×100 path this build runs. RangePartitioner orders
     // partitions by key, so base+local ≡ the global rank.
     val ranked = {
+      // PINNED before fan-out (ADVICE r14): the (id, pid) frame feeds
+      // TWO branches below — the per-pid counts and the per-row local
+      // ranks — and spark_partition_id() is only meaningful if both
+      // branches observe the SAME physical partitioning. Exchange/stage
+      // reuse usually guarantees that, but it is an optimization, not a
+      // contract: an AQE re-plan of one branch would misalign the base
+      // offsets and silently corrupt the rank→id table. localCheckpoint
+      // materializes the pid assignment once, so both branches read the
+      // identical blocks (freed by the suite-level releaseAll).
       val ids = em.select(col("vec_id").as("neighbor_id"))
         .repartitionByRange(col("neighbor_id"))
         .withColumn("pid", spark_partition_id())
+        .pinned
       val wLocal = Window.partitionBy("pid").orderBy("neighbor_id")
       val wBases = Window.orderBy("pid")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -1059,13 +1140,55 @@ object Similarity {
       cosine(col("v"), col("nv")).as("cos"))
     val rev = gv.select(col("neighbor_id").as("vec_id"),
       col("vec_id").as("neighbor_id"), cosine(col("v"), col("nv")).as("cos"))
-    val hop2 = gv.select(col("vec_id"), col("neighbor_id").as("mid"), col("v"))
-      .join(gv.select(col("vec_id").as("mid"), col("neighbor_id"), col("nv")), "mid")
-      .select(col("vec_id"), col("neighbor_id"), cosine(col("v"), col("nv")).as("cos"))
-    val scored = direct.unionAll(rev).unionAll(hop2)
-      .where(col("vec_id") =!= col("neighbor_id"))
-      .distinct()
-    alphaPrune(scored, qv, k)
+    // 2-HOP JOIN, BAND-SEQUENTIAL above the measured single-pass tier
+    // (r15, VERDICT r14 #3): gv ⋈ gv on the middle vertex shuffles the
+    // vector-bearing frame on BOTH sides — at ×1000 two ~35 GB
+    // exchanges vs ~55 GB scratch, the named single-box wall. Banding
+    // the MID (`pmod(mid, bands)`) splits the exchange into `bands`
+    // sequential passes — each filters BOTH gv sides to one band
+    // (1/bands of the fat rows), scores, and folds the skinny triples
+    // into a running per-vector top-L accumulator (localCheckpoint per
+    // band = actually sequential; predecessors freed eagerly). Result-
+    // IDENTICAL to the single pass: every candidate pair arises in the
+    // band of its mid (duplicate (a,b,cos) across mids/bands collapse
+    // in the per-band distinct), and top-L under the total order
+    // (cos desc, neighbor_id asc) is band-decomposable —
+    // topL(A ∪ B) = topL(topL(A) ∪ B). The dedup_minhash_thresh ×1000
+    // discipline applied to the graph build; bands = 1 (every corpus
+    // up to the measured ×100 tier) IS the r14 single-pass plan.
+    val bands = hop2Bands
+    def hop2Of(l: DataFrame, r: DataFrame): DataFrame =
+      l.select(col("vec_id"), col("neighbor_id").as("mid"), col("v"))
+        .join(r.select(col("vec_id").as("mid"), col("neighbor_id"), col("nv")), "mid")
+        .select(col("vec_id"), col("neighbor_id"), cosine(col("v"), col("nv")).as("cos"))
+    if (bands <= 1) {
+      val scored = direct.unionAll(rev).unionAll(hop2Of(gv, gv))
+        .where(col("vec_id") =!= col("neighbor_id"))
+        .distinct()
+      alphaPrune(scored, qv, k, alpha)
+    } else {
+      // accumulator width: the keep step's own candidate-list size —
+      // k on the plain path, the α path's L = AlphaCandFactor·k — so
+      // the final alphaPrune over the accumulator sees exactly the
+      // rows the one-shot form's internal top-L cut would keep
+      val accL = if (alpha.isEmpty) k else AlphaCandFactor * k
+      def topAcc(scored: DataFrame): DataFrame =
+        graft.plans.TopKPlans
+          .topKPerKey(scored, "vec_id", "cos", "neighbor_id", accL, "crank")
+          .select("vec_id", "neighbor_id", "cos")
+      var acc = topAcc(direct.unionAll(rev)
+        .where(col("vec_id") =!= col("neighbor_id")).distinct()).pinned
+      for (b <- 0 until bands) {
+        val hop2b = hop2Of(
+          gv.where(pmod(col("neighbor_id"), lit(bands)) === b),
+          gv.where(pmod(col("vec_id"), lit(bands)) === b))
+          .where(col("vec_id") =!= col("neighbor_id"))
+        val next = topAcc(acc.unionAll(hop2b).distinct()).pinned
+        graft.Cleanup.freeCheckpoint(acc)
+        acc = next
+      }
+      alphaPrune(acc, qv, k, alpha)
+    }
   }
 
   /** The KEEP step over a scored candidate frame
@@ -1217,23 +1340,56 @@ object Similarity {
     // (Spark reuses no common subtree across union branches — measured
     // 2× the build cost at 100×)
     val g = nnDescentEdges(em, degree).select(col("vec_id"), col("neighbor_id")).persist()
-    val ge = g.unionAll(
+    val ge = symmetrized(g)
+    val cvc = candVecs(em)
+    val qv = corpusVecs(em).where(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .persist()
+    val entry = entrySeeds(em, qv)
+    val res = beamTraverse(ge, cvc, qv, entry, beam, rounds)
+    Seq(g, ge, cvc, qv).foreach(_.unpersist(false))
+    res
+  }
+
+  /** The symmetrized edge frame (HNSW links traverse both ways),
+    * persisted — shared by [[graphSearch]] and the calibration probe. */
+  private def symmetrized(g: DataFrame): DataFrame =
+    g.unionAll(
         g.select(col("neighbor_id").as("vec_id"), col("vec_id").as("neighbor_id")))
       .distinct()
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
       .persist()
-    // the candidate-side vectors, hash-partitioned on the join key and
-    // CACHED once: every round's re-rank then shuffles only its skinny
-    // candidate frame into this partitioning — without the cache each
-    // of the BeamRounds+1 re-ranks re-scanned and re-shuffled the full
-    // corpus vector table (measured 54 s vs 22 s at 100×)
-    val cvc = corpusVecs(em)
+
+  /** The candidate-side vectors, hash-partitioned on the join key and
+    * CACHED once: every round's re-rank then shuffles only its skinny
+    * candidate frame into this partitioning — without the cache each
+    * of the rounds+1 re-ranks re-scanned and re-shuffled the full
+    * corpus vector table (measured 54 s vs 22 s at 100×). */
+  private def candVecs(em: DataFrame): DataFrame =
+    corpusVecs(em)
       .select(col("vec_id").as("cand_id"), col("v"))
       .repartition(col("cand_id"))
       .persist()
-    val qv = corpusVecs(em).where(col("vec_id") % QueryStride === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      .persist()
+
+  /** IVF-seeded entry at each query's [[EntryProbes]] nearest stride
+    * centroids — the same broadcast pass (and tie order) as the graph
+    * build's assignment, so every entry vertex is a graph member. */
+  private def entrySeeds(em: DataFrame, qv: DataFrame): DataFrame = {
+    val cents = em.where(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), vec(col("embedding")).as("cv"))
+    nearestCells(
+        qv.select(col("query_id").as("vec_id"), col("qv").as("v")), cents, EntryProbes)
+      .select(col("vec_id").as("query_id"), col("cell").as("cand_id"))
+  }
+
+  /** The beam-traversal core over prebuilt frames — `rounds` synchronous
+    * beam rounds from `entry`, re-ranked by exact query cosine each
+    * round, final beam minus the query cut at [[TopK]]. Shared verbatim
+    * by [[graphSearch]] and [[calibrateBeam]] (which probes several
+    * beams over ONE build — the probe would otherwise re-pay the build
+    * per rung). Caller owns ge/cvc/qv lifecycles. */
+  private def beamTraverse(ge: DataFrame, cvc: DataFrame, qv: DataFrame,
+                           entry: DataFrame, beam: Int, rounds: Int): DataFrame = {
     def rerank(cand: DataFrame, k: Int): DataFrame = {
       // SHUFFLE_HASH, not sort-merge: SMJ would re-SORT the wide
       // cached vector side every round (64-double rows × 32 competing
@@ -1245,14 +1401,6 @@ object Similarity {
         .select(col("query_id"), col("cand_id"), cosine(col("qv"), col("v")).as("cos"))
       graft.plans.TopKPlans.topKPerKey(scored, "query_id", "cos", "cand_id", k, "rank")
     }
-    // IVF-seeded entry at the query's [[EntryProbes]] nearest stride
-    // centroids — the same broadcast pass (and tie order) as the graph
-    // build's assignment, so every entry vertex is a graph member
-    val cents = em.where(col("vec_id") % CentroidStride === 0)
-      .select(col("vec_id").as("cent_id"), vec(col("embedding")).as("cv"))
-    val entry = nearestCells(
-        qv.select(col("query_id").as("vec_id"), col("qv").as("v")), cents, EntryProbes)
-      .select(col("vec_id").as("query_id"), col("cell").as("cand_id"))
     // localCheckpoint, not persist: each round references the beam
     // TWICE (beam ∪ beam⋈edges), so a persist-only loop doubles the
     // LOGICAL plan per round — by round 4 Catalyst re-analyzes a
@@ -1283,8 +1431,105 @@ object Similarity {
       .orderBy("query_id", "rank")
       .pinned
     graft.Cleanup.freeCheckpoint(front)
-    Seq(g, ge, cvc, qv).foreach(_.unpersist(false))
     res
+  }
+
+  /** Queries in the calibration sample and the recall bar it must
+    * clear. 32 queries × [[TopK]] = 160 truth edges — enough to
+    * separate the floor-suffices regime from the grow-the-beam regime
+    * (the decision is a threshold, not a fine estimate), cheap enough
+    * that exact truth is a 32·n cosine pass. */
+  val CalibSample = 32
+  val CalibTargetRecall = 0.95
+
+  /** Where the per-corpus calibrated beam persists — fixture-keyed to
+    * the embeddings parquet like [[codebookPath]], so the probe runs
+    * once per corpus and every later session (and the DuckDB oracle
+    * built in it) reads the same resolved value. */
+  def beamCalibPath(sfDir: String): String =
+    graft.sources.Fixtures.dirFor("beam_calib", sfDir, "embeddings")
+
+  /** BUILD-TIME SAMPLED-RECALL BEAM CALIBRATION (r15, VERDICT r14 #2).
+    * r14 derived the default beam as ceil(1.34·√n) because the
+    * ADVERSARIAL ladder corpus (orthogonal isometric islands) needs it
+    * — but a navigable corpus needs only the log-n HNSW floor, so the
+    * unconditional √n default overpaid search cost by ~√n/log n on the
+    * common case. This probe measures instead of assuming: build the
+    * refined graph ONCE at the production degree, take a deterministic
+    * [[CalibSample]]-query sample (h32-ranked head of the query
+    * stride), compute its EXACT top-[[TopK]] truth (sample·n cosines —
+    * linear), then walk the beam ladder floor, 2·floor, … ceiling and
+    * keep the first rung whose sampled recall@5 clears
+    * [[CalibTargetRecall]]. Navigable geometry stops at the floor;
+    * the adversarial ladder corpus reproduces the measured √n ceiling
+    * (§5c-r15 records both). Skipped (→ floor) when the ceiling is the
+    * floor — every gate corpus below ~1.3 k vectors, so Verify at the
+    * correctness gates pays nothing. */
+  def calibratedBeamFor(s: SparkSession, sfDir: String): Int = {
+    val degree = graft.Dials.graphDegree
+    val rounds = graft.Dials.graphRounds
+    val floor = graft.Dials.GraphBeamFactor * degree
+    val n = graft.Dials.vectorCount.getOrElse(0L)
+    if (n <= 0) return floor
+    val cap = graft.Dials.graphBeamCeiling(n)
+    if (cap <= floor) return floor
+    val dir = beamCalibPath(sfDir)
+    if (graft.sources.Fixtures.ready(dir)) {
+      val row = s.read.parquet(dir).collect().head
+      // a cached beam is only valid for the dial context it was probed
+      // at — a changed degree/rounds override re-probes
+      if (row.getAs[Long]("degree") == degree.toLong &&
+          row.getAs[Long]("rounds") == rounds.toLong)
+        return row.getAs[Long]("beam").toInt
+    }
+    val b = calibrateBeam(Tables.embeddings(s, sfDir), degree, rounds, floor, cap)
+    import s.implicits._
+    Seq((degree.toLong, rounds.toLong, b.toLong)).toDF("degree", "rounds", "beam")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    b
+  }
+
+  /** The probe itself — one build, one exact sampled truth, one
+    * traversal per ladder rung (beam search over 32 queries is cheap;
+    * the BUILD dominates and is paid once). Deterministic end to end:
+    * the sample is hash-ranked, truth and traversal are exact/total-
+    * ordered, so every session derives the same beam. */
+  private[graft] def calibrateBeam(em: DataFrame, degree: Int, rounds: Int,
+                                   floor: Int, cap: Int): Int = {
+    graft.plans.GraftFunctions.register(em.sparkSession)
+    val g = nnDescentEdges(em, degree).select(col("vec_id"), col("neighbor_id")).persist()
+    val ge = symmetrized(g)
+    val cvc = candVecs(em)
+    val sampleIds = corpusVecs(em).where(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id"))
+      .orderBy(Dedup.h32(lit("beamcal"), col("vec_id").cast("string")), col("vec_id"))
+      .limit(CalibSample).collect().map(_.getLong(0)).toSeq
+    val qv = corpusVecs(em).where(col("vec_id").isin(sampleIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv")).persist()
+    // exact truth: the sample's brute-force top-k (sample·n cosines)
+    val nvAll = corpusVecs(em).select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
+    val truth = qv.join(nvAll, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("nv")).as("cos"))
+    val truthTop = graft.plans.TopKPlans
+      .topKPerKey(truth, "query_id", "cos", "neighbor_id", TopK, "rank")
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val denom = truthTop.valuesIterator.map(_.size).sum.toDouble
+    val entry = entrySeeds(em, qv)
+    val beams = (Iterator.iterate(floor)(_ * 2).takeWhile(_ < cap) ++ Iterator(cap)).toSeq
+    var chosen = -1
+    val it = beams.iterator
+    while (chosen < 0 && it.hasNext) {
+      val b = it.next()
+      val got = beamTraverse(ge, cvc, qv, entry, b, rounds).collect()
+      val hits = got.count(r =>
+        truthTop.getOrElse(r.getLong(0), Set.empty[Long]).contains(r.getLong(2)))
+      val rec = if (denom == 0) 1.0 else hits / denom
+      System.err.println(f"[beamcal] beam=$b recall@$TopK=$rec%.3f (floor=$floor cap=$cap)")
+      if (rec >= CalibTargetRecall || !it.hasNext) chosen = b
+    }
+    Seq(g, ge, cvc, qv).foreach(_.unpersist(false))
+    chosen
   }
 
   /** LPA rounds over the k-NN graph — fixed (the wc_lpa
@@ -1538,16 +1783,38 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Cells each vector PROBES for semantic-dedup / decontamination
+    * neighbor candidates (r15, VERDICT r14 #5/#7) — SemDeDup's own
+    * replication argument: with 1-probe assignment a near-duplicate
+    * pair split by a cell boundary NEVER meets (the exact boundary
+    * blindness the knn build fixed with [[BuildProbes]] closure
+    * assignment in r13), and for a dedup/contamination GATE the miss is
+    * the expensive error. Candidates span each vector's 2 nearest
+    * cells; the reported `cell` column stays the top-1 assignment. */
+  val DedupProbes = 2
+
   def semanticDedup(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
     val em = Tables.embeddings(s, d)
     val dir = codebookPath(d)
     if (!graft.sources.Fixtures.ready(dir))
       persistCodebook(em, dir)
-    val cents = readCodebook(s, dir)
-    val corpus = corpusVecs(em)
-    val assign = cellAssign(corpus, cents)
-    val withV = assign.join(corpus, "vec_id")
+    semanticDedupOver(corpusVecs(em), readCodebook(s, dir))
+  }
+
+  /** The testable core of [[semanticDedup]] over explicit (vec_id, v)
+    * corpus and (cent_id, cv) centroid frames. Assignment is the
+    * IMI-pruned n·√K pass ([[nearestCellsPruned]], r15 — was the
+    * broadcast n·K scan); near-dup candidates are CLOSURE-confined:
+    * both sides carry their [[DedupProbes]] nearest cells and a pair
+    * meets iff the probe sets intersect, so a boundary-straddling
+    * duplicate is caught while nothing is ever corpus×corpus (pair
+    * volume ≤ [[DedupProbes]]² × the 1-probe volume, each cell still
+    * ~n/K ≈ √n wide). */
+  private[graft] def semanticDedupOver(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    val probes = nearestCellsPruned(corpus, cents, DedupProbes)
+    val assign = probes.where(col("crn") === 1).select("vec_id", "cell")
+    val withV = probes.select("vec_id", "cell").join(corpus, "vec_id")
     val a = withV.select(col("vec_id").as("a_id"), col("cell"), col("v").as("av"))
     val b = withV.select(col("vec_id").as("b_id"), col("cell"), col("v").as("bv"))
     val dups = a.join(b, Seq("cell"))
@@ -1588,12 +1855,28 @@ object Similarity {
   }
 
   /** The testable core of [[embedDecontam]] over explicit
-    * (vec_id, v) corpus and (cent_id, cv) centroid frames. */
+    * (vec_id, v) corpus and (cent_id, cv) centroid frames.
+    *
+    * r15 (VERDICT r14 #5): the BENCH side probes its [[DedupProbes]]
+    * nearest cells instead of 1 — a paraphrase sitting across a cell
+    * boundary from its benchmark source never met it under 1-probe
+    * assignment (the boundary blindness the knn build fixed in r13),
+    * and for a CONTAMINATION gate the miss is the expensive error.
+    * The probe multiplies only the bench side — tiny by definition (an
+    * eval file) — so cost is still one assignment pass plus a
+    * bench-sized cell join; corpus vectors keep their top-1 cell in
+    * the output. `n_bench` counts bench vectors PROBING the corpus
+    * vector's cell (each bench vector's probed cells are distinct, so
+    * no double count). Assignment itself is the IMI-pruned n·√K pass
+    * ([[nearestCellsPruned]], VERDICT r14 #1). */
   private[graft] def embedDecontamOver(corpus: DataFrame, cents: DataFrame): DataFrame = {
     val bm = graft.operators.TextAnalysis.BenchMod
-    val assign = cellAssign(corpus, cents)
+    val probes = nearestCellsPruned(corpus, cents, DedupProbes)
+    val assign = probes.where(col("crn") === 1).select("vec_id", "cell")
     val withV = assign.join(corpus, "vec_id")
-    val bench = withV.where(col("vec_id") % bm === 0)
+    val bench = probes.select("vec_id", "cell")
+      .where(col("vec_id") % bm === 0)
+      .join(corpus, "vec_id")
       .select(col("vec_id").as("b_id"), col("cell"), col("v").as("bv"))
     withV.where(col("vec_id") % bm =!= 0)
       .join(bench, Seq("cell"), "left")
@@ -1822,6 +2105,7 @@ object Similarity {
     "ann_ivf"        -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
     "ann_knn_graph"  -> ((s, d) => knnGraph(Tables.embeddings(s, d))),
     "ann_nn_descent" -> ((s, d) => nnDescent(Tables.embeddings(s, d))),
+    "ann_nn_descent_alpha" -> ((s, d) => nnDescentAlpha(Tables.embeddings(s, d))),
     "ann_graph_search" -> ((s, d) => graphSearch(Tables.embeddings(s, d))),
     "ann_graph_cluster" -> ((s, d) => graphClusters(Tables.embeddings(s, d))),
     "ann_ivf_trained"-> ((s, d) => ivfTrained(s, d)),
@@ -1862,16 +2146,13 @@ object Similarity {
     * the `ann_nn_descent` gate (at [[KnnK]]) and the `ann_graph_search`
     * traversal (at the [[graft.Dials.graphDegree]] production degree) —
     * the same chain, so a drift in either arm fails its gate. */
-  private def nndRefinedCtesSql(k: Int = KnnK): String =
+  private def nndRefinedCtesSql(k: Int = KnnK,
+                                alpha: Option[Double] = AlphaRng): String =
     s"""cents AS (
        |  SELECT vec_id AS cent_id, $V AS cv FROM embeddings
        |  WHERE vec_id % $CentroidStride = 0),
-       |assign AS MATERIALIZED (
-       |  SELECT vec_id, cell FROM (
-       |    SELECT e.vec_id, c.cent_id AS cell,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY list_cosine_similarity(e.$V, c.cv) DESC, c.cent_id) AS crn
-       |    FROM embeddings e, cents c) a WHERE crn <= $BuildProbes),
+       |${imiCellsCteSql("cents", "g", BuildProbes, "passign")},
+       |assign AS MATERIALIZED (SELECT vec_id, cell FROM passign),
        |$hubsCteSql,
        |cellg AS (
        |  SELECT vec_id, neighbor_id FROM (
@@ -1906,14 +2187,15 @@ object Similarity {
        |    UNION ALL SELECT g1.vec_id, g2.neighbor_id
        |      FROM g g1 JOIN g g2 ON g2.vec_id = g1.neighbor_id) u
        |  WHERE vec_id <> neighbor_id),
-       |${refinedKeepSql(k)}""".stripMargin
+       |${refinedKeepSql(k, alpha)}""".stripMargin
 
   /** The keep step of the refined chain: plain exact-cosine top-`k`
     * when the α dial is unset (the default), the α-RNG
     * occlusion-prune/backfill chain when it is — the SQL mirror of
     * [[alphaPrune]]'s two paths, selected by the SAME dial in the same
     * JVM. */
-  private def refinedKeepSql(k: Int): String = AlphaRng match {
+  private def refinedKeepSql(k: Int,
+      alpha: Option[Double] = AlphaRng): String = alpha match {
     case None =>
       s"""refined AS MATERIALIZED (
          |  SELECT vec_id, rank, neighbor_id FROM (
@@ -2025,6 +2307,39 @@ object Similarity {
        |    FROM embeddings e, $centsRel ce
        |    WHERE e.vec_id % $QueryStride = 0
        |      AND e.vec_id NOT IN (SELECT vec_id FROM $candRel)) p WHERE crn <= $NProbe)""".stripMargin
+  }
+
+  /** IMI-pruned ranked-cells CTE block over a centroid CTE named
+    * `centsRel` — the SQL mirror of [[nearestCellsPruned]]: coarse-
+    * bucket centroids and corpus, rank only bucket-sharing (vec, cent)
+    * pairs, full-codebook fallback for the miss set, cut at `n` KEEPING
+    * the rank. Emits `<p>cent_idx`, `<p>vec_idx`, `<p>cand`, and
+    * `outName(vec_id, cell, crn)`. Shared by the graph-build chain
+    * (`ann_knn_graph` / `ann_graph_cluster` / [[nndRefinedCtesSql]])
+    * and the dedup/decontam keys — one text, so the five oracles
+    * cannot drift from each other or from the Spark-side prune. */
+  private def imiCellsCteSql(centsRel: String, idxP: String, n: Int,
+                             outName: String): String = {
+    val bits = ImiBits(TrainedK)
+    s"""${idxP}cent_idx AS (${imiIndexSql(centsRel, "cent_id", "cv", bits)}),
+       |${idxP}vec_idx AS (${imiIndexSql("embeddings", "vec_id", V, bits)}),
+       |${idxP}cand AS MATERIALIZED (
+       |  SELECT DISTINCT v.vec_id, c.cent_id
+       |  FROM ${idxP}vec_idx v JOIN ${idxP}cent_idx c ON v.tbl = c.tbl AND v.bucket = c.bucket),
+       |$outName AS MATERIALIZED (
+       |  SELECT vec_id, cell, crn FROM (
+       |    SELECT ca.vec_id, ce.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY ca.vec_id
+       |        ORDER BY list_cosine_similarity(e.$V, ce.cv) DESC, ce.cent_id) AS crn
+       |    FROM ${idxP}cand ca JOIN embeddings e ON e.vec_id = ca.vec_id
+       |    JOIN $centsRel ce ON ce.cent_id = ca.cent_id) a WHERE crn <= $n
+       |  UNION ALL
+       |  SELECT vec_id, cell, crn FROM (
+       |    SELECT e.vec_id, ce.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.$V, ce.cv) DESC, ce.cent_id) AS crn
+       |    FROM embeddings e, $centsRel ce
+       |    WHERE e.vec_id NOT IN (SELECT vec_id FROM ${idxP}cand)) a WHERE crn <= $n)""".stripMargin
   }
 
   /** Full `ann_ivf_imi` oracle: coarse-bucket candidate centroids, the
@@ -2375,20 +2690,17 @@ object Similarity {
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
     },
     // the full-corpus neighbor list under the same stride centroid set:
-    // closure assignment (top-BuildProbes cells per vector, the SPANN
-    // rule), DISTINCT pairs within shared cells, top-KnnK by
-    // (cosine desc, neighbor_id) — a vector alone in both its cells
-    // emits no edges
+    // IMI-pruned closure assignment (top-BuildProbes of the coarse-
+    // bucket candidate cells, full-scan fallback for misses — the SPANN
+    // rule through the ann_ivf_imi quantizer, r15), DISTINCT pairs
+    // within shared cells, top-KnnK by (cosine desc, neighbor_id) — a
+    // vector alone in both its cells emits no edges
     "ann_knn_graph" ->
       s"""WITH cents AS (
          |  SELECT vec_id AS cent_id, $V AS cv FROM embeddings
          |  WHERE vec_id % $CentroidStride = 0),
-         |assign AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT e.vec_id, c.cent_id AS cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY list_cosine_similarity(e.$V, c.cv) DESC, c.cent_id) AS crn
-         |    FROM embeddings e, cents c) a WHERE crn <= $BuildProbes),
+         |${imiCellsCteSql("cents", "g", BuildProbes, "passign")},
+         |assign AS (SELECT vec_id, cell FROM passign),
          |$hubsCteSql
          |SELECT vec_id, rank, neighbor_id FROM (
          |  SELECT p.vec_id, p.neighbor_id,
@@ -2417,12 +2729,8 @@ object Similarity {
       s"""WITH cents AS (
          |  SELECT vec_id AS cent_id, $V AS cv FROM embeddings
          |  WHERE vec_id % $CentroidStride = 0),
-         |assign AS MATERIALIZED (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT e.vec_id, c.cent_id AS cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY list_cosine_similarity(e.$V, c.cv) DESC, c.cent_id) AS crn
-         |    FROM embeddings e, cents c) a WHERE crn <= $BuildProbes),
+         |${imiCellsCteSql("cents", "g", BuildProbes, "passign")},
+         |assign AS MATERIALIZED (SELECT vec_id, cell FROM passign),
          |$hubsCteSql,
          |g AS MATERIALIZED (
          |  SELECT vec_id, neighbor_id FROM (
@@ -2451,6 +2759,14 @@ object Similarity {
     // `refined` chain, so the traversal oracle composes it verbatim
     "ann_nn_descent" ->
       s"""WITH ${nndRefinedCtesSql()}
+         |SELECT vec_id, rank, neighbor_id FROM refined
+         |ORDER BY vec_id, rank""".stripMargin,
+    // the SAME chain with the α-RNG keep step FORCED at AlphaDefault —
+    // the dial's SQL arm gated unconditionally (ADVICE r14: it was
+    // generated only under the env opt-in, so the default gate run
+    // never cross-checked it against alphaPrune)
+    "ann_nn_descent_alpha" ->
+      s"""WITH ${nndRefinedCtesSql(KnnK, Some(AlphaDefault))}
          |SELECT vec_id, rank, neighbor_id FROM refined
          |ORDER BY vec_id, rank""".stripMargin,
     // the SAME refined-graph chain, symmetrized, then BeamRounds beam
@@ -2536,43 +2852,43 @@ object Similarity {
          |  JOIN embeddings q ON q.vec_id = s.query_id
          |  JOIN embeddings n ON n.vec_id = s.neighbor_id) t
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    // IMI-pruned assignment (r15) + closure probing (DedupProbes cells
+    // per vector, both sides — a pair meets iff the probe sets
+    // intersect, SemDeDup's replication for boundary duplicates); the
+    // reported cell stays the top-1 cut of the same ranked frame
     "dedup_semantic" ->
       s"""WITH cents AS (
          |  SELECT cent_id, cv::DOUBLE[] AS cv FROM read_parquet(
          |    '${codebookPath(graft.Dials.sfDir.getOrElse("/root/testdata/sf0.001"))}/*.parquet')),
-         |assign AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT e.vec_id, c.cent_id AS cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY list_cosine_similarity(e.$V, c.cv) DESC, c.cent_id) AS crn
-         |    FROM embeddings e, cents c) a WHERE crn = 1)
+         |${imiCellsCteSql("cents", "i", DedupProbes, "pr")},
+         |assign AS (SELECT vec_id, cell FROM pr WHERE crn = 1)
          |SELECT a.vec_id, a.cell,
          |  (EXISTS (
-         |    SELECT 1 FROM assign b JOIN embeddings eb ON eb.vec_id = b.vec_id
-         |    WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+         |    SELECT 1 FROM pr pb
+         |    JOIN pr pa ON pa.cell = pb.cell AND pa.vec_id < pb.vec_id
+         |    JOIN embeddings eb ON eb.vec_id = pa.vec_id
+         |    WHERE pb.vec_id = a.vec_id
          |      AND list_cosine_similarity(ea.$V, eb.$V) >= $DupCosine))::BIGINT AS is_dup
          |FROM assign a JOIN embeddings ea ON ea.vec_id = a.vec_id
          |ORDER BY a.vec_id""".stripMargin,
     // the dedup_semantic confinement with a benchmark-slice probe side:
-    // assignment over the SAME persisted codebook, bench = the
-    // vec_id % BenchMod slice, per-corpus-vector bench-cellmate count
-    // and the ≥ DupCosine contamination flag (CASE sees a NULL cosine
-    // on the no-bench LEFT JOIN row as not-contaminated, = the Spark
-    // side's null-max-coalesce)
+    // IMI-pruned assignment over the SAME persisted codebook (r15),
+    // bench = the vec_id % BenchMod slice probing its DedupProbes
+    // nearest cells (boundary paraphrases meet their source — VERDICT
+    // r14 #5), per-corpus-vector bench-prober count and the ≥ DupCosine
+    // contamination flag (CASE sees a NULL cosine on the no-bench LEFT
+    // JOIN row as not-contaminated, = the Spark side's
+    // null-max-coalesce)
     "text_decontam_embed" ->
       s"""WITH cents AS (
          |  SELECT cent_id, cv::DOUBLE[] AS cv FROM read_parquet(
          |    '${codebookPath(graft.Dials.sfDir.getOrElse("/root/testdata/sf0.001"))}/*.parquet')),
-         |assign AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT e.vec_id, c.cent_id AS cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY list_cosine_similarity(e.$V, c.cv) DESC, c.cent_id) AS crn
-         |    FROM embeddings e, cents c) a WHERE crn = 1),
+         |${imiCellsCteSql("cents", "i", DedupProbes, "pr")},
+         |assign AS (SELECT vec_id, cell FROM pr WHERE crn = 1),
          |bench AS (
-         |  SELECT a.vec_id AS b_id, a.cell, e.$V AS bv
-         |  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
-         |  WHERE a.vec_id % ${graft.operators.TextAnalysis.BenchMod} = 0)
+         |  SELECT p.vec_id AS b_id, p.cell, e.$V AS bv
+         |  FROM pr p JOIN embeddings e ON e.vec_id = p.vec_id
+         |  WHERE p.vec_id % ${graft.operators.TextAnalysis.BenchMod} = 0)
          |SELECT r.vec_id, r.cell,
          |  CAST(count(b.b_id) AS BIGINT) AS n_bench,
          |  CAST(coalesce(max(CASE WHEN list_cosine_similarity(er.$V, b.bv)

@@ -156,26 +156,40 @@ object TrainingPipeline {
     // records; the inflated byte stream is the plain one), so the knob
     // is a ladder measurement of the decode cost model, not a semantic
     // dial
-    "pipe_warc"    -> ((s, d) => {
-      val recs = graft.sources.Sources
-        .readWarc(s,
-          if (sys.env.contains("SPARK_GRAFT_WARC_GZ"))
-            graft.sources.Sources.warcGzDir(s, d)
-          else graft.sources.Sources.warcDir(s, d))
-        .withColumn("doc_id",
-          regexp_extract(col("value"), "<title>Doc ([0-9]+)</title>", 1)
-            .cast("long"))
-        .persist()
-      val kept = Dedup.urlFirst(recs).persist()
-      val wStages = recs.agg(count(lit(1)).as("n_docs"))
-        .select(lit("w0_fetched").as("stage"), col("n_docs"))
-        .unionAll(kept.agg(count(lit(1)).as("n_docs"))
-          .select(lit("w1_url").as("stage"), col("n_docs")))
-      wStages
-        .unionAll(summary(TextAnalysis.extractedCorpus(kept.select("value"))))
-        .orderBy("stage")
-    }),
+    "pipe_warc"    -> ((s, d) =>
+      warcChain(s,
+        if (sys.env.contains("SPARK_GRAFT_WARC_GZ"))
+          graft.sources.Sources.warcGzDir(s, d)
+        else graft.sources.Sources.warcDir(s, d))),
+    // `pipe_warcgz` (r15, VERDICT r14 #8): the IDENTICAL chain forced
+    // through the GZIPPED staging every round — until now the gz head
+    // was only exercised by the ladder knob above, so the measured
+    // member-per-record decode path had no standing correctness gate.
+    // Same oracle text as pipe_warc (the stagings hold identical
+    // records; the inflated byte stream IS the plain one), so a hash
+    // match proves the gz framing end-to-end through all nine stages.
+    "pipe_warcgz"  -> ((s, d) =>
+      warcChain(s, graft.sources.Sources.warcGzDir(s, d))),
   )
+
+  /** The crawl-head chain over an explicit WARC staging dir — shared by
+    * `pipe_warc` (plain by default, gz under the ladder knob) and
+    * `pipe_warcgz` (gz always). */
+  private def warcChain(s: SparkSession, dir: String): DataFrame = {
+    val recs = graft.sources.Sources.readWarc(s, dir)
+      .withColumn("doc_id",
+        regexp_extract(col("value"), "<title>Doc ([0-9]+)</title>", 1)
+          .cast("long"))
+      .persist()
+    val kept = Dedup.urlFirst(recs).persist()
+    val wStages = recs.agg(count(lit(1)).as("n_docs"))
+      .select(lit("w0_fetched").as("stage"), col("n_docs"))
+      .unionAll(kept.agg(count(lit(1)).as("n_docs"))
+        .select(lit("w1_url").as("stage"), col("n_docs")))
+    wStages
+      .unionAll(summary(TextAnalysis.extractedCorpus(kept.select("value"))))
+      .orderBy("stage")
+  }
 
   /** The seven-stage survivor CTE chain (→ CTE `s6`, the cleaned
     * corpus) — shared by the `pipe_summary` gate and the `pipe_shard`
@@ -268,7 +282,17 @@ object TrainingPipeline {
     // engines run URL dedup on the record header BEFORE extraction, and
     // any drift in the canonicalizer, the keep-first, the WARC framing,
     // the extractor, or any of the seven stages moves a survivor count.
-    "pipe_warc" ->
+    "pipe_warc" -> warcChainSql,
+    // IDENTICAL oracle text (r15): the gz staging holds the same
+    // records by construction — the inflated byte stream IS the plain
+    // one — so one chain gates both heads; only the Spark side differs
+    // (pipe_warcgz reads the member-per-record gz fixture)
+    "pipe_warcgz" -> warcChainSql,
+  )
+
+  /** The `pipe_warc`/`pipe_warcgz` oracle chain (shared text, so the
+    * two gates cannot drift). */
+  private def warcChainSql: String =
       s"""WITH uf AS (
          |  SELECT doc_id FROM (
          |    SELECT doc_id, min(doc_id) OVER (PARTITION BY
@@ -299,6 +323,5 @@ object TrainingPipeline {
          |  UNION ALL SELECT 'p4_decontam', count(*) FROM s4
          |  UNION ALL SELECT 'p5_exact', count(*) FROM s5
          |  UNION ALL SELECT 'p6_neardup', count(*) FROM s6) t
-         |ORDER BY stage""".stripMargin,
-  )
+         |ORDER BY stage""".stripMargin
 }

@@ -568,9 +568,15 @@ object Sources {
           // reads concatenated members natively, so the inflated stream
           // is byte-identical to the plain .warc and the framed walk is
           // shared verbatim.
+          // the GZIPInputStream CONSTRUCTOR eagerly reads and validates
+          // the first member's header, so an empty or corrupt .warc.gz
+          // throws here — before warcRecords registers the
+          // task-completion close — and would strand `raw` open (the
+          // exact leak class the r14 close contract fixed; ADVICE r14)
           val in: java.io.InputStream =
             if (p.endsWith(".warc.gz"))
-              new java.util.zip.GZIPInputStream(raw, 1 << 16)
+              try new java.util.zip.GZIPInputStream(raw, 1 << 16)
+              catch { case e: Throwable => raw.close(); throw e }
             else raw
           warcRecords(in)
         }

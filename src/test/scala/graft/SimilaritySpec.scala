@@ -7,6 +7,41 @@ class SimilaritySpec extends SparkSpec {
 
   private def em = Tables.embeddings(spark, sf)
 
+  /** Independent replay of the IMI coarse buckets (r15): the same
+    * Signs-constant signed sums [[graft.functions.LshImpl.buckets]]
+    * folds (float widened to double, left-to-right — exact for the
+    * corpus's float-derived values). */
+  private def bucketsOf(a: Array[Double], bits: Int): Seq[Long] =
+    (0 until graft.functions.LshImpl.NumTables).map { t =>
+      (0 until bits).foldLeft(0L) { (acc, j) =>
+        val sgn = graft.functions.LshImpl.Signs(t)(j)
+        var sum = 0.0; var i = 0
+        while (i < math.min(a.length, graft.functions.LshImpl.Dim)) {
+          sum += a(i) * sgn(i); i += 1
+        }
+        if (sum > 0) acc | (1L << j) else acc
+      }
+    }
+
+  /** Independent replay of the r15 IMI-pruned top-n cells: score only
+    * coarse-bucket-sharing centroids, full-scan fallback when a vector
+    * shares no bucket with any centroid. */
+  private def prunedCellsReplay(vecs: Map[Long, Array[Double]], cents: Seq[Long],
+                                cos: (Array[Double], Array[Double]) => Double)
+      : (Long, Int) => Seq[Long] = {
+    val bits = Similarity.ImiBits(Similarity.TrainedK)
+    val centB: Map[Long, Seq[Long]] =
+      cents.map(c => c -> bucketsOf(vecs(c), bits)).toMap
+    (v: Long, n: Int) => {
+      val vb = bucketsOf(vecs(v), bits)
+      val cands = cents.filter(c =>
+        (0 until graft.functions.LshImpl.NumTables).exists(t => centB(c)(t) == vb(t)))
+      val pool = if (cands.isEmpty) cents else cands
+      pool.map(c => (c, cos(vecs(v), vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(n).map(_._1)
+    }
+  }
+
   test("bruteforce: TopK neighbors per query, no self-matches, ranks 1..k") {
     val bf = Similarity.bruteForce(em)
     val perQuery = bf.groupBy("query_id").count().select("count").distinct().collect()
@@ -28,7 +63,8 @@ class SimilaritySpec extends SparkSpec {
     // graph covers far more than the query stride (the point of the key)
     assert(byVec.size > em.count() / 2, s"${byVec.size} of ${em.count()}")
     // independent replay: recompute one busy vector's neighbor list from
-    // scratch (stride cents -> top-1 cell -> in-cell exact cosines)
+    // scratch (stride cents -> IMI-pruned closure cells (r15) -> exact
+    // cosines over every vector sharing a probed cell)
     val vecs = em.collect().map(r => (r.getLong(0),
       r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
     def cos(a: Array[Double], b: Array[Double]): Double = {
@@ -37,11 +73,11 @@ class SimilaritySpec extends SparkSpec {
       d / math.sqrt(na * nb)
     }
     val cents = vecs.keys.filter(_ % Similarity.CentroidStride == 0).toSeq.sorted
-    def cellOf(v: Long): Long =
-      cents.map(c => (c, cos(vecs(v), vecs(c)))).maxBy { case (c, s) => (s, -c) }._1
+    val cellsOf = prunedCellsReplay(vecs, cents, cos)
     val probe = byVec.keys.min
-    val cell = cellOf(probe)
-    val members = vecs.keys.filter(v => v != probe && cellOf(v) == cell)
+    val probeCells = cellsOf(probe, Similarity.BuildProbes).toSet
+    val members = vecs.keys.filter(v => v != probe &&
+      cellsOf(v, Similarity.BuildProbes).exists(probeCells))
     val expect = members.toSeq
       .map(n => (n, cos(vecs(probe), vecs(n))))
       .sortBy { case (n, s) => (-s, n) }
@@ -75,9 +111,8 @@ class SimilaritySpec extends SparkSpec {
       java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
     }
     val cents = vecs.keys.filter(_ % Similarity.CentroidStride == 0).toSeq.sorted
-    def cellsOf(v: Long): Seq[Long] = cents
-      .map(c => (c, cos(vecs(v), vecs(c))))
-      .sortBy { case (c, s) => (-s, c) }.take(Similarity.BuildProbes).map(_._1)
+    val pruned = prunedCellsReplay(vecs, cents, cos)
+    def cellsOf(v: Long): Seq[Long] = pruned(v, Similarity.BuildProbes)
     val assign = vecs.keys.toSeq.flatMap(v => cellsOf(v).map(c => (v, c)))
     val cap = 4
     val hubs: Map[Long, Set[Long]] = assign.groupBy(_._2).view.mapValues {
@@ -109,18 +144,28 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(!ngram.contains(1L), "the plant must be invisible to the n-gram filter")
     // in embedding space the paraphrase is nearly parallel to its
-    // benchmark source; the unrelated doc is orthogonal
+    // benchmark source — but sits ACROSS A CELL BOUNDARY from it
+    // (vec 1's nearest centroid is c1; the bench vec 0's is c0), the
+    // exact miss 1-probe assignment provably makes (r14 "What's wrong
+    // #3"): they are only compared because the BENCH side probes its
+    // 2 nearest cells (DedupProbes) and its second probe IS c1
     val corpus = Seq(
-      (0L, Array(1.0, 0.0, 0.0)),
-      (1L, Array(0.99, 0.141, 0.0)),
-      (2L, Array(0.0, 0.0, 1.0))
+      (0L, Array(1.0, 0.0, 0.0)),    // bench (0 % BenchMod == 0): top-1 c0, probes {c0, c1}
+      (1L, Array(0.75, 0.66, 0.0)),  // paraphrase: top-1 c1 (≠ bench's), cos to bench 0.75
+      (2L, Array(0.0, 0.0, 1.0))     // unrelated: top-1 c2, never probed by bench
     ).toDF("vec_id", "v")
-    val cents = Seq((0L, Array(1.0, 0.0, 0.0)), (1L, Array(0.0, 0.0, 1.0)))
-      .toDF("cent_id", "cv")
+    val cents = Seq(
+      (0L, Array(1.0, 0.0, 0.0)),
+      (1L, Array(0.8, 0.6, 0.0)),
+      (2L, Array(0.0, 0.0, 1.0))
+    ).toDF("cent_id", "cv")
     val out = Similarity.embedDecontamOver(corpus, cents)
-      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
-    assert(out(1L) == (1L, 1L), "plant: one bench cellmate, contaminated")
-    assert(out(2L) == (0L, 0L), "unrelated: no bench exposure")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // the boundary is REAL: bench and paraphrase disagree on top-1 cell
+    assert(out(1L)._1 == 1L, "paraphrase assigns to c1")
+    assert(out(1L) == (1L, 1L, 1L),
+      "boundary plant: caught via the bench side's second probe (1-probe misses it)")
+    assert(out(2L) == (2L, 0L, 0L), "unrelated: no bench exposure")
   }
 
   test("alphaPrune: near-duplicate candidates demote, direction-diverse far candidates survive, degree stays k") {
@@ -805,5 +850,57 @@ class SimilaritySpec extends SparkSpec {
     assert(stored.count() + nFresh == corpus.count(),
       "stored ∪ fresh does not partition the corpus")
     corpus.unpersist(); cents.unpersist()
+  }
+
+  test("dedup_semantic: a near-duplicate pair split by a cell boundary is caught by the closure probe (r15)") {
+    val s0 = spark; import s0.implicits._
+    // va's top-1 cell is c0, its near-duplicate vb's is c1 — under
+    // 1-probe confinement they NEVER meet (the r14 boundary blindness);
+    // both probe {c0, c1}, so the closure pair join catches vb
+    val corpus = Seq(
+      (0L, Array(1.0, 0.0, 0.0)),
+      (1L, Array(0.75, 0.66, 0.0)),  // cos to vec 0 = 0.75 ≥ DupCosine
+      (2L, Array(0.0, 0.0, 1.0))
+    ).toDF("vec_id", "v")
+    val cents = Seq(
+      (0L, Array(1.0, 0.0, 0.0)),
+      (1L, Array(0.8, 0.6, 0.0)),
+      (2L, Array(0.0, 0.0, 1.0))
+    ).toDF("cent_id", "cv")
+    val out = Similarity.semanticDedupOver(corpus, cents)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) == (0L, 0L), "keeper: lower id is never the flagged side")
+    assert(out(1L)._1 == 1L, "the duplicate assigns to a DIFFERENT cell than its keeper")
+    assert(out(1L) == (1L, 1L), "boundary duplicate: flagged via the shared probe cell")
+    assert(out(2L) == (2L, 0L), "unrelated vector stays clean")
+  }
+
+  test("nnDescentEdges: band-sequential 2-hop join is result-identical to the single pass (r15)") {
+    def lists(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      df.select("vec_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // plain keep step
+    val one = lists(Similarity.nnDescentEdges(em, Similarity.KnnK, None, 1))
+    val banded = lists(Similarity.nnDescentEdges(em, Similarity.KnnK, None, 3))
+    assert(banded == one, "3-band build diverged from the single-pass build")
+    // and under the α keep step (the accumulator must carry the α
+    // path's wider top-2k candidate list for equality to hold)
+    val oneA = lists(Similarity.nnDescentEdges(em, Similarity.KnnK, Some(1.2), 1))
+    val bandedA = lists(Similarity.nnDescentEdges(em, Similarity.KnnK, Some(1.2), 3))
+    assert(bandedA == oneA, "3-band α build diverged from the single-pass α build")
+  }
+
+  test("calibrateBeam: deterministic, ladder-valued, and floor-stopping when the floor already clears the bar (r15)") {
+    val floor = 8
+    val cap = 60
+    val b1 = Similarity.calibrateBeam(em, degree = 8, rounds = 4, floor = floor, cap = cap)
+    val b2 = Similarity.calibrateBeam(em, degree = 8, rounds = 4, floor = floor, cap = cap)
+    assert(b1 == b2, "calibration must be deterministic")
+    val ladder = Iterator.iterate(floor)(_ * 2).takeWhile(_ < cap).toSeq :+ cap
+    assert(ladder.contains(b1), s"beam $b1 not on the ladder $ladder")
+    // the gate corpus is navigable at this degree: a generous beam
+    // clears the bar, so calibration must NOT run to the cap blindly
+    val bWide = Similarity.calibrateBeam(em, degree = 16, rounds = 6, floor = 48, cap = 60)
+    assert(bWide == 48, s"floor beam already clears 0.95 at the gate corpus, got $bWide")
   }
 }
