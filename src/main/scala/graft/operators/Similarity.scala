@@ -790,20 +790,26 @@ object Similarity {
 
   /** Semantic dedup, SemDeDup-style (Abbas et al. 2023, public): assign
     * every vector to its trained-codebook cell, then flag vectors with a
-    * LOWER-id near-neighbor (cosine ≥ [[DupCosine]]) in the SAME cell —
-    * pairwise comparison is confined to cells, never the corpus.
+    * LOWER-id near-neighbor (cosine ≥ [[DupCosine]]) in any SHARED
+    * PROBED cell ([[DedupProbes]]-closure since r15) — pairwise
+    * comparison is confined to cells, never the corpus.
     * `dedup_semantic` output: (vec_id, cell, is_dup), integers only.
     *
-    * Scale shape: assignment is the broadcast n·K map-only pass; the
-    * within-cell self-join shuffles on cell with width ≈ n/K ≈ √n (the
-    * trained codebook bakes K ≈ √n), so per-cell work is bounded and
-    * the whole stage is n·√n worst-case — the SemDeDup trick that makes
-    * corpus-scale semantic dedup affordable vs all-pairs n². Shares the
-    * persisted codebook fixture with [[ivfTrained]]. */
-  /** Top-n trained-codebook cells per vector — broadcast n·K pass, rank
-    * window over skinny triples. Input: (vec_id, v); output:
-    * (vec_id, cell), up to `n` rows per vector. n=1 is cell ASSIGNMENT
-    * ([[cellAssign]]); n=[[NProbe]] is query PROBING ([[ivfCandidates]]). */
+    * Scale shape: assignment is the IMI-pruned n·√K pass (r15 — was
+    * the broadcast n·K scan, n^1.5 with K ≈ √n); the within-cell
+    * self-join shuffles on cell with width ≈ n/K ≈ √n (the trained
+    * codebook bakes K ≈ √n), so per-cell work is bounded and the whole
+    * stage is n·√n worst-case on the pair term — the SemDeDup trick
+    * that makes corpus-scale semantic dedup affordable vs all-pairs
+    * n². Shares the persisted codebook fixture with [[ivfTrained]]. */
+  /** Top-n trained-codebook cells per vector — the EXACT broadcast n·K
+    * pass, rank window over skinny triples. Since r15 reserved for the
+    * QUERY-SIDED passes (probing a stride of queries, entry seeding, a
+    * batch upsert), where the left side is far smaller than the corpus;
+    * corpus-sided assignment goes through [[nearestCellsPruned]].
+    * Input: (vec_id, v); output: (vec_id, cell), up to `n` rows per
+    * vector. n=1 is cell ASSIGNMENT ([[cellAssign]]); n=[[NProbe]] is
+    * query PROBING. */
   private[graft] def nearestCells(corpus: DataFrame, cents: DataFrame, n: Int): DataFrame = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
     val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
@@ -877,7 +883,9 @@ object Similarity {
     * engines (the approximation every 1-probe graph build carries;
     * raising probes or centroid count is a dial, not a shape change).
     *
-    * Scale: assignment is the broadcast n·K pass; the pair join
+    * Scale: assignment is the IMI-pruned n·√K pass (r15, VERDICT r14
+    * #1 — was the broadcast n·K scan, the build's last n^1.5 term;
+    * ×100 build 37.5 s → 19.3 s); the pair join
     * shuffles on cell id (width n/K — never corpus×corpus); the
     * per-vector top-K window partitions by vec_id over skinny
     * (id, id, cos) triples. At 100 TB the cells ARE the shards: each
@@ -1111,9 +1119,19 @@ object Similarity {
           % col("n_corpus")): _*)).as("rnk"))
       .join(ranked, "rnk")
       .select(col("vec_id"), col("neighbor_id"))
+    // PINNED (localCheckpoint), not persist (r15): a persisted-only g
+    // keeps its full LINEAGE alive — including the knnEdges candidate
+    // stage's ~25 GB of exchanges at the ×1000 tier — so those shuffle
+    // files cannot be cleaned for the whole refinement, and two
+    // back-to-back builds (the calibration probe + the search build)
+    // sum past the scratch wall (machine-confirmed: 48 GB of blockmgr
+    // residue mid-build, shuffle-id-attributed to the build's own
+    // upstream exchanges). The eager checkpoint truncates lineage at
+    // the 66M-row skinny edge list, making every upstream shuffle
+    // collectable the moment g materializes.
     val g = cell.unionAll(rnd)
       .where(col("vec_id") =!= col("neighbor_id"))
-      .distinct().persist()
+      .distinct().pinned
     val qv = corpusVecs(em)
     // VECTORS ATTACH TO THE DEGREE-BOUNDED EDGE FRAME, NEVER TO THE
     // CANDIDATE PAIR FRAME (r14). The r13 form materialized cand =
@@ -1144,18 +1162,28 @@ object Similarity {
     // (r15, VERDICT r14 #3): gv ⋈ gv on the middle vertex shuffles the
     // vector-bearing frame on BOTH sides — at ×1000 two ~35 GB
     // exchanges vs ~55 GB scratch, the named single-box wall. Banding
-    // the MID (`pmod(mid, bands)`) splits the exchange into `bands`
-    // sequential passes — each filters BOTH gv sides to one band
-    // (1/bands of the fat rows), scores, and folds the skinny triples
-    // into a running per-vector top-L accumulator (localCheckpoint per
-    // band = actually sequential; predecessors freed eagerly). Result-
-    // IDENTICAL to the single pass: every candidate pair arises in the
-    // band of its mid (duplicate (a,b,cos) across mids/bands collapse
-    // in the per-band distinct), and top-L under the total order
-    // (cos desc, neighbor_id asc) is band-decomposable —
+    // the MID (`pmod(mid, bands)`) splits the work into `bands`
+    // sequential passes whose skinny scored triples fold into a running
+    // per-vector top-L accumulator (localCheckpoint per band = actually
+    // sequential; predecessors freed eagerly). Result-IDENTICAL to the
+    // single pass: every candidate pair arises in the band of its mid
+    // (duplicate (a,b,cos) across mids/bands collapse in the per-band
+    // distinct), and top-L under the total order (cos desc,
+    // neighbor_id asc) is band-decomposable —
     // topL(A ∪ B) = topL(topL(A) ∪ B). The dedup_minhash_thresh ×1000
     // discipline applied to the graph build; bands = 1 (every corpus
     // up to the measured ×100 tier) IS the r14 single-pass plan.
+    //
+    // In the banded regime the fat gv frame is NEVER materialized: the
+    // first ×1000 attempt persisted it (~35 GB of cache spill) and let
+    // each band's shuffle files pile up behind the ContextCleaner —
+    // dead at 54 GB free ("No space left on device", band 3). Instead
+    // the band predicate lands on the SKINNY persisted g BEFORE the
+    // vectors attach (each band side fattens only its 1/bands slice,
+    // with only the ONE vector column that side scores with), and a
+    // driver GC nudge between bands lets the cleaner reap the previous
+    // band's shuffle files — peak scratch is one band's exchange, not
+    // the sum.
     val bands = hop2Bands
     def hop2Of(l: DataFrame, r: DataFrame): DataFrame =
       l.select(col("vec_id"), col("neighbor_id").as("mid"), col("v"))
@@ -1167,6 +1195,19 @@ object Similarity {
         .distinct()
       alphaPrune(scored, qv, k, alpha)
     } else {
+      gv.unpersist(false) // banded path never reads the fat frame
+      val nvf = qv.select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
+      // ALL THREE candidate classes fold through the band loop — the
+      // direct/reverse attach is banded by neighbor_id, the 2-hop by
+      // mid. The second attempt banded only the 2-hop and computed
+      // direct∪reverse as one full pass g ⋈ qv ⋈ nvf: the intermediate
+      // between those two joins re-exchanges 66M rows CARRYING the
+      // first vector — the exact ~35 GB fat exchange r14 named as the
+      // wall, just relocated ("No space left on device" at 62 GB free,
+      // machine-confirmed twice). Banding the attach caps every fat
+      // exchange at 1/bands; only skinny g slices and the two
+      // corpus-vector tables (~1 GB each) shuffle whole.
+      //
       // accumulator width: the keep step's own candidate-list size —
       // k on the plain path, the α path's L = AlphaCandFactor·k — so
       // the final alphaPrune over the accumulator sees exactly the
@@ -1176,17 +1217,42 @@ object Similarity {
         graft.plans.TopKPlans
           .topKPerKey(scored, "vec_id", "cos", "neighbor_id", accL, "crank")
           .select("vec_id", "neighbor_id", "cos")
-      var acc = topAcc(direct.unionAll(rev)
-        .where(col("vec_id") =!= col("neighbor_id")).distinct()).pinned
+      var acc: DataFrame = null
       for (b <- 0 until bands) {
-        val hop2b = hop2Of(
-          gv.where(pmod(col("neighbor_id"), lit(bands)) === b),
-          gv.where(pmod(col("vec_id"), lit(bands)) === b))
+        // nudge the ContextCleaner FIRST, while the previous band's
+        // plan locals are out of scope: without a driver GC its shuffle
+        // files survive to job end (the cleaner's own periodic GC is
+        // 30 min apart) and the bands' disk SUMS instead of peaking —
+        // the exact wall banding exists to cut. A gc() placed after the
+        // band's job (the first cut) ran while that band's frames were
+        // still strongly referenced and reclaimed nothing.
+        System.gc()
+        // edges in neighbor-band b, first vector attached — serves the
+        // direct/reverse scores AND the 2-hop's left side (mid = its
+        // neighbor_id, so the same band slices both)
+        val lm = g.where(pmod(col("neighbor_id"), lit(bands)) === b)
+          .join(qv.hint("SHUFFLE_HASH"), "vec_id")
+          .select(col("vec_id"), col("neighbor_id"), col("v"))
+        val drb = lm.join(nvf.hint("SHUFFLE_HASH"), "neighbor_id")
+          .select(col("vec_id"), col("neighbor_id"),
+            cosine(col("v"), col("nv")).as("cos"))
+        // reverse edges score by cosine symmetry — no second join
+        val revb = drb.select(col("neighbor_id").as("vec_id"),
+          col("vec_id").as("neighbor_id"), col("cos"))
+        val r = g.where(pmod(col("vec_id"), lit(bands)) === b)
+          .join(nvf.hint("SHUFFLE_HASH"), "neighbor_id")
+          .select(col("vec_id"), col("neighbor_id"), col("nv"))
+        val hop2b = hop2Of(lm, r)
+        val scoredB = drb.unionAll(revb).unionAll(hop2b)
           .where(col("vec_id") =!= col("neighbor_id"))
-        val next = topAcc(acc.unionAll(hop2b).distinct()).pinned
-        graft.Cleanup.freeCheckpoint(acc)
+        val merged =
+          if (acc == null) scoredB.distinct()
+          else acc.unionAll(scoredB).distinct()
+        val next = topAcc(merged).pinned
+        if (acc != null) graft.Cleanup.freeCheckpoint(acc)
         acc = next
       }
+      System.gc() // reap the last band before the keep step's own jobs
       alphaPrune(acc, qv, k, alpha)
     }
   }
@@ -1394,10 +1460,22 @@ object Similarity {
       // SHUFFLE_HASH, not sort-merge: SMJ would re-SORT the wide
       // cached vector side every round (64-double rows × 32 competing
       // sort buffers = spill thrash); a per-partition hash map of
-      // ~n/parallelism vectors builds in memory trivially
+      // ~n/parallelism vectors builds in memory trivially.
+      // The QUERY vectors join by EXPLICIT broadcast (r15): unhinted,
+      // the qv side auto-broadcasts only below 10 MB — true at every
+      // gate and at ×100 (4 k queries ≈ 2.4 MB) but NOT at ×1000 (40 k
+      // queries ≈ 21 MB), where the planner silently fell back to a
+      // sort-merge join whose exchange carried the candidate frame FAT
+      // (the 520-byte corpus vector aboard every one of the round's
+      // ~112 M candidate rows — ~60 GB of shuffle write per round, the
+      // disk wall machine-confirmed at the ×1000 tier). Broadcast keeps
+      // both vector attaches and the cosine inside one stage; nothing
+      // vector-bearing ever exchanges. (A corpus-scale deployment
+      // bounds the query BATCH — the stride-queries-grow-with-n shape
+      // is a fixture convention, not a production one.)
       val scored = cand
         .join(cvc.hint("SHUFFLE_HASH"), "cand_id")
-        .join(qv, "query_id")
+        .join(broadcast(qv), "query_id")
         .select(col("query_id"), col("cand_id"), cosine(col("qv"), col("v")).as("cos"))
       graft.plans.TopKPlans.topKPerKey(scored, "query_id", "cos", "cand_id", k, "rank")
     }
@@ -1483,6 +1561,7 @@ object Similarity {
         return row.getAs[Long]("beam").toInt
     }
     val b = calibrateBeam(Tables.embeddings(s, sfDir), degree, rounds, floor, cap)
+    System.gc() // let the cleaner reap the probe build's shuffle files
     import s.implicits._
     Seq((degree.toLong, rounds.toLong, b.toLong)).toDF("degree", "rounds", "beam")
       .coalesce(1).write.mode("overwrite").parquet(dir)
@@ -1835,17 +1914,20 @@ object Similarity {
     * vec_id % [[graft.operators.TextAnalysis.BenchMod]] slice (the same
     * external-eval-file convention as the n-gram key); every other
     * vector reports its bench exposure: (vec_id, cell, n_bench = bench
-    * vectors sharing its cell, is_contam = any bench cellmate at
-    * cosine ≥ [[DupCosine]]). Anti-joining `is_contam = 1` is the
-    * corpus-cleaning step, exactly as with the n-gram key.
+    * vectors PROBING its cell — each bench vector probes its
+    * [[DedupProbes]] nearest cells since r15, so a paraphrase across a
+    * cell boundary still meets its source — is_contam = any probing
+    * bench vector at cosine ≥ [[DupCosine]]). Anti-joining
+    * `is_contam = 1` is the corpus-cleaning step, exactly as with the
+    * n-gram key.
     *
     * Scale: [[semanticDedup]]'s cell confinement verbatim — assignment
-    * is the broadcast n·K pass over the persisted trained codebook
-    * (the `ann_ivf_trained` fixture, so both engines read the SAME
-    * centroids), the probe join is cell-keyed with a benchmark side
-    * that is tiny BY DEFINITION (an eval file), and nothing is ever
-    * corpus×corpus. At 100 TB this is one broadcast map pass plus a
-    * bench-sized hash join. */
+    * is the IMI-pruned n·√K pass (r15) over the persisted trained
+    * codebook (the `ann_ivf_trained` fixture, so both engines read the
+    * SAME centroids), the probe join is cell-keyed with a benchmark
+    * side that is tiny BY DEFINITION (an eval file), and nothing is
+    * ever corpus×corpus. At 100 TB this is one coarse-bucketed map
+    * pass plus a bench-sized hash join. */
   def embedDecontam(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
     val em = Tables.embeddings(s, d)
