@@ -90,11 +90,13 @@ object Bench {
   }
 
 
-  /** (fileName, name→sec) of the highest-numbered BENCH_r*.json in `dir`,
-    * if any. Minimal one-line-JSON field scrape — the bench files are
-    * machine-written, flat, and dependency-free parsing keeps the build
-    * hermetic. */
-  private[graft] def previousBench(dir: String): Option[(String, Map[String, Double])] = {
+  /** (fileName, name→sec, protocolFields) of the highest-numbered
+    * BENCH_r*.json in `dir`, if any. Minimal one-line-JSON field
+    * scrape — the bench files are machine-written, flat, and
+    * dependency-free parsing keeps the build hermetic. The protocol
+    * map is empty for pre-r15 files (which carried no provenance
+    * block). */
+  private[graft] def previousBench(dir: String): Option[(String, Map[String, Double], Map[String, String])] = {
     val d = new java.io.File(dir)
     val files = Option(d.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("BENCH_r\\d+\\.json"))
@@ -110,7 +112,12 @@ object Bench {
     val pair = "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
     val m = pair.findAllMatchIn(qblock)
       .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
-    if (m.nonEmpty) Some(latest.getName -> m)
+    val proto = "\"protocol\"\\s*:\\s*\\{([^}]*)\\}".r
+      .findFirstMatchIn(text).map(_.group(1)).getOrElse("")
+    val sPair = "\"([^\"]+)\"\\s*:\\s*\"([^\"]*)\"".r
+    val pm = sPair.findAllMatchIn(proto)
+      .map(mm => mm.group(1) -> mm.group(2)).toMap
+    if (m.nonEmpty) Some((latest.getName, m, pm))
     else {
       // the driver may FRONT-truncate the captured line, cutting the
       // queries block; the deltas section sits at the end and survives —
@@ -118,9 +125,24 @@ object Bench {
       val deltaPair = "\"([^\"]+)\"\\s*:\\s*\\{\"prev\":[0-9.eE+-]+,\"now\":([0-9.eE+-]+)".r
       val md = deltaPair.findAllMatchIn(text)
         .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
-      if (md.isEmpty) None else Some(latest.getName -> md)
+      if (md.isEmpty) None else Some((latest.getName, md, pm))
     }
   }
+
+  /** The same-protocol delta rule (r16, VERDICT r15 "What's wrong #1"):
+    * r15's round file flagged 2–4× "regressions" that the same-code
+    * same-protocol builder run measured FLAT — uniform sub-second-key
+    * inflation under driver-machine contention, not plans. A delta is
+    * only evidence when the two runs measured the same thing the same
+    * way, so deltas are computed ONLY against a baseline whose protocol
+    * block matches on the fields that change what a second is worth:
+    * queries_mode (in-suite-min-of-N) and cpus. A pre-protocol baseline
+    * (no block) or a mismatch suppresses the deltas section with an
+    * explicit note instead of emitting cross-protocol noise. */
+  private[graft] def protocolMatches(prev: Map[String, String],
+                                     cur: Map[String, String]): Boolean =
+    Seq("queries_mode", "cpus", "heap").forall(k =>
+      prev.get(k).exists(v => cur.get(k).contains(v)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -158,8 +180,9 @@ object Bench {
     // hundred-second tiers (a second 30-min run buys nothing a single
     // honest wall doesn't); the protocol block records the count, so a
     // single-run row can never silently pose as a min-of-2.
-    val benchRuns = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+    // validated dial (ADVICE r15): a garbage value fails with the dial
+    // name instead of a bare NumberFormatException
+    val benchRuns = Dials.envPosInt("SPARK_GRAFT_BENCH_RUNS").getOrElse(2)
     val results = selected.map { case (name, fn) =>
       val times = (1 to benchRuns).flatMap { _ =>
         // full state reset: clearCache alone leaves localCheckpoint
@@ -206,19 +229,48 @@ object Bench {
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // PROVENANCE (r15, VERDICT r14 "What's wrong #2"): every bench line
+    // carries its own protocol, so "the round's bench" is never
+    // ambiguous — `queries` timings are in-suite min-of-2 under a
+    // shared driver machine (contention possible), `standalone` entries
+    // are fresh-jvm min-of-2 adjudications, and run_id pins WHICH run a
+    // later delta refers to. Same-protocol comparisons only (r16 —
+    // [[protocolMatches]]).
+    val runId = s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}" +
+      s"@${System.currentTimeMillis()}"
+    val curProto = scala.collection.immutable.ListMap(
+      "queries_mode" -> s"in-suite-min-of-$benchRuns",
+      "standalone_mode" -> "fresh-jvm-min-of-2",
+      "contention" -> "shared driver machine",
+      "cpus" -> cpus,
+      "heap" -> sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"),
+      "shuffle_partitions" -> spark.conf.get("spark.sql.shuffle.partitions"),
+      "run_id" -> runId)
     val prev = previousBench(".")
     // the fallback scrape (front-truncated round files → deltas block)
     // recovers only queries present in BOTH rounds; surface a shrunken
     // baseline instead of letting it silently narrow regression tracking
-    prev.foreach { case (pn, pm) =>
+    prev.foreach { case (pn, pm, _) =>
       val expected = SparkEntry.queries.size
       if (pm.size < expected)
         System.err.println(
           s"[bench] WARNING: baseline $pn recovered ${pm.size}/$expected query timings — deltas are partial")
     }
-    val ds = prev match {
+    // deltas only against a protocol-matched baseline (VERDICT r15 #1)
+    val comparable = prev.filter { case (_, _, pProto) =>
+      protocolMatches(pProto, curProto) }
+    val deltaNote = (prev, comparable) match {
+      case (Some((pn, _, pProto)), None) =>
+        val reason = if (pProto.isEmpty) "no protocol block" else
+          Seq("queries_mode", "cpus", "heap")
+            .filter(k => !pProto.get(k).exists(v => curProto.get(k).contains(v)))
+            .map(k => s"$k ${pProto.getOrElse(k, "?")}→${curProto(k)}").mkString(", ")
+        s"protocol mismatch vs $pn ($reason) — deltas suppressed"
+      case _ => ""
+    }
+    val ds = comparable match {
       case None => "{}"
-      case Some((_, pm)) =>
+      case Some((_, pm, _)) =>
         results.flatMap { case (k, now) =>
           pm.get(k).map { p =>
             // Double.toString is locale-independent (an f"%.3f" is not —
@@ -230,25 +282,16 @@ object Bench {
     }
     val prevName = prev.map(p => jstr(p._1)).getOrElse("null")
     val ss = standalone.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    // PROVENANCE (r15, VERDICT r14 "What's wrong #2"): every bench line
-    // carries its own protocol, so "the round's bench" is never
-    // ambiguous — `queries` timings are in-suite min-of-2 under a
-    // shared driver machine (contention possible), `standalone` entries
-    // are fresh-JVM min-of-2 adjudications, and run_id pins WHICH run a
-    // later delta refers to. Same-protocol comparisons only.
-    val runId = s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}" +
-      s"@${System.currentTimeMillis()}"
-    val proto =
-      s"""{"queries_mode":"in-suite-min-of-$benchRuns","standalone_mode":"fresh-jvm-min-of-2",""" +
-      s""""contention":"shared driver machine","cpus":"$cpus",""" +
-      s""""heap":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","run_id":"$runId"}"""
+    val proto = curProto.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"standalone":$ss,"prev_bench":$prevName,"deltas":$ds,"protocol":$proto,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"standalone":$ss,"prev_bench":$prevName,"delta_note":${jstr(deltaNote)},"deltas":$ds,"protocol":$proto,"sf":"$sfDir"}"""
     println(line)
     Files.write(Paths.get("BENCH_LOCAL.json"), line.getBytes(StandardCharsets.UTF_8))
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} queries FAILED (penalty ${ErrorPenaltySec}s each): ${errors.keys.mkString(", ")}")
-    prev.foreach { case (pn, pm) =>
+    if (deltaNote.nonEmpty) System.err.println(s"[bench] $deltaNote")
+    comparable.foreach { case (pn, pm, _) =>
       val regressed = results.filter { case (k, now) =>
         pm.get(k).exists(p => p > 0.3 && now > p * 2) && !errors.contains(k)
       }

@@ -51,13 +51,32 @@ object Dials {
   /** Record the gated corpus's vector count (parquet footer count —
     * metadata-only, no scan) and sf dir. Called once by each main after
     * session build; later calls re-derive (a JVM benching two dirs
-    * follows the most recent). */
+    * follows the most recent). Also (r16, VERDICT r15 #3):
+    *
+    *  - derives `spark.sql.shuffle.partitions` from the corpus size
+    *    ([[shufflePartitionsFor]]) — the ×1000 graph-family runs needed
+    *    a hand-set 128 while every other scale knob was a derived Dial;
+    *    now the session partition count follows the corpus like the
+    *    rest. The env override (`SPARK_GRAFT_SHUFFLE_PARTITIONS`, which
+    *    the mains pass through at session build) still wins.
+    *  - resolves the calibrated graph beam EAGERLY (ADVICE r15):
+    *    [[graphBeam]] was a getter that could run a multi-minute
+    *    calibration probe on first access — inside a TIMED bench query
+    *    if the fixture was cold. Resolving here moves the probe (and
+    *    its fixture write) before any timed section. */
   def init(spark: SparkSession, sfDir: String): Unit = {
     nVectors = Some(Tables.embeddings(spark, sfDir).count())
     nFactRows = Some(Tables.lineitem(spark, sfDir).count())
     dir = Some(sfDir)
     sparkRef = Some(spark)
-    calibratedBeam = None // a new corpus invalidates the memo
+    synchronized { calibratedBeam = None } // a new corpus invalidates the memo
+    if (!sys.env.contains("SPARK_GRAFT_SHUFFLE_PARTITIONS")) {
+      val cur = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val derived = shufflePartitionsFor(nVectors.getOrElse(0L), cur)
+      if (derived != cur)
+        spark.conf.set("spark.sql.shuffle.partitions", derived.toString)
+    }
+    if (envPosInt("SPARK_GRAFT_GRAPH_BEAM").isEmpty) resolveCalibratedBeam()
   }
 
   /** The recorded corpus size, if a main has initialized it. */
@@ -113,7 +132,7 @@ object Dials {
     * count rides the fixture dir key, so a changed derivation rewrites
     * the layout instead of silently mismatching. */
   def joinBuckets: Int =
-    sys.env.get("SPARK_GRAFT_JOIN_BUCKETS").map(_.toInt).getOrElse(
+    envPosInt("SPARK_GRAFT_JOIN_BUCKETS").getOrElse(
       nFactRows.fold(8)(joinBucketsFor))
 
   /** The pure derivation behind [[joinBuckets]] — exposed for DialsSpec
@@ -202,7 +221,7 @@ object Dials {
 
   /** Graph out-degree kept per vector in the refined k-NN graph. */
   def graphDegree: Int =
-    sys.env.get("SPARK_GRAFT_GRAPH_DEGREE").map(_.toInt).getOrElse(
+    envPosInt("SPARK_GRAFT_GRAPH_DEGREE").getOrElse(
       nVectors.fold(GraphDegreeFloor)(graphDegreeFor))
 
   /** Two-point calibration of the beam width against the ADVERSARIAL
@@ -252,19 +271,28 @@ object Dials {
     * before any oracle text is built), so both engines always unroll
     * the same beam. */
   def graphBeam: Int =
-    envPosInt("SPARK_GRAFT_GRAPH_BEAM").getOrElse {
-      calibratedBeam.getOrElse {
-        val resolved = (for { s <- sparkRef; d <- dir } yield
-          graft.operators.Similarity.calibratedBeamFor(s, d))
-        resolved.foreach(b => calibratedBeam = Some(b))
-        resolved.getOrElse(GraphBeamFactor * graphDegree)
-      }
-    }
+    envPosInt("SPARK_GRAFT_GRAPH_BEAM").getOrElse(resolveCalibratedBeam())
 
-  /** Fixed traversal rounds (static plan depth / oracle unroll). */
+  /** The memoized calibrated-beam resolution — SYNCHRONIZED (ADVICE
+    * r15: the memo was an unguarded check-then-act, so two concurrent
+    * first calls could each run the multi-minute probe). [[init]] calls
+    * this eagerly, so in the mains the probe never lands inside a timed
+    * query; the guard covers direct library use. */
+  private def resolveCalibratedBeam(): Int = synchronized {
+    calibratedBeam.getOrElse {
+      val resolved = (for { s <- sparkRef; d <- dir } yield
+        graft.operators.Similarity.calibratedBeamFor(s, d))
+      resolved.foreach(b => calibratedBeam = Some(b))
+      resolved.getOrElse(GraphBeamFactor * graphDegree)
+    }
+  }
+
+  /** Fixed traversal rounds (static plan depth / oracle unroll).
+    * Validated (ADVICE r15): a zero/negative rounds value would
+    * silently yield a traversal — and an oracle unroll — that returns
+    * entry seeds only, gate-green on both engines and useless. */
   def graphRounds: Int =
-    sys.env.get("SPARK_GRAFT_GRAPH_ROUNDS").map(_.toInt)
-      .getOrElse(GraphRoundsDefault)
+    envPosInt("SPARK_GRAFT_GRAPH_ROUNDS").getOrElse(GraphRoundsDefault)
 
   /** Corpus rows per mid-vertex band of the NN-descent 2-hop self-join
     * (r15, VERDICT r14 #3). The 2-hop join shuffles the vector-bearing
@@ -285,4 +313,54 @@ object Dials {
   def nndHop2Bands: Int =
     envPosInt("SPARK_GRAFT_NND_BANDS").getOrElse(
       nVectors.fold(1)(n => math.max(1, ((n + NndBandRows - 1) / NndBandRows).toInt)))
+
+  /** Corpus vector rows per shuffle partition the session is sized for
+    * (r16, VERDICT r15 #3): ~15.6 k of the 520-byte embedding rows ≈
+    * 8 MB per partition on the vector-bearing exchanges the graph
+    * family runs — the frame class every ×1000 disk wall traced back
+    * to. The ×1000 runs needed a hand-set 128 partitions; 2 M vectors /
+    * 15 625 derives exactly that. */
+  val VecRowsPerPartition = 15625L
+
+  /** The pure derivation behind the [[init]]-time
+    * `spark.sql.shuffle.partitions` setting: next power of two of
+    * n / [[VecRowsPerPartition]] (power of two so AQE coalescing and
+    * bucket-ratio joins stay shuffle-free), FLOORED at the session's
+    * configured count (a cluster sizes that to total cores; the floor
+    * keeps every gate corpus byte-identical to the hand-set 32) and
+    * capped at 1024. */
+  private[graft] def shufflePartitionsFor(n: Long, floor: Int): Int = {
+    val want = (n + VecRowsPerPartition - 1) / VecRowsPerPartition
+    val p2 = 1 << ceilLog2(math.max(1L, want))
+    math.max(floor, math.min(1024, p2))
+  }
+
+  /** Pre-distinct candidate rows per traversal round per QUERY BAND the
+    * beam search is sized for (r16, VERDICT r15 #1): one round over one
+    * band exchanges ≤ this many skinny (query_id, cand_id, cos) rows
+    * (~5 GB at the measured ~35 B/row) — well inside single-box scratch
+    * where the unbanded adversarial ×1000 round's ~2.3 G rows (~80 GB)
+    * was the recorded disk wall. */
+  val TraversalBandCandRows = 150000000L
+
+  /** The pure derivation behind [[traversalBands]]: per-round
+    * pre-distinct candidate volume is |Q|·beam·(2·degree+1) (each beam
+    * slot re-emits itself plus its symmetrized out/in neighbors), split
+    * into ceil(volume / [[TraversalBandCandRows]]) sequential query
+    * slices. Queries are INDEPENDENT — banding the query axis changes
+    * no result row (spec-pinned) — so this is the `dedup_minhash_thresh`
+    * band-sequential discipline applied to the one traversal axis that
+    * decomposes trivially. */
+  private[graft] def traversalBandsFor(qCount: Long, beam: Int, degree: Int): Int = {
+    val perRound = qCount * beam.toLong * (2L * degree + 1L)
+    math.max(1, ((perRound + TraversalBandCandRows - 1) / TraversalBandCandRows).toInt)
+  }
+
+  /** Query bands for the graph-ANN beam traversal: 1 (the r15
+    * single-pass plan, byte-identical) at every gate and ×100 tier;
+    * derived from the resolved beam at the tiers whose per-round
+    * exchange would otherwise out-size scratch. */
+  def traversalBands(qCount: Long, beam: Int, degree: Int): Int =
+    envPosInt("SPARK_GRAFT_TRAVERSAL_BANDS").getOrElse(
+      traversalBandsFor(qCount, beam, degree))
 }

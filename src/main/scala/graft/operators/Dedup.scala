@@ -911,6 +911,64 @@ object Dedup {
         col("start_a"), col("start_b"))
   }
 
+  /** VERBATIM-SPAN REMOVAL, KEEP-FIRST (`text_spandedup`, r16, VERDICT
+    * r15 #5) — the REMOVAL half of Lee et al. 2021 (the suite's last
+    * missing piece of that paper: `dedup_lcs` FLAGS duplicated spans,
+    * `text_linededup` removes ALIGNED lines, but nothing removed
+    * flagged verbatim spans keeping one occurrence — ExactSubstr's
+    * actual cleaning step). Over [[longestSpans]]' positional-k-gram
+    * frame: an occurrence of a corpus-duplicated [[SpanK]]-gram
+    * survives iff it is the (doc_id, pos)-MINIMAL occurrence (a total
+    * order both engines reproduce — keep-first at span granularity,
+    * including within-doc repeats), and a WORD is removed iff some
+    * non-surviving duplicated gram covers it. A copied L ≥ k span in a
+    * later document is covered by exactly its L − k + 1 interior grams
+    * (all duplicated, none minimal) ⇒ exactly its L words are removed;
+    * the first occurrence's grams are all minimal ⇒ it survives whole;
+    * grams straddling the span boundary carry unique context ⇒ the
+    * surrounding prose is untouched. Output per doc: n_words,
+    * n_removed, and an order-insensitive surviving-text digest sum
+    * (h32 of pos:word over kept words — the `text_linededup` sum_h
+    * discipline: the gate pins WHICH words survive at WHICH positions,
+    * with no per-doc sort).
+    *
+    * Scale: unlike the pair-reconstructing [[longestSpans]], this needs
+    * NO pair join and NO postings cap — corpus frequency and the
+    * keep-first argmin (min(struct(doc_id, pos))) are both map-side
+    * combinable (a 10⁸-occurrence boilerplate gram collapses in the
+    * combiner), the digest-sized freq/argmin frames join back on the
+    * already-shuffled gram key, coverage explodes only the FLAGGED
+    * occurrences k-wide, and the per-doc rollup is one combinable
+    * aggregate. No windows anywhere — this is the C4/ExactSubstr pass
+    * shape at 100 TB. */
+  def spanDedup(docs: DataFrame): DataFrame = {
+    val dw = docs.select(col("doc_id"), wordsCol.as("ws")).persist()
+    val pg = dw
+      .select(col("doc_id"), posexplode(grams(col("ws"), SpanK)).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), md5(col("g")).as("gh"))
+    val freq = pg.groupBy("gh").agg(count(lit(1)).as("cnt"))
+    val keeper = pg.groupBy("gh").agg(min(struct(col("doc_id"), col("pos"))).as("m"))
+      .select(col("gh"), col("m.doc_id").as("kd"), col("m.pos").as("kp"))
+    val flagged = pg.join(freq, "gh").join(keeper, "gh")
+      .where(col("cnt") > 1 &&
+        !(col("doc_id") === col("kd") && col("pos") === col("kp")))
+      .select(col("doc_id"), col("pos"))
+    val covered = flagged
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(SpanK - 1).cast("long"))).as("w"))
+      .distinct()
+    val words = dw.select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "word")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("w"), col("word"))
+    words.join(covered.withColumn("rm", lit(1L)), Seq("doc_id", "w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("rm"), lit(0L))).as("n_removed"),
+        sum(when(col("rm").isNull,
+            h32(lit("sd"), concat(col("w").cast("string"), lit(":"), col("word"))))
+          .otherwise(0L)).as("sum_h"))
+      .orderBy("doc_id")
+  }
+
   /** Same simhash via the native codegen'd expression
     * [[graft.functions.SimHash32]] — map-only, no 32× bit-row blowup.
     * Letterless docs are filtered out (the declarative pipeline and its
@@ -1062,6 +1120,7 @@ object Dedup {
     "dedup_editdist"       -> ((s, d) => editDistancePairs(Tables.documents(s, d))),
     "dedup_substring"      -> ((s, d) => duplicatedSpans(Tables.documents(s, d))),
     "dedup_lcs"            -> ((s, d) => longestSpans(Tables.documents(s, d))),
+    "text_spandedup"       -> ((s, d) => spanDedup(Tables.documents(s, d))),
     "dedup_containment"    -> ((s, d) => containmentPairs(Tables.documents(s, d))),
     "dedup_increclust"     -> { (s, d) =>
       val docs = Tables.documents(s, d)
@@ -1347,6 +1406,37 @@ object Dedup {
          |    list_slice(dw.words, t.start_a, t.start_a + t.span_words - 1), ' ')) AS span_hash
          |FROM top t JOIN dw ON dw.doc_id = t.doc_a
          |ORDER BY span_words DESC, doc_a, doc_b, start_a, start_b""".stripMargin,
+    // the removal half of dedup_lcs's machinery: same positional
+    // k-grams, corpus frequency + (doc_id, pos)-argmin keep-first,
+    // k-wide coverage of the non-surviving duplicated occurrences,
+    // order-insensitive surviving-(pos:word) digest sum — the
+    // text_linededup two-step argmin and sum_h mirrors
+    "text_spandedup" ->
+      s"""WITH dw AS (SELECT doc_id, $W AS words FROM documents),
+         |pg AS (
+         |  SELECT doc_id, i AS pos,
+         |    md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]) AS gh
+         |  FROM dw, unnest(range(1, len(words) - ${SpanK - 2})) AS u(i)),
+         |f AS (SELECT gh, count(*) AS cnt FROM pg GROUP BY 1),
+         |k1 AS (SELECT gh, min(doc_id) AS kd FROM pg GROUP BY 1),
+         |k AS (SELECT pg.gh AS gh, k1.kd, min(pg.pos) AS kp
+         |      FROM pg JOIN k1 ON pg.gh = k1.gh AND pg.doc_id = k1.kd
+         |      GROUP BY 1, 2),
+         |flg AS (
+         |  SELECT pg.doc_id, pg.pos
+         |  FROM pg JOIN f ON pg.gh = f.gh JOIN k ON pg.gh = k.gh
+         |  WHERE f.cnt > 1 AND NOT (pg.doc_id = k.kd AND pg.pos = k.kp)),
+         |cov AS (SELECT DISTINCT doc_id, pos + j AS w
+         |        FROM flg, unnest(range(0, $SpanK)) AS t(j)),
+         |wrd AS (SELECT doc_id, i AS w, words[i] AS word
+         |        FROM dw, unnest(range(1, len(words) + 1)) AS u(i))
+         |SELECT wrd.doc_id, count(*) AS n_words,
+         |  CAST(sum(CASE WHEN cov.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  CAST(sum(CASE WHEN cov.w IS NULL THEN
+         |    ('0x' || substr(md5('sd:' || wrd.w || ':' || wrd.word), 1, 8))::BIGINT
+         |    ELSE 0 END) AS BIGINT) AS sum_h
+         |FROM wrd LEFT JOIN cov ON cov.doc_id = wrd.doc_id AND cov.w = wrd.w
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_simhash" -> simhashSql,
     // the native expression implements the identical algorithm, so it
     // shares the declarative pipeline's oracle

@@ -1150,14 +1150,9 @@ object Similarity {
     // identical pairs score identically, so distinct-after ≡
     // distinct-before (duplicate cosines cost ~1.3× map CPU and buy
     // the fat candidate exchange away entirely).
-    val gv = g.join(qv.hint("SHUFFLE_HASH"), "vec_id")
+    def mkGv: DataFrame = g.join(qv.hint("SHUFFLE_HASH"), "vec_id")
       .join(qv.select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
         .hint("SHUFFLE_HASH"), "neighbor_id")
-      .persist()
-    val direct = gv.select(col("vec_id"), col("neighbor_id"),
-      cosine(col("v"), col("nv")).as("cos"))
-    val rev = gv.select(col("neighbor_id").as("vec_id"),
-      col("vec_id").as("neighbor_id"), cosine(col("v"), col("nv")).as("cos"))
     // 2-HOP JOIN, BAND-SEQUENTIAL above the measured single-pass tier
     // (r15, VERDICT r14 #3): gv ⋈ gv on the middle vertex shuffles the
     // vector-bearing frame on BOTH sides — at ×1000 two ~35 GB
@@ -1190,12 +1185,18 @@ object Similarity {
         .join(r.select(col("vec_id").as("mid"), col("neighbor_id"), col("nv")), "mid")
         .select(col("vec_id"), col("neighbor_id"), cosine(col("v"), col("nv")).as("cos"))
     if (bands <= 1) {
+      // the fat frame exists ONLY on this single-pass path (gate/×100
+      // tiers) — the banded path below never materializes it
+      val gv = mkGv.persist()
+      val direct = gv.select(col("vec_id"), col("neighbor_id"),
+        cosine(col("v"), col("nv")).as("cos"))
+      val rev = gv.select(col("neighbor_id").as("vec_id"),
+        col("vec_id").as("neighbor_id"), cosine(col("v"), col("nv")).as("cos"))
       val scored = direct.unionAll(rev).unionAll(hop2Of(gv, gv))
         .where(col("vec_id") =!= col("neighbor_id"))
         .distinct()
       alphaPrune(scored, qv, k, alpha)
     } else {
-      gv.unpersist(false) // banded path never reads the fat frame
       val nvf = qv.select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
       // ALL THREE candidate classes fold through the band loop — the
       // direct/reverse attach is banded by neighbor_id, the 2-hop by
@@ -1253,7 +1254,12 @@ object Similarity {
         acc = next
       }
       System.gc() // reap the last band before the keep step's own jobs
-      alphaPrune(acc, qv, k, alpha)
+      // pin the keep step's output so the LAST band's accumulator (and
+      // its lineage) frees eagerly too (ADVICE r15) — only the refined
+      // edge list survives the build
+      val res = alphaPrune(acc, qv, k, alpha).pinned
+      graft.Cleanup.freeCheckpoint(acc)
+      res
     }
   }
 
@@ -1360,7 +1366,7 @@ object Similarity {
     * 0.598 1-seeded → see §5c-r14). Cost: the beam's round-0 frontier
     * is [[EntryProbes]] ids instead of 1 — nothing else changes. */
   def EntryProbes: Int =
-    sys.env.get("SPARK_GRAFT_ENTRY_PROBES").map(_.toInt).getOrElse(4)
+    graft.Dials.envPosInt("SPARK_GRAFT_ENTRY_PROBES").getOrElse(4)
 
   /** GRAPH-ANN QUERY-TIME SEARCH (`ann_graph_search`, r11) — the
     * primitive the graph indexes exist for, closing the family's
@@ -1400,7 +1406,7 @@ object Similarity {
     * gate corpus), so a caller gets the production dial without reading
     * the survey. */
   def graphSearch(em: DataFrame, beam: Int = Beam, rounds: Int = BeamRounds,
-                  degree: Int = GraphDegree): DataFrame = {
+                  degree: Int = GraphDegree, queryBands: Int = 0): DataFrame = {
     // persist the refined lists BEFORE symmetrizing: the union's two
     // branches otherwise each re-execute the whole nn-descent build
     // (Spark reuses no common subtree across union branches — measured
@@ -1412,7 +1418,16 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
       .persist()
     val entry = entrySeeds(em, qv)
-    val res = beamTraverse(ge, cvc, qv, entry, beam, rounds)
+    // query bands (r16, VERDICT r15 #1): derived from the RESOLVED beam
+    // — the adversarial geometry's calibrated ~√n beam is exactly when
+    // the per-round exchange out-sizes scratch; |Q| estimated from the
+    // recorded corpus size (uninitialized specs pass bands explicitly
+    // or stay at 1)
+    val bands =
+      if (queryBands > 0) queryBands
+      else graft.Dials.traversalBands(
+        graft.Dials.vectorCount.map(_ / QueryStride).getOrElse(0L), beam, degree)
+    val res = beamTraverse(ge, cvc, qv, entry, beam, rounds, bands)
     Seq(g, ge, cvc, qv).foreach(_.unpersist(false))
     res
   }
@@ -1453,10 +1468,25 @@ object Similarity {
     * round, final beam minus the query cut at [[TopK]]. Shared verbatim
     * by [[graphSearch]] and [[calibrateBeam]] (which probes several
     * beams over ONE build — the probe would otherwise re-pay the build
-    * per rung). Caller owns ge/cvc/qv lifecycles. */
+    * per rung). Caller owns ge/cvc/qv lifecycles.
+    *
+    * QUERY-BANDED above the derived single-pass tier (r16, VERDICT r15
+    * #1): at the adversarial ×1000 tier the calibrated ~√n beam makes
+    * each round's candidate distinct ~2.3 G rows ≈ 80 GB of exchange
+    * against ~60 GB scratch — the one recorded disk-bound tier left.
+    * Queries are INDEPENDENT: no candidate, score, or cut ever crosses
+    * query_ids, so slicing the query set by `pmod(query_id, bands)` and
+    * running the full `rounds` walk per slice SEQUENTIALLY (each band's
+    * |Q|/bands·TopK result rows pinned, predecessors' blocks freed, a
+    * driver GC between bands — the [[nnDescentEdges]] 2-hop band-loop
+    * discipline applied to the query axis) produces the IDENTICAL
+    * result set row for row (spec-pinned 2-band ≡ 1-band) while peak
+    * per-round exchange drops to 1/bands. bands = 1 IS the r15
+    * single-pass plan, byte-identical — every gate and ×100 tier. */
   private def beamTraverse(ge: DataFrame, cvc: DataFrame, qv: DataFrame,
-                           entry: DataFrame, beam: Int, rounds: Int): DataFrame = {
-    def rerank(cand: DataFrame, k: Int): DataFrame = {
+                           entry: DataFrame, beam: Int, rounds: Int,
+                           bands: Int = 1): DataFrame = {
+    def rerank(cand: DataFrame, qvb: DataFrame, k: Int): DataFrame = {
       // SHUFFLE_HASH, not sort-merge: SMJ would re-SORT the wide
       // cached vector side every round (64-double rows × 32 competing
       // sort buffers = spill thrash); a per-partition hash map of
@@ -1470,12 +1500,12 @@ object Similarity {
       // ~112 M candidate rows — ~60 GB of shuffle write per round, the
       // disk wall machine-confirmed at the ×1000 tier). Broadcast keeps
       // both vector attaches and the cosine inside one stage; nothing
-      // vector-bearing ever exchanges. (A corpus-scale deployment
-      // bounds the query BATCH — the stride-queries-grow-with-n shape
-      // is a fixture convention, not a production one.)
+      // vector-bearing ever exchanges. Under query banding the
+      // broadcast side is the BAND's slice of qv — 1/bands of an
+      // already-small table.
       val scored = cand
         .join(cvc.hint("SHUFFLE_HASH"), "cand_id")
-        .join(broadcast(qv), "query_id")
+        .join(broadcast(qvb), "query_id")
         .select(col("query_id"), col("cand_id"), cosine(col("qv"), col("v")).as("cos"))
       graft.plans.TopKPlans.topKPerKey(scored, "query_id", "cos", "cand_id", k, "rank")
     }
@@ -1486,30 +1516,57 @@ object Similarity {
     // (measured 22 s for a 32k-row round). The checkpoint truncates
     // lineage to a LogicalRDD: constant plan depth, constant round
     // cost (the `dedup_cluster` iteration rule applied to search).
-    var front = entry.pinned
-    for (_ <- 1 to rounds) {
-      val expanded = front.unionAll(
-          front.join(ge, front("cand_id") === ge("src"))
-            .select(front("query_id"), col("dst").as("cand_id")))
-        .distinct()
-      val next = rerank(expanded, beam).select("query_id", "cand_id")
-        .pinned
-      // superseded round's blocks, freed eagerly (the dedup_cluster /
-      // wc_lpa release rule — checkpoints are not CacheManager-tracked)
+    def walk(entryB: DataFrame, qvb: DataFrame, sortOut: Boolean): DataFrame = {
+      var front = entryB.pinned
+      for (_ <- 1 to rounds) {
+        val expanded = front.unionAll(
+            front.join(ge, front("cand_id") === ge("src"))
+              .select(front("query_id"), col("dst").as("cand_id")))
+          .distinct()
+        val next = rerank(expanded, qvb, beam).select("query_id", "cand_id")
+          .pinned
+        // superseded round's blocks, freed eagerly (the dedup_cluster /
+        // wc_lpa release rule — checkpoints are not CacheManager-tracked)
+        graft.Cleanup.freeCheckpoint(front)
+        front = next
+      }
+      // checkpoint the |Q|·TopK result, then release EVERYTHING behind
+      // it: the corpus-sized cvc cache, the edge frames, the query
+      // vectors, and the last beam would otherwise stay pinned across
+      // the rest of a long session (nothing re-reads them once the
+      // result rows are materialized)
+      val cut = rerank(front.where(col("cand_id") =!= col("query_id")), qvb, TopK)
+        .select(col("query_id"), col("rank"), col("cand_id").as("neighbor_id"))
+      val res = (if (sortOut) cut.orderBy("query_id", "rank") else cut).pinned
       graft.Cleanup.freeCheckpoint(front)
-      front = next
+      res
     }
-    // checkpoint the |Q|·TopK result, then release EVERYTHING behind it:
-    // the corpus-sized cvc cache, the edge frames, the query vectors,
-    // and the last beam would otherwise stay pinned across the rest of
-    // a 206-key session (nothing re-reads them once the result rows are
-    // materialized)
-    val res = rerank(front.where(col("cand_id") =!= col("query_id")), TopK)
-      .select(col("query_id"), col("rank"), col("cand_id").as("neighbor_id"))
-      .orderBy("query_id", "rank")
-      .pinned
-    graft.Cleanup.freeCheckpoint(front)
-    res
+    if (bands <= 1) walk(entry, qv, sortOut = true)
+    else {
+      // the entry seeds feed every band's slice — pin once so the
+      // broadcast assignment pass does not re-run per band
+      val entryP = entry.pinned
+      var parts = Vector.empty[DataFrame]
+      for (b <- 0 until bands) {
+        // driver GC between bands, same rationale as the 2-hop band
+        // loop: let the ContextCleaner reap the previous band's round
+        // shuffles while this band runs — peak scratch is one band's
+        // exchange, not the sum
+        System.gc()
+        val t0 = System.nanoTime()
+        val qvb = qv.where(pmod(col("query_id"), lit(bands)) === lit(b))
+        parts :+= walk(
+          entryP.where(pmod(col("query_id"), lit(bands)) === lit(b)),
+          qvb, sortOut = false)
+        System.err.println(
+          f"[beam] band ${b + 1}/$bands done in ${(System.nanoTime() - t0) / 1e9}%.1f s (beam $beam)")
+      }
+      // band results are disjoint by construction (pmod partitions the
+      // query ids); the union + global sort touches |Q|·TopK rows only
+      val res = parts.reduce(_ unionAll _).orderBy("query_id", "rank").pinned
+      (entryP +: parts).foreach(graft.Cleanup.freeCheckpoint)
+      res
+    }
   }
 
   /** Queries in the calibration sample and the recall bar it must
@@ -1553,17 +1610,30 @@ object Similarity {
     if (cap <= floor) return floor
     val dir = beamCalibPath(sfDir)
     if (graft.sources.Fixtures.ready(dir)) {
-      val row = s.read.parquet(dir).collect().head
-      // a cached beam is only valid for the dial context it was probed
-      // at — a changed degree/rounds override re-probes
-      if (row.getAs[Long]("degree") == degree.toLong &&
-          row.getAs[Long]("rounds") == rounds.toLong)
-        return row.getAs[Long]("beam").toInt
+      // a cached beam is only valid for the FULL dial context it was
+      // probed at — degree/rounds AND the dials that shape the probed
+      // graph and recall bar (cell cap, sample size, target — ADVICE
+      // r15: a session under a different cell cap was silently reusing
+      // a beam probed under another graph). A fixture written before a
+      // column existed (schema mismatch → the Try fails) re-probes.
+      val cached = scala.util.Try {
+        val row = s.read.parquet(dir).collect().head
+        if (row.getAs[Long]("degree") == degree.toLong &&
+            row.getAs[Long]("rounds") == rounds.toLong &&
+            row.getAs[Long]("cell_cap") == graft.Dials.knnCellCap.toLong &&
+            row.getAs[Long]("calib_sample") == CalibSample.toLong &&
+            row.getAs[Long]("target_ppm") == (CalibTargetRecall * 1e6).round)
+          Some(row.getAs[Long]("beam").toInt)
+        else None
+      }.toOption.flatten
+      cached match { case Some(cb) => return cb; case None => }
     }
     val b = calibrateBeam(Tables.embeddings(s, sfDir), degree, rounds, floor, cap)
     System.gc() // let the cleaner reap the probe build's shuffle files
     import s.implicits._
-    Seq((degree.toLong, rounds.toLong, b.toLong)).toDF("degree", "rounds", "beam")
+    Seq((degree.toLong, rounds.toLong, graft.Dials.knnCellCap.toLong,
+        CalibSample.toLong, (CalibTargetRecall * 1e6).round, b.toLong))
+      .toDF("degree", "rounds", "cell_cap", "calib_sample", "target_ppm", "beam")
       .coalesce(1).write.mode("overwrite").parquet(dir)
     b
   }
@@ -1600,7 +1670,12 @@ object Similarity {
     val it = beams.iterator
     while (chosen < 0 && it.hasNext) {
       val b = it.next()
-      val got = beamTraverse(ge, cvc, qv, entry, b, rounds).collect()
+      // capture the rung's pinned frame so its checkpoint blocks free
+      // eagerly after collect (ADVICE r15 — the rungs are small, but
+      // the eager-free discipline is the file's contract)
+      val rung = beamTraverse(ge, cvc, qv, entry, b, rounds)
+      val got = rung.collect()
+      graft.Cleanup.freeCheckpoint(rung)
       val hits = got.count(r =>
         truthTop.getOrElse(r.getLong(0), Set.empty[Long]).contains(r.getLong(2)))
       val rec = if (denom == 0) 1.0 else hits / denom
@@ -1783,18 +1858,30 @@ object Similarity {
     * refine). Score is the fixed-order 4-term sum of 6dp-rounded LUT
     * entries: bit-identical in both engines, so every downstream cut
     * ranks identically too. */
+  /** One row per vector with its [[PqM]] codes as columns c0..c3 —
+    * the compressed corpus representation the SDC stages join against.
+    * Shared by [[pqScores]] and the PQ-scored traversal
+    * ([[graphSearchPqWith]]). */
+  private def pqWideCodes(em: DataFrame, cents: DataFrame): DataFrame = {
+    val codes = pqEncode(em, cents)
+    val wideAggs = (0 until PqM).map(m => max(when(col("m") === m, col("code"))).as(s"c$m"))
+    codes.groupBy("vec_id").agg(wideAggs.head, wideAggs.tail: _*)
+  }
+
+  /** The O(M·Ks²) centroid-pair lookup table (m, ca, cb, l) with each
+    * entry's cosine rounded at 6dp — broadcast at every use site. */
+  private def pqLut(cents: DataFrame): DataFrame =
+    cents.select(col("m"), col("cent_id").as("ca"), col("cv").as("cva"))
+      .join(cents.select(col("m"), col("cent_id").as("cb"), col("cv").as("cvb")), "m")
+      .select(col("m"), col("ca"), col("cb"),
+        round(cosine(col("cva"), col("cvb")), 6).as("l"))
+
   private def pqScores(em: DataFrame, cents0: DataFrame, cand: DataFrame): DataFrame = {
     // exact float→double widening, whether cents come from the persisted
     // fixture or straight from the trainer
     val cents = cents0.select(col("m"), col("cent_id"), vec(col("cv")).as("cv"))
-    val codes = pqEncode(em, cents)
-    val wideAggs = (0 until PqM).map(m => max(when(col("m") === m, col("code"))).as(s"c$m"))
-    val wide = codes.groupBy("vec_id").agg(wideAggs.head, wideAggs.tail: _*)
-    val lut = broadcast(
-      cents.select(col("m"), col("cent_id").as("ca"), col("cv").as("cva"))
-        .join(cents.select(col("m"), col("cent_id").as("cb"), col("cv").as("cvb")), "m")
-        .select(col("m"), col("ca"), col("cb"),
-          round(cosine(col("cva"), col("cvb")), 6).as("l")))
+    val wide = pqWideCodes(em, cents)
+    val lut = broadcast(pqLut(cents))
     val qCols = col("vec_id").as("query_id") +:
       (0 until PqM).map(m => col(s"c$m").as(s"q$m"))
     val q = wide.where(col("vec_id") % QueryStride === 0).select(qCols: _*)
@@ -1860,6 +1947,129 @@ object Similarity {
       .withColumn("rank", row_number().over(wx)).where(col("rank") <= TopK)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
       .orderBy("query_id", "rank")
+  }
+
+  /** PQ-SCORED GRAPH TRAVERSAL (`ann_graph_search_pq`, r16, VERDICT r15
+    * #4) — DiskANN's actual production answer to the traversal's
+    * per-round cost (Subramanya et al. 2019: beam search walks the
+    * graph scoring candidates by their PQ codes held in RAM; the full
+    * vectors are touched only to re-rank the final list): the same
+    * IVF-seeded beam walk as `ann_graph_search`, but each ROUND's
+    * re-rank scores candidates by the 4-lookup SDC sum over the
+    * persisted [[pqCodebookPath]] sub-codebooks (the gated `ann_pq`
+    * arithmetic — 6dp-rounded LUT entries, fixed-order 4-term sum,
+    * bit-identical in both engines, ties by cand_id) and ONLY the FINAL
+    * beam pays exact cosines at [[TopK]] (`ann_pq_rerank`'s
+    * shortlist-then-refine discipline INSIDE the traversal).
+    *
+    * Why it matters at the ×1000 tier: the exact path's round re-rank
+    * hash-joins every candidate against the 520-byte corpus-vector
+    * cache and runs a 64-dim cosine per candidate; here the probe side
+    * is a 4-int codes table (~64× smaller working set — it stays in
+    * memory at corpus sizes where the vector cache spills) and the
+    * score is 4 broadcast lookups + 3 adds. Candidate ROW counts are
+    * unchanged, so the query-band discipline applies verbatim (same
+    * derived [[graft.Dials.traversalBands]]). Recall vs the
+    * exact-rerank form is measured in the spec and §5c-r16 — the final
+    * exact refine means quantization can only exclude a true neighbor
+    * from the last beam, never reorder the answer list. */
+  def graphSearchPq(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val em = Tables.embeddings(s, d)
+    val pqDir = pqCodebookPath(d)
+    if (!graft.sources.Fixtures.ready(pqDir)) persistPqCodebook(em, pqDir)
+    graphSearchPqWith(em, readPqCodebook(s, pqDir))
+  }
+
+  /** The traversal over explicit (m, cent_id, cv) sub-codebooks —
+    * spec-runnable on synthetic corpora without fixtures. */
+  private[graft] def graphSearchPqWith(em: DataFrame, pqCents: DataFrame,
+      beam: Int = Beam, rounds: Int = BeamRounds,
+      degree: Int = GraphDegree, queryBands: Int = 0): DataFrame = {
+    graft.plans.GraftFunctions.register(em.sparkSession)
+    val cents = pqCents.select(col("m"), col("cent_id"), vec(col("cv")).as("cv"))
+    val g = nnDescentEdges(em, degree).select(col("vec_id"), col("neighbor_id")).persist()
+    val ge = symmetrized(g)
+    // the 4-int codes table replaces the fat corpus-vector cache on the
+    // hot round path — hash-partitioned once, like candVecs
+    val wide = pqWideCodes(em, cents)
+    val cwide = wide.withColumnRenamed("vec_id", "cand_id")
+      .repartition(col("cand_id")).persist()
+    val qwide = wide.where(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id") +:
+        (0 until PqM).map(m => col(s"c$m").as(s"q$m")): _*)
+      .persist()
+    val lut = pqLut(cents)
+    val qv = corpusVecs(em).where(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .persist()
+    val entry = entrySeeds(em, qv)
+    val bands =
+      if (queryBands > 0) queryBands
+      else graft.Dials.traversalBands(
+        graft.Dials.vectorCount.map(_ / QueryStride).getOrElse(0L), beam, degree)
+    def rerankSdc(cand: DataFrame, qwb: DataFrame, k: Int): DataFrame = {
+      var pairs = cand.join(cwide.hint("SHUFFLE_HASH"), "cand_id")
+        .join(broadcast(qwb), "query_id")
+      for (m <- 0 until PqM)
+        pairs = pairs.join(broadcast(lut.where(col("m") === m)
+            .select(col("ca").as(s"qa$m"), col("cb").as(s"xb$m"), col("l").as(s"l$m"))),
+          col(s"q$m") === col(s"qa$m") && col(s"c$m") === col(s"xb$m"))
+      val scored = pairs.select(col("query_id"), col("cand_id"),
+        (col("l0") + col("l1") + col("l2") + col("l3")).as("score"))
+      graft.plans.TopKPlans.topKPerKey(scored, "query_id", "score", "cand_id", k, "rank")
+    }
+    // the final beam's EXACT refine — the only stage that touches raw
+    // vectors; |Q|·beam rows, a one-shot id join, no cache needed
+    val nv = corpusVecs(em).select(col("vec_id").as("cand_id"), col("v"))
+    def refine(front: DataFrame, qvb: DataFrame): DataFrame = {
+      val scored = front.where(col("cand_id") =!= col("query_id"))
+        .join(nv.hint("SHUFFLE_HASH"), "cand_id")
+        .join(broadcast(qvb), "query_id")
+        .select(col("query_id"), col("cand_id"), cosine(col("qv"), col("v")).as("cos"))
+      graft.plans.TopKPlans.topKPerKey(scored, "query_id", "cos", "cand_id", TopK, "rank")
+        .select(col("query_id"), col("rank"), col("cand_id").as("neighbor_id"))
+    }
+    def walk(entryB: DataFrame, qwb: DataFrame, qvb: DataFrame,
+             sortOut: Boolean): DataFrame = {
+      var front = entryB.pinned
+      for (_ <- 1 to rounds) {
+        val expanded = front.unionAll(
+            front.join(ge, front("cand_id") === ge("src"))
+              .select(front("query_id"), col("dst").as("cand_id")))
+          .distinct()
+        val next = rerankSdc(expanded, qwb, beam).select("query_id", "cand_id")
+          .pinned
+        graft.Cleanup.freeCheckpoint(front)
+        front = next
+      }
+      val cut = refine(front, qvb)
+      val res = (if (sortOut) cut.orderBy("query_id", "rank") else cut).pinned
+      graft.Cleanup.freeCheckpoint(front)
+      res
+    }
+    val res =
+      if (bands <= 1) walk(entry, qwide, qv, sortOut = true)
+      else {
+        val entryP = entry.pinned
+        var parts = Vector.empty[DataFrame]
+        for (b <- 0 until bands) {
+          System.gc()
+          val t0 = System.nanoTime()
+          parts :+= walk(
+            entryP.where(pmod(col("query_id"), lit(bands)) === lit(b)),
+            qwide.where(pmod(col("query_id"), lit(bands)) === lit(b)),
+            qv.where(pmod(col("query_id"), lit(bands)) === lit(b)),
+            sortOut = false)
+          System.err.println(
+            f"[beam-pq] band ${b + 1}/$bands done in ${(System.nanoTime() - t0) / 1e9}%.1f s (beam $beam)")
+        }
+        val r = parts.reduce(_ unionAll _).orderBy("query_id", "rank").pinned
+        (entryP +: parts).foreach(graft.Cleanup.freeCheckpoint)
+        r
+      }
+    Seq(g, ge, cwide, qwide, qv).foreach(_.unpersist(false))
+    res
   }
 
   /** Cells each vector PROBES for semantic-dedup / decontamination
@@ -2189,6 +2399,7 @@ object Similarity {
     "ann_nn_descent" -> ((s, d) => nnDescent(Tables.embeddings(s, d))),
     "ann_nn_descent_alpha" -> ((s, d) => nnDescentAlpha(Tables.embeddings(s, d))),
     "ann_graph_search" -> ((s, d) => graphSearch(Tables.embeddings(s, d))),
+    "ann_graph_search_pq" -> ((s, d) => graphSearchPq(s, d)),
     "ann_graph_cluster" -> ((s, d) => graphClusters(Tables.embeddings(s, d))),
     "ann_ivf_trained"-> ((s, d) => ivfTrained(s, d)),
     "ann_ivf_upsert" -> ((s, d) => ivfUpsert(s, d)),
@@ -2883,6 +3094,77 @@ object Similarity {
          |        ORDER BY list_cosine_similarity(e.$V, c.cv) DESC, c.cent_id) AS crn
          |    FROM embeddings e, cents c WHERE e.vec_id % $QueryStride = 0) s
          |  WHERE crn <= $EntryProbes),
+         |${(1 to BeamRounds).map(round).mkString(",\n")}
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT b.query_id, b.cand_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY b.query_id
+         |      ORDER BY list_cosine_similarity(q.$V, n.$V) DESC, b.cand_id) AS rank
+         |  FROM b$BeamRounds b
+         |  JOIN embeddings q ON q.vec_id = b.query_id
+         |  JOIN embeddings n ON n.vec_id = b.cand_id
+         |  WHERE b.cand_id <> b.query_id) t
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+    },
+    // the SAME refined-graph + entry chain as ann_graph_search, with
+    // each round ranked by the 4-lookup SDC sum over the persisted
+    // sub-codebooks (ann_pq's codes/LUT CTEs, p-prefixed against the
+    // graph chain's names) and ONLY the final beam exact-refined —
+    // the ann_pq_rerank discipline inside the unrolled traversal
+    "ann_graph_search_pq" -> {
+      val pqDir = pqCodebookPath(graft.Dials.sfDir.getOrElse("/root/testdata/sf0.001"))
+      def round(i: Int) =
+        s"""x$i AS MATERIALIZED (
+           |  SELECT DISTINCT query_id, cand_id FROM (
+           |    SELECT query_id, cand_id FROM b${i - 1}
+           |    UNION ALL SELECT b.query_id, e.dst AS cand_id
+           |      FROM b${i - 1} b JOIN ge e ON e.src = b.cand_id) u),
+           |b$i AS MATERIALIZED (
+           |  SELECT query_id, cand_id FROM (
+           |    SELECT x.query_id, x.cand_id,
+           |      row_number() OVER (PARTITION BY x.query_id
+           |        ORDER BY l0.l + l1.l + l2.l + l3.l DESC, x.cand_id) AS rn
+           |    FROM x$i x
+           |    JOIN pwide q ON q.vec_id = x.query_id
+           |    JOIN pwide n ON n.vec_id = x.cand_id
+           |    JOIN plut l0 ON l0.m = 0 AND l0.ca = q.c0 AND l0.cb = n.c0
+           |    JOIN plut l1 ON l1.m = 1 AND l1.ca = q.c1 AND l1.cb = n.c1
+           |    JOIN plut l2 ON l2.m = 2 AND l2.ca = q.c2 AND l2.cb = n.c2
+           |    JOIN plut l3 ON l3.m = 3 AND l3.ca = q.c3 AND l3.cb = n.c3) t
+           |  WHERE rn <= $Beam)""".stripMargin
+      s"""WITH ${nndRefinedCtesSql(GraphDegree)},
+         |ge AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT vec_id AS src, neighbor_id AS dst FROM refined
+         |    UNION ALL SELECT neighbor_id, vec_id FROM refined) u),
+         |b0 AS MATERIALIZED (
+         |  SELECT vec_id AS query_id, cell AS cand_id FROM (
+         |    SELECT e.vec_id, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.$V, c.cv) DESC, c.cent_id) AS crn
+         |    FROM embeddings e, cents c WHERE e.vec_id % $QueryStride = 0) s
+         |  WHERE crn <= $EntryProbes),
+         |pcents AS (
+         |  SELECT m, cent_id, cv::DOUBLE[] AS cv FROM read_parquet('$pqDir/*.parquet')),
+         |psub AS (
+         |  SELECT vec_id, m, list_slice($V, m * $PqSub + 1, m * $PqSub + $PqSub) AS vm
+         |  FROM embeddings, unnest([0, 1, 2, 3]) AS mm(m)),
+         |pcodes AS (
+         |  SELECT vec_id, m, cent_id AS code FROM (
+         |    SELECT s.vec_id, s.m, c.cent_id,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY list_cosine_similarity(s.vm, c.cv) DESC, c.cent_id) AS rn
+         |    FROM psub s JOIN pcents c ON c.m = s.m) t WHERE rn = 1),
+         |pwide AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    max(CASE WHEN m = 0 THEN code END) AS c0,
+         |    max(CASE WHEN m = 1 THEN code END) AS c1,
+         |    max(CASE WHEN m = 2 THEN code END) AS c2,
+         |    max(CASE WHEN m = 3 THEN code END) AS c3
+         |  FROM pcodes GROUP BY vec_id),
+         |plut AS MATERIALIZED (
+         |  SELECT a.m, a.cent_id AS ca, b.cent_id AS cb,
+         |    round(list_cosine_similarity(a.cv, b.cv), 6) AS l
+         |  FROM pcents a JOIN pcents b ON a.m = b.m),
          |${(1 to BeamRounds).map(round).mkString(",\n")}
          |SELECT query_id, rank, neighbor_id FROM (
          |  SELECT b.query_id, b.cand_id AS neighbor_id,

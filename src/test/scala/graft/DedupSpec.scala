@@ -311,6 +311,49 @@ class DedupSpec extends SparkSpec {
     assert(row.getString(5) == expectHash)
   }
 
+  test("spanDedup: keep-first at every planted site; surviving digest replays exactly (r16)") {
+    val s = spark
+    import s.implicits._
+    def ws(p: Char, n: Int) = (0 until n).map(i => s"$p${('a' + i).toChar}")
+    // doc 1 carries the quote FIRST (kept whole); doc 2 copies it (the
+    // 15 words removed, surrounding prose untouched); doc 3 repeats a
+    // 6-word span WITHIN itself (second occurrence removed, first kept)
+    val d1 = ws('f', 9) ++ ws('q', 15) ++ ws('g', 6)
+    val d2 = ws('h', 5) ++ ws('q', 15) ++ ws('i', 4)
+    val d3 = ws('r', 6) ++ ws('k', 3) ++ ws('r', 6)
+    val d = Seq((1L, d1.mkString(" ")), (2L, d2.mkString(" ")), (3L, d3.mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanDedup(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // independent replay of the whole rule: duplicated-gram keep-first
+    // by (doc_id, pos), k-wide coverage, h32(pos:word) surviving sum
+    val docs = Map(1L -> d1, 2L -> d2, 3L -> d3)
+    val k = Dedup.SpanK
+    val occ = docs.toSeq.flatMap { case (id, w0) =>
+      w0.sliding(k).zipWithIndex.collect {
+        case (g, i) if g.size == k => (g.mkString(" "), id, (i + 1).toLong) } }
+    val byG = occ.groupBy(_._1)
+    val flagged = occ.filter { case (g, id, p) =>
+      val os = byG(g)
+      os.size > 1 && (id, p) != os.map(o => (o._2, o._3)).min }
+    val covered = flagged.flatMap { case (_, id, p) =>
+      (p until p + k).map(id -> _) }.toSet
+    def h32(sd: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(sd.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    for ((id, w0) <- docs) {
+      val nRem = w0.indices.count(i => covered(id -> (i + 1).toLong))
+      val sumH = w0.indices.collect { case i if !covered(id -> (i + 1).toLong) =>
+        h32(s"sd:${i + 1}:${w0(i)}") }.sum
+      assert(got(id) == ((w0.size.toLong, nRem.toLong, sumH)), s"doc $id: ${got(id)}")
+    }
+    assert(got(1L)._2 == 0L, "first occurrence must survive whole")
+    assert(got(2L)._2 == 15L, "the copied quote must be removed exactly, nothing else")
+    assert(got(3L)._2 == 6L, "the within-doc repeat's second occurrence must be removed")
+  }
+
   test("longestSpans: a one-word mutation breaks the chain into two exact islands") {
     val s = spark
     import s.implicits._

@@ -64,6 +64,34 @@ class DialsSpec extends AnyFunSuite {
     }
   }
 
+  test("shuffle partitions derive from corpus size, floored at the session count (r16)") {
+    // gate corpora and the x100 tier stay at the hand-measured 32
+    assert(Dials.shufflePartitionsFor(500L, 32) == 32)
+    assert(Dials.shufflePartitionsFor(2000L, 32) == 32)
+    assert(Dials.shufflePartitionsFor(200000L, 32) == 32)
+    // the x1000 tier derives exactly the hand-set 128 the r15 run needed
+    assert(Dials.shufflePartitionsFor(2000000L, 32) == 128)
+    // power of two, capped
+    assert(Dials.shufflePartitionsFor(20000000L, 32) == 2048 / 2)
+    assert(Dials.shufflePartitionsFor(2000000000L, 32) == 1024)
+  }
+
+  test("traversal query bands: 1 at every measured gate/x100 shape; the adversarial x1000 splits (r16)") {
+    // gate corpora: 40 queries at the floor beam — single pass
+    assert(Dials.traversalBandsFor(40L, 48, 16) == 1)
+    // x100 adversarial at the calibrated 600 beam — single pass (the
+    // §5c-r14 measured-good plan unchanged)
+    assert(Dials.traversalBandsFor(4000L, 600, 25) == 1)
+    // x1000 navigable at the 90 floor — ~220M rows/round -> 2 bands
+    assert(Dials.traversalBandsFor(40000L, 90, 30) == 2)
+    // x1000 adversarial at the calibrated ~sqrt(n) beam: ~4.6G
+    // pre-distinct rows/round -> ~31 sequential slices, each within
+    // the per-band exchange budget
+    val b = Dials.traversalBandsFor(40000L, 1896, 30)
+    assert(b >= 16 && b <= 64, s"unexpected band count $b")
+    assert(40000L * 1896 * 61 / b <= Dials.TraversalBandCandRows)
+  }
+
   test("uninitialized dials fall back to the gated constants (spec fixtures stable)") {
     // specs never run a main, so unless a main initialized this JVM the
     // getters must return the constants synthetic fixtures were built on

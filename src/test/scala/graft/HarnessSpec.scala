@@ -26,10 +26,29 @@ class HarnessSpec extends AnyFunSuite {
     write("BENCH_r01.json",
       """{"metric":"total","value":3.0,"queries":{"q1":1.0,"q2":2.0},"errors":{}}""")
     write("BENCH_r02.json",
-      """{"metric":"total","value":2.5,"queries":{"q1":0.5,"q2":2.0},"errors":{}}""")
-    val Some((name, m)) = Bench.previousBench(dir.getPath)
+      """{"metric":"total","value":2.5,"queries":{"q1":0.5,"q2":2.0},"errors":{},"protocol":{"queries_mode":"in-suite-min-of-2","cpus":"32","heap":"8g"}}""")
+    val Some((name, m, proto)) = Bench.previousBench(dir.getPath)
     assert(name == "BENCH_r02.json")
     assert(m == Map("q1" -> 0.5, "q2" -> 2.0))
+    assert(proto == Map("queries_mode" -> "in-suite-min-of-2",
+      "cpus" -> "32", "heap" -> "8g"))
+  }
+
+  test("protocolMatches gates deltas on queries_mode/cpus/heap") {
+    val cur = Map("queries_mode" -> "in-suite-min-of-2", "cpus" -> "32",
+      "heap" -> "8g", "run_id" -> "x")
+    assert(Bench.protocolMatches(
+      Map("queries_mode" -> "in-suite-min-of-2", "cpus" -> "32",
+        "heap" -> "8g", "run_id" -> "y"), cur))
+    // a pre-protocol baseline (empty block) never matches — the r15
+    // cross-protocol regression noise is exactly what this suppresses
+    assert(!Bench.protocolMatches(Map.empty, cur))
+    assert(!Bench.protocolMatches(
+      Map("queries_mode" -> "in-suite-min-of-1", "cpus" -> "32",
+        "heap" -> "8g"), cur))
+    assert(!Bench.protocolMatches(
+      Map("queries_mode" -> "in-suite-min-of-2", "cpus" -> "32",
+        "heap" -> "89g"), cur))
   }
 
   test("previousBench parses the driver's escaped-tail wrapping") {
@@ -40,7 +59,7 @@ class HarnessSpec extends AnyFunSuite {
     Files.write(f.toPath,
       s"""{"n": 2, "rc": 0, "tail": "$tail", "parsed": null}"""
         .getBytes(StandardCharsets.UTF_8))
-    val Some((name, m)) = Bench.previousBench(dir.getPath)
+    val Some((name, m, _)) = Bench.previousBench(dir.getPath)
     assert(name == "BENCH_r07.json")
     assert(m == Map("q1" -> 1.2))
   }
