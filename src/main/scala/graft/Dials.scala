@@ -319,7 +319,17 @@ object Dials {
     * 8 MB per partition on the vector-bearing exchanges the graph
     * family runs — the frame class every ×1000 disk wall traced back
     * to. The ×1000 runs needed a hand-set 128 partitions; 2 M vectors /
-    * 15 625 derives exactly that. */
+    * 15 625 derives exactly that.
+    *
+    * HEAP is the one scale knob that cannot be a runtime dial — it is a
+    * JVM launch parameter (`SPARK_DRIVER_MEM`, wired through build.sbt's
+    * forked javaOptions; a cluster sizes executor memory in deployment
+    * config the same way). Measured guidance for the single-JVM
+    * local[32] ladder: the default 8g holds every gate tier and ×100;
+    * the ×1000 graph family (2 M vectors: ~1 GB corpus-vector cache +
+    * 32 concurrent task buffers over 8 MB partitions + broadcast query
+    * frames) wants 16–24g — r15's navigable ×1000 run used 24g and is
+    * the recorded reference protocol. */
   val VecRowsPerPartition = 15625L
 
   /** The pure derivation behind the [[init]]-time

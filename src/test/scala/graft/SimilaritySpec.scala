@@ -341,12 +341,21 @@ class SimilaritySpec extends SparkSpec {
     val corpus = clusteredCorpus
     val cCents = Similarity.trainPqCodebook(corpus)
     val truth = topkSets(Similarity.bruteForce(corpus))
-    val gotC = topkSets(Similarity.graphSearchPqWith(corpus, cCents))
-    val hitsC = truth.keys.toSeq
-      .map(q => (gotC.getOrElse(q, Set.empty[Long]) & truth(q)).size).sum.toDouble
-    val recallC = hitsC / (truth.size * Similarity.TopK)
-    info(f"pq-traversal recall@${Similarity.TopK} on the clustered corpus: $recallC%.3f")
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val g = topkSets(df)
+      truth.keys.toSeq.map(q => (g.getOrElse(q, Set.empty[Long]) & truth(q)).size)
+        .sum.toDouble / (truth.size * Similarity.TopK)
+    }
+    val recallC = recallOf(Similarity.graphSearchPqWith(corpus, cCents))
+    // the exact-rerank form on the SAME corpus at the same dials — the
+    // VERDICT-asked side-by-side: quantized rounds + exact refine must
+    // stay within reach of the all-exact traversal
+    val recallE = recallOf(Similarity.graphSearch(corpus))
+    info(f"traversal recall@${Similarity.TopK} on the clustered corpus: " +
+      f"pq-scored $recallC%.3f vs exact $recallE%.3f")
     assert(recallC >= 0.8, f"SDC-ranked beam must retrieve on clustered data ($recallC%.3f)")
+    assert(recallC >= recallE - 0.2,
+      f"quantized rounds collapsed vs the exact form ($recallC%.3f vs $recallE%.3f)")
   }
 
   test("graphClusters: matches an independent 2-round LPA replay over the knn graph") {
