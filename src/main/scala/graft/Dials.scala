@@ -44,6 +44,7 @@ object Dials {
 
   @volatile private var nVectors: Option[Long] = None
   @volatile private var nFactRows: Option[Long] = None
+  @volatile private var nDocs: Option[Long] = None
   @volatile private var dir: Option[String] = None
   @volatile private var sparkRef: Option[SparkSession] = None
   @volatile private var calibratedBeam: Option[Int] = None
@@ -67,6 +68,7 @@ object Dials {
   def init(spark: SparkSession, sfDir: String): Unit = {
     nVectors = Some(Tables.embeddings(spark, sfDir).count())
     nFactRows = Some(Tables.lineitem(spark, sfDir).count())
+    nDocs = Some(Tables.documents(spark, sfDir).count())
     dir = Some(sfDir)
     sparkRef = Some(spark)
     synchronized { calibratedBeam = None } // a new corpus invalidates the memo
@@ -81,6 +83,31 @@ object Dials {
 
   /** The recorded corpus size, if a main has initialized it. */
   def vectorCount: Option[Long] = nVectors
+
+  /** The recorded document-corpus size, if a main has initialized it. */
+  def docCount: Option[Long] = nDocs
+
+  /** Docs below which the band-sequential dedup loops skip their
+    * inter-band driver GC (r16). The GC exists to let the
+    * ContextCleaner delete a superseded band's shuffle files BEFORE the
+    * next band stages — a scratch-DISK bound measured only at the
+    * ×1000 tier (5 M docs, §5c-r12: the stacked form overran ~53 GB of
+    * scratch). At gate scale the same call is pure wall cost inside the
+    * timed path: 4 bands × 2 bench runs = 8 full young+old collections
+    * per bench of `dedup_minhash_thresh` for kilobyte-scale shuffle
+    * files the cleaner reclaims trivially later. A million docs' banded
+    * index (4 fixed-width rows/doc) stages well under a GB per band —
+    * orders of magnitude inside any scratch disk — so the GC buys
+    * nothing below this bound. Same class as the traversal/2-hop band
+    * GCs, which are already implicitly gated by their derived
+    * bands > 1. */
+  val BandGcMinDocs = 1000000L
+
+  /** Whether the band-sequential loops should drive the inter-band GC:
+    * local master (it is this JVM's scratch disk) AND a corpus big
+    * enough that band shuffle files actually pressure it. Uninitialized
+    * (unit specs) → false, matching the spec corpora's size. */
+  def bandGcNeeded: Boolean = nDocs.exists(_ >= BandGcMinDocs)
 
   /** The recorded sf dir — lets oracle builders locate fixture paths
     * (e.g. the persisted IVF codebook) for the corpus under test. */

@@ -369,8 +369,13 @@ object Dedup {
       // and delete its files before the next band stages — on one box
       // that bounds scratch disk. On a cluster the driver GC merely
       // accelerates cleanup RPCs; not wrong, but not this JVM's disk,
-      // so the single-box idiom is scoped to local masters.
-      if (sig.sparkSession.sparkContext.isLocal) System.gc()
+      // so the single-box idiom is scoped to local masters — and (r16)
+      // to corpora whose band shuffles can actually pressure scratch
+      // ([[graft.Dials.bandGcNeeded]]): at gate scale the unconditional
+      // call was 8 full GCs per bench inside the timed path for
+      // kilobyte band files.
+      if (sig.sparkSession.sparkContext.isLocal && graft.Dials.bandGcNeeded)
+        System.gc()
       p
     }
     passing.reduce(_ unionAll _)

@@ -1486,7 +1486,8 @@ object Similarity {
   private def beamTraverse(ge: DataFrame, cvc: DataFrame, qv: DataFrame,
                            entry: DataFrame, beam: Int, rounds: Int,
                            bands: Int = 1): DataFrame = {
-    def rerank(cand: DataFrame, qvb: DataFrame, k: Int): DataFrame = {
+    def rerank(cand: DataFrame, qvb: DataFrame, k: Int,
+               dedup: Boolean = false): DataFrame = {
       // SHUFFLE_HASH, not sort-merge: SMJ would re-SORT the wide
       // cached vector side every round (64-double rows × 32 competing
       // sort buffers = spill thrash); a per-partition hash map of
@@ -1507,7 +1508,28 @@ object Similarity {
         .join(cvc.hint("SHUFFLE_HASH"), "cand_id")
         .join(broadcast(qvb), "query_id")
         .select(col("query_id"), col("cand_id"), cosine(col("qv"), col("v")).as("cos"))
-      graft.plans.TopKPlans.topKPerKey(scored, "query_id", "cos", "cand_id", k, "rank")
+      // Candidate dedup rides the JOIN's cand_id exchange (r16): the
+      // round's frontier re-emits each beam slot once per symmetric
+      // edge, and a caller-side `.distinct()` paid a dedicated
+      // (query_id, cand_id) exchange of the FULL pre-distinct candidate
+      // frame every round — the round then exchanged the distinct rows
+      // AGAIN into the cand_id join. Deduplicating here instead, AFTER
+      // the projection, needs no exchange of its own: hash-partitioning
+      // on cand_id already co-locates every (query_id, cand_id) group
+      // (partitioning keys ⊆ grouping keys), so the aggregate and the
+      // hash-join probe share ONE exchange — 3 candidate exchanges per
+      // round become 2, and at the ×1000 tier the removed exchange is
+      // the round's pre-distinct ~80 GB one. Result-identical: a
+      // duplicated (query_id, cand_id) row carries a bit-identical cos
+      // (same two vectors), so dropDuplicates keeps the same set the
+      // caller-side distinct produced.
+      val cut = if (dedup) scored.dropDuplicates("query_id", "cand_id") else scored
+      val top = graft.plans.TopKPlans.topKPerKey(cut, "query_id", "cos", "cand_id", k, "rank")
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN_ROUND")) {
+        System.err.println(s"[beam] round rerank plan (dedup=$dedup):")
+        System.err.println(top.queryExecution.executedPlan.toString)
+      }
+      top
     }
     // localCheckpoint, not persist: each round references the beam
     // TWICE (beam ∪ beam⋈edges), so a persist-only loop doubles the
@@ -1519,11 +1541,13 @@ object Similarity {
     def walk(entryB: DataFrame, qvb: DataFrame, sortOut: Boolean): DataFrame = {
       var front = entryB.pinned
       for (_ <- 1 to rounds) {
+        // no `.distinct()` here (r16): the dedup runs inside rerank on
+        // the join's own exchange — see the rerank scaladoc
         val expanded = front.unionAll(
             front.join(ge, front("cand_id") === ge("src"))
               .select(front("query_id"), col("dst").as("cand_id")))
-          .distinct()
-        val next = rerank(expanded, qvb, beam).select("query_id", "cand_id")
+        val next = rerank(expanded, qvb, beam, dedup = true)
+          .select("query_id", "cand_id")
           .pinned
         // superseded round's blocks, freed eagerly (the dedup_cluster /
         // wc_lpa release rule — checkpoints are not CacheManager-tracked)
@@ -1727,8 +1751,17 @@ object Similarity {
       val m = c.groupBy("node").agg(max("cnt").as("mc"))
       val pick = c.join(m, "node").where(col("cnt") === col("mc"))
         .groupBy("node").agg(max("label").as("nl"))
-      labels = labels.join(pick, Seq("node"), "left")
+      val prev = labels
+      // pin each round's label frame (r16): `c` is referenced twice
+      // (its own max + the argmax join) and round k's labels three
+      // times, so the lazy chain re-executed round k−1's join+aggs
+      // several times inside round k's plan — the wc_lpa per-round
+      // cache rule, applied here with localCheckpoint (one materialize,
+      // lineage truncated, superseded round's blocks freed eagerly)
+      labels = prev.join(pick, Seq("node"), "left")
         .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
+        .pinned
+      graft.Cleanup.freeCheckpoint(prev) // no-op on round 0's lazy frame
     }
     // checkpoint the 20-row result, then release the edge caches — same
     // rule as graphSearch: nothing re-reads them once the result rows
@@ -1739,6 +1772,7 @@ object Similarity {
       .orderBy(col("n_vecs").desc, col("label"))
       .limit(20)
       .pinned
+    graft.Cleanup.freeCheckpoint(labels) // last round's blocks (r16)
     Seq(g, edges).foreach(_.unpersist(false))
     res
   }
@@ -2008,7 +2042,8 @@ object Similarity {
       if (queryBands > 0) queryBands
       else graft.Dials.traversalBands(
         graft.Dials.vectorCount.map(_ / QueryStride).getOrElse(0L), beam, degree)
-    def rerankSdc(cand: DataFrame, qwb: DataFrame, k: Int): DataFrame = {
+    def rerankSdc(cand: DataFrame, qwb: DataFrame, k: Int,
+                  dedup: Boolean = false): DataFrame = {
       var pairs = cand.join(cwide.hint("SHUFFLE_HASH"), "cand_id")
         .join(broadcast(qwb), "query_id")
       for (m <- 0 until PqM)
@@ -2017,7 +2052,17 @@ object Similarity {
           col(s"q$m") === col(s"qa$m") && col(s"c$m") === col(s"xb$m"))
       val scored = pairs.select(col("query_id"), col("cand_id"),
         (col("l0") + col("l1") + col("l2") + col("l3")).as("score"))
-      graft.plans.TopKPlans.topKPerKey(scored, "query_id", "score", "cand_id", k, "rank")
+      // same exchange-fusion as the exact path's rerank (r16): the
+      // (query_id, cand_id) dedup rides the cand_id join exchange —
+      // the SDC score is a pure function of (query_id, cand_id), so
+      // dropDuplicates keeps exactly the caller-side distinct's set
+      val cut = if (dedup) scored.dropDuplicates("query_id", "cand_id") else scored
+      val top = graft.plans.TopKPlans.topKPerKey(cut, "query_id", "score", "cand_id", k, "rank")
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN_ROUND")) {
+        System.err.println(s"[beam-pq] round rerank plan (dedup=$dedup):")
+        System.err.println(top.queryExecution.executedPlan.toString)
+      }
+      top
     }
     // the final beam's EXACT refine — the only stage that touches raw
     // vectors; |Q|·beam rows, a one-shot id join, no cache needed
@@ -2034,11 +2079,12 @@ object Similarity {
              sortOut: Boolean): DataFrame = {
       var front = entryB.pinned
       for (_ <- 1 to rounds) {
+        // dedup rides the join exchange — see the exact path's rerank
         val expanded = front.unionAll(
             front.join(ge, front("cand_id") === ge("src"))
               .select(front("query_id"), col("dst").as("cand_id")))
-          .distinct()
-        val next = rerankSdc(expanded, qwb, beam).select("query_id", "cand_id")
+        val next = rerankSdc(expanded, qwb, beam, dedup = true)
+          .select("query_id", "cand_id")
           .pinned
         graft.Cleanup.freeCheckpoint(front)
         front = next

@@ -53,17 +53,25 @@ object TrainingPipeline {
     // the same scan that reads the text — zero joins, zero shuffles (the
     // earlier semi-join-per-filter form derived a metric table per
     // filter and joined each back; at 100 TB that is two fact-wide
-    // shuffles for predicates the scan can evaluate in place). s1 is
-    // consumed once (its survivor count), so it stays an unpersisted
-    // map-only plan; s2 feeds every later stage and is the frame worth
-    // caching.
+    // shuffles for predicates the scan can evaluate in place).
+    // The FLAGGED frame is the one persisted (r16): it was s2 before,
+    // which made the flag expressions (two tokenizing regex passes over
+    // every document) evaluate TWICE per pipeline — once materializing
+    // s2 and once more for s1's survivor count. Caching the flags
+    // instead costs the same corpus-sized footprint (docs + 2 booleans
+    // vs the ~0.9× filtered s2) and every consumer — s1's count, s2's
+    // three downstream readers — is a cheap filter+project over the
+    // cached columns. Internal cache, released by the session-level
+    // [[graft.Cleanup.releaseAll]] contract (the clustering stage's
+    // label cache precedent).
     val flagged = docs
       .withColumn("g_lang_ok", TextAnalysis.langAgreeCol)
       .withColumn("g_qual_ok", TextAnalysis.qualityScoreCol >= QualityMin)
+      .persist()
     val docCols = docs.columns.map(col).toSeq
     val s1 = flagged.where(col("g_lang_ok")).select(docCols: _*)
     val s2 = flagged.where(col("g_lang_ok") && col("g_qual_ok"))
-      .select(docCols: _*).persist()
+      .select(docCols: _*)
     // gopher repetition/quality rules: doc-local aggregates over the
     // survivors (combiner-friendly (doc, term) counts, never a corpus
     // window)

@@ -544,6 +544,39 @@ object WordCount {
     * oracle's recursive CTE finitely bounded. */
   val BfsMaxHop = 4
 
+  /** ONE-SCAN adjacency + vocabulary base for the graph family (r16).
+    * Every word-graph operator needs BOTH the adjacent-word edge set
+    * and the word-frequency vocabulary (seed word / node set /
+    * unreached remainder), and each used to derive them from its OWN
+    * corpus pass — two full text scans + two regex tokenizations per
+    * query (guide §1.2: don't compute what you already computed). This
+    * frame is ONE scan and map-only (no shuffle of its own): each token
+    * emits (itself, its successor-or-NULL — the doc's last token pairs
+    * with NULL), persisted by the caller so [[adjacentPairs]] and
+    * [[vocabOf]] both read the tokenization instead of re-running the
+    * regex split over the corpus. Every token appears exactly once as
+    * `w`, so [[vocabOf]]'s count is byte-identical to the
+    * explode-words count, and [[adjacentPairs]] is byte-identical to
+    * the zip-sliced bigram pair frame (multiplicities included — the
+    * downstream distinct/groupBy shapes are unchanged). */
+  private def tokenPairs(docs: DataFrame): DataFrame = {
+    val ws = filter(split(col("text"), TokenRe), w => w =!= "")
+    docs.select(explode(zip_with(
+        ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+        (a, b) => struct(a.as("w"), b.as("nxt")))).as("t"))
+      .select(col("t.w").as("w"), col("t.nxt").as("nxt"))
+  }
+
+  /** Directed adjacent-word pairs (u, v) with multiplicity, self-pairs
+    * dropped — the `und` frame every graph operator symmetrizes. */
+  private def adjacentPairs(tp: DataFrame): DataFrame =
+    tp.where(col("nxt").isNotNull && col("w") =!= col("nxt"))
+      .select(col("w").as("u"), col("nxt").as("v"))
+
+  /** (w, cnt) word frequencies from the [[tokenPairs]] frame. */
+  private def vocabOf(tp: DataFrame): DataFrame =
+    tp.groupBy("w").agg(count(lit(1)).as("cnt"))
+
   /** BREADTH-FIRST SEARCH (`wc_bfs`) — level-synchronous BFS over the
     * undirected word-adjacency graph from the corpus's most frequent
     * word (ties lexicographic): per hop 0..[[BfsMaxHop]], the newly
@@ -563,20 +596,13 @@ object WordCount {
     * oracle is DuckDB's `WITH RECURSIVE` — the declarative twin of the
     * same traversal. */
   def bfs(docs: DataFrame): DataFrame = {
-    val ws = filter(split(col("text"), TokenRe), w => w =!= "")
-    val n1 = greatest(size(ws) - 1, lit(0))
-    val und = docs.select(explode(zip_with(
-        slice(ws, lit(1), n1), slice(ws, lit(2), n1),
-        (a, b) => struct(a.as("u"), b.as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .where(col("u") =!= col("v"))
+    val tp = tokenPairs(docs).persist()
+    val und = adjacentPairs(tp)
     val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .select(col("u").as("src"), col("v").as("dst"))
       .persist()
-    val vocab = docs.select(explode(ws).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .persist()
+    val vocab = vocabOf(tp)
     val seed = vocab.orderBy(col("cnt").desc, col("w")).limit(1)
       .select(col("w").as("word"), lit(0L).as("hop"))
     var visited = seed
@@ -620,18 +646,12 @@ object WordCount {
     * vocabulary-bounded). */
   def bfsRecursive(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
-    val ws = filter(split(col("text"), TokenRe), w => w =!= "")
-    val n1 = greatest(size(ws) - 1, lit(0))
-    val und = docs.select(explode(zip_with(
-        slice(ws, lit(1), n1), slice(ws, lit(2), n1),
-        (a, b) => struct(a.as("u"), b.as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .where(col("u") =!= col("v"))
+    val tp = tokenPairs(docs).persist()
+    val und = adjacentPairs(tp)
     und.union(und.select(col("v").as("u"), col("u").as("v"))).distinct()
       .select(col("u").as("src"), col("v").as("dst"))
       .createOrReplaceTempView("g47_edges")
-    val vocab = docs.select(explode(ws).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val vocab = vocabOf(tp).select(col("w").as("word"), col("cnt"))
     vocab.createOrReplaceTempView("g47_vocab")
     vocab.orderBy(col("cnt").desc, col("word")).limit(1)
       .select("word").createOrReplaceTempView("g47_seed")
@@ -688,21 +708,15 @@ object WordCount {
     * driver-side convergence loop. The oracle unrolls the identical
     * rounds as min-union CTEs. */
   def sssp(docs: DataFrame): DataFrame = {
-    val ws = filter(split(col("text"), TokenRe), w => w =!= "")
-    val n1 = greatest(size(ws) - 1, lit(0))
-    val und = docs.select(explode(zip_with(
-        slice(ws, lit(1), n1), slice(ws, lit(2), n1),
-        (a, b) => struct(a.as("u"), b.as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .where(col("u") =!= col("v"))
+    val tp = tokenPairs(docs).persist()
+    val und = adjacentPairs(tp)
     val wgt = lit(1) + Dedup.h32(lit("sssp"),
       concat(least(col("u"), col("v")), lit(" "), greatest(col("u"), col("v")))) % SsspWgtMod
     val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .select(col("u").as("src"), col("v").as("dst"), wgt.cast("long").as("w"))
       .persist()
-    val seed = docs.select(explode(ws).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val seed = vocabOf(tp)
       .orderBy(col("cnt").desc, col("w")).limit(1)
       .select(col("w").as("word"), lit(0L).as("dist"))
     var dist = seed.persist()
@@ -885,18 +899,13 @@ object WordCount {
     * argmax expressed as the same two-stage max-count-then-max-label,
     * so neither engine leans on an unspecified arg_max tie-break. */
   def lpa(docs: DataFrame): DataFrame = {
-    val ws = filter(split(col("text"), TokenRe), w => w =!= "")
-    val n1 = greatest(size(ws) - 1, lit(0))
-    val und = docs.select(explode(zip_with(
-        slice(ws, lit(1), n1), slice(ws, lit(2), n1),
-        (a, b) => struct(a.as("u"), b.as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .where(col("u") =!= col("v"))
+    val tp = tokenPairs(docs).persist()
+    val und = adjacentPairs(tp)
     val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .select(col("u").as("src"), col("v").as("dst"))
       .persist()
-    val nodes = docs.select(explode(ws).as("node")).distinct()
+    val nodes = tp.select(col("w").as("node")).distinct()
     var labels = nodes.select(col("node"), col("node").as("label"))
     for (_ <- 1 to LpaRounds) {
       val c = edges
@@ -939,18 +948,13 @@ object WordCount {
     * Dedup scaladoc). The oracle is the same recursive min-reachable
     * closure `dedup_cluster` uses, over word edges. */
   def components(docs: DataFrame): DataFrame = {
-    val ws = filter(split(col("text"), TokenRe), w => w =!= "")
-    val n1 = greatest(size(ws) - 1, lit(0))
-    val und = docs.select(explode(zip_with(
-        slice(ws, lit(1), n1), slice(ws, lit(2), n1),
-        (a, b) => struct(a.as("u"), b.as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .where(col("u") =!= col("v"))
+    val tp = tokenPairs(docs).persist()
+    val und = adjacentPairs(tp)
     val pairs = und
       .select(least(col("u"), col("v")).as("doc_a"),
         greatest(col("u"), col("v")).as("doc_b"))
       .distinct()
-    val nodes = docs.select(explode(ws).as("doc_id")).distinct()
+    val nodes = tp.select(col("w").as("doc_id")).distinct()
     Dedup.connectedComponents(nodes, pairs)
       .groupBy(col("cluster_id").as("label"))
       .agg(count(lit(1)).as("n_words"),
