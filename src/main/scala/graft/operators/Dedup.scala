@@ -951,10 +951,15 @@ object Dedup {
     val pg = dw
       .select(col("doc_id"), posexplode(grams(col("ws"), SpanK)).as(Seq("p0", "g")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), md5(col("g")).as("gh"))
-    val freq = pg.groupBy("gh").agg(count(lit(1)).as("cnt"))
-    val keeper = pg.groupBy("gh").agg(min(struct(col("doc_id"), col("pos"))).as("m"))
-      .select(col("gh"), col("m.doc_id").as("kd"), col("m.pos").as("kp"))
-    val flagged = pg.join(freq, "gh").join(keeper, "gh")
+    // ONE combined aggregate (r16): freq and the keep-first argmin are
+    // both per-gh and map-side combinable, so they share one shuffle —
+    // the previous two-aggregate form paid the (gh)-keyed exchange (and
+    // a third evaluation of the positional-gram projection) twice for
+    // the same grouping, then joined the two results back separately.
+    val fk = pg.groupBy("gh").agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("m"))
+      .select(col("gh"), col("cnt"), col("m.doc_id").as("kd"), col("m.pos").as("kp"))
+    val flagged = pg.join(fk, "gh")
       .where(col("cnt") > 1 &&
         !(col("doc_id") === col("kd") && col("pos") === col("kp")))
       .select(col("doc_id"), col("pos"))

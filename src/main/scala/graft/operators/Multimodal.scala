@@ -206,13 +206,29 @@ object Multimodal {
     * paid once per test-data generation). */
   def mediaTable(s: SparkSession, d: String): Dataset[MediaFile] = {
     import s.implicits._
-    // "mm_media2": layout version key — r6 replaced the raw-bytes video
-    // stub with real MPNG containers, so pre-r6 fixtures must not reuse
-    val dir = graft.sources.Fixtures.dirFor("mm_media2", d, "documents")
-    if (!graft.sources.Fixtures.ready(dir))
-      ingest(graft.Tables.documents(s, d)).write.mode("overwrite").parquet(dir)
+    // "mm_media3": layout version key — r6 replaced the raw-bytes video
+    // stub with real MPNG containers; r16 split the staging into a
+    // corpus-derived FILE COUNT. The r6 layout was one parquet file
+    // (one row group), and a single row group is one scan task no
+    // matter the session's cores — so EVERY mm key's decode (the
+    // family's whole cost: real PNG/WAV/MPNG codec work per row) ran
+    // serially in one task before its first exchange. Production media
+    // storage is many objects — file count IS the decode parallelism —
+    // so the staging mirrors it: floored at [[MediaFileFloor]] (decode
+    // is CPU-bound; the floor is the parallelism a single box can
+    // bring to bear), growing with the corpus like the WARC staging's
+    // file dial.
+    val dir = graft.sources.Fixtures.dirFor("mm_media3", d, "documents")
+    if (!graft.sources.Fixtures.ready(dir)) {
+      val docs = graft.Tables.documents(s, d)
+      val nFiles = math.max(MediaFileFloor, (docs.count() / 50000L).toInt)
+      ingest(docs).repartition(nFiles).write.mode("overwrite").parquet(dir)
+    }
     s.read.parquet(dir).as[MediaFile]
   }
+
+  /** Media-staging file-count floor — see [[mediaTable]]. */
+  val MediaFileFloor = 16
 
   /** End-to-end: stored binary media → batched decode → per-kind feature
     * summary. For images and audio every aggregated value (pixel count,

@@ -960,9 +960,16 @@ object Similarity {
       .where(col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"), cosine(col("v"), col("nv")).as("cos"))
       // a pair sharing BOTH probed cells arises twice with an identical
-      // cosine — dedupe before ranking (map-side-combining distinct on
-      // skinny triples) so the top-k never lists a neighbor twice
-      .distinct()
+      // cosine — dedupe before ranking so the top-k never lists a
+      // neighbor twice. The dedup rides the top-k's OWN vec_id exchange
+      // (r16): hash-partitioning on vec_id co-locates every
+      // (vec_id, neighbor_id, cos) group AND satisfies the grouped
+      // top-k's final-phase distribution, so one exchange serves both
+      // where `.distinct()` paid its own (vec_id, neighbor_id, cos)
+      // exchange and the top-k exchanged the survivors again — 2
+      // exchanges of the triple stream become 1, identical rows kept.
+      .repartition(col("vec_id"))
+      .dropDuplicates()
     // native partial/final grouped top-k (the q44 exec): per-partition
     // bounded heaps, the exchange carries ≤ keys·k survivors instead of
     // sorting the full pair stream per partition; tie contract
@@ -1194,7 +1201,10 @@ object Similarity {
         col("vec_id").as("neighbor_id"), cosine(col("v"), col("nv")).as("cos"))
       val scored = direct.unionAll(rev).unionAll(hop2Of(gv, gv))
         .where(col("vec_id") =!= col("neighbor_id"))
-        .distinct()
+        // dedup rides the keep step's vec_id exchange (r16) — the
+        // knnEdges fusion note; duplicate (a, b) rows score identically
+        .repartition(col("vec_id"))
+        .dropDuplicates()
       alphaPrune(scored, qv, k, alpha)
     } else {
       val nvf = qv.select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
@@ -1246,9 +1256,12 @@ object Similarity {
         val hop2b = hop2Of(lm, r)
         val scoredB = drb.unionAll(revb).unionAll(hop2b)
           .where(col("vec_id") =!= col("neighbor_id"))
+        // dedup rides topAcc's vec_id exchange (r16) — the knnEdges
+        // fusion note applied to the band accumulator fold
         val merged =
-          if (acc == null) scoredB.distinct()
-          else acc.unionAll(scoredB).distinct()
+          (if (acc == null) scoredB else acc.unionAll(scoredB))
+            .repartition(col("vec_id"))
+            .dropDuplicates()
         val next = topAcc(merged).pinned
         if (acc != null) graft.Cleanup.freeCheckpoint(acc)
         acc = next
@@ -1437,7 +1450,16 @@ object Similarity {
   private def symmetrized(g: DataFrame): DataFrame =
     g.unionAll(
         g.select(col("neighbor_id").as("vec_id"), col("vec_id").as("neighbor_id")))
-      .distinct()
+      // the symmetrize dedup rides ONE exchange keyed src (r16): a
+      // plain `.distinct()` exchanged on (src, dst) — a partitioning no
+      // consumer can reuse, so every traversal round's frontier⋈edges
+      // join re-exchanged the persisted edge frame when it out-sizes
+      // the broadcast threshold (rounds × |E| at the ×1000 tiers).
+      // Hash-partitioning on the walk's join key co-locates the
+      // (src, dst) groups for the dedup AND leaves the cached frame
+      // pre-partitioned for all rounds.
+      .repartition(col("vec_id"))
+      .dropDuplicates()
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
       .persist()
 
@@ -1739,7 +1761,11 @@ object Similarity {
     val g = knnEdges(em).select(col("vec_id"), col("neighbor_id")).persist()
     val edges = g.unionAll(
         g.select(col("neighbor_id").as("vec_id"), col("vec_id").as("neighbor_id")))
-      .distinct()
+      // dedup rides one exchange keyed dst — the LPA rounds join this
+      // frame on dst, so the cached partitioning is the rounds' join
+      // key (the symmetrized() fusion note, keyed for THIS consumer)
+      .repartition(col("neighbor_id"))
+      .dropDuplicates()
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
       .persist()
     val nodes = edges.select(col("src").as("node")).distinct()

@@ -1350,8 +1350,14 @@ object TextAnalysis {
     // first update is the full label-weighted feature sum — and every
     // bucket present in feats enters the weight table here (later
     // epochs' deltas are subsets, so the left join below never drops)
+    // each epoch's weight table is PINNED (r16): `w` is referenced
+    // twice per epoch (the broadcast score pass + the update's left
+    // side), so the lazy chain re-executed epoch k−1's aggregation
+    // several times inside epoch k's plan — the wc_lpa per-round cache
+    // rule on a ≤ClfBuckets-row frame (a localCheckpoint of ≤4096 rows)
     var w = feats.join(labels, "doc_id")
       .groupBy("bucket").agg(sum(col("y") * col("cnt")).as("wt"))
+      .pinned
     for (_ <- 2 to TrainIters) {
       val scores = feats.join(broadcast(w), "bucket")
         .groupBy("doc_id").agg(sum(col("cnt") * col("wt")).as("score"))
@@ -1360,8 +1366,11 @@ object TextAnalysis {
         .select("doc_id", "y")
       val delta = feats.join(mis, "doc_id")
         .groupBy("bucket").agg(sum(col("y") * col("cnt")).as("dw"))
-      w = w.join(delta, Seq("bucket"), "left")
+      val prev = w
+      w = prev.join(delta, Seq("bucket"), "left")
         .select(col("bucket"), (col("wt") + coalesce(col("dw"), lit(0L))).as("wt"))
+        .pinned
+      graft.Cleanup.freeCheckpoint(prev)
     }
     w.where(col("wt") =!= 0)
       .select(col("bucket"), col("wt").as("weight"))

@@ -307,13 +307,25 @@ object Sources {
   /** Fixture dir of the single-line HTML corpus (one page per line,
     * written once from the documents table — the src_xml pattern). */
   def htmlCorpusDir(s: SparkSession, d: String): String = {
-    // "src_html2": layout version key — r12 added the lang attribute
-    // (the `pipe_web` chain recovers declared language from the page)
-    val dir = Fixtures.dirFor("src_html2", d, "documents")
+    // "src_html3": layout version key — r12 added the lang attribute
+    // (the `pipe_web` chain recovers declared language from the page);
+    // r16 split the staging into a corpus-derived FILE COUNT: the
+    // single text file the docs scan produced (documents.parquet is one
+    // row group at gate scale) capped the boilerplate-extraction head of
+    // `pipe_web`/`text_extract` at the source's task count, and
+    // extraction is the CPU-bound stage of the raw-web chain. A real
+    // page store is many objects — file count is the head's
+    // parallelism — floored at the media staging's
+    // [[graft.operators.Multimodal.MediaFileFloor]] (same CPU-bound
+    // rationale), growing with the corpus like the WARC staging's dial.
+    val dir = Fixtures.dirFor("src_html3", d, "documents")
     if (!Fixtures.ready(dir)) {
       val docs = graft.Tables.documents(s, d)
       Fixtures.requireLineSafe(docs, "src_html")
-      docs.select(htmlPage.as("value")).write.mode("overwrite").text(dir)
+      val nFiles = math.max(graft.operators.Multimodal.MediaFileFloor,
+        (docs.count() / 50000L).toInt)
+      docs.select(htmlPage.as("value")).repartition(nFiles)
+        .write.mode("overwrite").text(dir)
     }
     dir
   }

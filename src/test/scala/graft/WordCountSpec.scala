@@ -269,6 +269,31 @@ class WordCountSpec extends SparkSpec {
     assert(levels.find(_._1 == 0L).get._2 == 1L, "exactly one seed")
   }
 
+  test("graph base (r16 one-scan tokenPairs): empty/1-word docs, self-pairs, unicode, seed ties") {
+    val s = spark
+    import s.implicits._
+    // the r16 single-scan derivation pads each doc's LAST token with a
+    // NULL successor — these docs hit every boundary: empty text (no
+    // rows), single word (one (w, null) row — vocabulary member, no
+    // edge), an adjacent self-pair "c c" (vocab count 2, edge dropped),
+    // and a multibyte token (regex \p{L} keeps it whole)
+    val d = Seq((1L, "x"), (2L, "a b a"), (3L, ""), (4L, "c c"), (5L, "a ü a"))
+      .toDF("doc_id", "text")
+    // bfs: most frequent word is a (4) → seed; b and ü are its
+    // neighbors; x and c have no edges → hop −1
+    val r = WordCount.bfs(d)
+      .as[(Long, Long, String, String)].collect().map(t => t._1 -> t).toMap
+    assert(r(0L) == ((0L, 1L, "a", "a")), r.toString)
+    assert(r(1L) == ((1L, 2L, "b", "ü")), r.toString)
+    assert(r(-1L) == ((-1L, 2L, "c", "x")), r.toString)
+    // cc: isolated vocabulary members (x, c — c's only pair is the
+    // dropped self-pair) are their own components
+    val cc = WordCount.components(d).as[(String, Long, String, String)]
+      .collect().toSet
+    assert(cc == Set(("a", 3L, "a", "ü"), ("c", 1L, "c", "c"), ("x", 1L, "x", "x")),
+      cc.toString)
+  }
+
   test("kcore: cascade peel — pendant then its support; the 4-clique survives at degree 3") {
     val s = spark
     import s.implicits._
