@@ -16,6 +16,29 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Parallelism floor for a CPU-DOMINANT map stage (r16; guide §2.5
+    * "input skew — unsplittable input: repartition immediately after
+    * the read"). The bench-scale tables are ONE parquet row group each,
+    * and a row group is one scan task no matter the session's cores —
+    * so a map stage rooted at such a scan runs serially until its first
+    * exchange. Where that stage is heavy per-row compute (the MinHash
+    * shingle+signature pass, the PII regex bank, the language-marker
+    * argmax), one deterministic round-robin exchange spreads the work
+    * across the session and wins multiples; where the scan's work is
+    * cheap (plain counts, one md5, projections) the exchange costs more
+    * than it buys (measured: dedup_exact +0.5 s, the pipeline's
+    * per-stage counts +0.2 s each) — so this is applied PER OPERATOR as
+    * a measured decision, never table-wide. No-op whenever the input
+    * already plans at least the session's parallelism (any production
+    * layout, the ×1000 ladder tables) or the frame is mid-pipeline
+    * (already exchanged/cached at session width). Results are
+    * partitioning-independent everywhere by construction (the
+    * two-phase-rank contract); the full oracle gate re-proves it. */
+  def cpuFloored(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")

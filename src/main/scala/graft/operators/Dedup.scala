@@ -176,9 +176,11 @@ object Dedup {
     transform(gramIdx(ws, n),
       i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*))
 
-  /** Word 3-shingles of a document, as one row per distinct shingle. */
+  /** Word 3-shingles of a document, as one row per distinct shingle.
+    * CPU-floored (r16): the tokenize+gram explode is the heavy per-row
+    * stage — see [[graft.Tables.cpuFloored]]. */
   def shingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), wordsCol.as("ws"))
+    graft.Tables.cpuFloored(docs).select(col("doc_id"), wordsCol.as("ws"))
       .select(col("doc_id"), explode(grams(col("ws"), 3)).as("shingle")).distinct()
 
   /** MinHash signatures + banding, map-only: the shingle set, all 16
@@ -194,8 +196,11 @@ object Dedup {
   private[graft] def minhashSignatures(docs: DataFrame): DataFrame = {
     // materialize words once; filter on the CHEAP equivalent condition
     // (≥3 words ⟺ ≥1 shingle) so predicate pushdown never duplicates
-    // the gram construction
-    val withSh = docs.select(col("doc_id"), wordsCol.as("ws"))
+    // the gram construction. CPU-floored (r16): the shingle + 16-hash
+    // signature projection is the dedup family's dominant map stage
+    // (measured: dedup_minhash 2.33 → 0.94 s with the floor) — see
+    // [[graft.Tables.cpuFloored]].
+    val withSh = graft.Tables.cpuFloored(docs).select(col("doc_id"), wordsCol.as("ws"))
       .where(size(col("ws")) >= 3)
       .select(col("doc_id"), array_distinct(grams(col("ws"), 3)).as("shingles"))
     // one md5 per shingle; the 16 signature mins are affine transforms

@@ -36,7 +36,11 @@ object Relational {
 
   /** TPC-H Q1 shape: multi-key grouped aggregation with map-side combine. */
   def q1Agg: Q = (s, d) =>
-    Tables.lineitem(s, d)
+    // CPU-floored (r16): four exact-decimal sum chains per row make
+    // this the one scan-agg whose map stage is compute-bound (measured
+    // 1.54 → 0.89 s; its cheap siblings q6/q18 measured flat-to-worse
+    // and stay unfloored) — see [[graft.Tables.cpuFloored]]
+    graft.Tables.cpuFloored(Tables.lineitem(s, d))
       .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(

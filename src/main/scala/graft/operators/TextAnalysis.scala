@@ -60,7 +60,10 @@ object TextAnalysis {
   /** Heuristic language ID: argmax marker-hit count, fixed precedence
     * en>de>es>fr>zh on ties, 'und' when nothing matches. */
   def langId(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), langPredCol.as("pred_lang"), col("lang"),
+    // CPU-floored (r16): five marker-count filters over the token array
+    // per row (measured 1.35 → 0.73 s) — see [[graft.Tables.cpuFloored]]
+    graft.Tables.cpuFloored(docs)
+      .select(col("doc_id"), langPredCol.as("pred_lang"), col("lang"),
         langAgreeCol.cast("long").as("agree"))
       .orderBy("doc_id")
 
@@ -398,8 +401,11 @@ object TextAnalysis {
     * the redactor's own completeness), and md5+length of the cleaned
     * text (a single surviving digit anywhere breaks the hash). */
   def piiRedact(docs: DataFrame): DataFrame = {
+    // CPU-floored (r16): the staged regex bank is the whole cost of
+    // this map-only key (measured 1.78 → 0.64 s) — see
+    // [[graft.Tables.cpuFloored]]
     val staged = PiiPatterns.zipWithIndex.foldLeft(
-        docs.select(col("doc_id"), piiInjected.as("s0"))) {
+        graft.Tables.cpuFloored(docs).select(col("doc_id"), piiInjected.as("s0"))) {
       case (df, ((name, pat, mask), i)) =>
         df.withColumn(s"n_$name", regexp_count(col(s"s$i"), lit(pat)).cast("long"))
           .withColumn(s"s${i + 1}", regexp_replace(col(s"s$i"), pat, mask))
