@@ -139,7 +139,9 @@ object TextAnalysis {
     val rolling = aggregate(
       transform(ws, w => conv(substring(md5(concat(lit("rl:"), w)), 1, 8), 16, 10).cast("long")),
       lit(0L), (acc, x) => (acc * RollBase + x) % RollP)
-    docs.select(
+    // CPU-floored (r16): per-word md5 + rolling-hash fold per row —
+    // see [[graft.Tables.cpuFloored]]
+    graft.Tables.cpuFloored(docs).select(
         col("doc_id"),
         md5(col("text")).as("fp_content"),
         md5(array_join(array_sort(ws), " ")).as("fp_shape"),
@@ -848,7 +850,9 @@ object TextAnalysis {
     * which folds exactly this frame per micro-batch. */
   private[graft] def curriculumKeys(docs: DataFrame): DataFrame = {
     val q = qualityScoreCol
-    docs.select(col("doc_id"),
+    // CPU-floored (r16): the quality-score expression tokenizes every
+    // row — see [[graft.Tables.cpuFloored]]
+    graft.Tables.cpuFloored(docs).select(col("doc_id"),
       when(q >= CurriculumHi, 0L).when(q >= QualityMin, 1L).otherwise(2L).as("phase"),
       Dedup.h32(lit("shard"), col("doc_id").cast("string")).as("k"))
   }
