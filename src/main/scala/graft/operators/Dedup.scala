@@ -884,7 +884,11 @@ object Dedup {
     * back to the words table for the span hash (broadcast). */
   def longestSpans(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dw = docs.select(col("doc_id"), wordsCol.as("ws")).persist()
+    // CPU-floored (r16): the cached words frame otherwise inherits the
+    // scan's single partition, serializing the positional-gram + md5
+    // pass that dominates this key — see [[graft.Tables.cpuFloored]]
+    val dw = graft.Tables.cpuFloored(docs)
+      .select(col("doc_id"), wordsCol.as("ws")).persist()
     val pg = dw
       .select(col("doc_id"), posexplode(grams(col("ws"), SpanK)).as(Seq("p0", "g")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), md5(col("g")).as("gh"))
@@ -952,7 +956,9 @@ object Dedup {
     * aggregate. No windows anywhere — this is the C4/ExactSubstr pass
     * shape at 100 TB. */
   def spanDedup(docs: DataFrame): DataFrame = {
-    val dw = docs.select(col("doc_id"), wordsCol.as("ws")).persist()
+    // CPU-floored — the longestSpans rationale
+    val dw = graft.Tables.cpuFloored(docs)
+      .select(col("doc_id"), wordsCol.as("ws")).persist()
     val pg = dw
       .select(col("doc_id"), posexplode(grams(col("ws"), SpanK)).as(Seq("p0", "g")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), md5(col("g")).as("gh"))
