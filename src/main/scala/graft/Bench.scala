@@ -226,7 +226,14 @@ object Bench {
         .flatMap { case (n, _) => standaloneSec(n).map(n -> _) }
 
     def jstr(s: String) = "\"" + s + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // 4-decimal seconds (r17, VERDICT r16 #2): r15's round file lost its
+    // whole per-query comparison because the driver's capture truncated
+    // the bench line and the queries block sat in the cut prefix. 0.1 ms
+    // resolution loses nothing a min-of-2 wall can claim, and it roughly
+    // halves the line. Timing methodology unchanged — only the printed
+    // precision.
+    def d4(v: Double): Double = math.round(v * 10000.0) / 10000.0
+    val qs = results.map { case (k, v) => s"${jstr(k)}:${d4(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // PROVENANCE (r15, VERDICT r14 "What's wrong #2"): every bench line
@@ -276,16 +283,24 @@ object Bench {
             // Double.toString is locale-independent (an f"%.3f" is not —
             // a comma-decimal locale would emit invalid JSON)
             val ratio = if (p > 0) math.round(now / p * 1000.0) / 1000.0 else -1.0
-            s"${jstr(k)}:{${jstr("prev")}:$p,${jstr("now")}:$now,${jstr("ratio")}:$ratio}"
+            s"${jstr(k)}:{${jstr("prev")}:${d4(p)},${jstr("now")}:${d4(now)},${jstr("ratio")}:$ratio}"
           }
         }.mkString("{", ",", "}")
     }
     val prevName = prev.map(p => jstr(p._1)).getOrElse("null")
-    val ss = standalone.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val ss = standalone.map { case (k, v) => s"${jstr(k)}:${d4(v)}" }.mkString("{", ",", "}")
     val proto = curProto.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
+    // field order is part of the capture contract (r17, VERDICT r16 #2):
+    // the r15 round file was FRONT-truncated — the capture kept the tail
+    // of the line and the queries block, which then led, was cut, killing
+    // the whole round-over-round comparison. The per-query timings now sit
+    // LAST (just before sf), so a front-truncated capture still carries
+    // them; deltas/standalone are derivable extras and ride in front. JSON
+    // field order is semantically irrelevant, so an untruncated parse is
+    // unchanged.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"standalone":$ss,"prev_bench":$prevName,"delta_note":${jstr(deltaNote)},"deltas":$ds,"protocol":$proto,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${d4(total)},"unit":"sec","errors":$es,"standalone":$ss,"prev_bench":$prevName,"delta_note":${jstr(deltaNote)},"deltas":$ds,"protocol":$proto,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     Files.write(Paths.get("BENCH_LOCAL.json"), line.getBytes(StandardCharsets.UTF_8))
     if (errors.nonEmpty)

@@ -105,9 +105,14 @@ object Dials {
 
   /** Whether the band-sequential loops should drive the inter-band GC:
     * local master (it is this JVM's scratch disk) AND a corpus big
-    * enough that band shuffle files actually pressure it. Uninitialized
-    * (unit specs) → false, matching the spec corpora's size. */
-  def bandGcNeeded: Boolean = nDocs.exists(_ >= BandGcMinDocs)
+    * enough that band shuffle files actually pressure it. UNKNOWN corpus
+    * size (a library caller invoking the banded dedups without [[init]])
+    * FAILS OPEN (r17, ADVICE r16): the GC is the safety valve against
+    * the r12 ~53 GB scratch overrun, and a multi-million-doc direct
+    * caller must not silently lose it — the cost of a spurious GC on a
+    * small uninitialized corpus is milliseconds. The mains always init,
+    * so gate/bench behavior is unchanged. */
+  def bandGcNeeded: Boolean = nDocs.forall(_ >= BandGcMinDocs)
 
   /** The recorded sf dir — lets oracle builders locate fixture paths
     * (e.g. the persisted IVF codebook) for the corpus under test. */

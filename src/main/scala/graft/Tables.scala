@@ -33,7 +33,15 @@ object Tables {
     * layout, the ×1000 ladder tables) or the frame is mid-pipeline
     * (already exchanged/cached at session width). Results are
     * partitioning-independent everywhere by construction (the
-    * two-phase-rank contract); the full oracle gate re-proves it. */
+    * two-phase-rank contract); the full oracle gate re-proves it.
+    *
+    * INPUT CONTRACT (r17, ADVICE r16): call this on SCAN-ROOTED frames
+    * only (a read + row-local projections/filters). The probe below
+    * forces `df.rdd`, and under AQE a frame with upstream EXCHANGES
+    * resolves its final plan by eagerly RUNNING those shuffle stages —
+    * silent execution at plan-build time. Every current call site is a
+    * raw table/fixture scan; a mid-pipeline frame is already exchanged
+    * at session width and needs no floor anyway. */
   def cpuFloored(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)

@@ -121,13 +121,23 @@ object Dedup {
     * the [[exact]] shape (map-side-combinable groupBy + join back —
     * never a URL-keyed window; hot keys are the POINT of this operator,
     * a boilerplate URL fetched 10⁸ times collapses in the combiner).
-    * Returns the survivors with the input's columns. */
+    * Returns the survivors with the input's columns.
+    *
+    * The DECISION runs on a skinny projection and survivors re-attach
+    * by doc_id (r17; guide §8 "make every shuffle but the last operate
+    * on a lightweight proxy"): the previous form joined the full frame
+    * back ON THE CANONICAL-URL STRING, so the record PAYLOADS (the
+    * WARC response bodies in `pipe_warc`) rode a string-keyed exchange
+    * and the canonicalizer's regex bank ran twice (both unpersisted
+    * references). Now canonicalization runs once over (doc_id, url),
+    * only ids cross the decision shuffle, and the id-keyed survivor
+    * join is the exact shape the payload frame joins everywhere else. */
   def urlFirst(docs: DataFrame): DataFrame = {
-    val canon = docs.withColumn("g_canon", canonicalUrl(col("url")))
-    val keep = canon.groupBy("g_canon").agg(min("doc_id").as("g_keep"))
-    canon.join(keep, Seq("g_canon"))
-      .where(col("doc_id") === col("g_keep"))
-      .select(docs.columns.map(col).toIndexedSeq: _*)
+    val keep = docs
+      .select(col("doc_id"), canonicalUrl(col("url")).as("g_canon"))
+      .groupBy("g_canon").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    docs.join(keep, Seq("doc_id"), "left_semi")
   }
 
   /** The `dedup_url` gate frame: every doc with its raw URL, canonical

@@ -1564,9 +1564,21 @@ object Similarity {
       var front = entryB.pinned
       for (_ <- 1 to rounds) {
         // no `.distinct()` here (r16): the dedup runs inside rerank on
-        // the join's own exchange — see the rerank scaladoc
+        // the join's own exchange — see the rerank scaladoc.
+        // The beam side BROADCASTS explicitly (r17, VERDICT r16 #5): the
+        // checkpointed frontier is an ExistingRDD with NO size stats, so
+        // the planner never auto-broadcast it and every round fell to a
+        // sort-merge join that re-exchanged AND re-sorted BOTH the beam
+        // and the cached edge frame (the r16 "pre-partitioning doesn't
+        // reach the join" note — the executed-plan evidence is
+        // plans/r17/beam_round_edges_{before,after}.txt). Broadcast is
+        // bounded BY CONSTRUCTION: the query-band dial caps per-round
+        // candidates at [[graft.Dials.TraversalBandCandRows]], so the
+        // frontier is ≤ that/(2·degree+1) ≈ 2.5 M (query_id, cand_id)
+        // pairs ≈ tens of MB at ANY tier — and the edge side now joins
+        // IN PLACE: zero per-round edge exchange, zero sorts.
         val expanded = front.unionAll(
-            front.join(ge, front("cand_id") === ge("src"))
+            broadcast(front).join(ge, front("cand_id") === ge("src"))
               .select(front("query_id"), col("dst").as("cand_id")))
         val next = rerank(expanded, qvb, beam, dedup = true)
           .select("query_id", "cand_id")
@@ -1833,24 +1845,6 @@ object Similarity {
   private def readPqCodebook(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(dir).select(col("m"), col("cent_id"), vec(col("cv")).as("cv"))
 
-  /** PQ ENCODE: every vector → [[PqM]] codes, each the nearest
-    * sub-centroid of its slice (cosine, cent_id tie-break) — the
-    * 64-dim float vector compresses to 4 small ints (≈64× less memory,
-    * the reason PQ is how billion-vector indexes fit in RAM). Skinny
-    * (vec_id, m, code) triples are all that ever shuffles. */
-  private def pqEncode(em: DataFrame, cents: DataFrame): DataFrame = {
-    graft.plans.GraftFunctions.register(em.sparkSession)
-    val subs = em.select(col("vec_id"), posexplode(
-        array((0 until PqM).map(m =>
-          slice(vec(col("embedding")), m * PqSub + 1, PqSub)): _*)).as(Seq("m", "vm")))
-      .select(col("vec_id"), col("m").cast("long").as("m"), col("vm"))
-    val w = Window.partitionBy("vec_id", "m").orderBy(col("scos").desc, col("cent_id"))
-    subs.join(broadcast(cents), "m")
-      .select(col("vec_id"), col("m"), col("cent_id"),
-        cosine(col("vm"), col("cv")).as("scos"))
-      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("cent_id").as("code"))
-  }
 
   /** `ann_pq`: IVFPQ — PRODUCT-QUANTIZED ANN (Jégou et al. 2011) with
     * symmetric-distance (SDC) scoring over INVERTED-FILE candidates:
@@ -1918,14 +1912,35 @@ object Similarity {
     * refine). Score is the fixed-order 4-term sum of 6dp-rounded LUT
     * entries: bit-identical in both engines, so every downstream cut
     * ranks identically too. */
-  /** One row per vector with its [[PqM]] codes as columns c0..c3 —
-    * the compressed corpus representation the SDC stages join against.
-    * Shared by [[pqScores]] and the PQ-scored traversal
-    * ([[graphSearchPqWith]]). */
+  /** PQ ENCODE, wide: one row per vector with its [[PqM]] codes as
+    * columns c0..c3 — each code the nearest sub-centroid of its slice
+    * (cosine, cent_id tie-break); the 64-dim float vector compresses to
+    * 4 small ints (≈64× less memory, the reason PQ is how
+    * billion-vector indexes fit in RAM). Shared by [[pqScores]] and the
+    * PQ-scored traversal ([[graphSearchPqWith]]).
+    *
+    * ONE map-side-combinable aggregate (r17): the per-slice argmax is
+    * `max(when(m = k, struct(scos, -cent_id)))` per code column —
+    * lexicographic struct max = highest scos then lowest cent_id, the
+    * previous row_number window's exact (scos desc, cent_id) order —
+    * so the n·M·Ks scored stream collapses in the combiner and a
+    * single vec_id exchange carries n wide rows. The window form this
+    * replaces exchanged and SORTED the full scored stream on
+    * (vec_id, m) first, then aggregated wide behind a second
+    * exchange. */
   private def pqWideCodes(em: DataFrame, cents: DataFrame): DataFrame = {
-    val codes = pqEncode(em, cents)
-    val wideAggs = (0 until PqM).map(m => max(when(col("m") === m, col("code"))).as(s"c$m"))
-    codes.groupBy("vec_id").agg(wideAggs.head, wideAggs.tail: _*)
+    graft.plans.GraftFunctions.register(em.sparkSession)
+    val subs = em.select(col("vec_id"), posexplode(
+        array((0 until PqM).map(m =>
+          slice(vec(col("embedding")), m * PqSub + 1, PqSub)): _*)).as(Seq("m", "vm")))
+      .select(col("vec_id"), col("m").cast("long").as("m"), col("vm"))
+    val scored = subs.join(broadcast(cents), "m")
+      .select(col("vec_id"), col("m"), col("cent_id"),
+        cosine(col("vm"), col("cv")).as("scos"))
+    val wideAggs = (0 until PqM).map(m =>
+      (-max(when(col("m") === m, struct(col("scos"), (-col("cent_id")).as("nc"))))
+        .getField("nc")).as(s"c$m"))
+    scored.groupBy("vec_id").agg(wideAggs.head, wideAggs.tail: _*)
   }
 
   /** The O(M·Ks²) centroid-pair lookup table (m, ca, cb, l) with each
@@ -1936,26 +1951,73 @@ object Similarity {
       .select(col("m"), col("ca"), col("cb"),
         round(cosine(col("cva"), col("cvb")), 6).as("l"))
 
+  /** [[pqLut]] COLLECTED into per-subspace driver arrays (r17, VERDICT
+    * r16 #4): per m, the sorted centroid ids (cent_ids are seed vec_ids,
+    * not dense — the sort position is the dense rank) and the LUT
+    * flattened row-major by rank. O(M·Ks²) ≤ 1024 doubles — the same
+    * rows every use site already collected through `broadcast(pqLut)`,
+    * now shipped as LITERALS so each SDC score is 4 whole-stage-codegen
+    * array lookups + 3 adds instead of FOUR BroadcastHashJoins per
+    * candidate frame (per traversal ROUND on the PQ walk). Entry values
+    * are [[pqLut]]'s own 6dp-rounded doubles, summed in the same fixed
+    * order — scores stay bit-identical. */
+  private def sdcLutArrays(cents: DataFrame): (Array[Array[Long]], Array[Array[Double]]) = {
+    val rows = pqLut(cents).collect()
+    val ids = Array.tabulate(PqM) { m =>
+      rows.filter(_.getLong(0) == m).map(_.getLong(1)).distinct.sorted
+    }
+    val luts = Array.tabulate(PqM) { m =>
+      val idx = ids(m).zipWithIndex.toMap
+      val ks = ids(m).length
+      val flat = new Array[Double](ks * ks)
+      rows.filter(_.getLong(0) == m).foreach { r =>
+        flat(idx(r.getLong(1)) * ks + idx(r.getLong(2))) = r.getDouble(3)
+      }
+      flat
+    }
+    (ids, luts)
+  }
+
+  /** Dense rank of a cent_id code column within `ids` (sorted) — a
+    * ≤[[PqKs]]-arm when-chain, codegen-friendly; codes are assigned from
+    * the same codebook, so the chain is total over real inputs. */
+  private def denseCode(ids: Array[Long], c: Column): Column =
+    ids.zipWithIndex.tail.foldLeft(when(c === ids.head, lit(0))) {
+      case (acc, (id, i)) => acc.when(c === id, lit(i))
+    }
+
+  /** The fixed-order 4-term SDC sum over DENSE-coded columns: per m,
+    * one literal-array lookup l_m = lut_m[q_m·ks_m + c_m], summed
+    * l0+l1+l2+l3 — the exact operands and order of the join form. */
+  private def sdcScore(luts: Array[Array[Double]], ks: Array[Int],
+                       q: Int => Column, c: Int => Column): Column =
+    (0 until PqM).map { m =>
+      element_at(typedlit(luts(m).toSeq), (q(m) * ks(m) + c(m) + 1).cast("int"))
+    }.reduce(_ + _)
+
   private def pqScores(em: DataFrame, cents0: DataFrame, cand: DataFrame): DataFrame = {
     // exact float→double widening, whether cents come from the persisted
     // fixture or straight from the trainer
     val cents = cents0.select(col("m"), col("cent_id"), vec(col("cv")).as("cv"))
     val wide = pqWideCodes(em, cents)
-    val lut = broadcast(pqLut(cents))
+    // DENSE codes + literal LUT (r17, VERDICT r16 #4): the four
+    // per-subspace lookups were four BroadcastHashJoins over the scored
+    // pair frame; they are now one when-chain rank per code column and
+    // four literal-array lookups inside the projection — same 6dp
+    // operands, same fixed-order sum, zero extra plan nodes.
+    val (ids, luts) = sdcLutArrays(cents)
+    val ks = ids.map(_.length)
     val qCols = col("vec_id").as("query_id") +:
-      (0 until PqM).map(m => col(s"c$m").as(s"q$m"))
+      (0 until PqM).map(m => denseCode(ids(m), col(s"c$m")).as(s"q$m"))
     val q = wide.where(col("vec_id") % QueryStride === 0).select(qCols: _*)
+    val xCols = col("vec_id").as("neighbor_id") +:
+      (0 until PqM).map(m => denseCode(ids(m), col(s"c$m")).as(s"c$m"))
     // query codes broadcast; the neighbor-side join shuffles only the
     // skinny (query_id, neighbor_id) + 4-code rows
-    var pairs = cand.join(broadcast(q), "query_id")
-      .join(wide.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
-    for (m <- 0 until PqM)
-      pairs = pairs.join(
-        broadcast(lut.where(col("m") === m)
-          .select(col("ca").as(s"qa$m"), col("cb").as(s"xb$m"), col("l").as(s"l$m"))),
-        col(s"q$m") === col(s"qa$m") && col(s"c$m") === col(s"xb$m"))
-    pairs.select(col("query_id"), col("neighbor_id"),
-      (col("l0") + col("l1") + col("l2") + col("l3")).as("score"))
+    cand.join(broadcast(q), "query_id")
+      .join(wide.select(xCols: _*), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        sdcScore(luts, ks, m => col(s"q$m"), m => col(s"c$m")).as("score"))
   }
 
   /** `ann_pq_rerank`: IVFPQ SHORTLIST + EXACT REFINE — the production
@@ -2051,15 +2113,20 @@ object Similarity {
     val g = nnDescentEdges(em, degree).select(col("vec_id"), col("neighbor_id")).persist()
     val ge = symmetrized(g)
     // the 4-int codes table replaces the fat corpus-vector cache on the
-    // hot round path — hash-partitioned once, like candVecs
+    // hot round path — hash-partitioned once, like candVecs. Codes are
+    // cached DENSE (r17, VERDICT r16 #4: the when-chain rank runs once
+    // at cache build), so every round's SDC score is four literal-array
+    // lookups in the projection instead of four BroadcastHashJoins.
     val wide = pqWideCodes(em, cents)
-    val cwide = wide.withColumnRenamed("vec_id", "cand_id")
+    val (sdcIds, sdcLuts) = sdcLutArrays(cents)
+    val sdcKs = sdcIds.map(_.length)
+    val cwide = wide.select(col("vec_id").as("cand_id") +:
+        (0 until PqM).map(m => denseCode(sdcIds(m), col(s"c$m")).as(s"c$m")): _*)
       .repartition(col("cand_id")).persist()
     val qwide = wide.where(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("query_id") +:
-        (0 until PqM).map(m => col(s"c$m").as(s"q$m")): _*)
+        (0 until PqM).map(m => denseCode(sdcIds(m), col(s"c$m")).as(s"q$m")): _*)
       .persist()
-    val lut = pqLut(cents)
     val qv = corpusVecs(em).where(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
       .persist()
@@ -2070,14 +2137,10 @@ object Similarity {
         graft.Dials.vectorCount.map(_ / QueryStride).getOrElse(0L), beam, degree)
     def rerankSdc(cand: DataFrame, qwb: DataFrame, k: Int,
                   dedup: Boolean = false): DataFrame = {
-      var pairs = cand.join(cwide.hint("SHUFFLE_HASH"), "cand_id")
+      val scored = cand.join(cwide.hint("SHUFFLE_HASH"), "cand_id")
         .join(broadcast(qwb), "query_id")
-      for (m <- 0 until PqM)
-        pairs = pairs.join(broadcast(lut.where(col("m") === m)
-            .select(col("ca").as(s"qa$m"), col("cb").as(s"xb$m"), col("l").as(s"l$m"))),
-          col(s"q$m") === col(s"qa$m") && col(s"c$m") === col(s"xb$m"))
-      val scored = pairs.select(col("query_id"), col("cand_id"),
-        (col("l0") + col("l1") + col("l2") + col("l3")).as("score"))
+        .select(col("query_id"), col("cand_id"),
+          sdcScore(sdcLuts, sdcKs, m => col(s"q$m"), m => col(s"c$m")).as("score"))
       // same exchange-fusion as the exact path's rerank (r16): the
       // (query_id, cand_id) dedup rides the cand_id join exchange —
       // the SDC score is a pure function of (query_id, cand_id), so
@@ -2105,9 +2168,11 @@ object Similarity {
              sortOut: Boolean): DataFrame = {
       var front = entryB.pinned
       for (_ <- 1 to rounds) {
-        // dedup rides the join exchange — see the exact path's rerank
+        // dedup rides the join exchange — see the exact path's rerank;
+        // beam side broadcast for the same stats-blindness reason as
+        // the exact walk (bounded by the band dial's candidate cap)
         val expanded = front.unionAll(
-            front.join(ge, front("cand_id") === ge("src"))
+            broadcast(front).join(ge, front("cand_id") === ge("src"))
               .select(front("query_id"), col("dst").as("cand_id")))
         val next = rerankSdc(expanded, qwb, beam, dedup = true)
           .select("query_id", "cand_id")

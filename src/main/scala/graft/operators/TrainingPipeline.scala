@@ -68,6 +68,14 @@ object TrainingPipeline {
       .withColumn("g_lang_ok", TextAnalysis.langAgreeCol)
       .withColumn("g_qual_ok", TextAnalysis.qualityScoreCol >= QualityMin)
       .persist()
+    // register for [[release]]; prune entries a session-level
+    // releaseAll already dropped so the registry stays bounded by the
+    // in-flight builds, never the session's query history
+    flaggedCaches.synchronized {
+      flaggedCaches.filterInPlace(
+        _.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      flaggedCaches += flagged
+    }
     val docCols = docs.columns.map(col).toSeq
     val s1 = flagged.where(col("g_lang_ok")).select(docCols: _*)
     val s2 = flagged.where(col("g_lang_ok") && col("g_qual_ok"))
@@ -118,12 +126,28 @@ object TrainingPipeline {
         min("doc_id").as("d_min"), max("doc_id").as("d_max"))
       .orderBy("shard_id")
 
-  /** Release a finished [[stages]] result's persisted intermediates.
-    * Unpersisting a never-persisted frame is a no-op, so this is safe on
-    * every stage; the clustering loop's internal caches are session-
-    * tracked and fall to [[graft.Cleanup.releaseAll]]. */
-  def release(st: Seq[(String, DataFrame)]): Unit =
+  /** Release a finished [[stages]] result's persisted intermediates —
+    * including the corpus-sized FLAGGED cache behind s1/s2 (r17, ADVICE
+    * r16: it is not one of the returned stage frames, so a release that
+    * only unpersisted those leaked one full-corpus cache per build in a
+    * long-lived session composing several builds). Each stages() call
+    * registers its flagged frame here; release drops every registered
+    * one (builds release between compositions, so the registry never
+    * grows past the in-flight builds). Unpersisting a never-persisted
+    * frame is a no-op, so this is safe on every stage; the clustering
+    * loop's internal caches are session-tracked and fall to
+    * [[graft.Cleanup.releaseAll]]. */
+  def release(st: Seq[(String, DataFrame)]): Unit = {
     st.foreach { case (_, df) => df.unpersist() }
+    flaggedCaches.synchronized {
+      flaggedCaches.foreach(_.unpersist())
+      flaggedCaches.clear()
+    }
+  }
+
+  /** The flagged frames persisted by in-flight [[stages]] compositions —
+    * see [[release]]. */
+  private val flaggedCaches = scala.collection.mutable.ArrayBuffer[DataFrame]()
 
   /** Per-stage survivor counts — the driver-checked contract. */
   def summary(docs: DataFrame): DataFrame =

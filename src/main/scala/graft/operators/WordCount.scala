@@ -759,6 +759,17 @@ object WordCount {
     * [[lpa]] cache-boundary rule). The oracle unrolls the identical
     * rounds as CTEs. */
   def kcore(docs: DataFrame): DataFrame = {
+    // DELIBERATELY NOT the r16 single-scan base (r17, VERDICT r16 #5,
+    // measured): the symmetrize union's two branches DO each re-derive
+    // the tokenization from `docs`, but kcore has no vocabulary
+    // consumer, so fixing that means caching the pair frame itself —
+    // and both cached variants measured WORSE than the second regex
+    // pass at bench scale (min-of-3 adjacent A/B: 3.94 s as-is,
+    // 4.39 s with tokenPairs persisted, 4.54 s with the adjacent-pair
+    // frame persisted — the cache write out-costs the saved scan).
+    // The r16 base stays where the vocab consumer ALSO needs the frame
+    // (bfs/bfs_rec/sssp/lpa/cc); here the duplicate scan is the
+    // measured-cheaper shape, and the first exchange bounds it.
     val ws = filter(split(col("text"), TokenRe), w => w =!= "")
     val n1 = greatest(size(ws) - 1, lit(0))
     val und = docs.select(explode(zip_with(

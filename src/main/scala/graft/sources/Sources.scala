@@ -564,9 +564,25 @@ object Sources {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       s.sparkContext.hadoopConfiguration)
     val bconf = s.sparkContext.broadcast(conf)
-    s.read.format("binaryFile").load(dir)
+    val files = s.read.format("binaryFile").load(dir)
       .where(col("path").endsWith(".warc") || col("path").endsWith(".warc.gz"))
       .select(col("path")).as[String]
+    // SPREAD THE PATH LIST (r17; guide §2.5 "unsplittable input:
+    // repartition immediately after the read"): the binaryFile scan
+    // PACKS small files into FilePartitions by maxPartitionBytes — the
+    // gate-scale staging (8 × ~0.5 MB) planned as a SINGLE task, so the
+    // framed parse, the chain's CPU stage, ran serially on a 32-core
+    // session. Round-robin over the path list (a row per file —
+    // metadata strings, never payload bytes) spreads the streams across
+    // the session. NO-OP whenever the scan already plans at least the
+    // session's parallelism (production file counts — thousands of
+    // ~1 GB unsplittable segments — plan one file per task), the
+    // cpuFloored discipline.
+    val target = s.sparkContext.defaultParallelism
+    val spread =
+      if (files.rdd.getNumPartitions >= target) files
+      else files.repartition(target)
+    spread
       .mapPartitions { paths =>
         paths.flatMap { p =>
           val uri = new java.net.URI(p)

@@ -21,8 +21,12 @@ class PlanShapeSpec extends SparkSpec {
     * so the map-only contract ("no keyed data movement before the
     * boundary sort") deliberately does not count it. */
   private def keyedExchanges(p: String): Int =
+    // both patterns line-anchored identically (r17, ADVICE r16): an
+    // unanchored subtraction also matched ReusedExchange lines that
+    // PRINT ', Exchange RoundRobinPartitioning(...)' inline, so the
+    // count over-subtracted and could mask a real keyed exchange
     "(?m)^\\s*[+:*-]*\\s*Exchange ".r.findAllIn(p).length -
-      "Exchange RoundRobinPartitioning".r.findAllIn(p).length
+      "(?m)^\\s*[+:*-]*\\s*Exchange RoundRobinPartitioning".r.findAllIn(p).length
 
   test("no query in the suite plans a CartesianProduct") {
     // BroadcastNestedLoopJoin against a tiny broadcast side is the
