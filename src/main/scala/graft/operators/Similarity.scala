@@ -1193,8 +1193,15 @@ object Similarity {
         .select(col("vec_id"), col("neighbor_id"), cosine(col("v"), col("nv")).as("cos"))
     if (bands <= 1) {
       // the fat frame exists ONLY on this single-pass path (gate/×100
-      // tiers) — the banded path below never materializes it
+      // tiers) — the banded path below never materializes it.
+      // MATERIALIZED EAGERLY before the fan-out (r17, VERDICT r16 #9):
+      // three consumers (direct, reverse, both 2-hop sides) read this
+      // cache inside ONE job, and a lazily-filled cache lets their
+      // tasks RACE on cold partitions — each racer re-runs the two
+      // hash joins for the partition it loses. One count serializes
+      // the fill; every branch then reads warm blocks.
       val gv = mkGv.persist()
+      gv.count()
       val direct = gv.select(col("vec_id"), col("neighbor_id"),
         cosine(col("v"), col("nv")).as("cos"))
       val rev = gv.select(col("neighbor_id").as("vec_id"),
@@ -1317,6 +1324,10 @@ object Similarity {
       .topKPerKey(scored, "vec_id", "cos", "neighbor_id", L, "crank")
       .select(col("vec_id"), col("neighbor_id"), col("cos"), col("crank"))
       .persist()
+    // eager fill (r17): three consumers in one job (both occlusion-pair
+    // sides + the final keep) would otherwise race cold partitions and
+    // re-run the full candidate re-rank per loser — the gv rule above
+    topl.count()
     // the candidate VECTOR attaches to the L-bounded topl ONCE (n·L fat
     // rows), and the occlusion pairs come from a self-join on vec_id
     // whose cosine evaluates in the projection RIGHT AFTER the join —
