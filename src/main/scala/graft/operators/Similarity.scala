@@ -1623,9 +1623,18 @@ object Similarity {
         // exchange, not the sum
         System.gc()
         val t0 = System.nanoTime()
-        val qvb = qv.where(pmod(col("query_id"), lit(bands)) === lit(b))
+        // band on a HASH of the query id, not the id itself (r17,
+        // found ON the ×1000 ladder run): query ids are multiples of
+        // QueryStride, so `pmod(query_id, bands)` only populates the
+        // residues divisible by gcd(stride, bands) — at stride 50 /
+        // 24 bands HALF the bands ran empty and the populated ones
+        // carried 2× the dial's per-band exchange cap (at gcd 25 it
+        // would be 12×). The guide's synthetic-key rule (§2.5):
+        // derive the slice from a uniform deterministic hash.
+        // Result-identical — bands partition the query set either way.
+        val qvb = qv.where(pmod(xxhash64(col("query_id")), lit(bands)) === lit(b))
         parts :+= walk(
-          entryP.where(pmod(col("query_id"), lit(bands)) === lit(b)),
+          entryP.where(pmod(xxhash64(col("query_id")), lit(bands)) === lit(b)),
           qvb, sortOut = false)
         System.err.println(
           f"[beam] band ${b + 1}/$bands done in ${(System.nanoTime() - t0) / 1e9}%.1f s (beam $beam)")
@@ -2205,9 +2214,10 @@ object Similarity {
           System.gc()
           val t0 = System.nanoTime()
           parts :+= walk(
-            entryP.where(pmod(col("query_id"), lit(bands)) === lit(b)),
-            qwide.where(pmod(col("query_id"), lit(bands)) === lit(b)),
-            qv.where(pmod(col("query_id"), lit(bands)) === lit(b)),
+            // hash-banded — the exact walk's stride-collision note
+            entryP.where(pmod(xxhash64(col("query_id")), lit(bands)) === lit(b)),
+            qwide.where(pmod(xxhash64(col("query_id")), lit(bands)) === lit(b)),
+            qv.where(pmod(xxhash64(col("query_id")), lit(bands)) === lit(b)),
             sortOut = false)
           System.err.println(
             f"[beam-pq] band ${b + 1}/$bands done in ${(System.nanoTime() - t0) / 1e9}%.1f s (beam $beam)")
