@@ -764,9 +764,10 @@ object WordCount {
     // the tokenization from `docs`, but kcore has no vocabulary
     // consumer, so fixing that means caching the pair frame itself —
     // and both cached variants measured WORSE than the second regex
-    // pass at bench scale (min-of-3 adjacent A/B: 3.94 s as-is,
-    // 4.39 s with tokenPairs persisted, 4.54 s with the adjacent-pair
-    // frame persisted — the cache write out-costs the saved scan).
+    // pass at bench scale (isolated min-of-3 adjacent A/B: 3.94 s
+    // as-is vs 4.54 s with the adjacent-pair frame persisted; the
+    // tokenPairs-persisted variant read 3.99–5.20 s across noisier
+    // subset pairs — the cache write out-costs the saved scan).
     // The r16 base stays where the vocab consumer ALSO needs the frame
     // (bfs/bfs_rec/sssp/lpa/cc); here the duplicate scan is the
     // measured-cheaper shape, and the first exchange bounds it.
