@@ -1783,8 +1783,9 @@ object Similarity {
     * Scale: the edge frame is KnnK-bounded (≤ 2kn rows) — orders of
     * magnitude narrower than the vectors, which never enter this
     * operator at all (the graph IS the index); per round one
-    * edge-keyed join + two combiner aggregates + one argmax join, all
-    * id-width; rounds fixed. Composition: knnGraph builds per-cell,
+    * edge-keyed join + two combiner aggregates (counts, then one
+    * struct-max argmax), all id-width; rounds fixed. Composition:
+    * knnGraph builds per-cell,
     * `ann_nn_descent` refines across cells, THIS clusters the result —
     * three gated operators, one shared edge list. */
   def graphClusters(em: DataFrame): DataFrame = {
@@ -1806,9 +1807,14 @@ object Similarity {
       val c = edges.join(labels.select(col("node").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
-      val m = c.groupBy("node").agg(max("cnt").as("mc"))
-      val pick = c.join(m, "node").where(col("cnt") === col("mc"))
-        .groupBy("node").agg(max("label").as("nl"))
+      // argmax in ONE aggregate (r17, the wc_lpa fusion): lexicographic
+      // max over (cnt, label) structs = greatest count, ties by greatest
+      // label — identical pick to the former max + equality-join + max
+      // chain, which re-evaluated the round's edges⋈labels join + count
+      // aggregate once more per round (plan evidence:
+      // plans/r17/ann_graph_cluster_round_{before,after}.txt)
+      val pick = c.groupBy("node")
+        .agg(max(struct(col("cnt"), col("label"))).getField("label").as("nl"))
       val prev = labels
       // pin each round's label frame (r16): `c` is referenced twice
       // (its own max + the argmax join) and round k's labels three
@@ -1816,9 +1822,13 @@ object Similarity {
       // several times inside round k's plan — the wc_lpa per-round
       // cache rule, applied here with localCheckpoint (one materialize,
       // lineage truncated, superseded round's blocks freed eagerly)
-      labels = prev.join(pick, Seq("node"), "left")
+      val next = prev.join(pick, Seq("node"), "left")
         .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
-        .pinned
+      labels = next.pinned
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN_ROUND")) {
+        System.err.println("[lpa] round label plan (post-execution):")
+        System.err.println(next.queryExecution.executedPlan.toString)
+      }
       graft.Cleanup.freeCheckpoint(prev) // no-op on round 0's lazy frame
     }
     // checkpoint the 20-row result, then release the edge caches — same

@@ -899,8 +899,8 @@ object WordCount {
     *
     * Per round: ONE vocab-keyed equi-join of the persisted edge set
     * against the current label frame + two combiner-friendly aggregates
-    * (label counts, per-node max) + one argmax join — every frame is
-    * VOCABULARY-bounded (Zipf: ≪ corpus), and the edge set
+    * (label counts, then one lexicographic struct-max argmax) — every
+    * frame is VOCABULARY-bounded (Zipf: ≪ corpus), and the edge set
     * (distinct-bigram-bounded) is persisted once for all rounds, the
     * `wc_triangles` cache-boundary rule. A stopword hub inflates one
     * round's neighbor-label fan-out linearly in its degree — never
@@ -908,8 +908,9 @@ object WordCount {
     * keep their label via the left join. Rounds are fixed, not
     * data-dependent: plan depth is static, no driver-side convergence
     * loop. The oracle unrolls the identical three rounds as CTEs —
-    * argmax expressed as the same two-stage max-count-then-max-label,
-    * so neither engine leans on an unspecified arg_max tie-break. */
+    * argmax expressed as the explicit two-stage max-count-then-max-label
+    * (equivalent to the struct max by lexicographic order), so neither
+    * engine leans on an unspecified arg_max tie-break. */
   def lpa(docs: DataFrame): DataFrame = {
     val tp = tokenPairs(docs).persist()
     val und = adjacentPairs(tp)
@@ -924,9 +925,17 @@ object WordCount {
         .join(labels.select(col("node").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
-      val m = c.groupBy("node").agg(max("cnt").as("mc"))
-      val pick = c.join(m, "node").where(col("cnt") === col("mc"))
-        .groupBy("node").agg(max("label").as("nl"))
+      // argmax in ONE aggregate (r17): max over (cnt, label) structs is
+      // lexicographic — greatest count, ties by greatest label — exactly
+      // the published two-stage max-count-then-max-label pick, which
+      // previously ran as a per-node max + equality join + second
+      // aggregate and RE-EVALUATED the whole edges⋈labels join + count
+      // aggregate per round (both subtrees executed — plan-proven,
+      // plans/r17/wc_lpa_round_{before,after}.txt). The oracle keeps the
+      // explicit two-stage CTE spelling; equivalence is the struct
+      // order, and the hash gate re-proves it every run.
+      val pick = c.groupBy("node")
+        .agg(max(struct(col("cnt"), col("label"))).getField("label").as("nl"))
       val prev = labels
       // persist each round's frame: without it round k's lineage
       // re-executes rounds 1..k−1 (the connectedComponents lesson);
@@ -935,6 +944,10 @@ object WordCount {
         .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
         .persist()
       labels.count()
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN_ROUND")) {
+        System.err.println("[lpa] round label plan (post-execution):")
+        System.err.println(labels.queryExecution.executedPlan.toString)
+      }
       prev.unpersist()
     }
     labels.groupBy("label")
